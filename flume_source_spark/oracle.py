@@ -1,0 +1,102 @@
+"""Local DuckDB-oracle comparison harness.
+
+Mirrors the driver's CORRECTNESS check: run a registered Spark query
+and its DuckDB oracle SQL over the same parquet files, sort columns by
+name, canonicalize values, and compare order-insensitively. Used by
+``tests/test_oracle.py`` so every registered query is verified locally
+at the same scale factor the driver uses before it ever reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flume_source_spark.tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the fixture tables registered as views,
+    matching the driver's pre-registered view environment."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')")
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (pd.Timestamp,)):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat(sep=" ")
+    return v
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x if not isinstance(x, tuple) else str(x)) for x in r))
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    duck_rows: int
+    detail: str = ""
+
+
+def compare(
+    name: str,
+    spark_df: DataFrame,
+    con: duckdb.DuckDBPyConnection,
+    oracle_sql: str,
+) -> CompareResult:
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = con.execute(oracle_sql).fetchdf()
+    s_rows = canonical_rows(spark_pdf)
+    d_rows = canonical_rows(duck_pdf)
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return CompareResult(
+            name, False, len(s_rows), len(d_rows),
+            f"column mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}",
+        )
+    if len(s_rows) != len(d_rows):
+        return CompareResult(name, False, len(s_rows), len(d_rows), "row count mismatch")
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            return CompareResult(
+                name, False, len(s_rows), len(d_rows),
+                f"first differing row #{i}:\n  spark: {a!r}\n  duck : {b!r}",
+            )
+    return CompareResult(name, True, len(s_rows), len(d_rows))
+
+
+def run_spec(spark: SparkSession, con: duckdb.DuckDBPyConnection, spec, sf_dir: str) -> CompareResult:
+    df = spec.builder(spark, sf_dir)
+    if spec.oracle is None:
+        n = df.count()
+        return CompareResult(spec.name, True, n, -1, "rows-only (no oracle)")
+    return compare(spec.name, df, con, spec.oracle)
