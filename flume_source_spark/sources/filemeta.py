@@ -1,0 +1,321 @@
+"""The reference's directory-watching source, Spark-native.
+
+Re-expresses ``cas-bigdatalab/flume-source`` — a Flume
+``EventDrivenSource`` that polls a directory and emits one
+metadata-only event per new file, then renames the file with a
+completed suffix — as a Spark **Python DataSource** with both a batch
+reader and a Structured Streaming reader.
+
+Reference behaviors reproduced (citations into /root/reference):
+
+- one row per file with (file_name, file_path absolute, last_modified)
+  — CephFSEventReader.java:213-237 (FileInfo)
+- CSV body ``name,path,mtime`` with the *unpadded* ``yyyy-MM-dd H:m:s``
+  time format — CephFSEventReader.java:89-93 (concat) and :230-235
+  (SimpleDateFormat pattern, so ``09:05:07`` renders ``9:5:7``)
+- candidate filter: skip directories, completed-suffix files, and
+  dot-files — CephFSEventReader.java:111-121
+- ignorePattern filter — configured but DEAD in the reference
+  (Builder drops it, CephFSEventReader.java:275-278); implemented
+  *working* here, default ``^$`` matches nothing
+  (CephFsSourceConfigrationConstants.java:14-15)
+- consume order OLDEST / YOUNGEST with lexicographic tiebreak
+  (CephFSEventReader.java:135-156, tiebreak :139-140,150-151) and
+  RANDOM = directory-listing order, NOT randomized
+  (CephFSEventReader.java:108-110,131-134 — the README's "randomly"
+  claim does not match the code; we keep the code's behavior)
+- rename-commit: consumed file renamed ``path + fileSuffix``; error if
+  the destination exists ("file name has been re-used",
+  CephFSEventReader.java:189-192) — available as ``commitMode=rename``
+- startup canary: write/read/delete probe in the watched dir
+  (CephFSEventReader.java:52-66)
+- backpressure: the reference admits 1 file per 500 ms poll
+  (CephFsSource.java:29,142-148); here admission control is
+  ``maxFilesPerTrigger`` + the streaming trigger interval
+
+Deliberate improvements over the reference (documented, not bugs):
+
+- default ``commitMode=checkpoint`` never touches the watched files;
+  offsets live in the Spark checkpoint → exactly-once within Spark,
+  fixing the reference's rename-before-emit event loss
+  (CephFsSource.java:149-159 drops the in-flight event on a full
+  channel after the file was already renamed) and its duplicate
+  window (CephFSEventReader.java:204).
+- listing happens once per micro-batch for the WHOLE batch, not once
+  per file — the reference re-lists per event, O(n²) to drain a
+  directory (CephFSEventReader.java:108-125).
+
+Scale notes (100 TB / millions of files): the directory listing runs
+driver-side once per micro-batch (same as Spark's own file source);
+``maxFilesPerTrigger`` bounds per-batch work; in checkpoint mode the
+consumed-set offset grows with file count, so for unbounded
+directories prefer ``commitMode=rename`` (state lives in the
+filesystem, O(1) offsets) — that is exactly the reference's design,
+minus its lost-event window because the rename happens in ``commit()``
+*after* the batch is durable.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+from datetime import datetime
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SUFFIX = ".COMPLETED"  # CephFsSourceConfigrationConstants.java:10-11
+DEFAULT_IGNORE = "^$"  # CephFsSourceConfigrationConstants.java:14-15
+DEFAULT_CHARSET = "UTF-8"  # CephFsSourceConfigrationConstants.java:18-19
+DEFAULT_ORDER = "oldest"  # CephFsSourceConfigrationConstants.java:30
+
+SCHEMA_DDL = "file_name string, file_path string, last_modified timestamp, body string"
+
+
+def format_mtime_unpadded(dt: datetime) -> str:
+    """``yyyy-MM-dd H:m:s`` with unpadded H/m/s — byte parity with the
+    reference's SimpleDateFormat (CephFSEventReader.java:231-234)."""
+    return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} {dt.hour}:{dt.minute}:{dt.second}"
+
+
+def _list_candidates(path: str, suffix: str, ignore: str) -> list[tuple[str, str, float]]:
+    """One directory listing → filtered (name, abspath, mtime) triples.
+
+    Filter parity: CephFSEventReader.java:111-121 (no dirs, no
+    completed-suffix, no dot-files) + the working ignorePattern.
+    """
+    pattern = re.compile(ignore)
+    out = []
+    with os.scandir(path) as it:
+        for entry in it:  # scandir order == the reference's listFiles order (R6)
+            name = entry.name
+            if not entry.is_file(follow_symlinks=False):
+                continue
+            if name.endswith(suffix) or name.startswith("."):
+                continue
+            if pattern.search(name):
+                continue
+            out.append((name, os.path.abspath(entry.path), entry.stat().st_mtime))
+    return out
+
+
+def _order_files(files: list[tuple[str, str, float]], order: str) -> list[tuple[str, str, float]]:
+    """Admission priority per consume order; lexicographic-name tiebreak
+    on equal mtimes (CephFSEventReader.java:139-140,150-151). RANDOM
+    keeps listing order (the reference's actual, non-random behavior)."""
+    if order == "oldest":
+        return sorted(files, key=lambda f: (f[2], f[0]))
+    if order == "youngest":
+        return sorted(files, key=lambda f: (-f[2], f[0]))
+    if order == "random":
+        return list(files)
+    raise ValueError(f"invalid consumeOrder: {order!r} (oldest|youngest|random)")
+
+
+def _row(name: str, abspath: str, mtime: float) -> Tuple:
+    dt = datetime.fromtimestamp(mtime)
+    body = f"{name},{abspath},{format_mtime_unpadded(dt)}"  # CephFSEventReader.java:89-93
+    return (name, abspath, dt, body)
+
+
+def _canary_probe(path: str) -> None:
+    """Write/read/delete probe at init (CephFSEventReader.java:52-66)."""
+    canary = os.path.join(path, f".flume-spark-canary-{uuid.uuid4().hex}")
+    try:
+        with open(canary, "w") as f:
+            f.write("testing flume-spark permissions\n")
+        with open(canary) as f:
+            f.read()
+        os.remove(canary)
+    except OSError as e:
+        raise RuntimeError(
+            f"Unable to read and modify files in the spooling directory: {path}"
+        ) from e
+
+
+def _rename_commit(abspath: str, suffix: str) -> None:
+    """Rename-commit parity (CephFSEventReader.java:185-207): refuse to
+    clobber an existing destination ('file name has been re-used')."""
+    dest = abspath + suffix
+    if os.path.exists(dest):
+        raise RuntimeError(f"File name has been re-used with different files. Spooling file: {abspath}")
+    try:
+        os.rename(abspath, dest)
+    except OSError as e:
+        raise RuntimeError(f"Unable to move {abspath} to {dest}") from e
+
+
+class _Options:
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("filemeta source requires option 'path' (the watched directory)")
+        self.suffix = options.get("filesuffix", DEFAULT_SUFFIX)
+        self.ignore = options.get("ignorepattern", DEFAULT_IGNORE)
+        self.charset = options.get("inputcharset", DEFAULT_CHARSET)
+        self.order = options.get("consumeorder", DEFAULT_ORDER).lower()
+        self.max_files = int(options.get("maxfilespertrigger", "1000"))
+        self.commit_mode = options.get("commitmode", "checkpoint")
+        if self.commit_mode not in ("checkpoint", "rename"):
+            raise ValueError(f"invalid commitMode: {self.commit_mode!r} (checkpoint|rename)")
+        self.canary = options.get("canary", "true").lower() == "true"
+        _order_files([], self.order)  # validate eagerly, like Source:95-96's valueOf
+        re.compile(self.ignore)
+        if self.canary:
+            _canary_probe(self.path)
+
+
+class FileMetaBatchReader(DataSourceReader):
+    """Batch twin: one snapshot of the directory as a DataFrame.
+
+    The listing happens at planning time on the driver (cheap: metadata
+    only); rows are distributed across input partitions so downstream
+    work parallelizes. A 1M-file directory is ~100 MB of metadata —
+    fine on a driver, same strategy as Spark's built-in file index.
+    """
+
+    NUM_PARTITIONS = 8
+
+    def __init__(self, opts: _Options):
+        self.opts = opts
+        files = _order_files(_list_candidates(opts.path, opts.suffix, opts.ignore), opts.order)
+        self.files = files
+
+    def partitions(self):
+        n = max(1, min(self.NUM_PARTITIONS, len(self.files)))
+        chunks = [self.files[i::n] for i in range(n)]
+        # Spark requires ≥1 partition even for an empty directory.
+        return [FilesPartition(c) for c in chunks if c] or [FilesPartition([])]
+
+    def read(self, partition) -> Iterator[Tuple]:
+        for name, abspath, mtime in partition.files:
+            yield _row(name, abspath, mtime)
+
+
+class FilesPartition(InputPartition):
+    def __init__(self, files):
+        self.files = files
+
+
+class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming reader.
+
+    Offsets are JSON dicts:
+      checkpoint mode: {"consumed": {name: mtime}} — grows with file
+        count (bounded directories / compaction; see module docstring)
+      rename mode:     {"batch": n, "renamed": [abspath, ...]} — O(batch)
+        state; the filesystem suffix is the durable consumed-marker,
+        exactly the reference's protocol but applied post-commit.
+    """
+
+    def __init__(self, opts: _Options):
+        self.opts = opts
+        # rename mode: files emitted but not yet renamed by commit().
+        # The prefetcher can call read() again before commit() runs, and
+        # the un-renamed file would be re-admitted without this.
+        self._inflight: set[str] = set()
+
+    def initialOffset(self) -> dict:
+        if self.opts.commit_mode == "rename":
+            return {"batch": 0, "renamed": []}
+        return {"consumed": {}}
+
+    def _admit(self, consumed: dict[str, float]) -> list[tuple[str, str, float]]:
+        files = _list_candidates(self.opts.path, self.opts.suffix, self.opts.ignore)
+        fresh = [f for f in files if consumed.get(f[0]) != f[2]]
+        return _order_files(fresh, self.opts.order)[: self.opts.max_files]
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        if self.opts.commit_mode == "rename":
+            admitted = [f for f in self._admit({}) if f[1] not in self._inflight]
+            if not admitted:
+                # offset unchanged → no new micro-batch (otherwise the
+                # ever-bumping counter would spin the query forever)
+                return iter([]), {"batch": start.get("batch", 0), "renamed": []}
+            self._inflight.update(f[1] for f in admitted)
+            end = {"batch": start.get("batch", 0) + 1, "renamed": [f[1] for f in admitted]}
+            return iter([_row(*f) for f in admitted]), end
+        consumed = dict(start.get("consumed", {}))
+        admitted = self._admit(consumed)
+        for name, _, mtime in admitted:
+            consumed[name] = mtime
+        return iter([_row(*f) for f in admitted]), {"consumed": consumed}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        # Replay after restart: in checkpoint mode the delta is the
+        # consumed-set difference; files may have vanished meanwhile —
+        # emit what still exists (at-least-once on replay, like the
+        # reference; exactly-once when no crash intervenes).
+        if self.opts.commit_mode == "rename":
+            rows = []
+            for abspath in end.get("renamed", []):
+                target = abspath + self.opts.suffix
+                src = abspath if os.path.exists(abspath) else target
+                if os.path.exists(src):
+                    st = os.stat(src)
+                    rows.append(_row(os.path.basename(abspath), abspath, st.st_mtime))
+            return iter(rows)
+        start_c = start.get("consumed", {})
+        end_c = end.get("consumed", {})
+        delta = {n: m for n, m in end_c.items() if start_c.get(n) != m}
+        rows = []
+        for name, mtime in delta.items():
+            abspath = os.path.abspath(os.path.join(self.opts.path, name))
+            rows.append(_row(name, abspath, mtime))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        if self.opts.commit_mode == "rename":
+            for abspath in end.get("renamed", []):
+                if os.path.exists(abspath):
+                    _rename_commit(abspath, self.opts.suffix)
+                self._inflight.discard(abspath)
+
+
+class FileMetaDataSource(DataSource):
+    """``spark.read.format("filemeta")`` / ``spark.readStream.format("filemeta")``.
+
+    Options (case-insensitive, defaults = the reference's):
+      path, fileSuffix=.COMPLETED, ignorePattern=^$ (working),
+      inputCharset=UTF-8, consumeOrder=oldest|youngest|random,
+      maxFilesPerTrigger=1000, commitMode=checkpoint|rename,
+      canary=true
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "filemeta"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return FileMetaBatchReader(_Options(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return FileMetaSimpleStreamReader(_Options(self.options))
+
+
+def register(spark) -> None:
+    """Register the filemeta source on a session (idempotent)."""
+    spark.dataSource.register(FileMetaDataSource)
+
+
+def body_bytes(spark, df, charset: str = DEFAULT_CHARSET):
+    """Charset-encoded event body (Reader:94's EventBuilder.withBody).
+
+    Spark 4 limits `encode` to a few charsets unless the legacy-Java-
+    charsets conf is on; the reference accepts any Java charset, so
+    enable it (runtime SQL conf) for parity with e.g. GBK.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    return df.withColumn("body_bytes", F.encode(F.col("body"), charset))

@@ -1,0 +1,313 @@
+"""Parity tests for the filemeta source (FIXTURES.md §B scenarios).
+
+Unit tests pin the reference behaviors (selection order, tiebreak,
+filtering, body format, canary, rename protocol); streaming tests run
+the real ``readStream.format("filemeta")`` path end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flume_source_spark.sources.filemeta import (
+    FileMetaDataSource,
+    _canary_probe,
+    _list_candidates,
+    _order_files,
+    _rename_commit,
+    body_bytes,
+    format_mtime_unpadded,
+    register,
+)
+
+
+def make_files(d, entries):
+    """entries: (name, mtime_offset_s) — materialize with controlled mtimes."""
+    base = 1700000000.0
+    for name, off in entries:
+        p = os.path.join(d, name)
+        with open(p, "w") as f:
+            f.write(f"content of {name}\n")
+        os.utime(p, (base + off, base + off))
+
+
+# ---------- unit parity ----------
+
+
+def test_body_format_unpadded_golden():
+    # CephFSEventReader.java:231-234: "yyyy-MM-dd H:m:s" → 9:5:7 not 09:05:07
+    assert format_mtime_unpadded(datetime(2024, 1, 5, 9, 5, 7)) == "2024-01-05 9:5:7"
+    assert format_mtime_unpadded(datetime(2024, 12, 15, 23, 59, 59)) == "2024-12-15 23:59:59"
+
+
+def test_order_oldest_youngest_tiebreak():
+    files = [("b", "/x/b", 100.0), ("a", "/x/a", 110.0), ("c", "/x/c", 120.0)]
+    assert [f[0] for f in _order_files(files, "oldest")] == ["b", "a", "c"]
+    assert [f[0] for f in _order_files(files, "youngest")] == ["c", "a", "b"]
+    # tie → lexicographically smallest first in BOTH orders (Reader:139-140,150-151)
+    ties = [("bb", "/x/bb", 100.0), ("aa", "/x/aa", 100.0)]
+    assert [f[0] for f in _order_files(ties, "oldest")] == ["aa", "bb"]
+    assert [f[0] for f in _order_files(ties, "youngest")] == ["aa", "bb"]
+
+
+def test_order_random_is_listing_order():
+    # R6: "RANDOM" = cached listing order, no RNG (Reader:131-134)
+    files = [("z", "/x/z", 1.0), ("m", "/x/m", 2.0), ("a", "/x/a", 3.0)]
+    assert _order_files(files, "random") == files
+
+
+def test_invalid_order_raises():
+    with pytest.raises(ValueError):
+        _order_files([], "chaotic")
+
+
+def test_candidate_filtering(tmp_path):
+    d = str(tmp_path)
+    make_files(d, [("good", 0), (".hidden", 1), ("done.COMPLETED", 2)])
+    os.mkdir(os.path.join(d, "subdir"))
+    names = [f[0] for f in _list_candidates(d, ".COMPLETED", "^$")]
+    assert names == ["good"] or set(names) == {"good"}
+
+
+def test_ignore_pattern_works(tmp_path):
+    # The reference documents ignorePattern but never wires it
+    # (Reader:275-278) — ours works, and the default matches nothing.
+    d = str(tmp_path)
+    make_files(d, [("keep.txt", 0), ("skip.tmp", 1)])
+    names = {f[0] for f in _list_candidates(d, ".COMPLETED", r".*\.tmp$")}
+    assert names == {"keep.txt"}
+    default = {f[0] for f in _list_candidates(d, ".COMPLETED", "^$")}
+    assert default == {"keep.txt", "skip.tmp"}
+
+
+def test_canary_fails_on_unwritable_dir(tmp_path):
+    # a missing dir always fails the probe; a chmod-0 dir only fails
+    # for non-root users (CI may run as root)
+    with pytest.raises(RuntimeError, match="spooling directory"):
+        _canary_probe(str(tmp_path / "does-not-exist"))
+    if os.geteuid() != 0:
+        d = tmp_path / "ro"
+        d.mkdir()
+        os.chmod(d, stat.S_IRUSR | stat.S_IXUSR)
+        try:
+            with pytest.raises(RuntimeError, match="spooling directory"):
+                _canary_probe(str(d))
+        finally:
+            os.chmod(d, stat.S_IRWXU)
+
+
+def test_rename_commit_and_collision(tmp_path):
+    d = str(tmp_path)
+    make_files(d, [("file1", 0)])
+    p = os.path.join(d, "file1")
+    _rename_commit(p, ".COMPLETED")
+    assert not os.path.exists(p)
+    assert os.path.exists(p + ".COMPLETED")
+    # collision: dest exists → refuse (Reader:189-192)
+    make_files(d, [("file1", 5)])
+    with pytest.raises(RuntimeError, match="re-used"):
+        _rename_commit(p, ".COMPLETED")
+
+
+# ---------- batch reader e2e ----------
+
+
+def test_batch_read_single_file(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path)
+    make_files(d, [("file1", 0)])
+    df = spark.read.format("filemeta").option("path", d).load()
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.file_name == "file1"
+    assert r.file_path == os.path.join(d, "file1")
+    mt = datetime.fromtimestamp(1700000000.0)
+    assert r.body == f"file1,{r.file_path},{format_mtime_unpadded(mt)}"
+    assert r.last_modified is not None
+
+
+def test_batch_read_filters_and_ignore(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path)
+    make_files(d, [("good", 0), (".hidden", 1), ("done.COMPLETED", 2), ("skip.tmp", 3)])
+    os.mkdir(os.path.join(d, "subdir"))
+    df = (
+        spark.read.format("filemeta")
+        .option("path", d)
+        .option("ignorePattern", r".*\.tmp$")
+        .load()
+    )
+    assert [r.file_name for r in df.collect()] == ["good"]
+
+
+def test_batch_empty_dir(spark, tmp_path):
+    register(spark)
+    df = spark.read.format("filemeta").option("path", str(tmp_path)).load()
+    assert df.count() == 0
+
+
+def test_charset_encoding(spark, tmp_path):
+    # body bytes in a configured charset (Reader:94); GBK round-trip.
+    register(spark)
+    d = str(tmp_path)
+    make_files(d, [("文件一.txt", 0)])
+    df = spark.read.format("filemeta").option("path", d).load()
+    row = body_bytes(spark, df, "GBK").select("body_bytes", "body").collect()[0]
+    assert bytes(row.body_bytes) == row.body.encode("gbk")
+
+
+def test_missing_path_option_raises(spark, tmp_path):
+    register(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("filemeta").load().collect()
+
+
+# ---------- streaming e2e ----------
+
+
+def run_stream(spark, d, tmp_path, extra_opts=None, checkpoint=None):
+    reader = spark.readStream.format("filemeta").option("path", d)
+    for k, v in (extra_opts or {}).items():
+        reader = reader.option(k, v)
+    name = f"fm_{abs(hash((d, str(extra_opts), str(checkpoint)))) % 10**8}"
+    writer = reader.load().writeStream.format("memory").queryName(name).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    return q, name
+
+
+def test_stream_checkpoint_mode_no_rename(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("file1", 0)])
+    q, name = run_stream(spark, d, tmp_path)
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        assert [r.file_name for r in rows] == ["file1"]
+        assert os.path.exists(os.path.join(d, "file1"))  # untouched
+    finally:
+        q.stop()
+
+
+def test_stream_new_arrivals_no_duplicates(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("early", 0)])
+    q, name = run_stream(spark, d, tmp_path)
+    try:
+        q.processAllAvailable()
+        make_files(d, [("late1", 10), ("late2", 20)])
+        q.processAllAvailable()
+        q.processAllAvailable()  # extra cycle: still no duplicates
+        names = sorted(r.file_name for r in spark.sql(f"select * from {name}").collect())
+        assert names == ["early", "late1", "late2"]
+    finally:
+        q.stop()
+
+
+def test_stream_rename_commit_mode(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("file1", 0)])
+    q, name = run_stream(spark, d, tmp_path, {"commitMode": "rename"})
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + 10  # commit() runs just after the batch completes
+        while time.time() < deadline and os.path.exists(os.path.join(d, "file1")):
+            time.sleep(0.1)
+        assert os.path.exists(os.path.join(d, "file1.COMPLETED"))
+        assert not os.path.exists(os.path.join(d, "file1"))
+        # next cycle: suffixed file is filtered, nothing new
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        assert [r.file_name for r in rows] == ["file1"]
+    finally:
+        q.stop()
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    cp = str(tmp_path / "cp")
+    os.makedirs(d)
+    make_files(d, [("first", 0)])
+    run1: list[str] = []
+    run2: list[str] = []
+
+    def start(acc):
+        return (
+            spark.readStream.format("filemeta")
+            .option("path", d)
+            .load()
+            .writeStream.option("checkpointLocation", cp)
+            .foreachBatch(lambda df, eid: acc.extend(r.file_name for r in df.collect()))
+            .start()
+        )
+
+    q = start(run1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert run1 == ["first"]
+    make_files(d, [("second", 10)])
+    q2 = start(run2)
+    try:
+        q2.processAllAvailable()
+        # checkpoint resume: 'first' is already consumed, only 'second' arrives
+        assert run2 == ["second"]
+    finally:
+        q2.stop()
+
+
+def test_stream_admission_order_oldest(spark, tmp_path):
+    # maxFilesPerTrigger=1 → one file per micro-batch, admitted in
+    # OLDEST priority; capture per-batch arrival via foreachBatch.
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("b", 0), ("a", 10), ("c", 20)])
+    seen: list[list[str]] = []
+
+    def sink(df, epoch_id):
+        seen.append([r.file_name for r in df.collect()])
+
+    q = (
+        spark.readStream.format("filemeta")
+        .option("path", d)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        flat = [n for batch in seen for n in batch]
+        assert flat == ["b", "a", "c"]
+    finally:
+        q.stop()
+
+
+def test_stream_empty_dir_idles(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    q, name = run_stream(spark, d, tmp_path)
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"select * from {name}").count() == 0
+        assert q.exception() is None
+    finally:
+        q.stop()
