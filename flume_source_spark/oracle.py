@@ -43,8 +43,10 @@ def _canon_value(v):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_value(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar → python scalar
+        return _canon_value(v.item())
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (pd.Timestamp,)):
