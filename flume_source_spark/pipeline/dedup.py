@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard (exact near-dup),
+MinHash-LSH (scalable near-dup), SimHash.
+
+Scale design (the whole point of these operators):
+
+- exact dedup = hash + min-by-key: one shuffle on the 64-bit content
+  hash, no full-text comparison. At 100 TB, group on xxhash64 and only
+  tie-break within hash buckets.
+- exact n-gram Jaccard joins documents on *shared shingles* — cost is
+  Σ_s |docs(s)|², fine when shingles are discriminative, quadratic
+  when a shingle is hot; it is the ORACLE for the LSH path, not the
+  scale path.
+- MinHash-LSH replaces the shingle join with a band-signature join:
+  cost Σ_bucket |bucket|² where buckets only contain likely-similar
+  docs. 63 hashes = 21 bands × 3 rows → P(candidate) ≈ 1 for
+  J ≥ 0.85, ≈ 3·J³ for J ≤ 0.2; with this corpus's bimodal
+  similarity (planted dups ≥ 0.88, noise ≤ 0.15) the LSH+verify
+  result equals the exact result with P(miss) < 1e-10, which is why
+  the query can be hash-checked against the exact oracle.
+- MinHash functions are h_i(s) = (a_i·x + b_i) mod p over
+  x = xxhash64(shingle) & 0x7FFFFFFF (p = 2³¹−1, Carter–Wegman
+  universal family) — pure column expressions, no Python, no RNG at
+  runtime (a_i, b_i fixed from a seeded generator at import time).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+MERSENNE31 = (1 << 31) - 1
+N_HASHES = 63
+BANDS = 21
+ROWS_PER_BAND = 3
+_rng = random.Random(42)
+_HASH_PARAMS = [(_rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31)) for _ in range(N_HASHES)]
+
+JACCARD_THRESHOLD = 0.5
+
+
+def shingle_col(text_col, k: int = 3):
+    """Distinct k-token shingles of a whitespace-tokenized text column."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+    """(id, h_0..h_62) MinHash signatures via explode → 63 min-aggs
+    (one shuffle on id; map-side partial min keeps it cheap)."""
+    base = (F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))).cast("long")
+    exploded = df.select(id_col, F.explode(F.col(shingles_col)).alias("shingle")).withColumn("hx", base)
+    aggs = [
+        F.min((F.col("hx") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_HASH_PARAMS)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Band the signature, self-join on (band, band_hash) → distinct
+    candidate (i, j) pairs with i < j."""
+    bands = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]))
+            for band in range(BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("bid"), F.posexplode(bands).alias("band", "band_sig"))
+    left = banded.select(F.col("bid").alias("i"), "band", "band_sig")
+    right = banded.select(F.col("bid").alias("j"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+    ),
+    keep AS (SELECT content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+             FROM hashed GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, k.keeper, h.doc_id = k.keeper AS is_kept, k.n_copies
+    FROM hashed h JOIN keep k ON h.content_hash = k.content_hash
+    ORDER BY h.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → content hash → keep min doc_id per
+    hash. One shuffle on the hash; at 100 TB swap md5 for xxhash64
+    (same plan shape, cheaper bytes — md5 here for oracle portability)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    hashed = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+    keep = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    return (
+        hashed.join(keep, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "keeper",
+            (F.col("doc_id") == F.col("keeper")).alias("is_kept"),
+            "n_copies",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_JACCARD_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i, j,
+           CAST(round(c * 1.0 / (sa.n + sb.n - c), 4) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON i = sa.doc_id
+    JOIN sz sb ON j = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ORDER BY i, j
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: join docs on shared 3-token shingles,
+    count intersections, Jaccard ≥ 0.5. This is the quadratic-capable
+    reference path — the oracle for the LSH variant below."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("i"), "shingle")
+    b = sh.select(F.col("doc_id").alias("j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sza, "i")
+        .join(szb, "j")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_EXACT_JACCARD_ORACLE, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup: MinHash signatures → banded LSH self-join →
+    exact-Jaccard verification of the (few) candidates. Same output as
+    the exact oracle on this corpus (see module docstring for the
+    probability argument) at a fraction of the join fan-out — the
+    100 TB path."""
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles"))
+    sig = minhash_signature(docs, "doc_id", "shingles")
+    cand = lsh_candidate_pairs(sig, "doc_id")
+    # verify candidates exactly (array_intersect on the distinct shingle sets)
+    left = docs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
+    right = docs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    jac = inter / union
+    return (
+        cand.join(left, "i")
+        .join(right, "j")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # Spark-specific bit patterns (xxhash64); determinism
+    # + near-dup Hamming property pinned in tests/test_llm_ops.py
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token hashes: per bit, majority vote of
+    token-hash bits. Explode → 32 conditional sums → bit pack; one
+    shuffle on doc_id. Near-dup docs land within small Hamming
+    distance, enabling radius search by prefix blocking at scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = tok.withColumn("hx", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.shiftright("hx", b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(32)
+    ]
+    votes = tok.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: opaque binary payloads with typed
+metadata, Arrow-batched decode/feature-extract, frame sampling.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (`_fake_decode`) — the Spark-side
+contract (binary column + schema'd mapInPandas + batch shapes +
+partitioning) is real and tested; swapping in PIL/ffmpeg changes one
+function body, not the plan.
+
+Real binary ingestion exists too: ``multimodal_binaryfile`` reads the
+sf_dir through Spark's built-in binaryFile source (content + metadata
+columns), the exact shape used to load image/audio shards at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    WITH b AS (SELECT doc_id, lang, text, encode(text) AS payload FROM documents)
+    SELECT doc_id, lang,
+           octet_length(payload) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           substring(upper(hex(payload)), 1, 8) AS magic_hex,
+           CASE WHEN octet_length(payload) > 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM b
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata projection — hashing, sizing and
+    magic-byte sniffing as pure JVM expressions over a binary column
+    (text bytes stand in for image bytes; the ops are type-generic)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select("doc_id", "lang", payload.alias("payload"))
+        .select(
+            "doc_id",
+            "lang",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.sha2("payload", 256).alias("payload_sha256"),
+            F.upper(F.hex(F.expr("substring(payload, 1, 4)"))).alias("magic_hex"),
+            F.when(F.length("payload") > 300, "large").otherwise("small").alias("size_class"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode kernel — deterministic fake in place of a real
+    image decoder (no codecs in this container). Returns
+    (width, height, channels) derived from the bytes. Swap body with
+    e.g. PIL.Image.open(io.BytesIO(payload)).size for real decoding."""
+    n = len(payload)
+    return (1 + n % 64, 1 + (n // 64) % 64, 1 + payload[0] % 4 if n else 1)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           1 + octet_length(payload) % 64 AS width,
+           1 + (octet_length(payload) // 64) % 64 AS height,
+           1 + ascii(substring(text, 1, 1)) % 4 AS channels,
+           (1 + octet_length(payload) % 64) * (1 + (octet_length(payload) // 64) % 64) AS n_pixels
+    FROM b
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: binary in, typed features
+    out. The oracle recomputes the deterministic fake kernel in SQL —
+    so what's verified is precisely the Python/Arrow plumbing (batch
+    iteration, binary round-trip, schema, row alignment)."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    binary = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "n_pixels": [f[0] * f[1] for f in feats],
+                }
+            )
+
+    return (
+        binary.mapInPandas(decode, "doc_id long, width long, height long, channels long, n_pixels long")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (SELECT doc_id, 1 + (n_chars % 10) AS n_frames FROM documents WHERE doc_id % 25 = 3)
+    SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM v
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "udtf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per sampled frame via
+    posexplode(sequence(...)) — the one-to-many UDTF shape for video;
+    a real sampler replaces the synthetic frame count with decoder
+    metadata, the expansion plan is identical."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 25 == 3)
+    v = d.select("doc_id", (1 + F.col("n_chars") % 10).cast("bigint").alias("n_frames"))
+    return (
+        v.select("doc_id", "n_frames", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
+    "multimodal_binaryfile",
+    oracle=None,  # file sizes/paths are environment state DuckDB can't
+    # observe; sanity (≥10 files, parquet magic "PAR1") checked in tests
+    tags=("llm", "multimodal", "source"),
+)
+def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary ingestion: Spark's binaryFile source over the
+    sf_dir — path/length metadata + raw content, the load shape for
+    image/audio shards (content capped via magic-bytes projection so
+    the result stays metadata-sized)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.hex(F.expr("substring(content, 1, 4)")).alias("magic_hex"),
+        )
+        .orderBy("file_name")
+    )

@@ -1,0 +1,86 @@
+"""Property tests for the approximate/engine-specific LLM ops that the
+DuckDB oracle can't hash-check: ANN recall, SimHash locality, approx
+aggregates, binaryFile ingestion, Spark-hash determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def run(name, spark, sf_dir):
+    return SPECS[name].builder(spark, sf_dir)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    truth = {
+        (r.qid, r.nid) for r in run("sim_cosine_topk", spark, sf_dir).collect()
+    }
+    approx = {(r.qid, r.nid) for r in run("sim_ann_lsh", spark, sf_dir).collect()}
+    assert truth, "bruteforce top-k must be non-empty"
+    recall = len(truth & approx) / len(truth)
+    # 16-bit single-table LSH on weakly-clustered vectors: modest bar,
+    # but it must beat random chance (k/N ≈ 1%) by a wide margin
+    assert recall >= 0.2, f"LSH recall {recall:.2f} vs bruteforce"
+
+
+def test_simhash_locality_on_neardup_pairs(spark, sf_dir):
+    """Planted near-dup pairs (exact Jaccard ≥ 0.5) must have small
+    SimHash Hamming distance; random pairs should average much larger."""
+    sim = {r.doc_id: r.simhash for r in run("dedup_simhash", spark, sf_dir).collect()}
+    pairs = [(r.i, r.j) for r in run("dedup_ngram_jaccard", spark, sf_dir).collect()]
+    assert pairs, "fixture should contain planted near-dup pairs"
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    near = [ham(sim[i], sim[j]) for i, j in pairs]
+    ids = sorted(sim)
+    far = [ham(sim[ids[k]], sim[ids[k + 7]]) for k in range(0, len(ids) - 7, 11)]
+    assert max(near) <= 6, f"near-dup Hamming too large: {near}"
+    assert sum(far) / len(far) > max(near), "random pairs should exceed near-dup distances"
+
+
+def test_simhash_deterministic_across_runs(spark, sf_dir):
+    a = {r.doc_id: r.simhash for r in run("dedup_simhash", spark, sf_dir).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {r.doc_id: r.simhash for r in run("dedup_simhash", spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
+
+
+def test_approx_aggs_within_tolerance(spark, sf_dir):
+    rows = run("agg_approx", spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.1, f"HLL++ error {rel_err:.3f} for {r}"
+        assert r.approx_median_price > 0
+
+
+def test_binaryfile_reads_parquet_magic(spark, sf_dir):
+    rows = run("multimodal_binaryfile", spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.magic_hex == "50415231" for r in rows)  # "PAR1"
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_spark_hashes_deterministic(spark, sf_dir):
+    a = run("scalar_hash_spark", spark, sf_dir).collect()
+    b = run("scalar_hash_spark", spark, sf_dir).collect()
+    assert a == b
+    assert all(r.name_xx64 != r.name_xx64_seeded for r in a)  # seed matters
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """The LSH pipeline's verified output equals the exact shingle-join
+    result on this corpus (the probabilistic-miss argument in
+    dedup.py's docstring, checked empirically)."""
+    exact = {(r.i, r.j, r.jaccard) for r in run("dedup_ngram_jaccard", spark, sf_dir).collect()}
+    lsh = {(r.i, r.j, r.jaccard) for r in run("dedup_minhash_lsh", spark, sf_dir).collect()}
+    assert exact == lsh
+    assert exact, "fixture should contain planted near-dup pairs"
