@@ -1,0 +1,94 @@
+"""Streaming transformations — the same logical operations as the
+batch twins, applied to unbounded DataFrames.
+
+Design rule: a transformation is a function DataFrame → DataFrame that
+doesn't know whether its input is bounded. Batch/stream equivalence
+then holds by construction (Structured Streaming's contract), and
+tests assert it empirically (tests/test_streaming.py).
+
+Watermarks bound state, never correctness for on-time data: a
+`withWatermark(ts, D)` aggregation finalizes a window once the
+watermark (max event time − D) passes its end, and drops events
+arriving later than D behind the max — the knob that keeps state
+finite over an infinite stream (the 100 TB/day design constraint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def tumbling_agg(events: DataFrame, watermark: str | None = "10 minutes") -> DataFrame:
+    """1-hour tumbling count/sum per event_type (stream or batch)."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped; state for an id is released once
+    the watermark passes it (bounded state, unlike plain
+    dropDuplicates which remembers every key forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    static dim (broadcast by Catalyst — no stream-side shuffle)."""
+    return events.join(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+        "user_id",
+        "left",
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total across micro-batches — the
+    flatMapGroupsWithState-class escape hatch when built-in windowed
+    aggs can't express the state machine."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class IdempotentBatchSink:
+    """foreachBatch sink with exactly-once effect: applies a batch once
+    per epoch id, so Spark's at-least-once re-delivery after recovery
+    collapses to exactly-once — the standard idempotent-sink recipe
+    (the reference's rename-commit is the filesystem version of this)."""
+
+    def __init__(self):
+        self.applied: dict[int, list] = {}
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.applied:  # redelivered epoch → no-op
+            return
+        self.applied[epoch_id] = batch_df.collect()
+
+    @property
+    def rows(self) -> list:
+        return [r for rows in self.applied.values() for r in rows]

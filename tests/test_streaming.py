@@ -1,0 +1,170 @@
+"""Streaming semantics: stream ≡ batch equivalence, watermark
+late-data handling, stateful dedup, stream-static join, custom state,
+idempotent sinks. Micro-batch boundaries are controlled by dropping
+parquet files into a watched directory between processAllAvailable()
+calls (the file source admits new files per trigger)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flume_source_spark.streaming.engine import (
+    EVENTS_SCHEMA,
+    IdempotentBatchSink,
+    dedup_within_watermark,
+    running_user_totals,
+    stream_static_enrich,
+    tumbling_agg,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def write_batch(d, name, rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)"""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [T0 + timedelta(minutes=r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}" for _ in rows],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def events_stream(spark, d):
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+
+
+def run_to_memory(df, name, mode):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    return q
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    """The same tumbling agg over the same rows: streaming (complete
+    mode, two micro-batches) == batch — Structured Streaming's core
+    contract."""
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 5, 1, "click", 10), (2, 20, 1, "view", 5), (3, 70, 2, "click", 7)])
+    q = run_to_memory(tumbling_agg(events_stream(spark, d), watermark=None), "tumb", "complete")
+    try:
+        q.processAllAvailable()
+        write_batch(d, "b2", [(4, 80, 2, "click", 3), (5, 130, 1, "view", 1)])
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.sql("select * from tumb").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in tumbling_agg(batch).collect()
+    }
+    assert got == want
+    assert len(want) == 4  # h0:click, h0:view, h1:click, h2:view
+
+
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + 10 min watermark: an event arriving after the
+    watermark passed its window is dropped; the finalized window's
+    count excludes it."""
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 5, 1, "click", 1), (2, 50, 1, "click", 1)])
+    q = run_to_memory(tumbling_agg(events_stream(spark, d)), "late", "append")
+    try:
+        q.processAllAvailable()
+        # advance event time far past hour-0 (watermark → 170-10=160min)
+        write_batch(d, "b2", [(3, 170, 1, "click", 1)])
+        q.processAllAvailable()
+        # late arrival INTO hour-0, behind the watermark → dropped
+        write_batch(d, "b3", [(4, 7, 1, "click", 99)])
+        q.processAllAvailable()
+        # one more on-time batch so emission keeps flowing
+        write_batch(d, "b4", [(5, 180, 1, "click", 1)])
+        q.processAllAvailable()
+        rows = {r.window_start: (r.n, r.total_value) for r in spark.sql("select * from late").collect()}
+    finally:
+        q.stop()
+    h0 = rows[T0]
+    assert h0 == (2, 2.0), f"late event leaked into finalized window: {rows}"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 1, "click", 1), (2, 1, 1, "view", 2)])
+    sink = IdempotentBatchSink()
+    q = dedup_within_watermark(events_stream(spark, d)).writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        # duplicate event_id 1 within the watermark horizon + a fresh id
+        write_batch(d, "b2", [(1, 2, 1, "click", 1), (3, 3, 2, "click", 4)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in sink.rows)
+    assert ids == [1, 2, 3], f"duplicate not suppressed: {ids}"
+
+
+def test_stream_static_join(spark, tmp_path, sf_dir):
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 5, "click", 1), (2, 1, 999999, "view", 2)])
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sink = IdempotentBatchSink()
+    q = stream_static_enrich(events_stream(spark, d), customer).writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {r.event_id: r for r in sink.rows}
+    assert by_id[1].c_mktsegment is not None  # custkey 5 exists in the dim
+    assert by_id[2].c_mktsegment is None  # left join keeps unmatched stream rows
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 1, "click", 10), (2, 1, 1, "view", 5), (3, 2, 2, "click", 1)])
+    sink = IdempotentBatchSink()
+    q = running_user_totals(events_stream(spark, d)).writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        write_batch(d, "b2", [(4, 3, 1, "click", 2)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user wins
+    latest = {}
+    for epoch in sorted(sink.applied):
+        for r in sink.applied[epoch]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 17.0)  # state carried across micro-batches
+    assert latest[2] == (1, 1.0)
+
+
+def test_foreach_batch_idempotent_on_redelivery(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 1, "click", 1), (2, 1, 2, "view", 2)])
+    sink = IdempotentBatchSink()
+    q = events_stream(spark, d).writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_before = len(sink.rows)
+    # simulate Spark redelivering epoch 0 after a recovery
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
+    sink(batch, 0)
+    assert len(sink.rows) == n_before, "redelivered epoch must be a no-op"
