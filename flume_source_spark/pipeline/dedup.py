@@ -43,6 +43,17 @@ _HASH_PARAMS = [(_rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31)) f
 JACCARD_THRESHOLD = 0.5
 
 
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition on a key to the session's parallelism before
+    compute-bound per-row work. Small fixture tables arrive as ONE
+    parquet split, so without this shingling/hashing runs
+    single-threaded regardless of core count. Hash partitioning (not
+    round-robin: that variant sorts every row for determinism) keeps
+    the exchange cheap; at 100 TB input splits already provide
+    parallelism and the exchange can be dropped."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+
+
 def shingle_col(text_col, k: int = 3):
     """Distinct k-token shingles of a whitespace-tokenized text column."""
     toks = F.split(text_col, " ")
@@ -67,8 +78,13 @@ def minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFram
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Band the signature, self-join on (band, band_hash) → distinct
-    candidate (i, j) pairs with i < j."""
+    """Band the signature, group ids by (band, band_hash) bucket, emit
+    all in-bucket pairs. groupBy + in-bucket pair expansion instead of
+    a self-join: one pass over the signatures (a self-join would
+    recompute the whole signature pipeline for each side), and the
+    quadratic term is explicitly per-bucket — the place to add a
+    bucket-size cap / salt if a pathological hot bucket appears at
+    scale."""
     bands = F.array(
         *[
             F.xxhash64(F.concat_ws(",", *[f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]))
@@ -76,12 +92,23 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         ]
     )
     banded = sig.select(F.col(id_col).alias("bid"), F.posexplode(bands).alias("band", "band_sig"))
-    left = banded.select(F.col("bid").alias("i"), "band", "band_sig")
-    right = banded.select(F.col("bid").alias("j"), "band", "band_sig")
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_set("bid")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("i") < F.col("j"))
-        .select("i", "j")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
 
@@ -148,7 +175,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs: join docs on shared 3-token shingles,
     count intersections, Jaccard ≥ 0.5. This is the quadratic-capable
     reference path — the oracle for the LSH variant below."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     sh = d.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("i"), "shingle")
@@ -178,8 +205,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact oracle on this corpus (see module docstring for the
     probability argument) at a fraction of the join fan-out — the
     100 TB path."""
-    d = load_tables(spark, sf_dir)["documents"]
-    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles"))
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    # persist the shingle sets: they feed the signature pipeline AND
+    # both sides of the verification join — without persist Spark
+    # recomputes the shingling 3× (LSH is a DAG, not a tree)
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles")).persist()
     sig = minhash_signature(docs, "doc_id", "shingles")
     cand = lsh_candidate_pairs(sig, "doc_id")
     # verify candidates exactly (array_intersect on the distinct shingle sets)
@@ -208,7 +238,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-hash bits. Explode → 32 conditional sums → bit pack; one
     shuffle on doc_id. Near-dup docs land within small Hamming
     distance, enabling radius search by prefix blocking at scale."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok = tok.withColumn("hx", F.xxhash64("tok"))
     bit_sums = [

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
+
+def _spread(df):
+    from flume_source_spark.pipeline.dedup import spread
+
+    return spread(df)
+
 # tiny per-language stopword lists for the n-gram/stopword-hit
 # language-ID heuristic (public common stopwords)
 _STOPWORDS = {
@@ -48,7 +54,7 @@ _STOPWORDS = {
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length stats, type-token ratio, stopword ratio,
     and a composite keep/drop flag — the pretraining-filter shape."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = _spread(load_tables(spark, sf_dir)["documents"])
     toks = F.split("text", " ")
     stop = F.array(*[F.lit(s) for s in ["a", "the", "of", "and", "value", "row", "data", "key"]])
     n_toks = F.size(toks).cast("bigint")
@@ -88,7 +94,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies via explode → agg (the map-side-combine
     wordcount shape; at 100 TB this is one shuffle of (token, partial
     counts), the canonical scalable aggregation)."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = _spread(load_tables(spark, sf_dir)["documents"])
     return (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
@@ -130,7 +136,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (the classic cheap heuristic): score
     each language by stopword hits, argmax with deterministic
     preference order, 'und' when nothing matches."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = _spread(load_tables(spark, sf_dir)["documents"])
     toks = F.split("text", " ")
 
     def hits(lang: str):
@@ -176,7 +182,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: full-content hash + min-shingle-hash (a
     1-permutation MinHash — the building block the LSH dedup scales
     up). Portable md5 so DuckDB can verify."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = _spread(load_tables(spark, sf_dir)["documents"])
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),

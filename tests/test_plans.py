@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the plans Catalyst produces are the plans
+a 100 TB deployment needs — filters pushed into the parquet scan,
+columns pruned, dimension joins broadcast, top-k as
+TakeOrderedAndProject, aggregates partial+final, codegen engaged."""
+
+from __future__ import annotations
+
+from flume_source_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def plan(spark, sf_dir, name) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    df.collect()  # finalize: AQE only materializes codegen/join choices on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # 7 needed columns, not the full 11-column schema
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
+    assert "*(" in p  # WholeStageCodegen spans (the asterisk marker)
+
+
+def test_q05_all_dimension_joins_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q05_local_supplier_volume")
+    # AQE's toString shows initial+final plan sections; all 5 dimension
+    # joins must be broadcast in both, and no sort-merge anywhere
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_broadcast_hint")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning(l_partkey" not in p  # fact side not shuffled for the join
+
+
+def test_q03_topk_is_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in p  # heap top-k, no global sort
+
+
+def test_agg_is_partial_plus_final(spark, sf_dir):
+    p = plan(spark, sf_dir, "agg_basic")
+    assert "partial_count" in p or p.count("HashAggregate") >= 2
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in plan(spark, sf_dir, "join_left_anti")
+
+
+def test_range_join_is_nested_loop_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_range_nonequi")
+    assert "BroadcastNestedLoopJoin" in p  # 3-row band table broadcast
+
+
+def test_scan_prunes_columns_for_projection(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_predicates")
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "o_orderdate" not in read_schema  # unused column pruned from scan
