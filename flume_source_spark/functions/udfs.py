@@ -1,0 +1,168 @@
+"""The Python UDF/UDAF/UDTF surface — every escape-hatch tier, each
+verified against a pure-SQL oracle so what's tested is the
+Python-boundary machinery itself (serialization, Arrow batching,
+grouping, SQL registration), not the arithmetic.
+
+Tier order (prefer the lowest that expresses the semantics — UDFs are
+the slow path, and the same logic as built-ins stays in codegen):
+
+1. built-in expressions            — everything else in this repo
+2. @pandas_udf (Arrow, vectorized) — `pandas_scale`
+3. applyInPandas (grouped map)     — `group_zscore`
+4. mapInArrow (batch-level)        — see pipeline/similarity.py
+5. @udtf / posexplode              — `udtf_expand`
+6. row-at-a-time @udf              — `row_classify` (deliberately the
+   worst tier: per-row pickling; exists for surface completeness and
+   as the baseline the vectorized tiers beat)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) * 1.1 AS DECIMAL(18,6)), 4) AS DOUBLE) AS adjusted
+    FROM lineitem
+    WHERE l_orderkey % 500 = 2
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→Series pandas_udf (Arrow-batched). ~10-100× the row UDF;
+    still slower than the equivalent built-in expression — used only
+    when numpy/pandas semantics are genuinely needed."""
+
+    @F.pandas_udf(DoubleType())
+    def adjust(price: pd.Series, disc: pd.Series) -> pd.Series:
+        # NOTE: no rounding in Python — numpy/pandas round half-even,
+        # SQL round() rounds half-away; canonicalize with F.round outside
+        return price * (1 - disc) * 1.1
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") % 500 == 2)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            # the ×1.1 product sits on 5th-decimal half-boundaries where
+            # double-rounding diverges between engines; bridge through an
+            # exact decimal before rounding (same strategy as canon.py)
+            F.round(adjust("l_extendedprice", "l_discount").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("adjusted"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS DOUBLE) AS zscore
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("udf", "applyInPandas"),
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-map/UDAF
+    class): whole group as one pandas frame — the shape for per-group
+    model scoring. Shuffles once on the group key; group size must fit
+    an executor (mktsegment groups do; an unbounded key would not)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        # raw values out; rounding happens JVM-side (half-even vs
+        # half-away divergence between numpy and SQL round)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pdf["c_mktsegment"],
+                "c_custkey": pdf["c_custkey"],
+                "zscore": (pdf["c_acctbal"] - mu) / sd,
+            }
+        )
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_mktsegment string, c_custkey long, zscore double")
+        .select("c_mktsegment", "c_custkey", F.round("zscore", 4).cast("double").alias("zscore"))
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "udf_row_classify",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END
+             || '-' || lower(p_type) AS size_type
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "row"),
+)
+def udf_row_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the slowest tier (per-row serde, no
+    vectorization, breaks codegen). Registered for SQL use via
+    spark.udf.register; exists to pin the surface, not as a pattern."""
+
+    def classify(size: int, ptype: str) -> str:
+        bucket = "S" if size < 10 else ("M" if size < 30 else "L")
+        return f"{bucket}-{ptype.lower()}"
+
+    spark.udf.register("classify_part", classify, StringType())
+    p = load_tables(spark, sf_dir)["part"]
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        "SELECT p_partkey, classify_part(p_size, p_type) AS size_type FROM part ORDER BY p_partkey"
+    )
+
+
+@query(
+    "udtf_expand",
+    oracle="""
+    SELECT s_suppkey, part_idx,
+           CAST(round(s_acctbal / 3, 4) AS DOUBLE) AS tranche
+    FROM supplier, unnest([0, 1, 2]) AS t(part_idx)
+    ORDER BY s_suppkey, part_idx
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many expansion via a Python UDTF (PySpark ≥ 3.5): split
+    each supplier balance into 3 tranches. Same plan class as
+    explode(sequence(...)) — prefer the built-in when the expansion is
+    expressible; the UDTF exists for computed expansions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="s_suppkey bigint, part_idx bigint, tranche double")
+    class Tranches:
+        def eval(self, s_suppkey: int, s_acctbal: float):
+            for i in range(3):
+                yield s_suppkey, i, s_acctbal / 3  # raw; round() in SQL (half-even hazard)
+
+    spark.udtf.register("tranches", Tranches)
+    load_tables(spark, sf_dir)["supplier"].createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT t.s_suppkey, t.part_idx,
+               CAST(round(t.tranche, 4) AS DOUBLE) AS tranche
+        FROM supplier, LATERAL tranches(s_suppkey, s_acctbal) t
+        ORDER BY t.s_suppkey, t.part_idx
+        """
+    )

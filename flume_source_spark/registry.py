@@ -59,10 +59,13 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
+    import flume_source_spark.operators.subqueries  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
+    import flume_source_spark.sources.formats  # noqa: F401
+    import flume_source_spark.functions.udfs  # noqa: F401
     return REGISTRY

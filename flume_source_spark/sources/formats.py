@@ -1,0 +1,117 @@
+"""File-format sources and sinks: CSV and JSON-lines scans (explicit
+schema — no inference in production paths), parquet/CSV writes, and
+partitioned writes with partition pruning.
+
+The driver fixtures are parquet-only, so each query materializes the
+alternate format from parquet first (exercising the WRITER), reads it
+back (the SCANNER), and aggregates — the oracle runs the same
+aggregation on the original parquet, so a full write→read→compute
+round-trip is what's actually verified.
+
+Writes land under /tmp (never in the read-only testdata dir), keyed by
+sf_dir so scale factors don't collide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.canon import dec, dsum
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_WORK = "/tmp/flume_source_spark_io"
+
+
+def _slot(sf_dir: str, name: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_WORK, h, name)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (header, explicit quoting) → schema'd CSV scan →
+    join+agg. Oracle computes from the original parquet, so the CSV
+    writer/scanner round-trip must be lossless (incl. doubles via
+    full-precision serialization)."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "customer_csv")
+    t["customer"].write.mode("overwrite").option("header", True).csv(out)
+    schema = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    c = spark.read.schema(schema).option("header", True).csv(out)
+    return (
+        c.join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"), dsum(dec("c_acctbal"), "total_bal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("source", "json"),
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → schema'd json scan → agg (timestamps
+    carried as ISO strings in the JSON layer; the agg doesn't depend
+    on them, making the round-trip exact)."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "events_jsonl")
+    t["events"].select("event_id", "event_type", "value").write.mode("overwrite").json(out)
+    e = spark.read.schema("event_id long, event_type string, value double").json(out)
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum(dec("value"), "total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sink_partitioned_write",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sink", "partitioned", "plan"),
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write (partitionBy=o_orderstatus)
+    then a filtered read-back: the o_orderstatus='O' predicate prunes
+    to ONE partition directory (PartitionFilters in the scan — pinned
+    by tests/test_plans.py::test_partitioned_write_prunes). This is the
+    100 TB layout decision: partition on the always-filtered column."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "orders_by_status")
+    t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    o = spark.read.parquet(out)
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum(dec("o_totalprice"), "total"))
+        .orderBy("o_orderstatus")
+    )

@@ -300,6 +300,56 @@ def test_stream_admission_order_oldest(spark, tmp_path):
         q.stop()
 
 
+def test_lifecycle_10_start_stop_cycles(spark, tmp_path):
+    """Mirror of the reference's testLifecycle (TestCephSource.java:
+    100-124): 10 start/stop cycles; with a shared checkpoint no file is
+    lost or duplicated across cycles."""
+    register(spark)
+    d = str(tmp_path / "watch")
+    cp = str(tmp_path / "cp")
+    os.makedirs(d)
+    seen: list[str] = []
+    for cycle in range(10):
+        make_files(d, [(f"f{cycle}", cycle * 10)])
+        q = (
+            spark.readStream.format("filemeta")
+            .option("path", d)
+            .load()
+            .writeStream.option("checkpointLocation", cp)
+            .foreachBatch(lambda df, eid: seen.extend(r.file_name for r in df.collect()))
+            .start()
+        )
+        try:
+            assert q.isActive
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert not q.isActive
+    assert sorted(seen) == [f"f{c}" for c in range(10)]  # each exactly once
+
+
+def test_stream_metrics_via_listener(spark, tmp_path):
+    """R16 parity: the reference double-counts its SourceCounter
+    (CephFsSource.java:144-145 + 162-163); Spark's StreamingQuery
+    progress counts each row once — asserted here."""
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("a", 0), ("b", 10)])
+    q, name = run_stream(spark, d, tmp_path)
+    try:
+        q.processAllAvailable()
+        total = sum(p["numInputRows"] for p in [q.lastProgress] if p) or sum(
+            p["numInputRows"] for p in q.recentProgress
+        )
+        rows = spark.sql(f"select * from {name}").count()
+    finally:
+        q.stop()
+    assert rows == 2
+    total_all = sum(p["numInputRows"] for p in q.recentProgress)
+    assert total_all == 2, f"metrics must count each event once, got {total_all}"
+
+
 def test_stream_empty_dir_idles(spark, tmp_path):
     register(spark)
     d = str(tmp_path / "watch")

@@ -59,6 +59,16 @@ def test_range_join_is_nested_loop_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p  # 3-row band table broadcast
 
 
+def test_partitioned_write_prunes(spark, sf_dir):
+    p = plan(spark, sf_dir, "sink_partitioned_write")
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in p  # dir-level pruning, not row filtering
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "subquery_exists_correlated")
+    assert "LeftSemi" in p  # no per-row subquery re-execution
+
+
 def test_scan_prunes_columns_for_projection(spark, sf_dir):
     p = plan(spark, sf_dir, "filter_predicates")
     read_schema = p.split("ReadSchema")[1][:400]

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis), per SURVEY.md §5.2:
+
+- consume-order selection vs a naive Python model of the reference's
+  scan loops (CephFSEventReader.java:135-156)
+- MinHash signature agreement as an unbiased Jaccard estimator on
+  arbitrary small shingle universes (the math behind dedup_minhash_lsh)
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from flume_source_spark.pipeline.dedup import MERSENNE31, _HASH_PARAMS, N_HASHES
+from flume_source_spark.sources.filemeta import _order_files
+
+names = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+files = st.lists(
+    st.tuples(names, st.integers(0, 50)).map(lambda t: (t[0], f"/x/{t[0]}", float(t[1]))),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda f: f[0],
+)
+
+
+def naive_oldest(fs):
+    """Reference model: linear scan keeping the smaller mtime; on ties
+    the lexicographically smaller name (Reader:146-156, 161-166)."""
+    best = fs[0]
+    for f in fs[1:]:
+        if f[2] < best[2] or (f[2] == best[2] and f[0] < best[0]):
+            best = f
+    return best
+
+
+def naive_youngest(fs):
+    best = fs[0]
+    for f in fs[1:]:
+        if f[2] > best[2] or (f[2] == best[2] and f[0] < best[0]):
+            best = f
+    return best
+
+
+@given(files)
+@settings(max_examples=200, deadline=None)
+def test_oldest_matches_reference_model(fs):
+    assert _order_files(fs, "oldest")[0] == naive_oldest(fs)
+
+
+@given(files)
+@settings(max_examples=200, deadline=None)
+def test_youngest_matches_reference_model(fs):
+    assert _order_files(fs, "youngest")[0] == naive_youngest(fs)
+
+
+@given(files)
+@settings(max_examples=100, deadline=None)
+def test_full_drain_order_is_repeated_selection(fs):
+    """Sorting once == the reference's repeated select-and-remove loop
+    (this equivalence is WHY one sorted listing per micro-batch can
+    replace the reference's O(n²) per-event re-scan)."""
+    remaining = list(fs)
+    drained = []
+    while remaining:
+        pick = naive_oldest(remaining)
+        drained.append(pick)
+        remaining.remove(pick)
+    assert _order_files(fs, "oldest") == drained
+
+
+def _minhash_sig(shingle_hashes: set[int]) -> list[int]:
+    """Pure-Python mirror of pipeline.dedup.minhash_signature's math."""
+    return [
+        min((a * (h & 0x7FFFFFFF) + b) % MERSENNE31 for h in shingle_hashes)
+        for a, b in _HASH_PARAMS
+    ]
+
+
+shingle_sets = st.sets(st.integers(0, 2**63 - 1), min_size=1, max_size=40)
+
+
+@given(shingle_sets, shingle_sets)
+@settings(max_examples=60, deadline=None)
+def test_minhash_agreement_estimates_jaccard(a, b):
+    """P(h_min(A) == h_min(B)) = J(A,B); with 63 hashes the agreement
+    fraction must land within a generous CLT bound of the true Jaccard
+    (σ = sqrt(J(1-J)/63) ≤ 0.063; 4σ ≈ 0.26)."""
+    true_j = len(a & b) / len(a | b)
+    sa, sb = _minhash_sig(a), _minhash_sig(b)
+    agree = sum(x == y for x, y in zip(sa, sb)) / N_HASHES
+    assert abs(agree - true_j) <= 0.27, (true_j, agree)
+
+
+@given(shingle_sets)
+@settings(max_examples=30, deadline=None)
+def test_minhash_identical_sets_agree_fully(a):
+    assert _minhash_sig(a) == _minhash_sig(set(a))
