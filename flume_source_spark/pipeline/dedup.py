@@ -68,7 +68,10 @@ def shingle_col(text_col, k: int = 3):
 def minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
     """(id, h_0..h_62) MinHash signatures via explode → 63 min-aggs
     (one shuffle on id; map-side partial min keeps it cheap)."""
-    base = (F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))).cast("long")
+    # mask to 30 bits: the universe must inject into [0, p) — with a
+    # 31-bit mask, 0 and 2^31-1 ≡ 0 (mod p) collide in EVERY h_i
+    # (found by hypothesis test_minhash_agreement_estimates_jaccard)
+    base = (F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0x3FFFFFFF))).cast("long")
     exploded = df.select(id_col, F.explode(F.col(shingles_col)).alias("shingle")).withColumn("hx", base)
     aggs = [
         F.min((F.col("hx") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{i}")

@@ -54,6 +54,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated."""
     import flume_source_spark.operators.relational  # noqa: F401
+    import flume_source_spark.operators.relational2  # noqa: F401
+    import flume_source_spark.operators.skew  # noqa: F401
     import flume_source_spark.operators.joins  # noqa: F401
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401

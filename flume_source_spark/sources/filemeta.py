@@ -66,6 +66,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -165,6 +166,9 @@ class _Options:
         self.commit_mode = options.get("commitmode", "checkpoint")
         if self.commit_mode not in ("checkpoint", "rename"):
             raise ValueError(f"invalid commitMode: {self.commit_mode!r} (checkpoint|rename)")
+        self.reader_mode = options.get("readermode", "simple")
+        if self.reader_mode not in ("simple", "partitioned"):
+            raise ValueError(f"invalid readerMode: {self.reader_mode!r} (simple|partitioned)")
         self.canary = options.get("canary", "true").lower() == "true"
         _order_files([], self.order)  # validate eagerly, like Source:95-96's valueOf
         re.compile(self.ignore)
@@ -279,6 +283,77 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
                 self._inflight.discard(abspath)
 
 
+class FileMetaPartitionedStreamReader(DataSourceStreamReader):
+    """Scale-path streaming reader (default): listing + admission run
+    driver-side in ``latestOffset`` (once per micro-batch — amortizing
+    the reference's per-event O(n) re-list), while row materialization
+    runs on EXECUTORS via ``read(partition)``. The simple reader
+    (readerMode=simple) materializes on the driver — fine for metadata
+    rows, but this variant is the shape that carries payload-bearing
+    sources at cluster scale.
+
+    Offset = {"batch": n}; the per-batch file manifest is kept on the
+    driver (self._batches) keyed by batch id, the same planning state
+    Spark's own file source holds, bounded by maxFilesPerTrigger ×
+    un-committed batches.
+    """
+
+    NUM_PARTITIONS = 8
+
+    def __init__(self, opts: _Options):
+        self.opts = opts
+        self._consumed: dict[str, float] = {}  # checkpoint mode admission memory
+        self._inflight: set[str] = set()  # rename mode: emitted, not yet renamed
+        self._batches: dict[int, list[tuple[str, str, float]]] = {}
+        self._next_batch = 0
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def latestOffset(self) -> dict:
+        files = _list_candidates(self.opts.path, self.opts.suffix, self.opts.ignore)
+        if self.opts.commit_mode == "rename":
+            fresh = [f for f in files if f[1] not in self._inflight]
+        else:
+            fresh = [f for f in files if self._consumed.get(f[0]) != f[2]]
+        admitted = _order_files(fresh, self.opts.order)[: self.opts.max_files]
+        if admitted:
+            self._next_batch += 1
+            self._batches[self._next_batch] = admitted
+            if self.opts.commit_mode == "rename":
+                self._inflight.update(f[1] for f in admitted)
+            else:
+                for name, _, mtime in admitted:
+                    self._consumed[name] = mtime
+        return {"batch": self._next_batch}
+
+    def partitions(self, start: dict, end: dict):
+        files: list[tuple[str, str, float]] = []
+        for b in range(start.get("batch", 0) + 1, end.get("batch", 0) + 1):
+            files.extend(self._batches.get(b, []))
+        n = max(1, min(self.NUM_PARTITIONS, len(files)))
+        chunks = [files[i::n] for i in range(n)]
+        return [FilesPartition(c) for c in chunks if c] or [FilesPartition([])]
+
+    def read(self, partition) -> Iterator[Tuple]:
+        # runs on executors: pure row materialization, no directory I/O
+        for f in partition.files:
+            yield _row(*f)
+
+    def commit(self, end: dict) -> None:
+        done = [b for b in self._batches if b <= end.get("batch", 0)]
+        for b in done:
+            if self.opts.commit_mode == "rename":
+                for _, abspath, _ in self._batches[b]:
+                    if os.path.exists(abspath):
+                        _rename_commit(abspath, self.opts.suffix)
+                    self._inflight.discard(abspath)
+            del self._batches[b]
+
+    def stop(self) -> None:
+        self._batches.clear()
+
+
 class FileMetaDataSource(DataSource):
     """``spark.read.format("filemeta")`` / ``spark.readStream.format("filemeta")``.
 
@@ -298,6 +373,22 @@ class FileMetaDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FileMetaBatchReader(_Options(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        # readerMode=partitioned → executor-side reads (scale path);
+        # otherwise raise so Spark falls back to simpleStreamReader,
+        # whose offsets carry the consumed-set (exactly-once across
+        # restarts in checkpoint mode). The partitioned reader keeps
+        # admission memory driver-resident → at-least-once on restart
+        # (= the reference's semantics; pair it with commitMode=rename).
+        opts = _Options(self.options)
+        if opts.reader_mode == "partitioned":
+            return FileMetaPartitionedStreamReader(opts)
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader (simple mode)"}
+        )
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return FileMetaSimpleStreamReader(_Options(self.options))

@@ -300,6 +300,67 @@ def test_stream_admission_order_oldest(spark, tmp_path):
         q.stop()
 
 
+def test_partitioned_reader_emits_and_renames(spark, tmp_path):
+    """readerMode=partitioned: executor-side reads, rename commit, new
+    arrivals across micro-batches, no duplicates."""
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("b", 0), ("a", 10)])
+    got: list[str] = []
+    q = (
+        spark.readStream.format("filemeta")
+        .option("path", d)
+        .option("readerMode", "partitioned")
+        .option("commitMode", "rename")
+        .load()
+        .writeStream.foreachBatch(lambda df, eid: got.extend(r.file_name for r in df.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        make_files(d, [("c", 20)])
+        q.processAllAvailable()
+        # commit(end) for a batch fires as a LATER batch progresses (the
+        # rename lags one cycle — the same post-durability window the
+        # reference has); kick one more batch so c's commit lands
+        make_files(d, [("kick", 30)])
+        q.processAllAvailable()
+        deadline = time.time() + 10
+        while time.time() < deadline and len([f for f in os.listdir(d) if f.endswith(".COMPLETED")]) < 3:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    assert sorted(got) == ["a", "b", "c", "kick"]
+    done = sorted(f for f in os.listdir(d) if f.endswith(".COMPLETED"))
+    assert done[:3] == ["a.COMPLETED", "b.COMPLETED", "c.COMPLETED"]
+
+
+def test_partitioned_reader_checkpoint_mode_no_duplicates(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("one", 0)])
+    got: list[str] = []
+    q = (
+        spark.readStream.format("filemeta")
+        .option("path", d)
+        .option("readerMode", "partitioned")
+        .load()
+        .writeStream.foreachBatch(lambda df, eid: got.extend(r.file_name for r in df.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()  # no new files → no re-emission
+        make_files(d, [("two", 10)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(got) == ["one", "two"]
+    assert os.path.exists(os.path.join(d, "one"))  # untouched in checkpoint mode
+
+
 def test_lifecycle_10_start_stop_cycles(spark, tmp_path):
     """Mirror of the reference's testLifecycle (TestCephSource.java:
     100-124): 10 start/stop cycles; with a shared checkpoint no file is

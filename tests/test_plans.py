@@ -69,6 +69,18 @@ def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in p  # no per-row subquery re-execution
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    p = plan(spark, sf_dir, "bucketed_colocated_join")
+    join_section = p.split("SortMergeJoin")[-1] if "SortMergeJoin" in p else p
+    # the join inputs come straight from bucketed scans — no Exchange
+    # between scan and join on either side
+    assert "SortMergeJoin" in p
+    before_join = p.split("SortMergeJoin")[1] if p.count("SortMergeJoin") else ""
+    assert "Exchange hashpartitioning(o_orderkey" not in p
+    assert "Exchange hashpartitioning(l_orderkey" not in p
+    assert "SelectedBucketsCount" in p  # bucket pruning metadata present
+
+
 def test_scan_prunes_columns_for_projection(spark, sf_dir):
     p = plan(spark, sf_dir, "filter_predicates")
     read_schema = p.split("ReadSchema")[1][:400]
