@@ -76,6 +76,16 @@ def test_spark_hashes_deterministic(spark, sf_dir):
     assert all(r.name_xx64 != r.name_xx64_seeded for r in a)  # seed matters
 
 
+def test_sample_fraction_bounds(spark, sf_dir):
+    """Seeded Bernoulli sample: fraction lands near 10% and repeats
+    exactly with the same seed + partitioning."""
+    total = SPECS["sample_and_introspect"].builder(spark, sf_dir).count()
+    base = 6000  # sf0.001 lineitem rows
+    assert 0.05 * base < total < 0.15 * base
+    again = SPECS["sample_and_introspect"].builder(spark, sf_dir).count()
+    assert total == again
+
+
 def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     """The LSH pipeline's verified output equals the exact shingle-join
     result on this corpus (the probabilistic-miss argument in

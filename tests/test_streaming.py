@@ -7,6 +7,7 @@ calls (the file source admits new files per trigger)."""
 from __future__ import annotations
 
 import os
+import time
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -152,6 +153,55 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
             latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[1] == (3, 17.0)  # state carried across micro-batches
     assert latest[2] == (1, 1.0)
+
+
+def test_stream_session_window_live(spark, tmp_path):
+    """Live session_window stream (complete mode): two activity bursts
+    separated by > gap merge into two sessions per the batch twin."""
+    d = str(tmp_path / "ev")
+    # burst 1: minutes 0-10; burst 2: minutes 60-62 (gap 50 > 30)
+    write_batch(d, "b1", [(1, 0, 1, "click", 1), (2, 10, 1, "click", 2), (3, 60, 1, "click", 3), (4, 62, 1, "click", 4)])
+    agg = (
+        events_stream(spark, d)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    q = run_to_memory(agg, "sess", "complete")
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            ((r.s, r.e, r.n) for r in spark.sql("select * from sess").collect())
+        )
+    finally:
+        q.stop()
+    assert len(rows) == 2
+    assert rows[0][2] == 2 and rows[1][2] == 2
+    # session end = last event + gap
+    assert rows[0][1] == T0 + timedelta(minutes=40)
+    assert rows[1][1] == T0 + timedelta(minutes=92)
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source drives a windowless streaming pipeline —
+    the standard synthetic-load generator for throughput testing."""
+    sink = IdempotentBatchSink()
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not sink.rows:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert sink.rows, "rate source produced no rows in 15s"
+    assert all(0 <= r.bucket < 10 for r in sink.rows)
 
 
 def test_foreach_batch_idempotent_on_redelivery(spark, tmp_path):
