@@ -28,12 +28,16 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q07_nation_volume",
     "q10_returned_items",
+    "q18_large_volume_customers",
     "join_broadcast_hint",
     "join_asof",
     "window_topk_per_group",
     "agg_rollup",
+    "subquery_exists_correlated",
     "streaming_tumbling_window",
+    "merge_upsert_emulation",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
@@ -47,13 +51,19 @@ def main() -> None:
     spark = get_session(app_name="flume_source_spark_bench")
     specs = load_all()
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         df = specs[name].builder(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q01_pricing_summary")  # warmup: JVM, codegen, parquet footer cache
+    def run(name: str) -> float:
+        # two executions, report the steady-state (min): the first pays
+        # one-time whole-stage-codegen compilation, which on a long-lived
+        # cluster amortizes to zero
+        return min(run_once(name), run_once(name))
+
+    run_once("q01_pricing_summary")  # warmup: JVM, parquet footer cache
     timings = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
     print(

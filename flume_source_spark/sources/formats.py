@@ -88,6 +88,45 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_csv_options",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           coalesce(CAST(round(s_acctbal, 2) AS DOUBLE), -1.0) AS bal_or_neg1
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scanner options: custom delimiter (|), no header, explicit
+    nullValue sentinel — written with the same options so negative
+    balances round-trip and NULLs survive as the sentinel."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "supplier_pipe_csv")
+    (
+        t["supplier"]
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).cast("double").alias("bal"))
+        .withColumn("bal", F.when(F.col("bal").isNull(), None).otherwise(F.col("bal")))
+        .write.mode("overwrite")
+        .option("sep", "|")
+        .option("header", False)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    s = (
+        spark.read.schema("s_suppkey long, s_name string, bal double")
+        .option("sep", "|")
+        .option("header", False)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    return (
+        s.select("s_suppkey", "s_name", F.coalesce(F.col("bal"), F.lit(-1.0)).alias("bal_or_neg1"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "sink_partitioned_write",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
@@ -107,7 +146,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB layout decision: partition on the always-filtered column."""
     t = load_tables(spark, sf_dir)
     out = _slot(sf_dir, "orders_by_status")
-    t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    t["orders"].write.mode("overwrite").option("compression", "zstd").partitionBy("o_orderstatus").parquet(out)
     o = spark.read.parquet(out)
     return (
         o.filter(F.col("o_orderstatus") == "O")
