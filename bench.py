@@ -44,6 +44,42 @@ HEADLINE = [
 ]
 
 
+def _bench_filemeta_drain(spark, n_files: int = 5000) -> float:
+    """Drain a 5000-file spool directory through the filemeta source
+    (oldest-first, full metadata rows). The reference's model for the
+    same drain is one O(n) directory re-list + linear min-scan PER
+    EVENT on one thread (CephFSEventReader.java:108-156) plus a 500 ms
+    poll floor — structurally minutes; here it is one listing + one
+    sort + distributed emission."""
+    import shutil
+    import tempfile
+
+    from flume_source_spark.sources.filemeta import register
+
+    register(spark)
+    d = tempfile.mkdtemp(prefix="filemeta_bench_")
+    try:
+        for i in range(n_files):
+            with open(os.path.join(d, f"f{i:05d}"), "w") as f:
+                f.write("x")
+        def drain() -> float:
+            t0 = time.perf_counter()
+            n = (
+                spark.read.format("filemeta")
+                .option("path", d)
+                .option("consumeOrder", "oldest")
+                .option("canary", "false")
+                .load()
+                .count()
+            )
+            assert n == n_files, (n, n_files)
+            return time.perf_counter() - t0
+
+        return min(drain(), drain())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -65,6 +101,7 @@ def main() -> None:
 
     run_once("q01_pricing_summary")  # warmup: JVM, parquet footer cache
     timings = {name: round(run(name), 3) for name in HEADLINE}
+    timings["filemeta_drain_5k_files"] = round(_bench_filemeta_drain(spark), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.relational2  # noqa: F401
     import flume_source_spark.operators.skew  # noqa: F401
     import flume_source_spark.operators.maintenance  # noqa: F401
+    import flume_source_spark.operators.ansi_safety  # noqa: F401
     import flume_source_spark.operators.joins  # noqa: F401
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401

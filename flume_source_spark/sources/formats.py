@@ -88,6 +88,45 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → scan → agg: the second columnar format (built into
+    Spark; same pushdown/pruning machinery as parquet). Avro is NOT in
+    this image (external spark-avro module) — see `avro_unavailable`."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "part_orc")
+    t["part"].write.mode("overwrite").orc(out)
+    p = spark.read.orc(out)
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), dsum(dec("p_retailprice"), "total_price"))
+        .orderBy("p_brand")
+    )
+
+
+def avro_unavailable() -> str:
+    """Avro requires the external spark-avro jar (org.apache.spark:
+    spark-avro_2.13), which is not baked into this image. Gate usage:
+
+        try:
+            df.write.format("avro").save(path)
+        except Exception:
+            # deploy spark-avro or fall back to parquet
+            ...
+    """
+    return "avro needs external spark-avro jar; not available in this image"
+
+
+@query(
     "source_csv_options",
     oracle="""
     SELECT s_suppkey, s_name,
