@@ -163,6 +163,47 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_count_bpeish",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars,
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS bpeish,
+               str_split(text, ' ') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS ws_tokens,
+           len(bpeish) AS bpeish_tokens,
+           len(list_distinct(bpeish)) AS bpeish_vocab,
+           CAST(round(n_chars * 1.0 / len(bpeish), 4) AS DOUBLE) AS chars_per_bpeish_token
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    (letter runs | digit runs | single punctuation — the GPT-2
+    pre-tokenizer shape). The regex uses only literal classes so Java
+    (Spark) and RE2 (DuckDB) agree; chars-per-token is the standard
+    budget estimator for LLM corpora."""
+    d = _spread(load_tables(spark, sf_dir)["documents"])
+    bpeish = F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+    ws = F.split("text", " ")
+    return (
+        d.select("doc_id", bpeish.alias("bpeish"), ws.alias("ws"), F.length("text").alias("n_chars"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("ws_tokens"),
+            F.size("bpeish").cast("bigint").alias("bpeish_tokens"),
+            F.size(F.array_distinct("bpeish")).cast("bigint").alias("bpeish_vocab"),
+            F.round(F.col("n_chars") / F.size("bpeish"), 4).cast("double").alias("chars_per_bpeish_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
