@@ -416,6 +416,40 @@ def register(spark) -> None:
     spark.dataSource.register(FileMetaDataSource)
 
 
+def drain_directory(spark, path: str, sink, checkpoint: str | None = None, **options) -> None:
+    """One-shot drain: process every current file through the source
+    and stop (Trigger.AvailableNow) — the batch-ingest operational mode
+    of the reference's watch loop ('catch up, then exit'). ``sink`` is
+    a foreachBatch callable ``(DataFrame, epoch_id) -> None``.
+
+    ``commitMode='rename'`` marks consumption by renaming each batch's
+    files right after the sink processes them (the reference's
+    rename-after-handoff, CephFSEventReader.java:96) — done HERE, not
+    in the source's commit(), because availableNow terminates before
+    the final batch's commit callback would fire. Alternatively pass a
+    ``checkpoint`` dir for offset-based resume without touching files."""
+    register(spark)
+    opts = {k.lower(): v for k, v in options.items()}
+    rename_after = opts.pop("commitmode", "checkpoint") == "rename"
+    suffix = opts.get("filesuffix", DEFAULT_SUFFIX)
+    reader = spark.readStream.format("filemeta").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+
+    def wrapped(batch_df, epoch_id):
+        paths = [r.file_path for r in batch_df.select("file_path").collect()] if rename_after else []
+        sink(batch_df, epoch_id)
+        for p in paths:
+            if os.path.exists(p):
+                _rename_commit(p, suffix)
+
+    writer = reader.load().writeStream.foreachBatch(wrapped).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def body_bytes(spark, df, charset: str = DEFAULT_CHARSET):
     """Charset-encoded event body (Reader:94's EventBuilder.withBody).
 

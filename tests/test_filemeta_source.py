@@ -154,13 +154,42 @@ def test_batch_empty_dir(spark, tmp_path):
 
 
 def test_charset_encoding(spark, tmp_path):
-    # body bytes in a configured charset (Reader:94); GBK round-trip.
+    # body bytes in configured charsets (Reader:94, Consts:18-19):
+    # default UTF-8 plus GBK / UTF-16LE / ISO-8859-1 round-trips
     register(spark)
     d = str(tmp_path)
     make_files(d, [("文件一.txt", 0)])
     df = spark.read.format("filemeta").option("path", d).load()
-    row = body_bytes(spark, df, "GBK").select("body_bytes", "body").collect()[0]
-    assert bytes(row.body_bytes) == row.body.encode("gbk")
+    for spark_cs, py_cs in [("UTF-8", "utf-8"), ("GBK", "gbk"), ("UTF-16LE", "utf-16-le")]:
+        row = body_bytes(spark, df, spark_cs).select("body_bytes", "body").collect()[0]
+        assert bytes(row.body_bytes) == row.body.encode(py_cs), spark_cs
+    # non-representable chars in a narrow charset: Spark raises
+    # MALFORMED_CHARACTER_CODING (stricter than the reference's Java
+    # encoder, which silently substitutes '?') — pinned as an error
+    with pytest.raises(Exception, match="(?i)malformed|charac"):
+        body_bytes(spark, df, "ISO-8859-1").select("body_bytes").collect()
+
+
+def test_stream_admission_order_youngest(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("b", 0), ("a", 10), ("c", 20)])
+    seen: list[str] = []
+    q = (
+        spark.readStream.format("filemeta")
+        .option("path", d)
+        .option("consumeOrder", "youngest")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, eid: seen.extend(r.file_name for r in df.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == ["c", "a", "b"]  # newest first (Reader:135-145)
+    finally:
+        q.stop()
 
 
 def test_missing_path_option_raises(spark, tmp_path):
@@ -409,6 +438,30 @@ def test_stream_metrics_via_listener(spark, tmp_path):
     assert rows == 2
     total_all = sum(p["numInputRows"] for p in q.recentProgress)
     assert total_all == 2, f"metrics must count each event once, got {total_all}"
+
+
+def test_drain_directory_available_now(spark, tmp_path):
+    """One-shot drain API: processes all current files, renames them
+    (parity mode), terminates on its own, and a second drain after new
+    arrivals picks up only the new files."""
+    from flume_source_spark.sources.filemeta import drain_directory
+
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    make_files(d, [("f1", 0), ("f2", 10)])
+    got: list[str] = []
+    drain_directory(spark, d, lambda df, eid: got.extend(r.file_name for r in df.collect()),
+                    commitMode="rename")
+    assert sorted(got) == ["f1", "f2"]
+    deadline = time.time() + 10
+    while time.time() < deadline and len([f for f in os.listdir(d) if f.endswith(".COMPLETED")]) < 2:
+        time.sleep(0.1)
+    assert sorted(os.listdir(d)) == ["f1.COMPLETED", "f2.COMPLETED"]
+    make_files(d, [("f3", 20)])
+    got2: list[str] = []
+    drain_directory(spark, d, lambda df, eid: got2.extend(r.file_name for r in df.collect()),
+                    commitMode="rename")
+    assert got2 == ["f3"]
 
 
 def test_stream_empty_dir_idles(spark, tmp_path):
