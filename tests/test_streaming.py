@@ -182,6 +182,44 @@ def test_stream_session_window_live(spark, tmp_path):
     assert rows[1][1] == T0 + timedelta(minutes=92)
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition:
+    each purchase joins clicks by the same user within the preceding
+    30 minutes. Both sides buffer state bounded by watermark + interval
+    — the streaming as-of/attribution shape."""
+    dc = str(tmp_path / "clicks")
+    dp = str(tmp_path / "purchases")
+    write_batch(dc, "c1", [(1, 0, 7, "click", 1), (2, 5, 7, "click", 2), (3, 100, 7, "click", 3)])
+    write_batch(dp, "p1", [(10, 20, 7, "purchase", 9), (11, 200, 7, "purchase", 8)])
+    clicks = (
+        events_stream(spark, dc)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        events_stream(spark, dp)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    sink = IdempotentBatchSink()
+    q = joined.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = sorted((r.purchase_id, r.click_id) for r in sink.rows)
+    # purchase 10 (t=20) attributes to clicks 1 (t=0) and 2 (t=5);
+    # purchase 11 (t=200) has no click within its 30-minute lookback
+    assert pairs == [(10, 1), (10, 2)], pairs
+
+
 def test_rate_source_smoke(spark):
     """Built-in rate source drives a windowless streaming pipeline —
     the standard synthetic-load generator for throughput testing."""
