@@ -90,7 +90,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
            count(*) AS n_nations
     FROM nation
     GROUP BY n_regionkey
@@ -99,12 +99,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "collect"),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set sorted for determinism (collection order is not)."""
+    """collect_set sorted for determinism (collection order is not);
+    the final array is serialized to a joined string so the comparison
+    surface is scalar (list-vs-ndarray pandas rendering differs between
+    engines — same reasoning as the to_json struct rule)."""
     n = load_tables(spark, sf_dir)["nation"]
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
             F.count("*").alias("n_nations"),
         )
         .orderBy("n_regionkey")

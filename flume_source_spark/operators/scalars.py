@@ -185,8 +185,8 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(tokens) AS n_tokens,
            list_contains(tokens, 'spark') AS has_spark,
-           list_sort(list_distinct(tokens))[1:5] AS first5_distinct,
-           list_transform(tokens, t -> length(t))[1:8] AS token_lens,
+           array_to_string(list_sort(list_distinct(tokens))[1:5], ',') AS first5_distinct,
+           array_to_string(list_transform(tokens, t -> CAST(length(t) AS VARCHAR))[1:8], ',') AS token_lens,
            len(list_filter(tokens, t -> length(t) > 4)) AS n_long_tokens,
            list_reduce(list_transform(tokens, t -> length(t)), (a, b) -> a + b) AS total_chars
     FROM toks
@@ -204,8 +204,12 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("tokens").cast("bigint").alias("n_tokens"),
             F.array_contains("tokens", "spark").alias("has_spark"),
-            F.slice(F.array_sort(F.array_distinct("tokens")), 1, 5).alias("first5_distinct"),
-            F.slice(F.transform("tokens", lambda t: F.length(t).cast("bigint")), 1, 8).alias("token_lens"),
+            # final arrays serialized to strings for a scalar comparison
+            # surface (the HOFs themselves are what's exercised)
+            F.array_join(F.slice(F.array_sort(F.array_distinct("tokens")), 1, 5), ",").alias("first5_distinct"),
+            F.array_join(
+                F.slice(F.transform("tokens", lambda t: F.length(t).cast("string")), 1, 8), ","
+            ).alias("token_lens"),
             F.size(F.filter("tokens", lambda t: F.length(t) > 4)).cast("bigint").alias("n_long_tokens"),
             F.aggregate(
                 F.transform("tokens", lambda t: F.length(t).cast("bigint")), F.lit(0).cast("bigint"), lambda a, b: a + b
