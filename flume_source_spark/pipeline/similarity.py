@@ -191,6 +191,82 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ann_ivf",
+    oracle=None,  # approximate by construction; recall vs sim_cosine_topk
+    # asserted in tests/test_llm_ops.py
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (deterministically sampled
+    centroids) partitions the corpus into inverted lists; each query
+    probes its nprobe nearest lists and exact-reranks only those
+    vectors. Complements sim_ann_lsh: IVF adapts to the data
+    distribution (centroids come from the corpus), LSH is
+    data-independent.
+
+    Scale shape: assignment is one broadcast(centroids)-vs-corpus pass;
+    search is an equi-join on cluster id — candidates ≈ nprobe/nlist of
+    the corpus per query instead of all of it. The centroid fit
+    (sampling here; k-means iterations in production) happens on a
+    driver-small sample either way."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    NLIST, NPROBE = 16, 4
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # deterministic coarse quantizer: every (N/NLIST)-th vector by id
+    ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").collect()]
+    cent_ids = set(ids[:: max(1, len(ids) // NLIST)][:NLIST])
+    cpdf = e.filter(F.col("vec_id").isin(list(cent_ids))).select("vec_id", "embedding").toPandas()
+    c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    def assign(batches, k):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m_n @ c_mat.T
+            order = np.argsort(-sims, axis=1)[:, :k]
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cluster": order.ravel().astype("int64"),
+                }
+            )
+            yield out
+
+    corpus_assign = e.select("vec_id", "embedding").mapInPandas(
+        lambda it: assign(it, 1), "vec_id long, cluster long"
+    )
+    query_assign = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(lambda it: assign(it, NPROBE), "vec_id long, cluster long")
+        .select(F.col("vec_id").alias("qid"), "cluster")
+    )
+    ev = e.select("vec_id", _dvec("embedding").alias("v"))
+    cand = (
+        corpus_assign.join(F.broadcast(query_assign), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .dropDuplicates(["qid", "vec_id"])
+        .join(ev, "vec_id")
+        .join(ev.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
+        .select("qid", F.col("vec_id").alias("nid"), cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.round("sim", 6).desc(), F.col("nid"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
 @query("sim_cosine_arrow", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity", "arrow"))
 def sim_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k as sim_cosine_topk but scored in numpy via

@@ -27,6 +27,17 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall {recall:.2f} vs bruteforce"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    truth = {(r.qid, r.nid) for r in run("sim_cosine_topk", spark, sf_dir).collect()}
+    approx = {(r.qid, r.nid) for r in run("sim_ann_ivf", spark, sf_dir).collect()}
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    # nprobe/nlist = 4/16 → ~25% of corpus scanned; weakly-clustered
+    # vectors cap attainable recall, but it must clearly beat the
+    # scanned fraction's random baseline
+    assert recall >= 0.25, f"IVF recall {recall:.2f} vs bruteforce"
+
+
 def test_simhash_locality_on_neardup_pairs(spark, sf_dir):
     """Planted near-dup pairs (exact Jaccard ≥ 0.5) must have small
     SimHash Hamming distance; random pairs should average much larger."""
