@@ -99,6 +99,43 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_months_between_bround",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderkey, o_orderdate,
+               TIMESTAMP '1998-06-15 00:00:00' AS ref
+        FROM orders WHERE o_orderkey % 250 = 1
+    )
+    SELECT o_orderkey,
+           CAST(round(
+             CASE WHEN day(ref) = day(last_day(ref)) AND day(o_orderdate) = day(last_day(o_orderdate))
+                  THEN (year(ref) - year(o_orderdate)) * 12 + (month(ref) - month(o_orderdate))
+                  ELSE (year(ref) - year(o_orderdate)) * 12 + (month(ref) - month(o_orderdate))
+                       + (day(ref) - day(o_orderdate)) / 31.0 END, 6) AS DOUBLE) AS months_to_ref,
+           CAST(round_even(CAST(o_orderkey AS DOUBLE) + 0.5, 0) AS DOUBLE) AS key_banker
+    FROM p
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime", "math"),
+)
+def scalar_months_between_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """months_between (Spark's /31-fraction + last-day rule, emulated
+    exactly in the oracle) and bround (banker's half-even ↔ DuckDB
+    round_even; ties built on exact .5 via integer + 0.5 so double
+    representation can't smear the tie)."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 250 == 1)
+    ref = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.months_between(ref, F.col("o_orderdate")), 6).cast("double").alias("months_to_ref"),
+            F.bround(F.col("o_orderkey").cast("double") + 0.5, 0).cast("double").alias("key_banker"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
