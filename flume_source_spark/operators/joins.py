@@ -264,13 +264,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("double").alias("c_value"),
-        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("timestamp").alias("c_ts"), F.col("event_id").alias("tie_id"),
     )
     clicks = events.filter(F.col("event_type") == "click").select(
         F.lit(None).cast("long").alias("event_id"), "user_id", "ts", F.lit(0).alias("is_p"),
-        F.col("value").alias("c_value"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"), F.col("ts").alias("c_ts"), F.col("event_id").alias("tie_id"),
     )
-    w = W.partitionBy("user_id").orderBy("ts", "is_p").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # tie_id makes the window order TOTAL: multiple clicks sharing a
+    # (user_id, ts) would otherwise make last(...) partition-dependent.
+    # (Cross-engine tie preference is undefined for ASOF JOIN too; the
+    # fixture has no same-ts clicks, but OUR output must be stable.)
+    w = W.partitionBy("user_id").orderBy("ts", "is_p", "tie_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     merged = (
         purchases.unionByName(clicks)
         .withColumn("last_click_value", F.last("c_value", ignorenulls=True).over(w))

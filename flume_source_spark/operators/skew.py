@@ -10,7 +10,6 @@ join shuffle entirely (pinned by tests/test_plans.py).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,10 +69,11 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortMergeJoin (pinned by test_bucketed_join_has_no_shuffle). This
     is THE lever for repeated fact-fact joins at 100 TB — pay the
     bucketed write once, skip the join shuffle forever after."""
+    from flume_source_spark.workdir import slot as _slot
+
     t = load_tables(spark, sf_dir)
-    slot = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    db = f"fss_buckets_{slot}"
-    base = f"/tmp/flume_source_spark_io/{slot}/buckets"
+    base = _slot(sf_dir, "buckets")
+    db = f"fss_buckets_{os.path.basename(os.path.dirname(base))}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     # external tables with explicit /tmp paths: overwrite is idempotent
     # across sessions (managed-table locations outlive the in-memory

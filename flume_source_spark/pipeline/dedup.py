@@ -55,13 +55,22 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
 
 def shingle_col(text_col, k: int = 3):
-    """Distinct k-token shingles of a whitespace-tokenized text column."""
+    """Distinct k-token shingles of a whitespace-tokenized text column.
+
+    Documents shorter than k tokens yield an EMPTY array: Spark's
+    sequence(1, n) runs DESCENDING when n < 1 (default step -1), which
+    would feed slice() an illegal 0 index and crash — so the sequence
+    is guarded (matches the oracle's generate_series, which is empty)."""
     toks = F.split(text_col, " ")
+    n = F.size(toks) - (k - 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
+        F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

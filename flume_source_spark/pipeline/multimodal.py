@@ -59,9 +59,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """STUB decode kernel — deterministic fake in place of a real
     image decoder (no codecs in this container). Returns
     (width, height, channels) derived from the bytes. Swap body with
-    e.g. PIL.Image.open(io.BytesIO(payload)).size for real decoding."""
+    e.g. PIL.Image.open(io.BytesIO(payload)).size for real decoding.
+
+    channels keys off the first CHARACTER's code point (not the first
+    UTF-8 byte) so the SQL oracle's ascii(substring(text,1,1)) agrees
+    for non-ASCII leading characters too."""
     n = len(payload)
-    return (1 + n % 64, 1 + (n // 64) % 64, 1 + payload[0] % 4 if n else 1)
+    first_cp = ord(payload.decode("utf-8", errors="replace")[0]) if n else 0
+    return (1 + n % 64, 1 + (n // 64) % 64, 1 + first_cp % 4 if n else 1)
 
 
 @query(

@@ -225,10 +225,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     up). Portable md5 so DuckDB can verify."""
     d = _spread(load_tables(spark, sf_dir)["documents"])
     toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
-    )
+    n = F.size(toks) - 2
+    # guarded like dedup.shingle_col: sequence(1, n<1) descends and
+    # would crash slice(); short docs get an empty shingle list
+    shingles = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(toks, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", shingles.alias("shingles"))
         .select(

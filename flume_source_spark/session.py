@@ -24,10 +24,25 @@ def get_session(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. On a cluster,
-    pass ``master=None`` with an externally-configured session and this
-    only layers the SQL conf.
+    If a SparkSession is already active (cluster deployment, driver
+    harness, notebook), it is reused as-is with only the RUNTIME SQL
+    confs layered on — its master/memory are never overridden.
+    Otherwise a local session is built, honoring ``SPARK_GRAFT_CPUS``
+    for parallelism (``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``).
     """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        for k, v in {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            **(extra_conf or {}),
+        }.items():
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                pass  # non-runtime conf on a live session — leave it
+        return active
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -43,7 +58,6 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
         # Small dims (region/nation/supplier/part at test SFs) should
         # broadcast; 64 MB is a sane executor-memory-aware ceiling that
         # still holds with 8 GB executors on a real cluster.

@@ -172,8 +172,10 @@ class _Options:
         self.canary = options.get("canary", "true").lower() == "true"
         _order_files([], self.order)  # validate eagerly, like Source:95-96's valueOf
         re.compile(self.ignore)
-        if self.canary:
-            _canary_probe(self.path)
+        # NOTE: the canary probe deliberately does NOT run here —
+        # options parsing must be side-effect-free (streamReader() may
+        # parse options just to dispatch reader modes). Each reader
+        # runs the probe once in its own __init__.
 
 
 class FileMetaBatchReader(DataSourceReader):
@@ -189,6 +191,8 @@ class FileMetaBatchReader(DataSourceReader):
 
     def __init__(self, opts: _Options):
         self.opts = opts
+        if opts.canary:
+            _canary_probe(opts.path)
         files = _order_files(_list_candidates(opts.path, opts.suffix, opts.ignore), opts.order)
         self.files = files
 
@@ -238,6 +242,8 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, opts: _Options):
         self.opts = opts
+        if opts.canary:
+            _canary_probe(opts.path)
         # rename mode: files emitted but not yet renamed by commit().
         # The prefetcher can call read() again before commit() runs, and
         # the un-renamed file would be re-admitted without this.
@@ -257,9 +263,16 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
         if self.opts.commit_mode == "rename":
             admitted = [f for f in self._admit({}) if f[1] not in self._inflight]
             if not admitted:
-                # offset unchanged → no new micro-batch (otherwise the
-                # ever-bumping counter would spin the query forever)
-                return iter([]), {"batch": start.get("batch", 0), "renamed": []}
+                if self._inflight:
+                    # renames pending: return a DISTINCT offset so Spark
+                    # closes the previous batch and fires its commit()
+                    # promptly (reference parity: files are marked
+                    # consumed right after emission, not on the next
+                    # arrival). Costs exactly one empty micro-batch per
+                    # real batch, then offsets stabilize below.
+                    return iter([]), {"batch": start.get("batch", 0), "renamed": []}
+                # idle and nothing pending → offset unchanged, no batch
+                return iter([]), start
             self._inflight.update(f[1] for f in admitted)
             end = {"batch": start.get("batch", 0) + 1, "renamed": [f[1] for f in admitted]}
             return iter([_row(*f) for f in admitted]), end
@@ -309,23 +322,28 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
     rows, but this variant is the shape that carries payload-bearing
     sources at cluster scale.
 
-    Offset = {"batch": n}; the per-batch file manifest is kept on the
-    driver (self._batches) keyed by batch id, the same planning state
-    Spark's own file source holds, bounded by maxFilesPerTrigger ×
-    un-committed batches.
+    Offsets are SELF-CONTAINED: {"batch": n, "files": [[name, path,
+    mtime], ...]} — the batch's manifest rides in the offset, so
+    partitions()/commit() work from the offset alone and a restart from
+    a checkpoint replans/replays correctly even though driver-side
+    admission memory (consumed/in-flight sets) resets. Restart
+    semantics are therefore at-least-once (pre-restart consumptions in
+    checkpoint mode may re-admit; pair with commitMode=rename so the
+    filesystem is the durable consumed-marker) — never lossy.
     """
 
     NUM_PARTITIONS = 8
 
     def __init__(self, opts: _Options):
         self.opts = opts
+        if opts.canary:
+            _canary_probe(opts.path)
         self._consumed: dict[str, float] = {}  # checkpoint mode admission memory
         self._inflight: set[str] = set()  # rename mode: emitted, not yet renamed
-        self._batches: dict[int, list[tuple[str, str, float]]] = {}
-        self._next_batch = 0
+        self._last_offset: dict = {"batch": 0, "files": []}
 
     def initialOffset(self) -> dict:
-        return {"batch": 0}
+        return {"batch": 0, "files": []}
 
     def latestOffset(self) -> dict:
         files = _list_candidates(self.opts.path, self.opts.suffix, self.opts.ignore)
@@ -335,19 +353,23 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
             fresh = [f for f in files if self._consumed.get(f[0]) != f[2]]
         admitted = _order_files(fresh, self.opts.order)[: self.opts.max_files]
         if admitted:
-            self._next_batch += 1
-            self._batches[self._next_batch] = admitted
             if self.opts.commit_mode == "rename":
                 self._inflight.update(f[1] for f in admitted)
             else:
                 for name, _, mtime in admitted:
                     self._consumed[name] = mtime
-        return {"batch": self._next_batch}
+            self._last_offset = {
+                "batch": self._last_offset.get("batch", 0) + 1,
+                "files": [list(f) for f in admitted],
+            }
+        return self._last_offset
 
     def partitions(self, start: dict, end: dict):
-        files: list[tuple[str, str, float]] = []
-        for b in range(start.get("batch", 0) + 1, end.get("batch", 0) + 1):
-            files.extend(self._batches.get(b, []))
+        # plan purely from the end offset's manifest — no driver memory,
+        # so replay after restart reproduces the exact batch contents;
+        # compare WHOLE offsets (a restarted counter can revisit a
+        # pre-restart batch number with different files)
+        files = [tuple(f) for f in end.get("files", [])] if end != start else []
         n = max(1, min(self.NUM_PARTITIONS, len(files)))
         chunks = [files[i::n] for i in range(n)]
         return [FilesPartition(c) for c in chunks if c] or [FilesPartition([])]
@@ -358,17 +380,12 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
         yield _arrow_batch(partition.files)
 
     def commit(self, end: dict) -> None:
-        done = [b for b in self._batches if b <= end.get("batch", 0)]
-        for b in done:
-            if self.opts.commit_mode == "rename":
-                for _, abspath, _ in self._batches[b]:
-                    if os.path.exists(abspath):
-                        _rename_commit(abspath, self.opts.suffix)
-                    self._inflight.discard(abspath)
-            del self._batches[b]
-
-    def stop(self) -> None:
-        self._batches.clear()
+        if self.opts.commit_mode == "rename":
+            for f in end.get("files", []):
+                abspath = f[1]
+                if os.path.exists(abspath):
+                    _rename_commit(abspath, self.opts.suffix)
+                self._inflight.discard(abspath)
 
 
 class FileMetaDataSource(DataSource):

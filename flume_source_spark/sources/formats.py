@@ -14,7 +14,6 @@ sf_dir so scale factors don't collide.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,12 +23,7 @@ from flume_source_spark.canon import dec, dsum
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
-_WORK = "/tmp/flume_source_spark_io"
-
-
-def _slot(sf_dir: str, name: str) -> str:
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(_WORK, h, name)
+from flume_source_spark.workdir import slot as _slot  # noqa: E402
 
 
 @query(

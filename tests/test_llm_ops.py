@@ -87,6 +87,21 @@ def test_spark_hashes_deterministic(spark, sf_dir):
     assert all(r.name_xx64 != r.name_xx64_seeded for r in a)  # seed matters
 
 
+def test_shingles_short_documents_no_crash(spark):
+    """Docs with < k tokens must yield EMPTY shingle arrays, not crash:
+    sequence(1, n<1) runs descending and would feed slice() an illegal
+    index (review finding, regression-pinned)."""
+    from flume_source_spark.pipeline.dedup import shingle_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens"), (3, "three whole tokens"), (4, "now four whole tokens")],
+        "id long, text string",
+    )
+    rows = df.select("id", F.size(shingle_col(F.col("text"))).alias("n")).orderBy("id").collect()
+    assert [r.n for r in rows] == [0, 0, 1, 2]
+
+
 def test_sample_fraction_bounds(spark, sf_dir):
     """Seeded Bernoulli sample: fraction lands near 10% and repeats
     exactly with the same seed + partitioning."""
