@@ -155,6 +155,34 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     assert latest[2] == (1, 1.0)
 
 
+def test_output_mode_update_emits_changed_groups_only(spark, tmp_path):
+    """Update mode re-emits only groups changed in each micro-batch
+    (append waits for watermark finalization, complete re-emits all) —
+    the third output mode from the declared surface."""
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 5, 1, "click", 10), (2, 70, 1, "view", 5)])
+    sink = IdempotentBatchSink()
+    q = (
+        tumbling_agg(events_stream(spark, d), watermark=None)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {(r.window_start, r.event_type): r.n for rows in sink.applied.values() for r in rows}
+        assert len(first) == 2  # both hour-windows emitted initially
+        n_epochs_before = len(sink.applied)
+        # second batch touches ONLY the hour-0 click window
+        write_batch(d, "b2", [(3, 10, 1, "click", 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    new_rows = [r for eid, rows in sink.applied.items() if eid >= n_epochs_before for r in rows]
+    assert len(new_rows) == 1, new_rows  # unchanged hour-1 view window NOT re-emitted
+    assert new_rows[0].n == 2 and new_rows[0].event_type == "click"
+
+
 def test_stream_session_window_live(spark, tmp_path):
     """Live session_window stream (complete mode): two activity bursts
     separated by > gap merge into two sessions per the batch twin."""
