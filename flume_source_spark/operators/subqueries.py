@@ -15,12 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from flume_source_spark.registry import query
-from flume_source_spark.tables import load_tables
+from flume_source_spark.tables import register_views
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    # Memoized per (session, sf_dir) — repeated subquery builders on the
+    # same session pay zero catalog/footer cost after the first.
+    register_views(spark, sf_dir)
 
 
 @query(

@@ -51,8 +51,39 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     return deco
 
 
+# Queries with a green row in the driver's CORRECTNESS_r01.json. The
+# round-1 driver sweep stopped after 50 registry entries (budget), so
+# load_all() orders NOT-yet-driver-verified queries first: if a later
+# sweep is again truncated, it still covers the queries with no prior
+# green row before re-verifying these.
+_DRIVER_GREEN_R01 = frozenset(
+    {
+        "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+        "q06_forecast_revenue", "q10_returned_items", "filter_predicates",
+        "q07_nation_volume", "q14_promo_revenue_share", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "skew_salted_aggregation", "bucketed_colocated_join",
+        "merge_upsert_emulation", "scd2_interval_versions", "unpivot_stack",
+        "explode_outer_nulls", "sample_and_introspect", "scalar_try_safety",
+        "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
+        "join_left_semi", "join_left_anti", "join_cross", "join_range_nonequi",
+        "join_broadcast_hint", "join_asof", "agg_basic", "agg_stats", "agg_collect",
+        "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+        "agg_percentile_exact", "agg_approx", "window_ranking", "window_analytic",
+        "window_frames", "window_topk_per_group", "sort_multi_key", "setop_union_all",
+        "setop_union_distinct", "setop_intersect", "setop_except_all",
+        "setop_intersect_all", "setop_union_by_name", "setop_drop_duplicates",
+        "scalar_string",
+    }
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query-defining module so REGISTRY is fully populated."""
+    """Import every query-defining module so REGISTRY is fully populated.
+
+    Returns the registry with driver-unverified queries FIRST (see
+    ``_DRIVER_GREEN_R01``) so a budget-truncated correctness sweep
+    maximizes new coverage.
+    """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
     import flume_source_spark.operators.skew  # noqa: F401
@@ -72,4 +103,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
     import flume_source_spark.sources.formats  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
-    return REGISTRY
+
+    ordered = {n: s for n, s in REGISTRY.items() if n not in _DRIVER_GREEN_R01}
+    ordered.update({n: s for n, s in REGISTRY.items() if n in _DRIVER_GREEN_R01})
+    return ordered

@@ -28,13 +28,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-(session, sf_dir) caches. The driver/oracle harness runs ~100
+# registry queries against ONE reused session; without this every
+# builder re-reads 10 parquet footers (schema discovery) and re-creates
+# 10 temp views, which dominated per-query wall time in round 1.
+# Key includes both id(spark) and the context's applicationId: id()
+# alone could be reused after a stopped session is GC'd, but a restarted
+# context always gets a fresh applicationId; two sessions sharing one
+# context (newSession) get distinct id()s, so per-session temp-view
+# state stays correct.
+_TABLE_CACHE: dict[tuple[int, str, str], dict[str, DataFrame]] = {}
+_VIEWS_DONE: set[tuple[int, str, str]] = set()
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[int, str, str]:
+    return (id(spark), spark.sparkContext.applicationId, sf_dir)
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table from ``{sf_dir}/{name}.parquet``.
 
     Plain ``spark.read.parquet`` — columnar scan with predicate pushdown
-    and column pruning; nothing is cached here (callers decide).
+    and column pruning; the returned DataFrames are lazy plans (nothing
+    is persisted). Plans are memoized per (session, sf_dir) so repeated
+    builder calls don't re-read parquet footers.
     """
+    key = _cache_key(spark, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects unless nanos are read as long. Set here (runtime
     # SQL conf) rather than only at session build so the engine works
@@ -49,12 +71,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # when casting its TIMESTAMP_NS down to TIMESTAMP.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         out[name] = df
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load tables and register each as a temp view for ``spark.sql``."""
+    """Load tables and register each as a temp view for ``spark.sql``.
+
+    View creation is idempotent and memoized per (session, sf_dir): a
+    second call with the same pair is a dict copy, no catalog traffic.
+    If the same session is pointed at a DIFFERENT sf_dir the views are
+    re-registered (createOrReplaceTempView), and the memo key moves.
+    """
+    key = _cache_key(spark, sf_dir)
     tables = load_tables(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
+    if key not in _VIEWS_DONE:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        # Same session re-pointed at another sf_dir must re-register.
+        _VIEWS_DONE.difference_update({k for k in _VIEWS_DONE if k[0] == key[0] and k[1] == key[1]})
+        _VIEWS_DONE.add(key)
     return tables
