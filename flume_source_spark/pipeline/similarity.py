@@ -32,6 +32,19 @@ from flume_source_spark.tables import load_tables
 
 TOP_K = 5
 QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 → query vectors
+# The query workload is a BOUNDED set, never a fraction of the corpus:
+# at most Q_MAX query vectors regardless of N. This is what makes the
+# broadcast/closure-capture of the query side legitimate at 100 TB —
+# the driver only ever materializes ≤ Q_MAX rows. (A %-of-corpus query
+# set would grow linearly with N and sink any broadcast plan.)
+Q_MAX = 64
+
+
+def _query_filter():
+    return (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_MOD * Q_MAX)
+
+
+_QWHERE_SQL = f"vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * Q_MAX}"
 
 # multi-table random-hyperplane LSH: L tables × r bits. Few bits per
 # table + union over tables trades candidate-set size for recall —
@@ -70,7 +83,7 @@ def cosine(a, b):
 
 _COSINE_TOPK_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE {_QWHERE_SQL}),
     scored AS (
         SELECT qid, e.vec_id AS nid,
                list_dot_product(qv, v) /
@@ -92,12 +105,14 @@ _COSINE_TOPK_ORACLE = f"""
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query rows × all rows, ranked per
     query. The crossJoin explicitly broadcasts the (small) query side
-    so candidates never shuffle — at scale Q stays driver-small while
-    N streams through executors."""
+    so candidates never shuffle. The query side is HARD-BOUNDED at
+    Q_MAX rows by _query_filter() — not a fraction of the corpus — so
+    the broadcast stays driver-small by contract while N streams
+    through executors."""
     from pyspark.sql import Window as W
 
     e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", _dvec("embedding").alias("v"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(_query_filter()).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     scored = (
@@ -169,7 +184,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig = sig + F.when(_dot(F.col("v"), lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         table_sigs.append(sig.cast("int"))
     e = e.select("vec_id", "v", F.posexplode(F.array(*table_sigs)).alias("tbl", "bucket"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(_query_filter()).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("tbl").alias("qtbl"), F.col("bucket").alias("qbucket"),
     )
@@ -207,19 +222,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: assignment is one broadcast(centroids)-vs-corpus pass;
     search is an equi-join on cluster id — candidates ≈ nprobe/nlist of
-    the corpus per query instead of all of it. The centroid fit
-    (sampling here; k-means iterations in production) happens on a
-    driver-small sample either way."""
+    the corpus per query instead of all of it. Centroid selection is
+    fully distributed: a count() (parquet metadata) fixes a stride,
+    a modulus filter keeps ~NLIST candidate rows executor-side, and
+    only those ≤ NLIST centroid rows ever reach the driver — never the
+    id list of the corpus."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
     NLIST, NPROBE = 16, 4
     e = load_tables(spark, sf_dir)["embeddings"]
-    # deterministic coarse quantizer: every (N/NLIST)-th vector by id
-    ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").collect()]
-    cent_ids = set(ids[:: max(1, len(ids) // NLIST)][:NLIST])
-    cpdf = e.filter(F.col("vec_id").isin(list(cent_ids))).select("vec_id", "embedding").toPandas()
+    # deterministic coarse quantizer: every (N/NLIST)-th vector by id,
+    # selected with a pushed-down modulus filter (no driver collect of
+    # ids). For dense ids this picks the same centroids the explicit
+    # ids[::stride] slice would; for sparse ids it is still a uniform
+    # deterministic sample, which is all IVF needs.
+    n = e.count()
+    stride = max(1, n // NLIST)
+    cpdf = (
+        e.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(NLIST)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
     c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
 
@@ -243,7 +270,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda it: assign(it, 1), "vec_id long, cluster long"
     )
     query_assign = (
-        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        e.filter(_query_filter())
         .select("vec_id", "embedding")
         .mapInPandas(lambda it: assign(it, NPROBE), "vec_id long, cluster long")
         .select(F.col("vec_id").alias("qid"), "cluster")
@@ -271,16 +298,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k as sim_cosine_topk but scored in numpy via
     mapInPandas (Arrow batches): the pattern for BLAS/model-based
-    scoring. Query matrix is a plain closure capture (small — it
-    ships once per task); scores stream out per batch and the final
-    top-k stays in Spark. Oracle-checked against the same truth as
-    the expression version."""
+    scoring. The query matrix is a closure capture of the HARD-BOUNDED
+    query set (≤ Q_MAX rows by _query_filter()) — the toPandas() pulls
+    at most Q_MAX rows regardless of corpus size, so the per-task
+    closure is O(Q_MAX·dim), not O(N). Scores stream out per Arrow
+    batch and the final top-k stays in Spark. Oracle-checked against
+    the same truth as the expression version."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    qpdf = e.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "embedding").toPandas()
+    qpdf = e.filter(_query_filter()).select("vec_id", "embedding").toPandas()
     q_ids = qpdf["vec_id"].to_numpy()
     q_mat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
