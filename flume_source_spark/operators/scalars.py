@@ -365,3 +365,72 @@ def scalar_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_json_tools",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_tuple,
+           'STRUCT<k: BIGINT>' AS props_schema,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events
+    WHERE event_id % 40 = 7
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple (multi-path extraction as a generator) and
+    schema_of_json (schema inference from a sample document). The
+    inferred schema string is engine-specific syntax, so the oracle
+    pins Spark's exact rendering as a constant — the check is that
+    inference sees the same shape on every row."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") % 40 == 7)
+    return (
+        e.select(
+            "event_id",
+            F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+            F.schema_of_json(F.lit('{"k": 1}')).alias("props_schema"),
+            F.size(F.json_object_keys("props")).cast("bigint").alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_map_ops",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               'status,priority' AS keys_csv,
+               o_orderstatus || ',' || o_orderpriority AS vals_csv,
+               o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 120 = 11
+    )
+    SELECT o_orderkey, keys_csv, vals_csv, 'status' AS mk, o_orderstatus AS mv FROM m
+    UNION ALL
+    SELECT o_orderkey, keys_csv, vals_csv, 'priority' AS mk, o_orderpriority AS mv FROM m
+    ORDER BY o_orderkey, mk
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_keys / map_values / explode(map): build a map per row,
+    enumerate its keys and values (serialized to CSV strings — raw
+    arrays render differently across Arrow/non-Arrow), and explode the
+    map into (key, value) rows. The oracle spells the same answer with
+    UNION ALL since DuckDB's map explode is engine-specific syntax."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 120 == 11)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+            F.array_join(F.map_values(m), ",").alias("vals_csv"),
+            F.explode(m).alias("mk", "mv"),
+        )
+        .orderBy("o_orderkey", "mk")
+    )
