@@ -48,11 +48,12 @@ Deliberate improvements over the reference (documented, not bugs):
 Scale notes (100 TB / millions of files): the directory listing runs
 driver-side once per micro-batch (same as Spark's own file source);
 ``maxFilesPerTrigger`` bounds per-batch work; in checkpoint mode the
-consumed-set offset grows with file count, so for unbounded
-directories prefer ``commitMode=rename`` (state lives in the
-filesystem, O(1) offsets) — that is exactly the reference's design,
-minus its lost-event window because the rename happens in ``commit()``
-*after* the batch is durable.
+consumed-set offset grows with file count unless ``maxFileAge`` is set
+(retention-horizon compaction — offset bounded by arrival-rate ×
+horizon). For unbounded directories prefer ``commitMode=rename``
+(state lives in the filesystem, O(1) offsets) — that is exactly the
+reference's design, minus its lost-event window because the rename
+happens in ``commit()`` *after* the batch is durable.
 """
 
 from __future__ import annotations
@@ -163,6 +164,37 @@ class _Options:
         self.charset = options.get("inputcharset", DEFAULT_CHARSET)
         self.order = options.get("consumeorder", DEFAULT_ORDER).lower()
         self.max_files = int(options.get("maxfilespertrigger", "1000"))
+        # maxFileAge (seconds, optional): checkpoint-mode offset
+        # compaction horizon. Files older than (newest admitted mtime -
+        # maxFileAge) are neither admitted nor remembered, so the
+        # consumed-map in the offset stays bounded by the arrival rate
+        # x horizon instead of growing with total file count (same
+        # design as Spark's FileStreamSource maxFileAge). Default: off
+        # (unbounded, exact parity with round-1 behavior).
+        age = options.get("maxfileage")
+        self.max_file_age = float(age) if age is not None else None
+        if self.max_file_age is not None and self.max_file_age <= 0:
+            raise ValueError(f"invalid maxFileAge: {age!r} (must be > 0 seconds)")
+        # maxBackoff (ms): accepted for Flume-config parity
+        # (CephFsSourceConfigrationConstants.java:22-23). The reference
+        # doubles a sleep from 250 ms up to maxBackoff while its channel
+        # is full (CephFsSource.java:139-159); Spark micro-batching has
+        # no full-channel state — backpressure is maxFilesPerTrigger +
+        # the trigger interval — so the option is validated, surfaced,
+        # and otherwise absorbed by the engine.
+        backoff = options.get("maxbackoff")
+        self.max_backoff = int(backoff) if backoff is not None else 4000
+        if self.max_backoff < 0:
+            raise ValueError(f"invalid maxBackoff: {backoff!r} (must be >= 0 ms)")
+        if backoff is not None:
+            import warnings
+
+            warnings.warn(
+                "filemeta: maxBackoff accepted for Flume-config parity but has no "
+                "engine equivalent — Spark backpressure is maxFilesPerTrigger + the "
+                "streaming trigger interval (see module docstring).",
+                stacklevel=2,
+            )
         self.commit_mode = options.get("commitmode", "checkpoint")
         if self.commit_mode not in ("checkpoint", "rename"):
             raise ValueError(f"invalid commitMode: {self.commit_mode!r} (checkpoint|rename)")
@@ -233,8 +265,13 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch streaming reader.
 
     Offsets are JSON dicts:
-      checkpoint mode: {"consumed": {name: mtime}} — grows with file
-        count (bounded directories / compaction; see module docstring)
+      checkpoint mode: {"consumed": {name: mtime}, "wm": max_mtime} —
+        without maxFileAge the map grows with file count; WITH
+        maxFileAge entries older than (wm - maxFileAge) are evicted and
+        equally-old files are never admitted, so the offset is bounded
+        by arrival-rate x horizon (Spark FileStreamSource's maxFileAge
+        design; eviction and admission share one cutoff so compaction
+        can never re-admit a compacted-away file).
       rename mode:     {"batch": n, "renamed": [abspath, ...]} — O(batch)
         state; the filesystem suffix is the durable consumed-marker,
         exactly the reference's protocol but applied post-commit.
@@ -252,11 +289,16 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.opts.commit_mode == "rename":
             return {"batch": 0, "renamed": []}
-        return {"consumed": {}}
+        return {"consumed": {}, "wm": 0.0}
 
-    def _admit(self, consumed: dict[str, float]) -> list[tuple[str, str, float]]:
+    def _admit(self, consumed: dict[str, float], wm: float = 0.0) -> list[tuple[str, str, float]]:
         files = _list_candidates(self.opts.path, self.opts.suffix, self.opts.ignore)
-        fresh = [f for f in files if consumed.get(f[0]) != f[2]]
+        cutoff = wm - self.opts.max_file_age if self.opts.max_file_age is not None else None
+        fresh = [
+            f
+            for f in files
+            if consumed.get(f[0]) != f[2] and (cutoff is None or f[2] >= cutoff)
+        ]
         return _order_files(fresh, self.opts.order)[: self.opts.max_files]
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
@@ -277,10 +319,15 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
             end = {"batch": start.get("batch", 0) + 1, "renamed": [f[1] for f in admitted]}
             return iter([_row(*f) for f in admitted]), end
         consumed = dict(start.get("consumed", {}))
-        admitted = self._admit(consumed)
+        wm = float(start.get("wm", 0.0))  # old checkpoints carry no wm
+        admitted = self._admit(consumed, wm)
         for name, _, mtime in admitted:
             consumed[name] = mtime
-        return iter([_row(*f) for f in admitted]), {"consumed": consumed}
+            wm = max(wm, mtime)
+        if self.opts.max_file_age is not None:
+            cutoff = wm - self.opts.max_file_age
+            consumed = {n: m for n, m in consumed.items() if m >= cutoff}
+        return iter([_row(*f) for f in admitted]), {"consumed": consumed, "wm": wm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         # Replay after restart: in checkpoint mode the delta is the
@@ -339,6 +386,7 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
         if opts.canary:
             _canary_probe(opts.path)
         self._consumed: dict[str, float] = {}  # checkpoint mode admission memory
+        self._wm = 0.0  # newest admitted mtime; drives maxFileAge eviction
         self._inflight: set[str] = set()  # rename mode: emitted, not yet renamed
         self._last_offset: dict = {"batch": 0, "files": []}
 
@@ -347,10 +395,15 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = _list_candidates(self.opts.path, self.opts.suffix, self.opts.ignore)
+        cutoff = self._wm - self.opts.max_file_age if self.opts.max_file_age is not None else None
         if self.opts.commit_mode == "rename":
             fresh = [f for f in files if f[1] not in self._inflight]
         else:
-            fresh = [f for f in files if self._consumed.get(f[0]) != f[2]]
+            fresh = [
+                f
+                for f in files
+                if self._consumed.get(f[0]) != f[2] and (cutoff is None or f[2] >= cutoff)
+            ]
         admitted = _order_files(fresh, self.opts.order)[: self.opts.max_files]
         if admitted:
             if self.opts.commit_mode == "rename":
@@ -358,6 +411,10 @@ class FileMetaPartitionedStreamReader(DataSourceStreamReader):
             else:
                 for name, _, mtime in admitted:
                     self._consumed[name] = mtime
+                    self._wm = max(self._wm, mtime)
+                if self.opts.max_file_age is not None:
+                    floor = self._wm - self.opts.max_file_age
+                    self._consumed = {n: m for n, m in self._consumed.items() if m >= floor}
             self._last_offset = {
                 "batch": self._last_offset.get("batch", 0) + 1,
                 "files": [list(f) for f in admitted],
@@ -395,7 +452,10 @@ class FileMetaDataSource(DataSource):
       path, fileSuffix=.COMPLETED, ignorePattern=^$ (working),
       inputCharset=UTF-8, consumeOrder=oldest|youngest|random,
       maxFilesPerTrigger=1000, commitMode=checkpoint|rename,
-      canary=true
+      canary=true, maxFileAge=<seconds> (off by default; bounds the
+      checkpoint-mode offset, see FileMetaSimpleStreamReader),
+      maxBackoff=<ms> (Flume parity; accepted + warned, backpressure
+      is maxFilesPerTrigger + trigger interval in this engine)
     """
 
     @classmethod

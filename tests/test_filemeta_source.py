@@ -521,3 +521,95 @@ def test_stream_empty_dir_idles(spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+# ---------- offset compaction (maxFileAge) + maxBackoff parity ----------
+
+
+def _simple_reader(d, **extra):
+    from flume_source_spark.sources.filemeta import FileMetaSimpleStreamReader, _Options
+
+    opts = _Options({"path": d, "canary": "false", **extra})
+    return FileMetaSimpleStreamReader(opts)
+
+
+def test_offset_compaction_bounds_consumed_map(tmp_path):
+    """With maxFileAge, the checkpoint-mode offset is bounded by the
+    retention horizon, and compacted-away files are never re-admitted
+    (eviction and admission share one cutoff)."""
+    d = str(tmp_path)
+    r = _simple_reader(d, maxfileage="100")
+    make_files(d, [(f"wave1_{i:03d}", i) for i in range(50)])
+    it, off1 = r.read(r.initialOffset())
+    rows1 = list(it)
+    assert len(rows1) == 50
+    assert len(off1["consumed"]) == 50  # all within horizon of wm
+
+    # second wave lands far past the horizon: wave-1 entries evict
+    make_files(d, [(f"wave2_{i:03d}", 200 + i) for i in range(50)])
+    it, off2 = r.read(off1)
+    rows2 = list(it)
+    assert len(rows2) == 50
+    assert set(n for n in off2["consumed"]) == {f"wave2_{i:03d}" for i in range(50)}
+    assert len(off2["consumed"]) == 50  # bounded: NOT 100
+
+    # wave-1 files still sit on disk below the cutoff — compaction must
+    # not resurrect them, and wave-2 stays consumed
+    it, off3 = r.read(off2)
+    assert list(it) == []
+    assert off3["consumed"] == off2["consumed"]
+
+
+def test_offset_compaction_off_by_default(tmp_path):
+    d = str(tmp_path)
+    r = _simple_reader(d)
+    make_files(d, [(f"f{i:03d}", i) for i in range(30)])
+    it, off = r.read(r.initialOffset())
+    assert len(list(it)) == 30
+    assert len(off["consumed"]) == 30  # no horizon → everything remembered
+    # old checkpoints (no "wm" key) keep working
+    legacy = {"consumed": dict(off["consumed"])}
+    it, off2 = r.read(legacy)
+    assert list(it) == []
+
+
+def test_partitioned_reader_consumed_memory_bounded(tmp_path):
+    from flume_source_spark.sources.filemeta import FileMetaPartitionedStreamReader, _Options
+
+    d = str(tmp_path)
+    r = FileMetaPartitionedStreamReader(
+        _Options({"path": d, "canary": "false", "maxfileage": "100"})
+    )
+    make_files(d, [(f"a{i:03d}", i) for i in range(40)])
+    r.latestOffset()
+    make_files(d, [(f"b{i:03d}", 500 + i) for i in range(40)])
+    off = r.latestOffset()
+    assert {f[0] for f in off["files"]} == {f"b{i:03d}" for i in range(40)}
+    assert len(r._consumed) == 40  # a* evicted from driver memory
+    # stale-but-present a* files are not re-admitted after eviction
+    off2 = r.latestOffset()
+    assert off2 == off
+
+
+def test_max_backoff_accepted_with_warning(tmp_path):
+    from flume_source_spark.sources.filemeta import _Options
+
+    d = str(tmp_path)
+    with pytest.warns(UserWarning, match="maxBackoff"):
+        opts = _Options({"path": d, "maxbackoff": "8000"})
+    assert opts.max_backoff == 8000
+    with pytest.raises(ValueError):
+        _Options({"path": d, "maxbackoff": "-1"})
+    # default: reference's DEFAULT_MAX_BACKOFF, silently
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert _Options({"path": d}).max_backoff == 4000
+
+
+def test_invalid_max_file_age_raises(tmp_path):
+    from flume_source_spark.sources.filemeta import _Options
+
+    with pytest.raises(ValueError):
+        _Options({"path": str(tmp_path), "maxfileage": "0"})
