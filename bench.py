@@ -32,6 +32,7 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_volume_customers",
     "join_broadcast_hint",
+    "join_shuffle_fact_fact",
     "join_asof",
     "window_topk_per_group",
     "agg_rollup",

@@ -7,9 +7,10 @@ Re-expresses the capabilities of the reference repo
 - :mod:`flume_source_spark.sources.filemeta` — the reference's
   directory-watching source as a Spark Structured Streaming custom
   source (Python DataSource API), with a batch twin.
-- :mod:`flume_source_spark.queries` — the declared relational operator
-  surface (joins, aggregations, windows, set ops, scalar function
-  families) as oracle-checked query builders.
+- :mod:`flume_source_spark.operators` — the declared relational
+  operator surface (joins, aggregations, windows, set ops, scalar
+  function families) as oracle-checked query builders, all registered
+  in :mod:`flume_source_spark.registry`.
 - :mod:`flume_source_spark.pipeline` — LLM-data-pipeline operators:
   deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
   similarity search, text analysis, multimodal column plumbing.

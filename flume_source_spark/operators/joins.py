@@ -291,3 +291,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_shuffle_fact_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "shuffle", "smj"),
+)
+def join_shuffle_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-⋈-fact: lineitem joins orders with a SHUFFLE_MERGE hint —
+    the plan shape every big-big join takes at 100 TB, where neither
+    side fits a broadcast. Both sides exchange on the join key, sort,
+    and merge; AQE coalesces post-shuffle partitions and splits skewed
+    ones at runtime (skew handling pinned by the plan test). The hint
+    matters at bench scale because orders at sf<=0.1 would otherwise
+    duck under the broadcast threshold and measure the wrong plan."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    o = t["orders"].filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(o.hint("SHUFFLE_MERGE"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -54,11 +54,22 @@ def _canon_value(v):
     return v
 
 
+def _sort_key_value(x):
+    # Type-INSENSITIVE ordering for numerics: int 1 and float 1.0 from
+    # different engines must sort identically or equal rows land in
+    # different positions and report a spurious first-diff. Booleans
+    # keep their own class (bool is an int subclass but a distinct
+    # logical type); everything non-numeric groups by type name.
+    if isinstance(x, (int, float)) and not isinstance(x, bool) and not isinstance(x, str):
+        return (False, "num", float(x))
+    return (x is None, str(type(x)), x if not isinstance(x, tuple) else str(x))
+
+
 def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
     rows = [tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
-    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x if not isinstance(x, tuple) else str(x)) for x in r))
+    return sorted(rows, key=lambda r: tuple(_sort_key_value(x) for x in r))
 
 
 @dataclass

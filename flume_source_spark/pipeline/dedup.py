@@ -42,6 +42,16 @@ _HASH_PARAMS = [(_rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31)) f
 
 JACCARD_THRESHOLD = 0.5
 
+# Hot-bucket cap: an LSH bucket of b ids emits b·(b−1)/2 candidate
+# pairs, so one degenerate bucket (boilerplate text, an empty-shingle
+# cluster, an adversarial band collision) can dominate the whole job.
+# Buckets larger than MAX_BUCKET are dropped from pair expansion —
+# bounded work per bucket (≤ ~20k pairs at 200). Near-dup pairs inside
+# a dropped bucket are usually recovered by ANY other band (21 bands;
+# genuinely-similar pairs collide in many), and mass-identical content
+# is exact-dedup's job (dedup_exact), not LSH's.
+MAX_BUCKET = 200
+
 
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Hash-repartition on a key to the session's parallelism before
@@ -91,26 +101,41 @@ def minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFram
     return df.select(id_col, *sig_cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Band the signature, group ids by (band, band_hash) bucket, emit
-    all in-bucket pairs. groupBy + in-bucket pair expansion instead of
-    a self-join: one pass over the signatures (a self-join would
-    recompute the whole signature pipeline for each side), and the
-    quadratic term is explicitly per-bucket — the place to add a
-    bucket-size cap / salt if a pathological hot bucket appears at
-    scale."""
+def _banded(sig: DataFrame, id_col: str) -> DataFrame:
     bands = F.array(
         *[
             F.xxhash64(F.concat_ws(",", *[f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]))
             for band in range(BANDS)
         ]
     )
-    banded = sig.select(F.col(id_col).alias("bid"), F.posexplode(bands).alias("band", "band_sig"))
+    return sig.select(F.col(id_col).alias("bid"), F.posexplode(bands).alias("band", "band_sig"))
+
+
+def lsh_bucket_profile(sig: DataFrame, id_col: str) -> DataFrame:
+    """Bucket-size histogram input: one row per (band, band_sig) with
+    its population — the operational check for hot buckets (count rows
+    with bucket_size > MAX_BUCKET to see how much pair mass the cap is
+    dropping before trusting an LSH run at a new scale)."""
+    return _banded(sig, id_col).groupBy("band", "band_sig").agg(F.count("*").alias("bucket_size"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Band the signature, group ids by (band, band_hash) bucket, emit
+    all in-bucket pairs. groupBy + in-bucket pair expansion instead of
+    a self-join: one pass over the signatures (a self-join would
+    recompute the whole signature pipeline for each side), and the
+    quadratic term is explicitly per-bucket AND capped: buckets larger
+    than ``max_bucket`` are skipped entirely (see MAX_BUCKET), so
+    per-bucket work is bounded no matter how degenerate the data.
+    Pass ``max_bucket=None`` to disable the cap (exhaustive mode)."""
+    banded = _banded(sig, id_col)
     buckets = (
         banded.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_set("bid")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

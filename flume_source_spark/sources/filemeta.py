@@ -61,7 +61,7 @@ from __future__ import annotations
 import os
 import re
 import uuid
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
@@ -122,9 +122,14 @@ def _order_files(files: list[tuple[str, str, float]], order: str) -> list[tuple[
 
 
 def _row(name: str, abspath: str, mtime: float) -> Tuple:
-    dt = datetime.fromtimestamp(mtime)
-    body = f"{name},{abspath},{format_mtime_unpadded(dt)}"  # CephFSEventReader.java:89-93
-    return (name, abspath, dt, body)
+    # typed column: UTC-naive so the value is host-timezone-independent
+    # (the session TZ is UTC); body string: HOST-LOCAL rendering, which
+    # is the reference's SimpleDateFormat behavior (CephFSEventReader
+    # .java:230-235 formats in the JVM default zone).
+    dt_utc = datetime.fromtimestamp(mtime, tz=timezone.utc).replace(tzinfo=None)
+    dt_local = datetime.fromtimestamp(mtime)
+    body = f"{name},{abspath},{format_mtime_unpadded(dt_local)}"  # CephFSEventReader.java:89-93
+    return (name, abspath, dt_utc, body)
 
 
 def _canary_probe(path: str) -> None:
@@ -527,14 +532,23 @@ def drain_directory(spark, path: str, sink, checkpoint: str | None = None, **opt
     q.awaitTermination()
 
 
+# Charsets Spark 4's encode() accepts WITHOUT the legacy-Java-charsets
+# conf (org.apache.spark.sql.catalyst.expressions.StringEncode).
+_SPARK_NATIVE_CHARSETS = {"US-ASCII", "ISO-8859-1", "UTF-8", "UTF-16BE", "UTF-16LE", "UTF-16", "UTF-32"}
+
+
 def body_bytes(spark, df, charset: str = DEFAULT_CHARSET):
     """Charset-encoded event body (Reader:94's EventBuilder.withBody).
 
-    Spark 4 limits `encode` to a few charsets unless the legacy-Java-
-    charsets conf is on; the reference accepts any Java charset, so
-    enable it (runtime SQL conf) for parity with e.g. GBK.
+    SIDE EFFECT, by explicit contract: for charsets outside Spark 4's
+    native encode() set (e.g. the reference-relevant GBK), this sets
+    ``spark.sql.legacy.javaCharsets=true`` ON THE CALLER'S SESSION and
+    leaves it set — the conf must still be on when the returned (lazy)
+    DataFrame later executes, so it cannot be save/restored here.
+    Native charsets (UTF-8 default included) touch no session state.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    if charset.upper() not in _SPARK_NATIVE_CHARSETS:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     return df.withColumn("body_bytes", F.encode(F.col("body"), charset))

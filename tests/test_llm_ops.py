@@ -120,3 +120,38 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     lsh = {(r.i, r.j, r.jaccard) for r in run("dedup_minhash_lsh", spark, sf_dir).collect()}
     assert exact == lsh
     assert exact, "fixture should contain planted near-dup pairs"
+
+
+def test_lsh_hot_bucket_cap_bounds_work(spark):
+    """A degenerate bucket (here: 300 identical docs, which collide in
+    EVERY band) must not explode into ~45k candidate pairs: the cap
+    skips oversized buckets while pairs in normal-sized buckets are
+    still found. Mass-identical content is dedup_exact's job."""
+    from flume_source_spark.pipeline.dedup import (
+        MAX_BUCKET,
+        lsh_bucket_profile,
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_col,
+    )
+
+    boiler = "this exact boilerplate sentence repeats across every single mirrored page " * 3
+    near_a = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills"
+    near_b = "the quick brown fox jumps over the lazy dog while snow falls on the quiet hills"
+    rows = [(i, boiler) for i in range(300)] + [(1000, near_a), (1001, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", shingle_col(F.col("text")).alias("shingles")
+    )
+    sig = minhash_signature(docs, "doc_id", "shingles").persist()
+
+    profile = lsh_bucket_profile(sig, "doc_id")
+    assert profile.agg(F.max("bucket_size")).first()[0] > MAX_BUCKET  # degenerate bucket exists
+
+    capped = lsh_candidate_pairs(sig, "doc_id").collect()
+    pairs = {(r.i, r.j) for r in capped}
+    assert (1000, 1001) in pairs  # normal near-dup pair survives the cap
+    assert len(pairs) < 100, f"cap failed: {len(pairs)} pairs"  # not ~45k
+
+    uncapped = lsh_candidate_pairs(sig, "doc_id", max_bucket=None)
+    assert uncapped.count() > 40_000  # exhaustive mode still available
+    sig.unpersist()

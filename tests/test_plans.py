@@ -85,3 +85,14 @@ def test_scan_prunes_columns_for_projection(spark, sf_dir):
     p = plan(spark, sf_dir, "filter_predicates")
     read_schema = p.split("ReadSchema")[1][:400]
     assert "o_orderdate" not in read_schema  # unused column pruned from scan
+
+
+def test_fact_fact_join_is_sort_merge_with_aqe(spark, sf_dir):
+    # the one deliberately-shuffling join: both sides exchange on the
+    # key and sort-merge — the 100 TB big-big shape (no broadcast even
+    # though orders would fit at fixture scale)
+    p = plan(spark, sf_dir, "join_shuffle_fact_fact")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "Exchange hashpartitioning(l_orderkey" in p
+    assert "Exchange hashpartitioning(o_orderkey" in p
