@@ -75,6 +75,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_sessions_with_timeout(events: DataFrame, gap_ms: int = 2000) -> DataFrame:
+    """Inactivity sessionization via ProcessingTimeTimeout: a user's
+    session accumulates while events keep arriving; once the group has
+    been idle for ``gap_ms`` (and a later micro-batch runs), the state
+    handler fires with ``hasTimedOut`` and the CLOSED session is
+    emitted, state removed. This is the timeout tier of the
+    flatMapGroupsWithState-class surface that session_window can't
+    express: emission on *absence* of data, with arbitrary per-group
+    finalization logic.
+
+    Scale note: state is one (n, total) pair per ACTIVE user — the
+    timeout is what bounds it; without timeouts idle keys would pin
+    state forever (the streaming analogue of the filemeta offset
+    compaction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)], "closed": [True]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)], "closed": [False]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, closed boolean",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 class IdempotentBatchSink:
     """foreachBatch sink with exactly-once effect: applies a batch once
     per epoch id, so Spark's at-least-once re-delivery after recovery

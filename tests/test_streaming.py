@@ -284,3 +284,36 @@ def test_foreach_batch_idempotent_on_redelivery(spark, tmp_path):
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
     sink(batch, 0)
     assert len(sink.rows) == n_before, "redelivered epoch must be a no-op"
+
+
+def test_sessions_close_on_processing_time_timeout(spark, tmp_path):
+    """ProcessingTimeTimeout tier: user 1's session accumulates, then
+    after >gap_ms of inactivity the engine's own timeout sweep (with
+    ProcessingTimeTimeout the engine keeps scheduling micro-batches
+    while timed-out groups exist — which is also why this test POLLS
+    the sink; processAllAvailable() never quiesces under that
+    scheduling) fires the handler with hasTimedOut, emitting the
+    closed session and removing state."""
+    from flume_source_spark.streaming.engine import user_sessions_with_timeout
+
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 1, "click", 10), (2, 1, 1, "view", 5)])
+    sink = IdempotentBatchSink()
+    q = (
+        user_sessions_with_timeout(events_stream(spark, d), gap_ms=1500)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(r.closed for r in sink.rows):
+            assert q.exception() is None, str(q.exception())[:500]
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    closed = {r.user_id: (r.n_events, r.total_value) for r in sink.rows if r.closed}
+    assert closed.get(1) == (2, 15.0)  # full session emitted when it timed out
+    open_updates = [r for r in sink.rows if not r.closed and r.user_id == 1]
+    assert open_updates and open_updates[-1].n_events == 2  # in-progress updates preceded the close
