@@ -274,3 +274,36 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_sketch_mergeable",
+    oracle=None,  # estimates are impl-specific (Apache DataSketches);
+    # rows-only check + tolerance pytest vs exact counts
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per group with hll_sketch_agg, then union the
+    group sketches with hll_union_agg to get the global cardinality
+    WITHOUT rescanning the data — the two-level pattern that matters
+    at 100 TB: partial sketches merge associatively, so daily/partition
+    sketches roll up to any coarser grain for free (unlike
+    approx_count_distinct, whose estimate is terminal)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    per_flag = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sketch").alias("approx_parts"),
+        "exact_parts",
+        "sketch",
+    )
+    total = per_flag.agg(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"),
+        F.lit(None).cast("long").alias("exact_parts"),
+    )
+    return per_flag.drop("sketch").unionByName(total).orderBy("l_returnflag")

@@ -73,6 +73,22 @@ def test_approx_aggs_within_tolerance(spark, sf_dir):
         assert r.approx_median_price > 0
 
 
+def test_sketch_union_matches_exact_within_tolerance(spark, sf_dir):
+    """Per-group HLL estimates track exact counts, and the UNIONED
+    sketch's global estimate tracks the true global distinct count —
+    merging sketches must not lose information."""
+    rows = {r.l_returnflag: r for r in run("agg_sketch_mergeable", spark, sf_dir).collect()}
+    per_group = [r for k, r in rows.items() if k != "ALL"]
+    for r in per_group:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.1, f"HLL sketch error {rel_err:.3f} for {r}"
+    # true global distinct: recompute exactly
+    from flume_source_spark.tables import load_tables
+    exact_all = load_tables(spark, sf_dir)["lineitem"].select("l_partkey").distinct().count()
+    rel_err = abs(rows["ALL"].approx_parts - exact_all) / max(exact_all, 1)
+    assert rel_err < 0.1, f"unioned sketch error {rel_err:.3f} vs exact {exact_all}"
+
+
 def test_binaryfile_reads_parquet_magic(spark, sf_dir):
     rows = run("multimodal_binaryfile", spark, sf_dir).collect()
     assert len(rows) == 10

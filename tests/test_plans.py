@@ -96,3 +96,17 @@ def test_fact_fact_join_is_sort_merge_with_aqe(spark, sf_dir):
     assert "BroadcastHashJoin" not in p
     assert "Exchange hashpartitioning(l_orderkey" in p
     assert "Exchange hashpartitioning(o_orderkey" in p
+
+
+def test_q04_exists_is_semi_join_with_pushed_date_filter(spark, sf_dir):
+    p = plan(spark, sf_dir, "q04_priority_exists")
+    assert "LeftSemi" in p  # EXISTS decorrelated, never a full join + distinct
+    assert "o_orderdate" in p.split("PushedFilters")[1][:300]  # date window reaches the orders scan
+
+
+def test_q17_per_part_average_broadcasts(spark, sf_dir):
+    # the decorrelated per-part aggregate and the part dim both join
+    # broadcast — the fact side never exchanges
+    p = plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
