@@ -137,35 +137,45 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    WITH avg_qty AS (
-        SELECT l_partkey AS ap, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+    WITH brand_li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+    ),
+    avg_qty AS (
+        SELECT l_partkey AS ap, avg(l_quantity) AS aq FROM brand_li GROUP BY l_partkey
     )
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7, 2) AS DOUBLE) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN avg_qty ON ap = l_partkey
-    WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * aq
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / 7 AS avg_yearly
+    FROM brand_li JOIN avg_qty ON ap = l_partkey
+    WHERE l_quantity < 0.5 * aq
     """,
     tags=("flagship", "correlated-agg"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from small-quantity orders relative to
     each part's own average — the correlated scalar aggregate
-    decorrelated by hand: aggregate per part ONCE, join back, filter.
-    Both the per-part averages and the part dim broadcast; the fact
-    never shuffles."""
+    decorrelated by hand: filter the fact to the brand's parts FIRST
+    (broadcast semi-shaped join against the filtered dim), aggregate
+    per part over that small slice, join the brand-sized averages
+    back. The averages are per-part, so pre-filtering by part key
+    changes nothing semantically — but the broadcast side shrinks
+    from all-parts to brand-sized, which is what keeps it a broadcast
+    at 100 TB. The /7 happens OUTSIDE the rounded decimal sum, in
+    IEEE double, so both engines divide identical inputs identically
+    (a decimal quotient on a half-boundary rounds differently in
+    Spark's exact decimal vs DuckDB's double division)."""
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"]
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(F.avg("l_quantity").alias("aq"))
     p = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
-    joined = (
-        li.select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = (
+        t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(avg_qty), F.col("ap") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+    )
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("ap")).agg(F.avg("l_quantity").alias("aq"))
+    joined = brand_li.join(F.broadcast(avg_qty), F.col("ap") == F.col("l_partkey")).filter(
+        F.col("l_quantity") < 0.5 * F.col("aq")
     )
     return joined.agg(
-        F.round(F.sum(dec("l_extendedprice")) / 7, 2).cast("double").alias("avg_yearly")
+        (F.round(F.sum(dec("l_extendedprice")), 2).cast("double") / 7).alias("avg_yearly")
     )
 
 

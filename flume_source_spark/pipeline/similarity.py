@@ -223,26 +223,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is one broadcast(centroids)-vs-corpus pass;
     search is an equi-join on cluster id — candidates ≈ nprobe/nlist of
     the corpus per query instead of all of it. Centroid selection is
-    fully distributed: a count() (parquet metadata) fixes a stride,
-    a modulus filter keeps ~NLIST candidate rows executor-side, and
-    only those ≤ NLIST centroid rows ever reach the driver — never the
-    id list of the corpus."""
+    fully distributed and id-distribution-agnostic: hash-order the ids
+    and TakeOrdered the lowest NLIST, so executors each retain NLIST
+    rows and only those ≤ NLIST centroid rows ever reach the driver —
+    never the id list of the corpus."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
     NLIST, NPROBE = 16, 4
     e = load_tables(spark, sf_dir)["embeddings"]
-    # deterministic coarse quantizer: every (N/NLIST)-th vector by id,
-    # selected with a pushed-down modulus filter (no driver collect of
-    # ids). For dense ids this picks the same centroids the explicit
-    # ids[::stride] slice would; for sparse ids it is still a uniform
-    # deterministic sample, which is all IVF needs.
-    n = e.count()
-    stride = max(1, n // NLIST)
+    # deterministic coarse quantizer: the NLIST vectors whose hashed
+    # ids sort lowest — a uniform deterministic sample for ANY id
+    # distribution (a modulus filter can return zero rows when ids are
+    # sparse or share a divisor with the stride). orderBy+limit plans
+    # as TakeOrderedAndProject: executors keep NLIST rows each, the
+    # driver receives exactly NLIST rows, never the corpus.
     cpdf = (
-        e.filter(F.col("vec_id") % stride == 0)
-        .orderBy("vec_id")
+        e.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(NLIST)
         .select("vec_id", "embedding")
         .toPandas()

@@ -325,13 +325,20 @@ class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
             return iter([_row(*f) for f in admitted]), end
         consumed = dict(start.get("consumed", {}))
         wm = float(start.get("wm", 0.0))  # old checkpoints carry no wm
+        if self.opts.max_file_age is not None:
+            # Compact with the START-of-batch cutoff — the same cutoff
+            # admission uses below. Compacting with the END watermark
+            # (after admitting newer files) could evict a file admitted
+            # in THIS batch from its own end offset, and a restart
+            # replaying (start, end) via readBetweenOffsets would then
+            # silently drop its row. With the start cutoff, eviction
+            # only ever removes entries admission already can't re-admit.
+            cutoff = wm - self.opts.max_file_age
+            consumed = {n: m for n, m in consumed.items() if m >= cutoff}
         admitted = self._admit(consumed, wm)
         for name, _, mtime in admitted:
             consumed[name] = mtime
             wm = max(wm, mtime)
-        if self.opts.max_file_age is not None:
-            cutoff = wm - self.opts.max_file_age
-            consumed = {n: m for n, m in consumed.items() if m >= cutoff}
         return iter([_row(*f) for f in admitted]), {"consumed": consumed, "wm": wm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:

@@ -39,10 +39,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # state stays correct.
 _TABLE_CACHE: dict[tuple[int, str, str], dict[str, DataFrame]] = {}
 _VIEWS_DONE: set[tuple[int, str, str]] = set()
+# Cached DataFrames pin their SparkSession, so an unbounded cache would
+# leak every stopped/replaced session for the process lifetime (e.g. a
+# harness that rebuilds sessions per sweep). Keep the most recent few
+# (dict preserves insertion order); hits re-insert to refresh recency.
+_CACHE_MAX = 4
 
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[int, str, str]:
     return (id(spark), spark.sparkContext.applicationId, sf_dir)
+
+
+def _evict_lru() -> None:
+    while len(_TABLE_CACHE) > _CACHE_MAX:
+        oldest = next(iter(_TABLE_CACHE))
+        del _TABLE_CACHE[oldest]
+        _VIEWS_DONE.discard(oldest)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -56,6 +68,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = _cache_key(spark, sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
+        _TABLE_CACHE[key] = _TABLE_CACHE.pop(key)  # refresh LRU recency
         return dict(cached)
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects unless nanos are read as long. Set here (runtime
@@ -72,6 +85,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         out[name] = df
     _TABLE_CACHE[key] = out
+    _evict_lru()
     return dict(out)
 
 

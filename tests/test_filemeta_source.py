@@ -545,19 +545,47 @@ def test_offset_compaction_bounds_consumed_map(tmp_path):
     assert len(rows1) == 50
     assert len(off1["consumed"]) == 50  # all within horizon of wm
 
-    # second wave lands far past the horizon: wave-1 entries evict
+    # second wave lands far past the horizon. Wave-1 entries survive
+    # THIS batch's offset (compaction uses the start-of-batch cutoff so
+    # a restart replay of this very range can't lose rows)...
     make_files(d, [(f"wave2_{i:03d}", 200 + i) for i in range(50)])
     it, off2 = r.read(off1)
     rows2 = list(it)
     assert len(rows2) == 50
-    assert set(n for n in off2["consumed"]) == {f"wave2_{i:03d}" for i in range(50)}
-    assert len(off2["consumed"]) == 50  # bounded: NOT 100
+    assert len(off2["consumed"]) == 100  # wave1 still replayable here
+
+    # ...and evict one batch later, once the start cutoff itself has
+    # moved past them: the offset is bounded by arrival-rate × horizon
+    # with one batch of slack, never unbounded.
+    it, off3 = r.read(off2)
+    assert list(it) == []
+    assert set(off3["consumed"]) == {f"wave2_{i:03d}" for i in range(50)}
+    assert len(off3["consumed"]) == 50  # bounded: NOT 100
 
     # wave-1 files still sit on disk below the cutoff — compaction must
     # not resurrect them, and wave-2 stays consumed
-    it, off3 = r.read(off2)
+    it, off4 = r.read(off3)
     assert list(it) == []
-    assert off3["consumed"] == off2["consumed"]
+    assert off4["consumed"] == off3["consumed"]
+
+
+def test_offset_compaction_same_batch_replay_no_loss(tmp_path):
+    """Regression: a batch admitting files whose mtimes straddle the
+    horizon (old file within the START cutoff + much newer file) must
+    keep BOTH in its end offset — compacting with the end-of-batch
+    watermark would evict the old file from the very offset range that
+    references it, and a restart replaying (start, end) via
+    readBetweenOffsets would silently drop its row."""
+    d = str(tmp_path)
+    r = _simple_reader(d, maxfileage="100")
+    make_files(d, [("old_file", 10), ("new_file", 500)])
+    start = r.initialOffset()
+    it, end = r.read(start)
+    assert len(list(it)) == 2
+    assert set(end["consumed"]) == {"old_file", "new_file"}  # both replayable
+
+    replayed = {row[0] for row in r.readBetweenOffsets(start, end)}
+    assert replayed == {"old_file", "new_file"}  # restart loses nothing
 
 
 def test_offset_compaction_off_by_default(tmp_path):
