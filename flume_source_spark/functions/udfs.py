@@ -9,7 +9,8 @@ the slow path, and the same logic as built-ins stays in codegen):
 1. built-in expressions            — everything else in this repo
 2. @pandas_udf (Arrow, vectorized) — `pandas_scale`
 3. applyInPandas (grouped map)     — `group_zscore`
-4. mapInArrow (batch-level)        — see pipeline/similarity.py
+4. mapInArrow (batch-level)        — `udf_map_in_arrow` (raw
+   RecordBatches, zero pandas; numpy over the flat Arrow buffer)
 5. @udtf / posexplode              — `udtf_expand`
 6. row-at-a-time @udf              — `row_classify` (deliberately the
    worst tier: per-row pickling; exists for surface completeness and
@@ -166,3 +167,48 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.s_suppkey, t.part_idx
         """
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 4) AS DOUBLE) AS l2norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow tier: the kernel receives raw pyarrow RecordBatches —
+    no pandas conversion at all — and computes per-vector L2 norms
+    with numpy over the ListArray's flat values buffer (zero-copy).
+    This is the lowest-overhead Python boundary Spark offers, the tier
+    for kernels that speak Arrow natively (DataFusion-style compute,
+    GPU libraries via CUDA array interface, tokenizers with Arrow
+    input). Rounding happens JVM-side after the kernel (numpy rounds
+    half-even, SQL half-away — the kernel returns raw doubles)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+
+    def l2(batches):
+        for b in batches:
+            emb = b.column(1)
+            offs = emb.offsets.to_numpy().astype(np.int64)
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = offs - offs[0]  # sliced arrays carry a start offset
+            sums = np.add.reduceat(flat * flat, offs[:-1]) if len(offs) > 1 else np.array([])
+            dims = np.diff(offs).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(dims, pa.int32()), pa.array(np.sqrt(sums), pa.float64())],
+                names=["vec_id", "dim", "l2"],
+            )
+
+    out = e.mapInArrow(l2, "vec_id long, dim int, l2 double")
+    return out.select(
+        "vec_id", "dim", F.round("l2", 4).cast("double").alias("l2norm")
+    ).orderBy("vec_id")

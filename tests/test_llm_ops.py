@@ -171,3 +171,56 @@ def test_lsh_hot_bucket_cap_bounds_work(spark):
     uncapped = lsh_candidate_pairs(sig, "doc_id", max_bucket=None)
     assert uncapped.count() > 40_000  # exhaustive mode still available
     sig.unpersist()
+
+
+def test_pack_sequences_matches_sequential_model(spark, sf_dir):
+    """The window+floor packing must equal a third formulation: the
+    naive sequential fill loop a single-node packer would run. Pins
+    the window semantics (rows between unbounded preceding and 1
+    preceding == start offset of the doc) against the intent."""
+    from collections import defaultdict
+
+    from flume_source_spark.pipeline.dataset import PACK_BUDGET, PACK_SHARDS
+    from flume_source_spark.tables import load_tables
+
+    rows = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", F.size(F.split("text", " ")).alias("toks"))
+        .collect()
+    )
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_shard[r.doc_id % PACK_SHARDS].append(r)
+    model = defaultdict(lambda: [0, 0, None, None])  # n_docs, tokens, first, last
+    for sh, docs in by_shard.items():
+        start = 0
+        for r in docs:
+            pack = (sh, start // PACK_BUDGET)
+            m = model[pack]
+            m[0] += 1
+            m[1] += r.toks
+            m[2] = r.doc_id if m[2] is None else m[2]
+            m[3] = r.doc_id
+            start += r.toks
+    got = {
+        (r.shard, r.pack_id): [r.n_docs, r.pack_tokens, r.first_doc, r.last_doc]
+        for r in run("ds_pack_sequences", spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in model.items()}
+
+
+def test_split_assignment_stable_and_balanced(spark, sf_dir):
+    """Determinism: the same doc_id maps to the same split under any
+    partitioning; balance: fractions land near 80/10/10 (hash quality)."""
+    a = {r.doc_id: r.split for r in run("ds_split_deterministic", spark, sf_dir).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {r.doc_id: r.split for r in run("ds_split_deterministic", spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    frac_val = sum(1 for s in a.values() if s == "val") / n
+    assert 0.7 < frac_train < 0.9, frac_train
+    assert 0.04 < frac_val < 0.16, frac_val
