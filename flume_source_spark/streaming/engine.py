@@ -119,6 +119,64 @@ def user_sessions_with_timeout(events: DataFrame, gap_ms: int = 2000) -> DataFra
     )
 
 
+def user_sessions_event_time(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-time sessionization via EventTimeTimeout: a user's
+    session closes when the WATERMARK passes (last event ts + gap) —
+    driven by the data's own clock, so replays produce identical
+    sessions regardless of wall-clock speed (the deterministic
+    counterpart of user_sessions_with_timeout; processing-time
+    timeouts depend on when batches happen to run).
+
+    State per active user is (n, total, last_ts_ms); the watermark
+    both drops late data and garbage-collects sessions, so state is
+    bounded by the number of users active inside one gap window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "session_end_ms": [last_ms + gap_ms],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max_ms)
+        state.update((n, total, last_ms))
+        # close when the watermark passes last event + gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "session_end_ms": [last_ms + gap_ms],
+                "closed": [False],
+            }
+        )
+
+    return events.withWatermark("ts", "0 seconds").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, session_end_ms long, closed boolean",
+        stateStructType="n long, total double, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 class IdempotentBatchSink:
     """foreachBatch sink with exactly-once effect: applies a batch once
     per epoch id, so Spark's at-least-once re-delivery after recovery

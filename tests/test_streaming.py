@@ -317,3 +317,42 @@ def test_sessions_close_on_processing_time_timeout(spark, tmp_path):
     assert closed.get(1) == (2, 15.0)  # full session emitted when it timed out
     open_updates = [r for r in sink.rows if not r.closed and r.user_id == 1]
     assert open_updates and open_updates[-1].n_events == 2  # in-progress updates preceded the close
+
+
+def test_sessions_close_on_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout tier: user 1's session closes when a LATER
+    batch advances the WATERMARK past (last event + gap) — data-clock
+    driven, deterministic, no wall-clock sleeps anywhere."""
+    from flume_source_spark.streaming.engine import user_sessions_event_time
+
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 0, 1, "click", 10), (2, 5, 1, "view", 5)])
+    sink = IdempotentBatchSink()
+    q = (
+        user_sessions_event_time(events_stream(spark, d), gap_minutes=30)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert not any(r.closed for r in sink.rows)  # watermark hasn't passed the gap
+        # user 2's event at T0+120min advances the watermark to 120min,
+        # far past user 1's (5min + 30min gap) deadline
+        write_batch(d, "b2", [(3, 120, 2, "click", 1)])
+        q.processAllAvailable()
+        # the timeout fires on the batch AFTER the watermark update if
+        # the engine evaluates timeouts against the pre-batch watermark
+        write_batch(d, "b3", [(4, 125, 2, "view", 2)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    closed = {r.user_id: r for r in sink.rows if r.closed}
+    assert 1 in closed, f"user 1 session never closed: {sink.rows}"
+    r = closed[1]
+    assert (r.n_events, r.total_value) == (2, 15.0)
+    # session_end = last event (T0+5min) + 30min gap, in event time
+    expected_end = int(pd.Timestamp(T0 + timedelta(minutes=35)).value // 1_000_000)
+    assert r.session_end_ms == expected_end
+    assert 2 not in closed  # user 2 still active at shutdown
