@@ -87,6 +87,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
     import flume_source_spark.operators.relational3  # noqa: F401
+    import flume_source_spark.operators.relational4  # noqa: F401
     import flume_source_spark.operators.skew  # noqa: F401
     import flume_source_spark.operators.maintenance  # noqa: F401
     import flume_source_spark.operators.ansi_safety  # noqa: F401

@@ -110,3 +110,27 @@ def test_q17_per_part_average_broadcasts(spark, sf_dir):
     p = plan(spark, sf_dir, "q17_small_quantity_revenue")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_q21_decorrelated_to_single_fact_aggregation(spark, sf_dir):
+    # the reference plan scans lineitem three times (l1 + EXISTS l2 +
+    # NOT EXISTS l3); the decorrelated plan aggregates once per order
+    # and touches lineitem exactly once
+    p = plan(spark, sf_dir, "q21_waiting_supplier")
+    assert p.count("lineitem.parquet") == 1
+    assert "Exchange hashpartitioning(o_orderkey" in p or "Exchange hashpartitioning(l_orderkey" in p
+
+
+def test_q02_min_cost_join_back_broadcasts(spark, sf_dir):
+    # per-part min aggregate and both dim chains broadcast; the
+    # (part,supplier) cost aggregate is the only exchange-feeding agg
+    p = plan(spark, sf_dir, "q02_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # LIMIT 100 as heap top-k
+
+
+def test_q16_not_in_is_anti_join_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "LeftAnti" in p  # NOT IN on non-null keys → anti join
+    assert "SortMergeJoin" not in p
