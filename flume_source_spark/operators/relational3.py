@@ -9,8 +9,10 @@ keeps its reference plan SHAPE on the columns that exist):
   the first (two chained shuffles, the classic distribution query).
 - q17 shape: small-quantity revenue vs a per-group scalar average —
   the correlated-aggregate join (agg once, join back, filter).
-- q22 shape: positive-balance customers with NO orders vs the global
-  average balance — anti-join plus an uncorrelated scalar subquery.
+- q22 shape: positive-balance customers with no RECENT orders (none
+  since 1999 — the fixture has near-total order coverage, so "never
+  ordered" is empty) vs the global average balance — anti-join on a
+  date-filtered fact plus an uncorrelated scalar subquery.
 
 Scale notes: every dim side here (nation, the per-part averages, the
 scalar average) is broadcast-able and broadcast by Catalyst; the only
@@ -188,25 +190,33 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
     FROM customer, pos_avg
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
     tags=("flagship", "anti-join", "scalar-subquery"),
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers who never
-    ordered, grouped by nation (standing in for the phone country
-    code the fixture lacks). The uncorrelated scalar average becomes
-    a broadcast cross-join of one row; the NOT EXISTS is a left-anti
-    join on the order keys."""
+    """TPC-H Q22 shape: above-average-balance customers with no
+    order since 1999 ("dormant" — the fixture's order coverage makes
+    literal never-ordered empty at every SF), grouped by nation
+    (standing in for the phone country code the fixture lacks). The
+    uncorrelated scalar average becomes a broadcast cross-join of one
+    row; the NOT EXISTS is a left-anti join on the date-filtered
+    order keys — the date predicate pushes into the orders scan
+    BEFORE the anti-join, shrinking the build side."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     pos_avg = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
     return (
         c.crossJoin(F.broadcast(pos_avg))
         .filter(F.col("c_acctbal") > F.col("a"))
-        .join(t["orders"].select("o_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            t["orders"].filter(F.col("o_orderdate") >= "1999-01-01").select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count("*").cast("long").alias("numcust"),
