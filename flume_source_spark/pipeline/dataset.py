@@ -172,3 +172,51 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("g").cast("long").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# per-source keep rates over the 10000 hash buckets (domain mixing):
+# heavy upsample of src0/src1, light tail for the rest
+MIX_RATES = {"src0": 10000, "src1": 5000}  # buckets kept out of 10000
+MIX_DEFAULT = 1500
+
+
+@query(
+    "ds_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, bucket
+    FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN {MIX_RATES['src0']}
+                               WHEN 'src1' THEN {MIX_RATES['src1']}
+                               ELSE {MIX_DEFAULT} END
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dataset", "sampling"),
+)
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (domain-mix) sampling: each source
+    keeps a configured fraction, decided by the SAME md5 hash-bucket
+    function as ds_split_deterministic — a pure function of doc
+    identity, so re-runs and re-partitions keep identical rows, and a
+    doc kept at rate r stays kept at any rate ≥ r (nested samples,
+    the property Bernoulli RNG sampling can't give you). Emits the
+    per-doc keep set so the oracle pins every decision; at 100 TB
+    this is a stateless filter — no shuffle at all."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10000
+    )
+    rate = (
+        F.when(F.col("source") == "src0", MIX_RATES["src0"])
+        .when(F.col("source") == "src1", MIX_RATES["src1"])
+        .otherwise(MIX_DEFAULT)
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )

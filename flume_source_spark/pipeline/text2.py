@@ -1,0 +1,330 @@
+"""Second wave of text operators for LLM-data pipelines: chunking
+with overlap, deny-list scrubbing, repetition-based quality
+filtering, vocabulary construction, and per-document TF-IDF.
+
+Like :mod:`flume_source_spark.pipeline.text`, everything is pure
+JVM-side expression work (split / sequence / slice / explode /
+window) — zero Python in the hot path, so each op runs at codegen
+speed over a 100 TB corpus:
+
+- ``text_chunk_overlap`` — the RAG / context-window prep step: fixed
+  token-budget chunks with overlap. Chunk starts are a deterministic
+  arithmetic ``sequence`` per doc (no window, no state), so chunking
+  is embarrassingly parallel and chunk ids are reproducible from the
+  doc alone.
+- ``text_pii_scrub`` — deny-list redaction via one regexp pass
+  (word-boundary alternation). The fixture corpus is synthetic word
+  salad with no real PII, so the deny-list stands in for the
+  email/phone patterns a production scrub would use — the operator
+  shape (single regexp_replace + match count, no second scan) is the
+  deliverable.
+- ``text_repetition_filter`` — Gopher-style repetition signals: the
+  most-frequent-token share and most-frequent-bigram share of each
+  doc. Explode → per-(doc,gram) count → per-doc max/sum: two
+  map-side-combinable aggregations, never a per-doc sort.
+- ``text_vocab_topk`` — tokenizer-vocabulary construction: corpus
+  token frequencies, contiguous ids by rank, cumulative coverage.
+  The single-partition window runs over the AGGREGATED vocab (tokens
+  × 1 row), which is always ≪ corpus — the classic "big data, small
+  result" cut.
+- ``text_tfidf_topk`` — top-k characteristic terms per doc. The idf
+  is the rational (N+1)/(df+1) — deliberately NOT log-scaled: ln()
+  is correctly-rounded to the last ulp differently across libm
+  implementations, while rational arithmetic on identical doubles is
+  bit-identical between engines (and rank order is unchanged —
+  x ↦ ln x is monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from flume_source_spark.pipeline.dedup import spread
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+CHUNK_TOKENS = 32  # chunk budget
+CHUNK_STRIDE = 24  # start-to-start distance → 8-token overlap
+DENY_PATTERN = r"\b(?:customer|key)\b"  # stand-in for PII patterns
+VOCAB_K = 100
+TFIDF_K = 3
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE}, 1), {CHUNK_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_token,
+           CAST(len(toks[start:start + {CHUNK_TOKENS} - 1]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start:start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget chunking with overlap (budget 32, stride 24 → 8
+    shared tokens between neighbors). Starts are ``sequence(1,
+    max(n-budget+stride, 1), stride)``: every token is covered, the
+    final chunk may run short, and a short doc yields exactly one
+    chunk. chunk_id is derived arithmetically from the start offset
+    ((start-1)/stride), NOT from posexplode order, so ids are stable
+    under any row or partition order. The chunk content is pinned by
+    md5 rather than shipping the text twice."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - CHUNK_TOKENS + CHUNK_STRIDE, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice("toks", F.col("start"), CHUNK_TOKENS)
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.col("start").cast("int").alias("start_token"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{DENY_PATTERN}')) AS BIGINT) AS n_redacted,
+           md5(regexp_replace(text, '{DENY_PATTERN}', '[REDACTED]', 'g')) AS scrubbed_md5,
+           substr(regexp_replace(text, '{DENY_PATTERN}', '[REDACTED]', 'g'), 1, 60) AS scrubbed_prefix
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "scrub"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list scrubbing: one word-boundary alternation regex,
+    replaced corpus-wide in a single pass, with the per-doc match
+    count surfaced for audit. The pattern uses only literal
+    alternation + \\b so Java regex (Spark) and RE2 (DuckDB) agree;
+    DuckDB needs the explicit 'g' flag to replace all occurrences
+    (Spark's regexp_replace is always global)."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    scrubbed = F.regexp_replace("text", DENY_PATTERN, "[REDACTED]")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(DENY_PATTERN), 0)).cast("bigint").alias("n_redacted"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            F.substring(scrubbed, 1, 60).alias("scrubbed_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ),
+    per_tok AS (
+        SELECT doc_id, max(c) AS top_tok, sum(c) AS n_toks FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in generate_series(1, len(toks) - 1)]) AS g
+              FROM t)
+        GROUP BY doc_id, g
+    ),
+    per_bg AS (
+        SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bg GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           CAST(round(top_tok * 1.0 / n_toks, 4) AS DOUBLE) AS top_token_ratio,
+           CAST(round(top_bg * 1.0 / n_bg, 4) AS DOUBLE) AS top_bigram_ratio,
+           (top_tok * 1.0 / n_toks <= 0.1 AND top_bg * 1.0 / n_bg <= 0.05) AS passes_repetition
+    FROM per_tok p JOIN per_bg USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: the share of a doc taken by
+    its most frequent token and most frequent bigram. Both signals
+    come from explode → (doc, gram) count → per-doc max/sum — every
+    aggregation map-side combines, no per-doc sort or collect, so the
+    cost is two shuffles of (doc, gram) pairs regardless of doc
+    length. The keep flag compares the UNROUNDED ratios (both engines
+    divide identical integers, bit-identical) so rounding can't flip
+    a row at the threshold."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    tok = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    per_tok = tok.groupBy("doc_id").agg(F.max("c").alias("top_tok"), F.sum("c").alias("n_toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.array_join(F.slice("toks", i, 2), " "),
+    )
+    bg = (
+        t.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    )
+    per_bg = bg.groupBy("doc_id").agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    tok_ratio = F.col("top_tok") / F.col("n_toks")
+    bg_ratio = F.col("top_bg") / F.col("n_bg")
+    return (
+        per_tok.join(per_bg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(tok_ratio, 4).cast("double").alias("top_token_ratio"),
+            F.round(bg_ratio, 4).cast("double").alias("top_bigram_ratio"),
+            ((tok_ratio <= 0.1) & (bg_ratio <= 0.05)).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rnk,
+               sum(freq) OVER (ORDER BY freq DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(freq) OVER () AS total
+        FROM freq
+    )
+    SELECT CAST(rnk - 1 AS BIGINT) AS vocab_id, tok, CAST(freq AS BIGINT) AS freq,
+           CAST(round(cum * 1.0 / total, 6) AS DOUBLE) AS coverage
+    FROM ranked
+    WHERE rnk <= {VOCAB_K}
+    ORDER BY vocab_id
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: corpus token frequencies →
+    contiguous vocab ids by (freq desc, token) rank → cumulative
+    corpus coverage per prefix. The explode+count shuffle carries
+    (token, partial count) pairs — map-side combined, the wordcount
+    shape. The rank/coverage window is deliberately unpartitioned: it
+    runs over the aggregated vocab table (one row per distinct
+    token), which is vocab-sized, not corpus-sized — the same
+    driver-safe cut a real tokenizer trainer makes."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("freq"))
+    )
+    order = W.orderBy(F.col("freq").desc(), "tok")
+    ranked = freq.select(
+        "tok",
+        "freq",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("freq").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("freq").over(W.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= VOCAB_K)
+        .select(
+            (F.col("rnk") - 1).cast("bigint").alias("vocab_id"),
+            "tok",
+            F.col("freq").cast("bigint").alias("freq"),
+            F.round(F.col("cum") / F.col("total"), 6).cast("double").alias("coverage"),
+        )
+        .orderBy("vocab_id")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf, df,
+               tf * (n_docs + 1.0) / (df + 1.0) AS score
+        FROM tf JOIN df USING (tok), n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, tok,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(round(score, 4) AS DOUBLE) AS tfidf
+    FROM ranked
+    WHERE rnk <= {TFIDF_K}
+    ORDER BY doc_id, rnk
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF. Term
+    frequencies and document frequencies are two chained
+    map-side-combinable aggregations; the df table is vocab-sized and
+    BROADCAST back onto the (doc, term) frame, so the corpus-sized
+    side never re-shuffles for the join. Ranking partitions by doc —
+    bounded window state. The idf is rational, (N+1)/(df+1), not
+    log-scaled: monotone in df (identical ranking) but bit-identical
+    across engines, where ln() differs in the last ulp between libm
+    and the JVM."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    )
+    rnk = F.row_number().over(W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok"))
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 4).cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

@@ -101,6 +101,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
+    import flume_source_spark.pipeline.text2  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
