@@ -15,6 +15,8 @@ finite over an infinite stream (the 100 TB/day design constraint).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -194,3 +196,72 @@ class IdempotentBatchSink:
     @property
     def rows(self) -> list:
         return [r for rows in self.applied.values() for r in rows]
+
+
+class ParquetUpsertSink:
+    """foreachBatch MERGE-into-parquet: each micro-batch upserts into a
+    keyed parquet target (latest-wins per key by the order column),
+    with epoch-id fencing so at-least-once re-delivery after recovery
+    collapses to exactly-once — the portable plain-parquet version of
+    writing to an ACID table from foreachBatch.
+
+    Per batch: read target ∪ batch → keep row_number()==1 per key
+    (order desc) → write to a fresh generation directory → flip a
+    pointer file. The generation flip is the commit point: a crash
+    mid-write leaves the old generation live, and the fence marker is
+    written only after the flip, so a redelivered epoch either
+    no-ops (fence seen) or redoes the merge idempotently.
+
+    Scale note: rewriting the whole target per batch is right for
+    dimension-sized upsert targets (the common case for streaming
+    MERGE); a fact-sized target would partition by key range and
+    rewrite only touched partitions — the plan shape (dedup window on
+    key) is unchanged.
+    """
+
+    def __init__(self, path: str, key: str, order_col: str):
+        self.path, self.key, self.order_col = path, key, order_col
+        self._fence = os.path.join(path, "_last_epoch")
+        self._pointer = os.path.join(path, "_current")
+        os.makedirs(path, exist_ok=True)
+
+    def _current_gen(self) -> str | None:
+        try:
+            with open(self._pointer) as f:
+                return os.path.join(self.path, f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read_target(self, spark) -> DataFrame | None:
+        gen = self._current_gen()
+        return spark.read.parquet(gen) if gen else None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            with open(self._fence) as f:
+                if epoch_id <= int(f.read().strip()):
+                    return  # redelivered epoch → no-op
+        except FileNotFoundError:
+            pass
+        from pyspark.sql import Window as W
+
+        spark = batch_df.sparkSession
+        target = self.read_target(spark)
+        merged = batch_df if target is None else target.unionByName(batch_df)
+        w = W.partitionBy(self.key).orderBy(
+            F.col(self.order_col).desc(), F.col(self.key)
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        gen = f"gen-{epoch_id}"
+        latest.write.mode("overwrite").parquet(os.path.join(self.path, gen))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, self._pointer)  # atomic commit point
+        with open(self._fence + ".tmp", "w") as f:
+            f.write(str(epoch_id))
+        os.replace(self._fence + ".tmp", self._fence)

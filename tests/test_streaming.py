@@ -356,3 +356,43 @@ def test_sessions_close_on_event_time_timeout(spark, tmp_path):
     expected_end = int(pd.Timestamp(T0 + timedelta(minutes=35)).value // 1_000_000)
     assert r.session_end_ms == expected_end
     assert 2 not in closed  # user 2 still active at shutdown
+
+
+def test_foreach_batch_parquet_upsert_end_to_end(spark, tmp_path):
+    """Streaming MERGE: two micro-batches upsert into a parquet target
+    via ParquetUpsertSink — overlapping event_ids take the later value
+    (latest-wins by ts), a redelivered epoch is a no-op, and the
+    target survives as a readable table between batches."""
+    from flume_source_spark.streaming.engine import ParquetUpsertSink
+
+    d = str(tmp_path / "ev")
+    tgt = str(tmp_path / "target")
+    sink = ParquetUpsertSink(tgt, key="event_id", order_col="ts")
+
+    write_batch(d, "b0", [(1, 0, 100, "view", 1.0), (2, 1, 100, "view", 2.0)])
+    q = (
+        events_stream(spark, d)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t1 = {r.event_id: r.value for r in sink.read_target(spark).collect()}
+        assert t1 == {1: 1.0, 2: 2.0}
+
+        # batch 2: update event 2 (later ts), insert event 3
+        write_batch(d, "b1", [(2, 5, 100, "click", 9.0), (3, 6, 200, "view", 3.0)])
+        q.processAllAvailable()
+        t2 = {r.event_id: (r.value, r.event_type) for r in sink.read_target(spark).collect()}
+        assert t2 == {1: (1.0, "view"), 2: (9.0, "click"), 3: (3.0, "view")}
+
+        # redelivery of an already-applied epoch must not change the target
+        fence_before = open(f"{tgt}/_last_epoch").read()
+        sink(spark.createDataFrame([(2, T0, 100, "stale", -1.0, "{}")],
+                                   schema=EVENTS_SCHEMA), 0)
+        assert open(f"{tgt}/_last_epoch").read() == fence_before
+        t3 = {r.event_id: r.value for r in sink.read_target(spark).collect()}
+        assert t3 == {1: 1.0, 2: 9.0, 3: 3.0}
+    finally:
+        q.stop()
