@@ -267,16 +267,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes the shingling 3× (LSH is a DAG, not a tree)
     docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles")).persist()
     sig = minhash_signature(docs, "doc_id", "shingles")
-    cand = lsh_candidate_pairs(sig, "doc_id")
-    # verify candidates exactly (array_intersect on the distinct shingle sets)
-    left = docs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
-    right = docs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
+    # persist candidates: they feed the id set AND the verify join
+    cand = lsh_candidate_pairs(sig, "doc_id").persist()
+    # verify candidates exactly (array_intersect on the distinct
+    # shingle sets) — but FIRST shrink the shingle table to candidate
+    # docs via a broadcast id set: candidate pairs are rare by LSH
+    # design, so this turns two full-corpus shuffle joins into two
+    # broadcast joins of a candidate-sized side. (If candidates ever
+    # weren't broadcast-sized, the corpus is so duplicated that exact
+    # dedup should run first.)
+    ids = cand.select(F.col("i").alias("doc_id")).union(cand.select("j")).distinct()
+    cdocs = docs.join(F.broadcast(ids), "doc_id")
+    left = cdocs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
+    right = cdocs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     jac = inter / union
     return (
-        cand.join(left, "i")
-        .join(right, "j")
+        cand.join(F.broadcast(left), "i")
+        .join(F.broadcast(right), "j")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
         .orderBy("i", "j")
