@@ -29,8 +29,10 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q07_nation_volume",
+    "q09_product_type_profit",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q21_waiting_supplier",
     "join_broadcast_hint",
     "join_shuffle_fact_fact",
     "join_asof",
@@ -42,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality",
+    "text_tfidf_topk",
 ]
 
 
