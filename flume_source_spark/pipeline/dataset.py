@@ -220,3 +220,52 @@ def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .orderBy("doc_id")
     )
+
+
+N_SHARDS = 32
+
+_SHARD_MANIFEST_ORACLE = f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {N_SHARDS} AS shard_id
+        FROM documents
+    )
+    SELECT shard_id,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM assigned
+    GROUP BY shard_id
+    ORDER BY shard_id
+"""
+
+
+@query("ds_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE, tags=("llm", "dataset"))
+def ds_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every doc to one of N_SHARDS
+    output shards by the same identity-hash used for splits/sampling
+    (so shard membership survives re-runs and re-partitions), then
+    aggregate the per-shard manifest a writer job would emit (doc
+    count, byte budget, id range). At 100 TB this IS the write plan:
+    `repartition(N, shard_id).write.partitionBy("shard_id")` gives
+    one balanced file per shard, and the manifest doubles as the
+    balance check — identity hashing makes shard sizes binomial, so
+    max/mean skew stays within a few percent at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % N_SHARDS
+    )
+    return (
+        d.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1,0 +1,138 @@
+"""Graph operators for the dedup pipeline: connected components over
+the near-duplicate pair graph.
+
+Pair generation (``dedup_ngram_jaccard`` / ``dedup_minhash_lsh``) only
+says "i looks like j". A real dedup pass must then pick ONE keeper per
+*transitive* cluster — if A~B and B~C, then {A,B,C} is one group even
+when A and C never paired. That closure is a connected-components
+problem on the pair graph.
+
+Scale design: min-label propagation — every node repeatedly adopts the
+smallest label reachable over one edge — implemented as a driver-side
+loop of pure DataFrame joins/aggregations (the canonical Spark
+iterative pattern, same shape GraphX/GraphFrames use underneath).
+
+- Each round is one shuffle-join (edges ⋈ labels on the edge source)
+  plus one min-aggregation; converges in O(graph diameter) rounds.
+  Near-dup clusters are shallow (dups of a common source), so the
+  diameter is small — typically 2-4 rounds on real corpora.
+- Lineage is truncated per round with ``localCheckpoint`` (on a
+  cluster: ``checkpoint`` to reliable storage); without it the plan
+  doubles every round and the job dies on plan-compile time long
+  before data size matters.
+- Convergence is detected from ``sum(label)``: labels only ever
+  decrease (monotone min), so an unchanged sum is a proof of
+  fixpoint — one cheap scalar aggregate per round instead of an
+  old⋈new anti-join.
+- At 100 TB, the known refinement is alternating large-star /
+  small-star (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14), which bounds per-round skew when one component
+  is huge; plain min-propagation keeps per-round cost Θ(|E|) which is
+  already fine for dedup graphs whose components are small by
+  construction (MAX_BUCKET caps upstream candidate fan-out).
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive reachability with the
+same edge predicate, min(root) per node — an independent fixpoint
+formulation of the same closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.pipeline.dedup import dedup_ngram_jaccard
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+MAX_CC_ROUNDS = 12
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``nodes``: one column ``id`` (long). ``edges``: columns ``src``,
+    ``dst`` (each undirected edge listed once, either direction).
+    Returns (id, component_id) where component_id = min id reachable.
+    """
+    bidir = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    bidir = bidir.localCheckpoint()
+    labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        msgs = (
+            bidir.join(labels, bidir.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels are monotone ⇒ fixpoint proof
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component_id"))
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i, j FROM inter
+              JOIN sz sa ON i = sa.doc_id
+              JOIN sz sb ON j = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+    bidir AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT b.j, r.root FROM reach r JOIN bidir b ON b.i = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.component_id,
+           s.component_size,
+           c.doc_id = c.component_id AS is_keeper
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS component_size
+          FROM comp GROUP BY component_id) s USING (component_id)
+    ORDER BY c.doc_id
+"""
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the exact
+    near-dup pair graph (Jaccard ≥ 0.5), keeper = min doc_id per
+    component. The step after pair generation in every dedup pipeline:
+    A~B, B~C ⇒ one cluster {A,B,C}, one keeper, two drops."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("i").alias("src"), F.col("j").alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "component_id",
+            "component_size",
+            (F.col("id") == F.col("component_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,97 @@
+"""Model tests for connected components (pipeline/graph.py) and the
+batch time-series operators (operators/timeseries.py). The oracle
+equivalence is covered by test_oracle.py; these pin the algorithmic
+properties on hand-built inputs where the answer is known by
+construction."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flume_source_spark.operators.timeseries import ts_gap_fill, ts_sessionize_gaps
+from flume_source_spark.pipeline.graph import connected_components
+from tests.conftest import SF_DIR
+
+
+def _cc_map(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "src long, dst long"
+    ).filter(F.col("src").isNotNull())
+    out = connected_components(nodes, edges).collect()
+    return {r.id: r.component_id for r in out}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4, must converge to min label 1.
+    got = _cc_map(spark, range(1, 6), [(i, i + 1) for i in range(1, 5)])
+    assert got == {i: 1 for i in range(1, 6)}
+
+
+def test_cc_two_components_and_isolates(spark):
+    got = _cc_map(spark, range(10), [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5)])
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == got[7] == 5
+    for isolate in (3, 4, 8, 9):
+        assert got[isolate] == isolate
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    # Edges listed "backwards" (high → low) must produce the same closure.
+    fwd = _cc_map(spark, range(4), [(0, 1), (1, 2), (2, 3)])
+    rev = _cc_map(spark, range(4), [(3, 2), (2, 1), (1, 0)])
+    assert fwd == rev == {i: 0 for i in range(4)}
+
+
+def test_gap_fill_calendar_is_dense_and_filled(spark):
+    out = ts_gap_fill(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for rows in by_user.values():
+        # buckets are a contiguous hourly sequence (gap-free calendar)
+        ts = [datetime.datetime.strptime(r.bucket, fmt) for r in rows]
+        assert ts == sorted(ts)
+        for a, b in zip(ts, ts[1:]):
+            assert (b - a) == datetime.timedelta(hours=1)
+        # the first bucket is observed (span starts at min ts), so the
+        # forward-fill is total: no null filled_value anywhere
+        assert rows[0].n_events > 0
+        for r in rows:
+            assert r.filled_value is not None
+            if r.n_events == 0:
+                assert r.hour_value is None  # gap rows carry only the fill
+            else:
+                assert r.hour_value == r.filled_value
+
+
+def test_sessionize_gap_invariant(spark):
+    sessions = ts_sessionize_gaps(spark, SF_DIR).collect()
+    fmt = "%Y-%m-%d %H:%M:%S"
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    gap = datetime.timedelta(minutes=30)
+    n_multi = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda s: s.session_seq)
+        assert [s.session_seq for s in rows] == list(range(1, len(rows) + 1))
+        n_multi += len(rows) > 1
+        for a, b in zip(rows, rows[1:]):
+            # consecutive sessions are separated by MORE than the gap
+            # (second-truncated strings make this a >= check at 30:00)
+            end_a = datetime.datetime.strptime(a.session_end, fmt)
+            start_b = datetime.datetime.strptime(b.session_start, fmt)
+            assert start_b - end_a >= gap
+    assert n_multi > 0  # the fixture actually exercises session splits
+
+
+def test_sessionize_conserves_events(spark, sf_dir):
+    from flume_source_spark.tables import load_tables
+
+    total = load_tables(spark, sf_dir)["events"].count()
+    sessions = ts_sessionize_gaps(spark, sf_dir)
+    assert sessions.agg(F.sum("n_events")).collect()[0][0] == total
