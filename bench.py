@@ -42,9 +42,13 @@ HEADLINE = [
     "streaming_tumbling_window",
     "merge_upsert_emulation",
     "dedup_minhash_lsh",
+    "dedup_cluster_cc",
     "sim_cosine_topk",
     "text_quality",
     "text_tfidf_topk",
+    "text_dup_ngram_fraction",
+    "ts_gap_fill",
+    "ts_sessionize_gaps",
 ]
 
 

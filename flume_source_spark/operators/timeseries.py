@@ -66,39 +66,42 @@ _GAP_FILL_ORACLE = """
 @query("ts_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("timeseries",))
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify per-user hourly aggregates onto a gap-free calendar and
-    forward-fill missing hours (TimescaleDB gapfill+locf shape):
-    sequence() generates each user's hour range, explode densifies,
-    last(ignorenulls) carries the previous observation forward."""
+    forward-fill missing hours (TimescaleDB gapfill+locf shape).
+
+    JOIN-FREE plan: instead of generating a calendar and left-joining
+    it back (two exchanges: hash-join on (user, bucket) + re-sort for
+    the fill window), each OBSERVED hour emits itself plus the gap
+    hours up to the next observation (``lead`` + ``sequence`` +
+    ``explode``) and carries its own value into them — the forward
+    fill falls out of the expansion. One window shuffle on user_id
+    total; gap expansion is executor-local and proportional to each
+    row's own gap, which is the shape that survives 100 TB."""
     e = load_tables(spark, sf_dir)["events"]
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.sum("value").alias("hour_value"), F.count("*").alias("n_events"))
-    span = e.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    h2 = hourly.withColumn("next_bucket", F.lead("bucket").over(w))
+    fill_end = F.coalesce(
+        F.col("next_bucket") - F.expr("INTERVAL 1 HOUR"), F.col("bucket")
     )
-    cal = span.select(
+    expanded = h2.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        "hour_value",
+        "n_events",
+        F.col("bucket").alias("obs_bucket"),
+        F.explode(F.sequence("bucket", fill_end, F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket"
+        ),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        cal.join(hourly, ["user_id", "bucket"], "left")
-        .select(
-            "user_id",
-            F.date_format("bucket", TS_FMT).alias("bucket"),
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.round("hour_value", 4).cast("double").alias("hour_value"),
-            F.round(F.last("hour_value", ignorenulls=True).over(w), 4)
-            .cast("double")
-            .alias("filled_value"),
-        )
-        .orderBy("user_id", "bucket")
-    )
+    observed = F.col("bucket") == F.col("obs_bucket")
+    return expanded.select(
+        "user_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        F.when(observed, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+        F.when(observed, F.round("hour_value", 4)).cast("double").alias("hour_value"),
+        F.round("hour_value", 4).cast("double").alias("filled_value"),
+    ).orderBy("user_id", "bucket")
 
 
 _SESSIONIZE_ORACLE = """
@@ -169,4 +172,94 @@ def ts_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'signup' AND e.ts > t1.ts1
+             AND e.ts <= t1.ts1 + INTERVAL 24 HOURS GROUP BY 1),
+    t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+             AND e.ts <= t2.ts2 + INTERVAL 24 HOURS GROUP BY 1),
+    stages AS (
+        SELECT t1.user_id,
+               1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT AS stage,
+               date_diff('second', t1.ts1, coalesce(t3.ts3, t2.ts2, t1.ts1)) AS secs_to_last
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                LEFT JOIN t3 ON t2.user_id = t3.user_id
+    )
+    SELECT stage, count(*) AS n_users,
+           CAST(round(avg(secs_to_last), 4) AS DOUBLE) AS avg_secs_to_last
+    FROM stages GROUP BY stage ORDER BY stage
+"""
+
+
+@query("ts_funnel", oracle=_FUNNEL_ORACLE, tags=("timeseries", "analytics"))
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → signup → purchase): a user
+    reaches stage k when the k-th step's FIRST qualifying occurrence
+    is strictly after the previous stage's timestamp and within a 24 h
+    conversion window of it (the window is what makes funnels
+    discriminating — without it every long-lived user converges to the
+    final stage). Implemented as
+    one conditional-min aggregation per step, each a broadcast-joined
+    filter on the previous stage — the per-stage frames are |users|
+    rows, so every join after the first is broadcast at any corpus
+    size, and the events table is scanned once per step with the
+    event-type filter pushed to the scan. Time-to-convert compares
+    integer seconds (date_diff ↔ unix seconds) across engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "signup")
+        .join(F.broadcast(t1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.col("ts1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts2"))
+            & (F.col("ts") <= F.col("ts2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    stages = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("ts2").isNotNull().cast("int")
+                + F.col("ts3").isNotNull().cast("int")
+            ).alias("stage"),
+            (
+                F.unix_timestamp(F.coalesce("ts3", "ts2", "ts1"))
+                - F.unix_timestamp("ts1")
+            ).alias("secs_to_last"),
+        )
+    )
+    return (
+        stages.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("secs_to_last"), 4).cast("double").alias("avg_secs_to_last"),
+        )
+        .orderBy("stage")
     )

@@ -213,11 +213,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer (deterministically sampled
-    centroids) partitions the corpus into inverted lists; each query
-    probes its nprobe nearest lists and exact-reranks only those
-    vectors. Complements sim_ann_lsh: IVF adapts to the data
-    distribution (centroids come from the corpus), LSH is
+    """IVF-style ANN: a coarse quantizer (deterministic seed sample +
+    distributed Lloyd refinement) partitions the corpus into inverted
+    lists; each query probes its nprobe nearest lists and exact-reranks
+    only those vectors. Complements sim_ann_lsh: IVF adapts to the
+    data distribution (centroids are trained on the corpus), LSH is
     data-independent.
 
     Scale shape: assignment is one broadcast(centroids)-vs-corpus pass;
@@ -226,12 +226,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully distributed and id-distribution-agnostic: hash-order the ids
     and TakeOrdered the lowest NLIST, so executors each retain NLIST
     rows and only those ≤ NLIST centroid rows ever reach the driver —
-    never the id list of the corpus."""
+    never the id list of the corpus. Each Lloyd round is one
+    broadcast-assign pass plus an elementwise-mean aggregation
+    (posexplode → partial avg per (cluster, dim)): the shuffle after
+    map-side combine is NLIST×dim rows per input partition, and only
+    the NLIST refined centroids return to the driver per round.
+    Centroid components are rounded (6 dp) after every round so
+    float-sum ordering noise cannot flip boundary assignments between
+    runs."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
-    NLIST, NPROBE = 16, 4
+    NLIST, NPROBE, KMEANS_ITERS = 16, 4, 2
     e = load_tables(spark, sf_dir)["embeddings"]
     # deterministic coarse quantizer: the NLIST vectors whose hashed
     # ids sort lowest — a uniform deterministic sample for ANY id
@@ -247,6 +254,55 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    def _assign_with(mat):
+        """mapInPandas kernel assigning each vector to its nearest
+        centroid in ``mat`` (cosine, i.e. spherical k-means)."""
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": np.argmax(m_n @ mat.T, axis=1).astype("int64"),
+                    }
+                )
+
+        return kernel
+
+    # Lloyd refinement (spherical k-means). Per round: broadcast-assign,
+    # then the new centroid of each cluster = elementwise mean of its
+    # members, computed distributively (posexplode → avg per
+    # (cluster, dim) with map-side partial agg → re-assembled array).
+    # Empty clusters keep their previous centroid.
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select("vec_id", "embedding").mapInPandas(
+            _assign_with(c_mat), "vec_id long, cluster long"
+        )
+        means = (
+            e.join(assigned, "vec_id")
+            .select("cluster", F.posexplode(_dvec("embedding")).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()  # ≤ NLIST rows — the only driver transfer per round
+        )
+        new_c = c_mat.copy()
+        for r in means:
+            v = np.asarray(r["centroid"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_c[r["cluster"]] = v / n
+        c_mat = np.round(new_c, 6)
 
     def assign(batches, k):
         for pdf in batches:

@@ -95,3 +95,26 @@ def test_sessionize_conserves_events(spark, sf_dir):
     total = load_tables(spark, sf_dir)["events"].count()
     sessions = ts_sessionize_gaps(spark, sf_dir)
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == total
+
+
+def test_funnel_partitions_viewers_and_stage1_is_instant(spark, sf_dir):
+    from flume_source_spark.operators.timeseries import ts_funnel
+    from flume_source_spark.tables import load_tables
+
+    out = {r.stage: r for r in ts_funnel(spark, sf_dir).collect()}
+    # stages partition the set of users who ever viewed
+    viewers = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert set(out) <= {1, 2, 3} and sum(r.n_users for r in out.values()) == viewers
+    # users stuck at stage 1 never left their first view: time-to-last = 0
+    if 1 in out:
+        assert out[1].avg_secs_to_last == 0.0
+    # deeper stages take time: a qualifying later step is strictly after ts1
+    for k in (2, 3):
+        if k in out:
+            assert out[k].avg_secs_to_last > 0.0

@@ -32,10 +32,11 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r.qid, r.nid) for r in run("sim_ann_ivf", spark, sf_dir).collect()}
     assert truth
     recall = len(truth & approx) / len(truth)
-    # nprobe/nlist = 4/16 → ~25% of corpus scanned; weakly-clustered
-    # vectors cap attainable recall, but it must clearly beat the
-    # scanned fraction's random baseline
-    assert recall >= 0.25, f"IVF recall {recall:.2f} vs bruteforce"
+    # nprobe/nlist = 4/16 → ~25% of corpus scanned; the Lloyd-refined
+    # quantizer measures 0.52/0.68/0.59 at sf0.001/0.01/0.1 (was
+    # ~0.36 with raw sampled centroids) — well above the scanned
+    # fraction's random baseline
+    assert recall >= 0.40, f"IVF recall {recall:.2f} vs bruteforce"
 
 
 def test_simhash_locality_on_neardup_pairs(spark, sf_dir):
