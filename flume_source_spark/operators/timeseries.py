@@ -263,3 +263,164 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+_RETENTION_ORACLE = """
+    WITH first AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week
+        FROM events e JOIN first f USING (user_id)
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', a.cohort_week, a.activity_week) // 7 AS week_offset,
+           count(*) AS n_active,
+           any_value(s.cohort_size) AS cohort_size,
+           CAST(round(count(*) * 1.0 / any_value(s.cohort_size), 4) AS DOUBLE)
+               AS retention_rate
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, week_offset
+    ORDER BY 1, 2
+"""
+
+
+@query("ts_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("timeseries", "analytics"))
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are assigned to the ISO
+    week of their FIRST event (both engines truncate weeks to Monday);
+    each later active week counts them into (cohort_week, week_offset).
+
+    Scale shape: the per-user first-event frame is |users| rows, so it
+    broadcasts at any event volume; the distinct-(user, week) pass is
+    the only event-scale shuffle and it partitions on user_id, the
+    same key the source aggregation used. The cohort-size frame is
+    |weeks| rows — broadcast trivially. week_offset divides an exact
+    multiple of 7 days (both weeks are Monday-truncated), so integer
+    truncation is exact on both engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    activity = (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id", "cohort_week", F.date_trunc("week", F.col("ts")).alias("activity_week")
+        )
+        .distinct()
+    )
+    return (
+        activity.withColumn(
+            "week_offset",
+            (F.datediff("activity_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4)
+            .cast("double")
+            .alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_ANOMALY_ORACLE = """
+    WITH sums AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2,
+               count(value) OVER w AS n_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT *, s1 / n_win AS mu,
+               (s2 - s1 * s1 / n_win) / (n_win - 1) AS var
+        FROM sums WHERE n_win >= 12
+    ),
+    z AS (
+        SELECT *, (value - mu) / sqrt(var) AS z FROM scored WHERE var > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY round(abs(z), 4) DESC, event_id) AS rn
+        FROM z
+    )
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(round(value, 4) AS DOUBLE) AS value,
+           CAST(round(CAST(mu AS DECIMAL(18,6)), 4) AS DOUBLE) AS rolling_mean,
+           CAST(round(z, 4) AS DOUBLE) AS z
+    FROM ranked WHERE rn <= 3
+    ORDER BY user_id, event_id
+"""
+
+
+@query("ts_rolling_anomaly", oracle=_ANOMALY_ORACLE, tags=("timeseries", "analytics", "window"))
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event's value is scored
+    against the mean/stddev of its user's previous ≤24 events (the
+    current row excluded, ≥12 required so early noise can't dominate),
+    and each user's top-3 |z| events are reported.
+
+    Top-k-by-rounded-score (with event_id tiebreak) instead of a
+    ``|z| > τ`` threshold keeps the selected ROW SET engine-stable:
+    window aggregates associate differently across engines (running
+    accumulation vs segment tree), so a raw threshold could flip
+    membership on a boundary value, while ranking compares 4-dp-rounded
+    scores. Mean/variance come from exact DECIMAL window sums (Σx, Σx²)
+    so both engines divide bit-identical doubles — native avg/stddev
+    over the frame landed on a .xxxx5 rounding boundary at sf0.01. One
+    shuffle on user_id serves both window passes."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    dec = "decimal(27,6)"
+    scored = (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("s1", F.sum(F.col("value").cast(dec)).over(w).cast("double"))
+        .withColumn(
+            "s2", F.sum((F.col("value") * F.col("value")).cast(dec)).over(w).cast("double")
+        )
+        .withColumn("n_win", F.count("value").over(w))
+        .filter(F.col("n_win") >= 12)
+        .withColumn("mu", F.col("s1") / F.col("n_win"))
+        .withColumn(
+            "var",
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_win"))
+            / (F.col("n_win") - 1),
+        )
+        .filter(F.col("var") > 0)
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.sqrt("var"))
+    )
+    rank_w = Window.partitionBy("user_id").orderBy(
+        F.round(F.abs("z"), 4).desc(), "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            F.round("value", 4).cast("double").alias("value"),
+            F.round(F.col("mu").cast("decimal(18,6)"), 4).cast("double").alias("rolling_mean"),
+            F.round("z", 4).cast("double").alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )

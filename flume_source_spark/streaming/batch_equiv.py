@@ -171,3 +171,42 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", F.date_format("ts", TS_FMT).alias("first_ts"))
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/engine.py::stream_static_enrich, live-tested by
+    tests/test_streaming.py::test_stream_static_join): every event is
+    enriched against the static customer dim and rolled up per market
+    segment. In streaming, each micro-batch broadcast-hash-joins
+    against the dim with NO stream-side shuffle — the same plan Spark
+    picks here for the batch form; unmatched stream rows survive (left
+    join), pinned by the live test's sentinel user."""
+    t = load_tables(spark, sf_dir)
+    e, c = t["events"], t["customer"]
+    dim = c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        e.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(dec("value"), "total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -134,3 +134,41 @@ def test_q16_not_in_is_anti_join_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "q16_supplier_part_counts")
     assert "LeftAnti" in p  # NOT IN on non-null keys → anti join
     assert "SortMergeJoin" not in p
+
+
+def test_retention_user_frames_broadcast(spark, sf_dir):
+    # the |users|-sized first-event frame and the |weeks|-sized cohort
+    # frame both broadcast; the events table never exchanges for a join
+    p = plan(spark, sf_dir, "ts_retention_cohorts")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_gap_fill_is_join_free(spark, sf_dir):
+    # the lead+sequence+explode formulation has NO join at all — the
+    # calendar-join alternative would show a hash join here
+    p = plan(spark, sf_dir, "ts_gap_fill")
+    assert "Join" not in p
+    assert "Generate explode" in p
+
+
+def test_funnel_stage_frames_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "ts_funnel")
+    assert p.count("BroadcastHashJoin") >= 2  # per-stage user frames
+    assert "SortMergeJoin" not in p
+    # the event-type filter reaches each events scan
+    assert "event_type" in p.split("PushedFilters")[1][:300]
+
+
+def test_static_enrich_dim_broadcasts_fact_never_shuffles_for_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "streaming_static_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning(user_id" not in p.split("BroadcastHashJoin")[0]
+
+
+def test_inverted_index_aggregates_in_two_levels(spark, sf_dir):
+    # (token, doc) partial pass then per-token merge — both hash
+    # aggregates with map-side partials, no collect_list over raw rows
+    p = plan(spark, sf_dir, "text_inverted_index")
+    assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
