@@ -174,6 +174,66 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join_batch",
+    oracle="""
+    WITH e AS (SELECT * FROM events),
+    pairs AS (
+        SELECT v.user_id,
+               date_diff('second', v.ts, c.ts) AS delay_s
+        FROM e v JOIN e c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    )
+    SELECT user_id,
+           count(*) AS n_conversions,
+           min(delay_s) AS min_delay_s,
+           CAST(round(avg(delay_s), 4) AS DOUBLE) AS avg_delay_s
+    FROM pairs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (view→click within
+    4 h per user), the query shape whose live form is pinned by
+    tests/test_streaming.py's interval-join test. In streaming, the
+    time-bound condition is what lets Spark expire state: each side's
+    watermark plus the interval bounds how long a view must be buffered
+    awaiting clicks. The batch form is the same join; per-user rollup
+    keeps the output bounded (≤ |users| rows) however dense the event
+    history gets. Delays are integer epoch-second diffs on both
+    engines (floor(epoch) each side), so the avg is an
+    engine-identical IEEE double division."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pairs = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+    ).select(
+        "user_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.min("delay_s").alias("min_delay_s"),
+            F.round(F.avg("delay_s"), 4).cast("double").alias("avg_delay_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
     SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
