@@ -137,7 +137,7 @@ def udf_row_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_expand",
     oracle="""
-    SELECT s_suppkey, part_idx,
+    SELECT s_suppkey, CAST(part_idx AS BIGINT) AS part_idx,
            CAST(round(s_acctbal / 3, 4) AS DOUBLE) AS tranche
     FROM supplier, unnest([0, 1, 2]) AS t(part_idx)
     ORDER BY s_suppkey, part_idx

@@ -191,6 +191,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'low'
                 ELSE 'high' END AS bal_class,
            CAST(coalesce(NULL, NULL, c_acctbal, 0) AS DOUBLE) AS bal_or_zero,
+           coalesce(nullif(c_name, ''), 'n/a') AS name_nvl,
            (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_null_safe_eq_null
     FROM customer
     ORDER BY c_custkey
@@ -198,7 +199,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "conditional"),
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """coalesce/nullif/CASE + null-safe equality (<=> ↔ IS NOT DISTINCT FROM)."""
+    """coalesce/nullif/nvl/CASE + null-safe equality (<=> ↔ IS NOT
+    DISTINCT FROM). ``nvl`` is Spark's two-arg coalesce alias
+    (SURVEY.md:125); DuckDB spells it coalesce."""
     c = load_tables(spark, sf_dir)["customer"]
     return (
         c.select(
@@ -206,6 +209,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("REDACTED")).alias("segment_masked"),
             F.when(F.col("c_acctbal") < 0, "debt").when(F.col("c_acctbal") < 5000, "low").otherwise("high").alias("bal_class"),
             F.coalesce(F.lit(None), F.lit(None), F.col("c_acctbal"), F.lit(0)).cast("double").alias("bal_or_zero"),
+            F.nvl(F.nullif(F.col("c_name"), F.lit("")), F.lit("n/a")).alias("name_nvl"),
             F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("bal_null_safe_eq_null"),
         )
         .orderBy("c_custkey")

@@ -35,7 +35,7 @@ SESSION_GAP_MICROS = 30 * 60 * 1_000_000
 _GAP_FILL_ORACLE = """
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-               sum(value) AS hour_value, count(*) AS n_events
+               sum(CAST(value AS DECIMAL(27,6))) AS hour_value, count(*) AS n_events
         FROM events GROUP BY 1, 2
     ),
     span AS (
@@ -79,7 +79,14 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.sum("value").alias("hour_value"), F.count("*").alias("n_events"))
+    ).agg(
+        # exact DECIMAL sum on both sides: double accumulation order
+        # differs between engines, and a per-(user,hour) sum landing on
+        # a .xxxx5 boundary would flip the rounded 4th digit (the same
+        # bridging ts_rolling_anomaly uses).
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("hour_value"),
+        F.count("*").alias("n_events"),
+    )
     w = Window.partitionBy("user_id").orderBy("bucket")
     h2 = hourly.withColumn("next_bucket", F.lead("bucket").over(w))
     fill_end = F.coalesce(
@@ -116,15 +123,15 @@ _SESSIONIZE_ORACLE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM marked
     )
     SELECT user_id, session_seq,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*) AS n_events,
-           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total_value
     FROM numbered
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -169,7 +176,7 @@ def ts_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
             F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
     )

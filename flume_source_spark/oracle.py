@@ -81,6 +81,32 @@ class CompareResult:
     detail: str = ""
 
 
+def _dtype_kind(dtype) -> str:
+    """Pandas dtype → comparison kind. The driver hashes SERIALIZED
+    pandas values, so what must agree between the two frames is the
+    pandas representation class, not the exact width: int32 vs int64
+    serialize identically (1 vs 1) and hash green, but int64 vs
+    float64 serialize differently (1 vs 1.0) and hash red — the exact
+    bug class behind the r02 HUGEINT reds. Kinds: i=integer (signed or
+    unsigned, any width), f=float, b=bool, M=datetime, m=timedelta,
+    O=object/string."""
+    k = getattr(dtype, "kind", "O")
+    return "i" if k in ("i", "u") else k
+
+
+def dtype_mismatches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype KIND diverges between the frames —
+    each one is a future driver hash-red even when values are equal."""
+    out = []
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        sk, dk = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(duck_pdf[c].dtype)
+        if sk != dk:
+            out.append(f"{c}: spark {spark_pdf[c].dtype} (kind {sk}) vs duck {duck_pdf[c].dtype} (kind {dk})")
+    return out
+
+
 def compare(
     name: str,
     spark_df: DataFrame,
@@ -95,6 +121,12 @@ def compare(
         return CompareResult(
             name, False, len(s_rows), len(d_rows),
             f"column mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}",
+        )
+    bad_dtypes = dtype_mismatches(spark_pdf, duck_pdf)
+    if bad_dtypes:
+        return CompareResult(
+            name, False, len(s_rows), len(d_rows),
+            "dtype kind mismatch (driver hash-red even if values equal): " + "; ".join(bad_dtypes),
         )
     if len(s_rows) != len(d_rows):
         return CompareResult(name, False, len(s_rows), len(d_rows), "row count mismatch")

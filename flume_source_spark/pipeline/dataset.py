@@ -233,7 +233,7 @@ _SHARD_MANIFEST_ORACLE = f"""
     )
     SELECT shard_id,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc_id,
            max(doc_id) AS max_doc_id
     FROM assigned

@@ -76,7 +76,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     SELECT doc_id,
            1 + octet_length(payload) % 64 AS width,
            1 + (octet_length(payload) // 64) % 64 AS height,
-           1 + ascii(substring(text, 1, 1)) % 4 AS channels,
+           CAST(1 + ascii(substring(text, 1, 1)) % 4 AS BIGINT) AS channels,
            (1 + octet_length(payload) % 64) * (1 + (octet_length(payload) // 64) % 64) AS n_pixels
     FROM b
     ORDER BY doc_id

@@ -124,7 +124,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), "rn")
+        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), F.col("rn").cast("long").alias("rn"))
         .orderBy("qid", "rn")
     )
 
@@ -201,7 +201,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), "rn")
+        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), F.col("rn").cast("long").alias("rn"))
         .orderBy("qid", "rn")
     )
 
@@ -343,7 +343,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), "rn")
+        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), F.col("rn").cast("long").alias("rn"))
         .orderBy("qid", "rn")
     )
 
@@ -390,6 +390,6 @@ def sim_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), "rn")
+        .select("qid", "nid", F.round("sim", 4).cast("double").alias("sim"), F.col("rn").cast("long").alias("rn"))
         .orderBy("qid", "rn")
     )

@@ -95,10 +95,10 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", raw.alias("raw"))
         .select(
             "doc_id",
-            F.length("raw").alias("raw_chars"),
+            F.length("raw").cast("long").alias("raw_chars"),
             nfc_clean("raw").alias("normalized"),
         )
-        .withColumn("norm_chars", F.length("normalized"))
+        .withColumn("norm_chars", F.length("normalized").cast("long"))
         .orderBy("doc_id")
     )
 
@@ -113,7 +113,7 @@ _INVERTED_INDEX_ORACLE = """
     )
     SELECT token,
            count(*) AS df,
-           sum(tf) AS tf_total,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
            array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
     FROM per_doc
     GROUP BY token

@@ -17,3 +17,27 @@ def test_query_matches_oracle(spark, duck, sf_dir, spec):
     res = run_spec(spark, duck, spec, sf_dir)
     assert res.ok, f"{spec.name}: {res.detail}"
     assert res.spark_rows >= 0
+
+
+def test_harness_is_dtype_strict(spark, duck):
+    """The r02 driver hash-reds were equal-value int64-vs-float64
+    frames (DuckDB HUGEINT sums → float64 via pandas). compare() must
+    fail those BEFORE the driver does: an uncast DuckDB sum() oracle
+    against a Spark bigint sum is the regression fixture."""
+    import pandas as pd
+
+    from flume_source_spark.oracle import compare, dtype_mismatches
+
+    a = pd.DataFrame({"k": [1, 2], "s": pd.array([3, 4], dtype="int64")})
+    b = pd.DataFrame({"k": [1, 2], "s": pd.array([3.0, 4.0], dtype="float64")})
+    assert dtype_mismatches(a, b) == ["s: spark int64 (kind i) vs duck float64 (kind f)"]
+    # int width differences serialize identically → not a mismatch
+    c = pd.DataFrame({"k": pd.array([1, 2], dtype="int32"), "s": pd.array([3, 4], dtype="int64")})
+    assert dtype_mismatches(a, c) == []
+
+    sdf = spark.sql("SELECT 1 AS grp, CAST(10 AS BIGINT) AS total")
+    uncast = "SELECT 1 AS grp, sum(x) AS total FROM (SELECT CAST(10 AS BIGINT) AS x)"
+    res = compare("hugeint_uncast", sdf, duck, uncast)
+    assert not res.ok and "dtype kind mismatch" in res.detail
+    cast_fixed = "SELECT 1 AS grp, CAST(sum(x) AS BIGINT) AS total FROM (SELECT CAST(10 AS BIGINT) AS x)"
+    assert compare("hugeint_cast", sdf, duck, cast_fixed).ok
