@@ -45,39 +45,65 @@ from flume_source_spark.pipeline.dedup import dedup_ngram_jaccard
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
-MAX_CC_ROUNDS = 12
+MAX_CC_ROUNDS = 50
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
     ``nodes``: one column ``id`` (long). ``edges``: columns ``src``,
     ``dst`` (each undirected edge listed once, either direction).
     Returns (id, component_id) where component_id = min id reachable.
+
+    ``checkpoint_dir``: when set, lineage is truncated with reliable
+    ``checkpoint`` into that directory (survives executor loss — what
+    a real cluster run wants); default uses ``localCheckpoint`` which
+    is fine on local[*] / short jobs but ties the cached rounds to
+    executor lifetime.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_rounds`` — returning silently would hand the caller
+    plausible-looking but WRONG component ids (a >max_rounds-hop
+    chain split into several "components"). Each round is one cheap
+    join+agg, so raising (caller retries with a larger bound) beats
+    corrupting a dedup pass.
     """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     bidir = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    bidir = bidir.localCheckpoint()
-    labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    bidir = _ckpt(bidir)
+    labels = _ckpt(nodes.select(F.col("id"), F.col("id").alias("label")))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
         msgs = (
             bidir.join(labels, bidir.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        labels = (
+        labels = _ckpt(
             labels.select("id", "label")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels are monotone ⇒ fixpoint proof
-            break
+            return labels.select("id", F.col("label").alias("component_id"))
         prev_sum = cur_sum
-    return labels.select("id", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds "
+        f"(graph diameter exceeds bound); rerun with a larger max_rounds"
+    )
 
 
 _CC_ORACLE = """

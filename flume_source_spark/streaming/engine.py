@@ -15,7 +15,9 @@ finite over an infinite stream (the 100 TB/day design constraint).
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -206,11 +208,15 @@ class ParquetUpsertSink:
     writing to an ACID table from foreachBatch.
 
     Per batch: read target ∪ batch → keep row_number()==1 per key
-    (order desc) → write to a fresh generation directory → flip a
-    pointer file. The generation flip is the commit point: a crash
-    mid-write leaves the old generation live, and the fence marker is
-    written only after the flip, so a redelivered epoch either
-    no-ops (fence seen) or redoes the merge idempotently.
+    (order desc) → write to a fresh generation directory → atomically
+    replace ONE commit file holding BOTH the live generation name and
+    the last applied epoch. A single commit point means no state where
+    the pointer names gen-N but the fence says N-1: that split state
+    (possible in the earlier two-file design) made a redelivered epoch
+    N read gen-N while overwriting gen-N, wedging the stream. A crash
+    before the replace leaves the old generation live and the epoch
+    unfenced (retry redoes the merge against the OLD generation into a
+    differently-named path); a crash after is fully committed.
 
     Scale note: rewriting the whole target per batch is right for
     dimension-sized upsert targets (the common case for streaming
@@ -221,28 +227,26 @@ class ParquetUpsertSink:
 
     def __init__(self, path: str, key: str, order_col: str):
         self.path, self.key, self.order_col = path, key, order_col
-        self._fence = os.path.join(path, "_last_epoch")
-        self._pointer = os.path.join(path, "_current")
+        self._commit = os.path.join(path, "_commit")
         os.makedirs(path, exist_ok=True)
 
-    def _current_gen(self) -> str | None:
+    def _read_commit(self) -> tuple[str, int] | None:
+        """Return (generation dir name, last applied epoch) or None."""
         try:
-            with open(self._pointer) as f:
-                return os.path.join(self.path, f.read().strip())
+            with open(self._commit) as f:
+                c = json.loads(f.read())
+            return c["gen"], int(c["epoch"])
         except FileNotFoundError:
             return None
 
     def read_target(self, spark) -> DataFrame | None:
-        gen = self._current_gen()
-        return spark.read.parquet(gen) if gen else None
+        c = self._read_commit()
+        return spark.read.parquet(os.path.join(self.path, c[0])) if c else None
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            with open(self._fence) as f:
-                if epoch_id <= int(f.read().strip()):
-                    return  # redelivered epoch → no-op
-        except FileNotFoundError:
-            pass
+        committed = self._read_commit()
+        if committed is not None and epoch_id <= committed[1]:
+            return  # redelivered epoch → no-op
         from pyspark.sql import Window as W
 
         spark = batch_df.sparkSession
@@ -256,12 +260,12 @@ class ParquetUpsertSink:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        gen = f"gen-{epoch_id}"
+        # Unique per-attempt dir: a retry of epoch N after a crash can
+        # never target the directory a previous attempt committed, so
+        # the read path and write path cannot coincide.
+        gen = f"gen-{epoch_id}-{uuid.uuid4().hex[:8]}"
         latest.write.mode("overwrite").parquet(os.path.join(self.path, gen))
-        tmp = self._pointer + ".tmp"
+        tmp = self._commit + ".tmp"
         with open(tmp, "w") as f:
-            f.write(gen)
-        os.replace(tmp, self._pointer)  # atomic commit point
-        with open(self._fence + ".tmp", "w") as f:
-            f.write(str(epoch_id))
-        os.replace(self._fence + ".tmp", self._fence)
+            f.write(json.dumps({"gen": gen, "epoch": epoch_id}))
+        os.replace(tmp, self._commit)  # single atomic commit point

@@ -641,3 +641,59 @@ def test_invalid_max_file_age_raises(tmp_path):
 
     with pytest.raises(ValueError):
         _Options({"path": str(tmp_path), "maxfileage": "0"})
+
+
+# ---------- rename-mode crash window (reference §3.2 loss fixed) ----------
+
+
+def test_rename_mode_crash_between_admit_and_commit_is_at_least_once(tmp_path):
+    """The reference renames the file BEFORE handing the event to the
+    channel, so a full channel after the rename drops the event forever
+    (CephFsSource.java:149-159 + CephFSEventReader.java:96). Here the
+    rename is deferred to commit(): a batch that is admitted (read /
+    latestOffset ran) but crashes before commit() leaves the file
+    un-renamed on disk, and a restarted reader re-admits it —
+    at-least-once, never lossy."""
+    d = str(tmp_path)
+    make_files(d, [("file1", 0)])
+
+    # --- simple reader: admit, then "crash" (no commit, fresh reader)
+    r1 = _simple_reader(d, commitmode="rename")
+    it, end = r1.read(r1.initialOffset())
+    assert [t[0] for t in it] == ["file1"]
+    # rename deferred: the watched file is untouched pre-commit
+    assert os.path.exists(os.path.join(d, "file1"))
+    assert not os.path.exists(os.path.join(d, "file1.COMPLETED"))
+
+    r2 = _simple_reader(d, commitmode="rename")  # restart: in-flight set gone
+    it2, end2 = r2.read(r2.initialOffset())
+    assert [t[0] for t in it2] == ["file1"]  # re-admitted, not lost
+    r2.commit(end2)
+    assert os.path.exists(os.path.join(d, "file1.COMPLETED"))
+    # post-commit: nothing left to admit
+    it3, _ = r2.read(end2)
+    assert list(it3) == []
+
+
+def test_rename_mode_partitioned_crash_window_at_least_once(tmp_path):
+    from flume_source_spark.sources.filemeta import FileMetaPartitionedStreamReader, _Options
+
+    d = str(tmp_path)
+    make_files(d, [("file1", 0)])
+    r1 = FileMetaPartitionedStreamReader(
+        _Options({"path": d, "canary": "false", "commitmode": "rename"})
+    )
+    off = r1.latestOffset()
+    assert [f[0] for f in off["files"]] == ["file1"]
+    assert os.path.exists(os.path.join(d, "file1"))  # rename deferred
+
+    # crash before commit → restart with empty in-flight memory
+    r2 = FileMetaPartitionedStreamReader(
+        _Options({"path": d, "canary": "false", "commitmode": "rename"})
+    )
+    off2 = r2.latestOffset()
+    assert [f[0] for f in off2["files"]] == ["file1"]  # re-admitted
+    r2.commit(off2)
+    assert os.path.exists(os.path.join(d, "file1.COMPLETED"))
+    # manifest replay after the rename is tolerant (file already moved)
+    r2.commit(off2)

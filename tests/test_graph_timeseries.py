@@ -38,6 +38,36 @@ def test_cc_two_components_and_isolates(spark):
         assert got[isolate] == isolate
 
 
+def test_cc_nonconvergence_raises_not_silent(spark):
+    # A 8-hop chain with max_rounds=3 cannot reach the fixpoint; the
+    # old behavior returned partially-propagated (wrong) labels.
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_rounds=3)
+    # and with an adequate bound the same graph converges
+    got = {r.id: r.component_id for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(9)}
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation to reliable checkpoint;
+    # results are identical and checkpoint files land in the directory.
+    import os
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.id: r.component_id
+        for r in connected_components(nodes, edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {i: 0 for i in range(5)}
+    assert any(os.scandir(ckpt))  # reliable checkpoints were written
+
+
 def test_cc_edge_direction_irrelevant(spark):
     # Edges listed "backwards" (high → low) must produce the same closure.
     fwd = _cc_map(spark, range(4), [(0, 1), (1, 2), (2, 3)])

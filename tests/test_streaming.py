@@ -388,11 +388,52 @@ def test_foreach_batch_parquet_upsert_end_to_end(spark, tmp_path):
         assert t2 == {1: (1.0, "view"), 2: (9.0, "click"), 3: (3.0, "view")}
 
         # redelivery of an already-applied epoch must not change the target
-        fence_before = open(f"{tgt}/_last_epoch").read()
+        commit_before = open(f"{tgt}/_commit").read()
         sink(spark.createDataFrame([(2, T0, 100, "stale", -1.0, "{}")],
                                    schema=EVENTS_SCHEMA), 0)
-        assert open(f"{tgt}/_last_epoch").read() == fence_before
+        assert open(f"{tgt}/_commit").read() == commit_before
         t3 = {r.event_id: r.value for r in sink.read_target(spark).collect()}
         assert t3 == {1: 1.0, 2: 9.0, 3: 3.0}
     finally:
         q.stop()
+
+
+def test_parquet_upsert_sink_crash_retry_recovers(spark, tmp_path):
+    """A crash AFTER the generation write but BEFORE the commit replace
+    leaves the old commit live; the redelivered epoch must redo the
+    merge into a fresh path (never the one it is reading from) and
+    commit cleanly. The old two-file design wedged here: the retry's
+    gen-{epoch} path was simultaneously the read target and the
+    overwrite target."""
+    import json
+
+    from flume_source_spark.streaming.engine import ParquetUpsertSink
+
+    tgt = str(tmp_path / "target")
+    sink = ParquetUpsertSink(tgt, key="event_id", order_col="ts")
+    df0 = spark.createDataFrame([(1, 10, 1.0)], "event_id INT, ts INT, value DOUBLE")
+    sink(df0, 0)
+    assert {r.event_id: r.value for r in sink.read_target(spark).collect()} == {1: 1.0}
+
+    # Simulate epoch 1's first attempt crashing mid-way: it wrote a
+    # generation dir but never replaced the commit file. The commit
+    # still names epoch 0's generation.
+    df1 = spark.createDataFrame([(1, 20, 5.0), (2, 20, 2.0)],
+                                "event_id INT, ts INT, value DOUBLE")
+    c0 = json.loads(open(f"{tgt}/_commit").read())
+    assert c0["epoch"] == 0
+    (tmp_path / "target" / "gen-1-deadbeef").mkdir()  # orphaned partial attempt
+
+    # Redelivery of epoch 1: must merge against epoch 0's generation,
+    # write somewhere new, and commit epoch 1.
+    sink(df1, 1)
+    c1 = json.loads(open(f"{tgt}/_commit").read())
+    assert c1["epoch"] == 1 and c1["gen"] != c0["gen"]
+    assert c1["gen"] != "gen-1-deadbeef"  # fresh path, not the orphan
+    t = {r.event_id: r.value for r in sink.read_target(spark).collect()}
+    assert t == {1: 5.0, 2: 2.0}
+
+    # And a second redelivery of epoch 1 is now fenced to a no-op.
+    commit_before = open(f"{tgt}/_commit").read()
+    sink(spark.createDataFrame([(9, 99, 9.0)], "event_id INT, ts INT, value DOUBLE"), 1)
+    assert open(f"{tgt}/_commit").read() == commit_before
