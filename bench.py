@@ -49,6 +49,10 @@ HEADLINE = [
     "text_dup_ngram_fraction",
     "ts_gap_fill",
     "ts_sessionize_gaps",
+    # round-3 additions (new cost classes: bar windows over events,
+    # pure-HOF per-row text scoring)
+    "ts_ohlc_bars",
+    "text_gopher_rules",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Aggregation wave 2: the selector/bitwise/boolean aggregate surface.
+
+- ``agg_wave2`` — per-order-status rollup exercising ``median``,
+  ``max_by`` (selector aggregate; its ordering value is verified
+  unique at every fixture SF, so the result is deterministic — with a
+  non-unique key max_by is engine-arbitrary, the same tie trap that
+  rules out raw ``mode()`` below), ``count_if``, ``bit_xor``
+  (order-independent by associativity+commutativity — safe under any
+  partitioning), and ``bool_and``/``bool_or``.
+- The "mode" column is the DETERMINISTIC mode: count + row_number
+  with an explicit (count DESC, value ASC) tiebreak, because the
+  built-in ``mode()`` returns an arbitrary element among tied maxima
+  in BOTH engines (the fixture has a real tie at sf0.001:
+  orderstatus 'P' × two priorities) — a cross-engine hash gate can
+  never legally contain it. The two-level count+window IS the
+  scalable mode anyway: partial counts combine map-side, the window
+  partitions by the (bounded) group key.
+
+Scale: one partial+final hash aggregation over orders plus one
+count+window pass for the mode join — both shuffle only on
+``o_orderstatus`` (3 groups; at 100 TB a low-cardinality group key
+means partial aggregation does nearly all the work map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_AGG_WAVE2_ORACLE = """
+    WITH m AS (
+        SELECT o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    a AS (
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(median(o_totalprice), 2) AS DOUBLE) AS median_price,
+               arg_max(o_custkey, o_totalprice) AS top_cust,
+               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+               CAST(count_if(o_orderpriority LIKE '1-%') AS BIGINT) AS n_urgent,
+               bit_xor(o_orderkey) AS key_xor,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_jumbo
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT a.*, m.o_orderpriority AS mode_priority
+    FROM a JOIN m ON a.o_orderstatus = m.o_orderstatus AND m.rn = 1
+    ORDER BY a.o_orderstatus
+"""
+
+
+@query("agg_wave2", oracle=_AGG_WAVE2_ORACLE, tags=("agg",))
+def agg_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector / bitwise / boolean aggregates per order status, plus
+    a deterministic mode via count + row_number (see module doc for
+    why built-in mode() is banned from hash-compared output)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.median("o_totalprice"), 2).cast("double").alias("median_price"),
+        F.max_by("o_custkey", "o_totalprice").alias("top_cust"),
+        F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
+        F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    m = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return a.join(m, "o_orderstatus").orderBy("o_orderstatus")

@@ -162,3 +162,47 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DEGREE_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i, j FROM inter
+              JOIN sz sa ON i = sa.doc_id
+              JOIN sz sb ON j = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+    ends AS (SELECT i AS doc_id FROM pairs UNION ALL SELECT j FROM pairs),
+    deg AS (SELECT d.doc_id, CAST(count(e.doc_id) AS BIGINT) AS degree
+            FROM documents d LEFT JOIN ends e USING (doc_id) GROUP BY d.doc_id)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@query("graph_degree_hist", oracle=_DEGREE_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (including
+    degree-0 isolates via a left join against the full corpus) — the
+    dedup-graph health metric: a heavy tail here is the early warning
+    that a boilerplate template is about to create a giant component
+    (and that large-star/small-star CC, not plain propagation, is the
+    right closure algorithm). One explode + one count per endpoint +
+    one histogram aggregate; the left join keeps isolates without
+    shuffling document text."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    ends = pairs.select(F.col("i").alias("doc_id")).unionAll(pairs.select(F.col("j").alias("doc_id")))
+    deg = (
+        docs.select("doc_id")
+        .join(ends.groupBy("doc_id").agg(F.count("*").alias("degree")), "doc_id", "left")
+        .select("doc_id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs")).orderBy("degree")

@@ -120,12 +120,15 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.ansi_safety  # noqa: F401
     import flume_source_spark.operators.joins  # noqa: F401
     import flume_source_spark.operators.aggregates  # noqa: F401
+    import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.timeseries  # noqa: F401
+    import flume_source_spark.operators.timeseries2  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
     import flume_source_spark.operators.subqueries  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
+    import flume_source_spark.pipeline.dataset2  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
@@ -133,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text2  # noqa: F401
     import flume_source_spark.pipeline.text3  # noqa: F401
     import flume_source_spark.pipeline.text4  # noqa: F401
+    import flume_source_spark.pipeline.text5  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401

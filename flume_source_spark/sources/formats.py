@@ -187,3 +187,45 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum(dec("o_totalprice"), "total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "text"),
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → raw line-oriented text (``doc_id<TAB>text``, the
+    classic log-file layout) → ``spark.read.text`` scan → parse the
+    line back with substring_index → join to documents on the parsed
+    id → agg. Exercises the text writer/scanner plus the
+    line-parsing pattern every raw-log ingestion starts with; the
+    oracle computes from the original parquet, so the round-trip must
+    be lossless. (Fixture text contains no tabs/newlines — the
+    pre-write filter enforces rather than assumes that.)"""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "documents_text")
+    d = t["documents"]
+    (
+        d.filter(~F.col("text").contains("\t") & ~F.col("text").contains("\n"))
+        .select(F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value"))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text_rt"),
+    )
+    return (
+        parsed.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("lang")
+    )

@@ -79,6 +79,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as :func:`running_user_totals`,
+    on Spark 4's ``transformWithStateInPandas`` (StatefulProcessor +
+    typed state handles) instead of ``applyInPandasWithState`` — the
+    successor API: explicit state variables (ValueState here; ListState
+    / MapState / timers available), init/close lifecycle, and a
+    RocksDB-backed state store requirement that is exactly the 100 TB
+    posture (state spills to disk + changelog checkpoints instead of
+    living in executor heap).
+
+    Both implementations are kept: applyInPandasWithState is the
+    stable API the reference-era jobs would run; this is the forward
+    path. tests/test_streaming.py pins that the two emit identical
+    final state for the same input."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def user_sessions_with_timeout(events: DataFrame, gap_ms: int = 2000) -> DataFrame:
     """Inactivity sessionization via ProcessingTimeTimeout: a user's
     session accumulates while events keep arriving; once the group has

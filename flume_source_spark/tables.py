@@ -79,10 +79,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            # TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate to
-            # micros exactly (integer div) — same truncation DuckDB applies
-            # when casting its TIMESTAMP_NS down to TIMESTAMP.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # The fixture's ts physical type has varied across driver
+            # rounds: TIMESTAMP(NANOS) (arrives as long under
+            # nanosAsLong → truncate to micros, the same truncation
+            # DuckDB applies casting TIMESTAMP_NS down) vs
+            # TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ → cast to
+            # session-TZ timestamp; TZ is pinned UTC so wall-clock is
+            # preserved and both shapes yield identical values).
+            from pyspark.sql.types import LongType
+
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[name] = df
     _TABLE_CACHE[key] = out
     _evict_lru()
