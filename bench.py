@@ -108,8 +108,15 @@ def main() -> None:
     def run(name: str) -> float:
         # two executions, report the steady-state (min): the first pays
         # one-time whole-stage-codegen compilation, which on a long-lived
-        # cluster amortizes to zero
-        return min(run_once(name), run_once(name))
+        # cluster amortizes to zero. This host shows multi-minute
+        # noisy-neighbor bursts (BASELINE.md: same query 0.95 s vs 29 s
+        # across back-to-back runs) — when the two samples disagree by
+        # >3×, both may be contended, so take a third.
+        a, b = run_once(name), run_once(name)
+        best = min(a, b)
+        if max(a, b) > 3 * best:
+            best = min(best, run_once(name))
+        return best
 
     # warmup: JVM + parquet footer cache (q01) and the codegen-heaviest
     # expression shape (64-wide zip_with cosine) whose first compile

@@ -206,3 +206,78 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs")).orderBy("degree")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list (each
+    edge contributes both directions), the second iterative-join
+    pattern next to :func:`connected_components`.
+
+    Each round: rank/degree contribution per directed edge → sum per
+    destination → damp + teleport. Dangling nodes (degree 0) keep the
+    teleport mass only. Same scale mechanics as CC: one shuffle join +
+    one aggregation per round, lineage truncated per round
+    (``localCheckpoint``, or reliable ``checkpoint`` when
+    ``checkpoint_dir`` is given); total mass is conserved at N (up to
+    float noise), which the tests assert as the invariant.
+    """
+    from pyspark.sql import functions as F  # local: keep module import surface tidy
+
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    bidir = edges.select(F.col("src"), F.col("dst")).unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bidir.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = nodes.count()
+    ranks = nodes.select(F.col("id"), F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            bidir.join(ranks, bidir.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = _ckpt(
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle=None,  # iterative fixpoint; invariants pinned in tests
+    tags=("llm", "graph", "iterative"),
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph: rank mass concentrates
+    on documents sitting inside large duplicate clusters — a
+    duplication-centrality signal (which docs are the 'template' of
+    their cluster). Rows-only by construction (iterative float
+    fixpoint has no closed-form SQL twin); tests pin mass conservation
+    (Σrank = N), isolate rank (= 1-d), and monotonicity of rank with
+    degree inside a clique."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("i").alias("src"), F.col("j").alias("dst")
+    )
+    pr = pagerank(nodes, edges)
+    return pr.select("id", F.round("rank", 6).cast("double").alias("rank")).orderBy("id")

@@ -154,3 +154,96 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIN_TOKENS = 20
+
+_CASCADE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               len(toks) >= {MIN_TOKENS} AS r1,
+               list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                   BETWEEN {MEAN_LEN_LO} AND {MEAN_LEN_HI} AS r2,
+               list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+                   <= {TOP_TOKEN_MAX} AS r3,
+               len(list_intersect(list_distinct(toks),
+                   ['the','a','of','and','to','in','is','value','data','key']))
+                   >= {STOP_MIN} AS r4
+        FROM t
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count_if(NOT r1) AS BIGINT) AS d1,
+               CAST(count_if(r1 AND NOT r2) AS BIGINT) AS d2,
+               CAST(count_if(r1 AND r2 AND NOT r3) AS BIGINT) AS d3,
+               CAST(count_if(r1 AND r2 AND r3 AND NOT r4) AS BIGINT) AS d4
+        FROM f
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM agg
+        UNION ALL
+        SELECT 2, 'mean_word_len', n0 - d1, d2, n0 - d1 - d2 FROM agg
+        UNION ALL
+        SELECT 3, 'top_token_frac', n0 - d1 - d2, d3, n0 - d1 - d2 - d3 FROM agg
+        UNION ALL
+        SELECT 4, 'stopwords', n0 - d1 - d2 - d3, d4, n0 - d1 - d2 - d3 - d4 FROM agg
+    ) ORDER BY stage
+"""
+
+
+@query("ds_quality_cascade", oracle=_CASCADE_ORACLE, tags=("llm", "text", "quality", "dataset"))
+def ds_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter cascade with per-rule drop accounting
+    — the funnel report every corpus-curation run logs (how many docs
+    each rule removed, in order, so rule cost/benefit is attributable).
+    One corpus scan computes all rule flags (pure HOF expressions),
+    one global aggregate computes every stage's drop count; the 4-row
+    funnel is assembled from that single aggregated row — the report
+    shape is O(rules), independent of corpus size."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_len = tok_len_sum / n
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(toks), lambda dt: F.size(F.filter(toks, lambda x: x == dt)))
+    )
+    stop = F.array(*[F.lit(s) for s in _STOP])
+    flags = d.select(
+        (n >= MIN_TOKENS).alias("r1"),
+        mean_len.between(MEAN_LEN_LO, MEAN_LEN_HI).alias("r2"),
+        ((top_cnt / n) <= TOP_TOKEN_MAX).alias("r3"),
+        (F.size(F.array_intersect(F.array_distinct(toks), stop)) >= STOP_MIN).alias("r4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.count_if(~F.col("r1")).alias("d1"),
+        F.count_if(F.col("r1") & ~F.col("r2")).alias("d2"),
+        F.count_if(F.col("r1") & F.col("r2") & ~F.col("r3")).alias("d3"),
+        F.count_if(F.col("r1") & F.col("r2") & F.col("r3") & ~F.col("r4")).alias("d4"),
+    )
+    n0, d1, d2, d3, d4 = (F.col(c) for c in ("n0", "d1", "d2", "d3", "d4"))
+    stages = [
+        (1, "min_tokens", n0, d1),
+        (2, "mean_word_len", n0 - d1, d2),
+        (3, "top_token_frac", n0 - d1 - d2, d3),
+        (4, "stopwords", n0 - d1 - d2 - d3, d4),
+    ]
+    rows = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("rule"),
+            n_in.alias("n_in"),
+            dropped.alias("n_dropped"),
+            (n_in - dropped).alias("n_out"),
+        )
+        for i, name, n_in, dropped in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")

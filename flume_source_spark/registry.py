@@ -127,11 +127,13 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
     import flume_source_spark.operators.subqueries  # noqa: F401
+    import flume_source_spark.operators.sqlapi  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
     import flume_source_spark.pipeline.dataset2  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
+    import flume_source_spark.pipeline.embstats  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
     import flume_source_spark.pipeline.text2  # noqa: F401
     import flume_source_spark.pipeline.text3  # noqa: F401

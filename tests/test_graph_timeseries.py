@@ -148,3 +148,36 @@ def test_funnel_partitions_viewers_and_stage1_is_instant(spark, sf_dir):
     for k in (2, 3):
         if k in out:
             assert out[k].avg_secs_to_last > 0.0
+
+
+def _pr(spark, nodes, edges, **kw):
+    from flume_source_spark.pipeline.graph import pagerank
+
+    n = spark.createDataFrame([(i,) for i in nodes], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long") if edges else spark.createDataFrame([], "src long, dst long")
+    return {r.id: r.rank for r in pagerank(n, e).collect()}
+
+
+def test_pagerank_mass_conserved_and_isolates(spark):
+    """Σrank = N (teleport + damping conserve mass on non-dangling
+    graphs); an isolate holds exactly the teleport mass 1-d."""
+    ranks = _pr(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (1, 3)])
+    assert abs(sum(ranks.values()) - (3 + 0.15)) < 1e-6  # triangle mass 3, isolate 0.15
+    assert abs(ranks[4] - 0.15) < 1e-12
+
+
+def test_pagerank_symmetric_clique_uniform(spark):
+    """On a k-clique (regular graph) the stationary distribution is
+    uniform: every node gets rank 1."""
+    edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    ranks = _pr(spark, [1, 2, 3, 4], edges)
+    for v in ranks.values():
+        assert abs(v - 1.0) < 1e-9
+
+
+def test_pagerank_degree_monotone_on_star(spark):
+    """Star graph: the hub out-ranks every leaf."""
+    ranks = _pr(spark, [1, 2, 3, 4, 5], [(1, k) for k in (2, 3, 4, 5)])
+    hub, leaves = ranks[1], [ranks[k] for k in (2, 3, 4, 5)]
+    assert all(hub > leaf for leaf in leaves)
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry
