@@ -100,8 +100,13 @@ def main() -> None:
     specs = load_all()
 
     def run_once(name: str) -> float:
-        df = specs[name].builder(spark, sf_dir)
+        # builder INSIDE the timer: for declarative queries it only
+        # constructs a lazy plan (sub-ms), but iterative builders
+        # (connected components' checkpointed loop, IVF's Lloyd
+        # rounds) do real cluster work during construction — timing
+        # from the builder call is what a user actually waits.
         t0 = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 

@@ -19,7 +19,17 @@ concurrency — the market-data-shaped operators over the events table.
   key bounds it; a single global sweep would be the unbounded-window
   anti-pattern this repo bans (SCALE.md "Window functions").
 
-Both are pure JVM expression plans (no UDFs, codegen end-to-end).
+Wave-2 additions: ``ts_calendar_features`` (cross-engine-pinned
+calendar extraction, weekday Mon=0 ≡ isodow-1), ``ts_seasonal_profile``
+(type × weekday × hour cells with deviation from global mean; the 4-dp
+rounding is done in INTEGER arithmetic — exact-cents ratios land
+exactly on .xxxx5 ties where Spark's BigDecimal HALF_UP and DuckDB's
+double-multiply round legally disagree), and ``ts_ewma_bounded``
+(EWMA over a bounded trailing frame: truncation error (1-α)^20 sits
+below output rounding, avoiding both sequential state and the
+numerically-explosive (1-α)^-k closed form).
+
+All are pure JVM expression plans (no UDFs, codegen end-to-end).
 """
 
 from __future__ import annotations
@@ -189,4 +199,129 @@ def ts_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
         )
         .orderBy("event_id")
+    )
+
+
+_SEASONAL_ORACLE = """
+    WITH g AS (
+        SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               count(*) AS n
+        FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS wd,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, wd, hr, s.n AS n,
+           CAST(((s.cents * 200 + s.n) // (2 * s.n)) / 10000.0 AS DOUBLE) AS cell_mean,
+           CAST(((200 * (s.cents * g.n - g.cents * s.n)
+                  + (CASE WHEN s.cents * g.n >= g.cents * s.n THEN 1 ELSE -1 END) * s.n * g.n)
+                 // (2 * s.n * g.n)) / 10000.0 AS DOUBLE) AS seasonal_dev
+    FROM s, g
+    ORDER BY event_type, wd, hr
+"""
+
+
+@query("ts_seasonal_profile", oracle=_SEASONAL_ORACLE, tags=("timeseries", "agg"))
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: mean value per (event_type, weekday, hour)
+    cell and its deviation from the global mean — the feature table a
+    seasonal-adjustment or anomaly model trains on. One partial+final
+    aggregate over a 3-key bounded group (types × 7 × 24 cells), plus
+    a broadcast scalar for the global mean: the output is O(cells),
+    independent of input rows — ideal 100 TB shape."""
+    e = load_tables(spark, sf_dir)["events"]
+    # Means are RATIOS of exact integers (value is exact cents), and a
+    # 2-dp sum over an even-sized cell lands EXACTLY on .xxxx5 often —
+    # at a tie, Spark's round (BigDecimal HALF_UP) and DuckDB's
+    # (double multiply + nearbyint) legally disagree (seen live at
+    # sf0.01: 48.3863 vs 48.3862 for 290.3175/6). So the 4-dp
+    # rounding itself is done in INTEGER arithmetic, identical by
+    # construction on both engines: round_half_away(p/q) =
+    # (2p + sign(p)·q) div (2q), with div truncating toward zero in
+    # both Spark (`div`) and DuckDB (`//`).
+    cents = F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    g = e.agg(cents, F.count("*").alias("gn")).select(
+        F.col("cents").alias("gcents"), F.col("gn")
+    )
+    s = e.groupBy(
+        "event_type", F.weekday("ts").alias("wd"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"), cents)
+    j = s.crossJoin(F.broadcast(g))
+    mean_scaled = F.expr("(cents * 200 + n) div (2 * n)")
+    dev_scaled = F.expr(
+        "(200 * (cents * gn - gcents * n)"
+        " + (CASE WHEN cents * gn >= gcents * n THEN 1 ELSE -1 END) * n * gn)"
+        " div (2 * n * gn)"
+    )
+    return (
+        j.select(
+            "event_type", "wd", "hr", "n",
+            (mean_scaled / 10000.0).cast("double").alias("cell_mean"),
+            (dev_scaled / 10000.0).cast("double").alias("seasonal_dev"),
+        )
+        .orderBy("event_type", "wd", "hr")
+    )
+
+
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 20  # bounded frame: (1-a)^20 ≈ 8e-4 — truncation error
+# below the 4-dp rounding, with no numerically-explosive (1-a)^-k terms
+
+_EWMA_ORACLE = f"""
+    WITH w AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+                   AS vals
+        FROM events WHERE user_id % 50 = 3
+    )
+    SELECT user_id, event_id,
+           CAST(round(
+               list_sum(list_transform(generate_series(1, len(vals)),
+                        i -> vals[i] * {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, len(vals) - i)))
+               / list_sum(list_transform(generate_series(1, len(vals)),
+                        i -> {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, len(vals) - i)))
+           , 4) AS DOUBLE) AS ewma
+    FROM w ORDER BY user_id, event_id
+"""
+
+
+@query("ts_ewma_bounded", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over a BOUNDED
+    trailing frame (20 events): collect the frame with a window, fold
+    it with weight α(1-α)^age, normalize by the truncated weight sum.
+    The bounded frame is the deliberate scale choice: the recursive
+    EWMA needs sequential state (or (1-α)^-k terms that overflow
+    double by k≈700), while the truncated form is one window + one
+    HOF fold per row with error (1-α)^20 ≈ 8e-4 — under the output
+    rounding. Same subset predicate as streaming_session_window (one
+    user in 50) to bound the demo's output."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") % 50 == 3)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size(F.col("vals"))
+    idx = F.sequence(F.lit(1), n)
+    wgt = lambda i: F.lit(EWMA_ALPHA) * F.pow(F.lit(1 - EWMA_ALPHA), (n - i).cast("double"))
+    num = F.aggregate(
+        idx, F.lit(0.0), lambda acc, i: acc + F.element_at(F.col("vals"), i) * wgt(i)
+    )
+    den = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + wgt(i))
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(num / den, 4).cast("double").alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
     )

@@ -212,3 +212,74 @@ def ds_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PIPELINE_ORACLE = """
+    WITH keep AS (  -- stage 1: exact dedup, keep min doc_id per content hash
+        SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+                   min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+            FROM documents
+        ) WHERE doc_id = keeper
+    ),
+    q AS (  -- stage 2: quality gate (gopher mean-word-length + min tokens)
+        SELECT doc_id, source, len(str_split(text, ' ')) AS toks
+        FROM keep
+        WHERE len(str_split(text, ' ')) >= 20
+          AND list_sum(list_transform(str_split(text, ' '), t -> length(t))) * 1.0
+              / len(str_split(text, ' ')) BETWEEN 3.0 AND 10.0
+    ),
+    s AS (  -- stage 3: deterministic split assignment
+        SELECT doc_id, source, toks,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM q
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, source
+    ORDER BY split, source
+"""
+
+
+@query("ds_pipeline_end_to_end", oracle=_PIPELINE_ORACLE, tags=("llm", "dataset", "pipeline"))
+def ds_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline composed as ONE declarative plan:
+    exact-dedup (min-keeper per content hash) → quality gate (token
+    floor + Gopher mean word length) → deterministic split → per
+    (split, source) manifest. Each stage is an operator that exists
+    standalone in this registry (dedup_exact / ds_quality_cascade /
+    ds_split_deterministic); composing them stays ONE Catalyst plan —
+    filters and the dedup window pipeline before the final aggregate,
+    nothing materializes between stages. That composability is the
+    engine's core promise at 100 TB: no intermediate parquet between
+    curation steps unless YOU choose to checkpoint one."""
+    d = load_tables(spark, sf_dir)["documents"]
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    )
+    keep = d.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0).cast("long"), lambda a, x: a + x
+    ) / n
+    q = keep.filter((n >= 20) & mean_len.between(3.0, 10.0)).select(
+        "doc_id", "source", n.cast("long").alias("toks")
+    )
+    from flume_source_spark.pipeline.dataset import TRAIN_PCT, VAL_PCT, split_bucket
+
+    bucket = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        q.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").cast("long").alias("total_tokens"))
+        .orderBy("split", "source")
+    )

@@ -103,6 +103,25 @@ _DRIVER_GREEN_R02 = frozenset(
 
 _DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
 
+# Queries first registered in round 3. The driver sweep is budgeted
+# (~50/round) and there are more unverified queries than slots, so the
+# unverified block is ordered: round-2-era never-verified queries and
+# the two round-2 hash-red fixes FIRST (they close VERDICT items),
+# then these round-3 additions (verified locally; driver rows can
+# arrive a round later without losing information).
+_NEW_R03 = frozenset(
+    {
+        "ds_mixture_weighted", "ds_token_budget_fill", "ds_global_shuffle",
+        "ds_interleave_sources", "ts_ohlc_bars", "ts_concurrency_sweep",
+        "ts_calendar_features", "text_gopher_rules", "text_unigram_logprob",
+        "agg_wave2", "graph_degree_hist", "source_text_roundtrip",
+        "emb_centroid_cohesion", "ds_quality_cascade", "sql_interface_cte",
+        "graph_pagerank_neardup", "ts_seasonal_profile", "ts_ewma_bounded",
+        "ds_pipeline_end_to_end", "source_xml_roundtrip", "source_csv_malformed",
+        "scalar_variant",
+    }
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
@@ -128,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.scalars  # noqa: F401
     import flume_source_spark.operators.subqueries  # noqa: F401
     import flume_source_spark.operators.sqlapi  # noqa: F401
+    import flume_source_spark.operators.variant  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
     import flume_source_spark.pipeline.dataset2  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
@@ -145,6 +165,9 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.sources.formats  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
 
-    ordered = {n: s for n, s in REGISTRY.items() if n not in _DRIVER_GREEN}
+    ordered = {
+        n: s for n, s in REGISTRY.items() if n not in _DRIVER_GREEN and n not in _NEW_R03
+    }
+    ordered.update({n: s for n, s in REGISTRY.items() if n in _NEW_R03})
     ordered.update({n: s for n, s in REGISTRY.items() if n in _DRIVER_GREEN})
     return ordered

@@ -229,3 +229,84 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey AS region_key, count(*) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY region_key
+    """,
+    tags=("source", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML (Spark 4's built-in XML source, rowTag) → schema'd
+    XML scan → agg; the oracle computes from the original parquet so
+    writer+scanner round-trip correctness is what's checked."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "nation_xml")
+    t["nation"].write.mode("overwrite").option("rowTag", "nation").xml(out)
+    n = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("rowTag", "nation")
+        .xml(out)
+    )
+    return (
+        n.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation"))
+        .orderBy("region_key")
+    )
+
+
+@query(
+    "source_csv_malformed",
+    oracle="""
+    SELECT 'permissive' AS mode, CAST(4 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_corrupt
+    UNION ALL
+    SELECT 'dropmalformed', 2, 0
+    ORDER BY mode
+    """,
+    tags=("source", "csv", "robustness"),
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV malformed-row policy surface: the same 4-line file (one row
+    with a non-numeric value in a LONG column, one with too few
+    columns) read under PERMISSIVE (rows kept, bad fields null, raw
+    line captured in _corrupt_record) and DROPMALFORMED (both bad rows
+    dropped). The corrupt-record column must be IN the schema for both
+    reads — without it Spark 4's CSV parser does not classify the
+    type-conversion row as malformed. The oracle is the policy
+    contract itself — fixed expected counts — because the input is a
+    constant crafted here, not fixture data. FAILFAST (the third mode)
+    is pinned by tests/test_properties.py as an exception, which a
+    row-compare can't express."""
+    out = _slot(sf_dir, "malformed_csv")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "rows.csv"), "w") as f:
+        f.write("1,alpha,10\n2,beta,oops\n3,gamma\n4,delta,40\n")
+    schema = "id long, name string, qty long, _corrupt_record string"
+
+    def read(mode):
+        return (
+            spark.read.schema(schema)
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out)
+            # Spark disallows queries whose referenced columns prune
+            # down to ONLY the internal corrupt-record column
+            # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+            # the documented pattern is to materialize first.
+            .cache()
+        )
+
+    n_perm = read("PERMISSIVE").agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    ).select(F.lit("permissive").alias("mode"), "n_rows", "n_corrupt")
+    n_drop = read("DROPMALFORMED").agg(F.count("*").alias("n_rows")).select(
+        F.lit("dropmalformed").alias("mode"), "n_rows", F.lit(0).cast("long").alias("n_corrupt")
+    )
+    return n_perm.unionByName(n_drop).orderBy("mode")

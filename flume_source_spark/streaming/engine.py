@@ -79,6 +79,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_agg(events: DataFrame, bar: str = "15 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC bars: open/close via ``min_by``/``max_by`` keyed
+    on (ts, event_id) — selector aggregates ARE streaming-legal (unlike
+    the window-rank formulation the batch twin ``ts_ohlc_bars`` uses),
+    and the event-time key makes open/close arrival-order-independent:
+    a late row that is event-time-earlier correctly replaces the open.
+    With a watermark the state per (bar × type) group is bounded and
+    bars finalize in append mode."""
+    from pyspark.sql import functions as F
+
+    key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bar).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_ticks"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(F.col("w.start").alias("bar_start"), "event_type", "open", "high", "low", "close", "n_ticks", "volume")
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals as :func:`running_user_totals`,
     on Spark 4's ``transformWithStateInPandas`` (StatefulProcessor +

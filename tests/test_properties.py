@@ -98,3 +98,20 @@ def test_minhash_agreement_estimates_jaccard(a, b):
 @settings(max_examples=30, deadline=None)
 def test_minhash_identical_sets_agree_fully(a):
     assert _minhash_sig(a) == _minhash_sig(set(a))
+
+
+def test_csv_failfast_raises(spark, tmp_path):
+    """FAILFAST is the third malformed-CSV policy (PERMISSIVE /
+    DROPMALFORMED are oracle-checked by source_csv_malformed): a
+    malformed row must raise, not pass through."""
+    import pytest
+
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha,10\n2,beta,oops\n")
+    df = (
+        spark.read.schema("id long, name string, qty long")
+        .option("mode", "FAILFAST")
+        .csv(str(tmp_path))
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        df.collect()

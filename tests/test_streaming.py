@@ -485,3 +485,35 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
     # identical to test_apply_in_pandas_with_state_accumulates' finals
     assert latest[1] == (3, 17.0)
     assert latest[2] == (1, 1.0)
+
+
+def test_stream_ohlc_equals_batch(spark, tmp_path):
+    """Streaming OHLC (min_by/max_by selector aggregates, event-time
+    keyed) over two micro-batches — including a second-batch row that
+    is event-time EARLIER than batch 1's rows — equals the same
+    aggregation run in batch: open/close depend on event time, not
+    arrival order."""
+    from flume_source_spark.streaming.engine import ohlc_agg
+
+    d = str(tmp_path / "ev")
+    write_batch(d, "b1", [(1, 5, 1, "click", 10), (2, 9, 1, "click", 30)])
+    q = run_to_memory(ohlc_agg(events_stream(spark, d)), "ohlc_live", "complete")
+    try:
+        q.processAllAvailable()
+        # late-but-in-watermark row, event-time EARLIEST in its bar
+        write_batch(d, "b2", [(3, 2, 1, "click", 20), (4, 16, 1, "click", 7)])
+        q.processAllAvailable()
+        live = {
+            (r.bar_start, r.event_type): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+            for r in spark.sql("SELECT * FROM ohlc_live").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.bar_start, r.event_type): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+        for r in ohlc_agg(spark.read.schema(EVENTS_SCHEMA).parquet(d)).collect()
+    }
+    assert live == batch
+    first_bar = min(live)  # minutes 0-15 bar: events at t+2,5,9
+    assert live[first_bar][0] == 20.0  # open = event-time earliest (batch-2 row)
+    assert live[first_bar][3] == 30.0  # close = t+9 row
