@@ -212,3 +212,66 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "dim", F.round("l2", 4).cast("double").alias("l2norm")
     ).orderBy("vec_id")
+
+
+@query(
+    "udf_cogrouped_merge",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, count(*) AS n_clicks,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS click_value
+        FROM events WHERE event_type = 'click' AND user_id % 25 = 3
+        GROUP BY user_id
+    ),
+    buys AS (
+        SELECT user_id, count(*) AS n_purchases,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchase_value
+        FROM events WHERE event_type = 'purchase' AND user_id % 25 = 3
+        GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+           coalesce(click_value, 0.0) AS click_value,
+           CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+           coalesce(purchase_value, 0.0) AS purchase_value
+    FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+    ORDER BY user_id
+    """,
+    tags=("udf", "cogroup"),
+)
+def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 3b of the Python surface: cogrouped ``applyInPandas`` —
+    TWO grouped DataFrames aligned per key in one Python kernel (the
+    merge-asof / custom-join escape hatch; here the kernel computes a
+    per-user click-vs-purchase rollup so the whole Python boundary is
+    pinned by a FULL OUTER JOIN oracle — keys existing on only one
+    side must still appear, which is exactly the cogroup contract).
+    Scale: one shuffle per side on user_id (same as any grouped-map),
+    Arrow-batched both directions.
+
+    Decimal note: the kernel sums cents as int64 then divides by 100 —
+    pandas float sums would be order-dependent and hash-diverge."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") % 25 == 3)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "value")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def cents_sum(pdf):
+            return round((pdf["value"] * 100).round().astype("int64").sum() / 100.0, 2)
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "click_value": [cents_sum(left) if len(left) else 0.0],
+                "n_purchases": [len(right)],
+                "purchase_value": [cents_sum(right) if len(right) else 0.0],
+            }
+        )
+
+    out = clicks.groupBy("user_id").cogroup(buys.groupBy("user_id")).applyInPandas(
+        merge,
+        schema="user_id long, n_clicks long, click_value double, "
+        "n_purchases long, purchase_value double",
+    )
+    return out.orderBy("user_id")

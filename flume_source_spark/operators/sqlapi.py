@@ -48,3 +48,63 @@ def sql_interface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final agg + one bounded window)."""
     register_views(spark, sf_dir)
     return spark.sql(_SPARK_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+    FROM customer,
+         LATERAL (
+             SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+             FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2
+         ) t
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL, tags=("sql", "lateral", "join"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    the SQL spelling of per-group top-k (identical statement runs on
+    DuckDB). Catalyst decorrelates this into the same window/limit
+    machinery the DataFrame formulation (`window_topk_per_group`)
+    plans to; the point is the SURFACE: LATERAL is how SQL users
+    express it."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# parent(k) = k div 2 forms a binary tree rooted at 1: the recursion
+# walks each customer key up to the root, counting hops. Identical
+# statement on both engines — what's verified is the recursive-CTE
+# ENGINE (fixpoint iteration), pinned against a closed form:
+# depth(k) = floor(log2(k)).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE up(start_key, node, hops) AS (
+        SELECT c_custkey, c_custkey, 0
+        FROM customer WHERE c_custkey <= 200
+        UNION ALL
+        -- floor(x/2) spelled portably: Spark's / on ints is double
+        -- division and DuckDB's integer // is not Spark syntax
+        SELECT start_key, CAST(floor(node / 2) AS BIGINT), hops + 1
+        FROM up WHERE node > 1
+    )
+    SELECT start_key, CAST(max(hops) AS BIGINT) AS depth
+    FROM up
+    GROUP BY start_key
+    ORDER BY start_key
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x): walk each customer key up the
+    implicit binary tree parent(k)=k div 2 to the root, emit the
+    depth. Identical SQL executes on DuckDB; tests additionally pin
+    depth == floor(log2(k)) so both engines' recursion is checked
+    against a closed form, not just each other."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

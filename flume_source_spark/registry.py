@@ -118,7 +118,8 @@ _NEW_R03 = frozenset(
         "emb_centroid_cohesion", "ds_quality_cascade", "sql_interface_cte",
         "graph_pagerank_neardup", "ts_seasonal_profile", "ts_ewma_bounded",
         "ds_pipeline_end_to_end", "source_xml_roundtrip", "source_csv_malformed",
-        "scalar_variant",
+        "scalar_variant", "sql_lateral_topk", "sql_recursive_cte",
+        "udf_cogrouped_merge",
     }
 )
 

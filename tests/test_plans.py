@@ -172,3 +172,63 @@ def test_inverted_index_aggregates_in_two_levels(spark, sf_dir):
     # aggregates with map-side partials, no collect_list over raw rows
     p = plan(spark, sf_dir, "text_inverted_index")
     assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
+
+
+def test_ohlc_bars_single_bar_shuffle(spark, sf_dir):
+    """OHLC: both row_number windows and the aggregate share the
+    (bar × type) key — ONE exchange on that key, no second reshuffle
+    between window and agg, and no sort-merge join anywhere."""
+    p = plan(spark, sf_dir, "ts_ohlc_bars")
+    assert "SortMergeJoin" not in p
+    # bar-keyed hash exchanges: window + agg reuse the partitioning;
+    # allow AQE's initial/final double-print but no >2 distinct
+    assert p.count("hashpartitioning(bar") <= 2, p.count("hashpartitioning(bar")
+
+
+def test_unigram_logprob_joins_broadcast(spark, sf_dir):
+    """The vocab-sized unigram table and 1-row total must broadcast
+    back to the token stream — the corpus never shuffles for a join."""
+    p = plan(spark, sf_dir, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_seasonal_profile_is_partial_plus_final(spark, sf_dir):
+    """Cells aggregate partially map-side; the global mean is a
+    broadcast nested-loop of a single row (scalar), never a shuffle
+    of the fact."""
+    p = plan(spark, sf_dir, "ts_seasonal_profile")
+    assert "partial_" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pipeline_end_to_end_single_plan_no_sort_merge(spark, sf_dir):
+    """The composed curation pipeline (dedup window → filters → split →
+    agg) stays one plan with no fact-fact sort-merge join: the dedup
+    keeper is a window, not a self-join."""
+    p = plan(spark, sf_dir, "ds_pipeline_end_to_end")
+    assert "SortMergeJoin" not in p
+    assert "Window" in p and "partial_" in p
+
+
+def test_gopher_rules_no_exchange_before_sort(spark, sf_dir):
+    """Per-doc HOF quality scoring is embarrassingly parallel: the only
+    exchange in the plan is the presentation sort (rangepartitioning) —
+    plus the deliberate spread() hash fan-out; NO aggregation or join
+    exchange exists."""
+    p = plan(spark, sf_dir, "text_gopher_rules")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "partial_" not in p  # no aggregate at all
+
+
+def test_sql_recursive_depth_matches_closed_form(spark, sf_dir):
+    """Recursive-CTE depth of k under parent(k)=k div 2 must equal
+    floor(log2(k)) — the recursion engine checked against a closed
+    form, independent of the DuckDB oracle."""
+    import math
+
+    rows = SPECS["sql_recursive_cte"].builder(spark, sf_dir).collect()
+    assert rows, "recursive CTE returned nothing"
+    for r in rows:
+        want = 0 if r.start_key == 0 else int(math.log2(r.start_key))
+        assert r.depth == want, (r.start_key, r.depth)

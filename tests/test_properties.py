@@ -115,3 +115,22 @@ def test_csv_failfast_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         df.collect()
+
+
+def test_observation_metrics_piggyback(spark, sf_dir):
+    """df.observe(Observation, ...) collects metrics DURING the action
+    (no second scan) — the Spark-native accumulator surface for
+    pipeline health counters (rows seen, nulls, sum checks)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("li_health")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()
+    m = obs.get
+    assert m["n_rows"] >= n and m["null_qty"] == 0
