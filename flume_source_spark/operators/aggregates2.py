@@ -81,3 +81,49 @@ def agg_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
     )
     return a.join(m, "o_orderstatus").orderBy("o_orderstatus")
+
+
+_INCR_ORACLE = """
+    WITH full_agg AS (
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n, total, max_price FROM full_agg ORDER BY o_orderstatus
+"""
+
+
+@query("agg_incremental_merge", oracle=_INCR_ORACLE, tags=("agg", "incremental"))
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the 'history' partition (90 %
+    of orders) is pre-aggregated once, the 'delta' (10 %) aggregates
+    separately, and the published result MERGES THE PARTIALS (sum of
+    counts/sums, max of maxes) — never rescanning history. The oracle
+    recomputes from scratch over everything, so what's verified is the
+    algebraic identity merge(partial(A), partial(B)) == full(A ∪ B):
+    the property that makes count/sum/min/max (and sketches — see
+    ``agg_sketch_mergeable``) incrementally maintainable at 100 TB,
+    and AVG maintainable as (sum, count). Decimal sums keep the merge
+    exact under any partitioning."""
+    o = load_tables(spark, sf_dir)["orders"]
+    hist = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_dec"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    merged = (
+        partial(hist).unionByName(partial(delta))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_dec"), 2).cast("double").alias("total"),
+            F.round(F.max("mx"), 2).cast("double").alias("max_price"),
+        )
+    )
+    return merged.orderBy("o_orderstatus")

@@ -283,3 +283,75 @@ def ds_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("toks").cast("long").alias("total_tokens"))
         .orderBy("split", "source")
     )
+
+
+PACK_SHARDS2, PACK_BUDGET2 = 8, 256
+
+_PACK_SPANS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS2} AS shard,
+               len(str_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    o AS (
+        SELECT *, COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM t
+    ),
+    spans AS (
+        SELECT shard, CAST(floor(start / {PACK_BUDGET2}.0) AS BIGINT) AS pack_id,
+               doc_id, CAST(start % {PACK_BUDGET2} AS BIGINT) AS span_start,
+               CAST(toks AS BIGINT) AS span_len
+        FROM o
+    )
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           list(doc_id ORDER BY doc_id) AS span_docs,
+           list(span_start ORDER BY doc_id) AS span_starts,
+           list(span_len ORDER BY doc_id) AS span_lens
+    FROM spans GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+@query("ds_pack_attention_spans", oracle=_PACK_SPANS_ORACLE, tags=("llm", "dataset", "packing"))
+def ds_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack document span lists — the attention-mask metadata a
+    trainer needs to stop cross-document attention inside a packed
+    sequence: for each pack, the member doc ids with their in-pack
+    start offsets and lengths (start is relative to the pack the doc
+    STARTS in; the concat-and-chunk contract, same layout as
+    ``ds_pack_sequences``). One per-shard window + one aggregate;
+    span arrays are doc_id-ordered on both engines so the array
+    equality is exact."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS2).alias("shard"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    o = t.withColumn("start", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    spans = o.select(
+        "shard",
+        F.floor(F.col("start") / PACK_BUDGET2).cast("long").alias("pack_id"),
+        "doc_id",
+        (F.col("start") % PACK_BUDGET2).cast("long").alias("span_start"),
+        F.col("toks").cast("long").alias("span_len"),
+    )
+    pair = F.struct("doc_id", "span_start", "span_len")
+    return (
+        spans.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.array_sort(F.collect_list(pair)).alias("triples"),
+        )
+        .select(
+            "shard", "pack_id", "n_spans",
+            F.transform("triples", lambda s: s["doc_id"]).alias("span_docs"),
+            F.transform("triples", lambda s: s["span_start"]).alias("span_starts"),
+            F.transform("triples", lambda s: s["span_len"]).alias("span_lens"),
+        )
+        .orderBy("shard", "pack_id")
+    )

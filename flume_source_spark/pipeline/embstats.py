@@ -89,3 +89,67 @@ def emb_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+QUANT_BITS = 8
+
+_QUANT_ORACLE = """
+    WITH b AS (  -- per-dimension min/max over the corpus (the codebook)
+        SELECT g.i AS dim,
+               min(CAST(embedding[g.i] AS DOUBLE)) AS lo,
+               max(CAST(embedding[g.i] AS DOUBLE)) AS hi
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        WHERE g.i <= len(embedding)
+        GROUP BY g.i
+    ),
+    codes AS (
+        SELECT e.vec_id, b.dim,
+               CAST(least(255, greatest(0,
+                   floor((CAST(e.embedding[b.dim] AS DOUBLE) - b.lo)
+                         / nullif(b.hi - b.lo, 0) * 256))) AS BIGINT) AS code
+        FROM embeddings e, b
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(min(code) AS BIGINT) AS code_min,
+           CAST(max(code) AS BIGINT) AS code_max
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query("emb_quantize_int8", oracle=_QUANT_ORACLE, tags=("llm", "similarity", "embedding", "quantization"))
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min-max) int8 quantization of the
+    embedding column — the 4× memory cut that makes billion-vector ANN
+    fit in RAM: codebook = per-dim (lo, hi) over the corpus (one
+    bounded aggregate, dim rows out), code = floor((x-lo)/(hi-lo)·256)
+    clamped to [0,255]. Emitted as per-vector code digests (sum/min/
+    max) so the hash check pins every code without exploding output.
+    The codebook is dims-sized → broadcast back; the corpus never
+    shuffles. Quantization arithmetic is identical floor/clamp ops on
+    identical doubles on both engines — exact, no rounding gamble."""
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", _dvec("embedding").alias("v"))
+    dims = e.select("vec_id", F.posexplode("v").alias("dim0", "x")).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    book = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.least(
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("x") - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0)) * 256),
+        ),
+    ).cast("long")
+    return (
+        dims.join(F.broadcast(book), "dim")
+        .select("vec_id", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.min("code").cast("long").alias("code_min"),
+            F.max("code").cast("long").alias("code_max"),
+        )
+        .orderBy("vec_id")
+    )

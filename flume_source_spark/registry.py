@@ -119,7 +119,8 @@ _NEW_R03 = frozenset(
         "graph_pagerank_neardup", "ts_seasonal_profile", "ts_ewma_bounded",
         "ds_pipeline_end_to_end", "source_xml_roundtrip", "source_csv_malformed",
         "scalar_variant", "sql_lateral_topk", "sql_recursive_cte",
-        "udf_cogrouped_merge",
+        "udf_cogrouped_merge", "ds_pack_attention_spans", "emb_quantize_int8",
+        "agg_incremental_merge",
     }
 )
 

@@ -134,3 +134,27 @@ def test_observation_metrics_piggyback(spark, sf_dir):
     n = observed.filter(F.col("l_quantity") > 0).count()
     m = obs.get
     assert m["n_rows"] >= n and m["null_qty"] == 0
+
+
+def test_dynamic_partition_overwrite_leaves_other_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an INSERT OVERWRITE-style write
+    that only touches partition A must leave partition B intact (static
+    mode would wipe the whole table) — the operational contract for
+    incremental re-processing of one day/source at 100 TB."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, part string"
+    )
+    base.write.partitionBy("part").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([(99, "a")], "id long, part string").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.id, r.part) for r in spark.read.parquet(out).collect()}
+    assert got == {(99, "a"), (3, "b")}, got  # a replaced, b untouched

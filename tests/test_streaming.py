@@ -517,3 +517,46 @@ def test_stream_ohlc_equals_batch(spark, tmp_path):
     first_bar = min(live)  # minutes 0-15 bar: events at t+2,5,9
     assert live[first_bar][0] == 20.0  # open = event-time earliest (batch-2 row)
     assert live[first_bar][3] == 30.0  # close = t+9 row
+
+
+def test_stream_stream_left_outer_emits_null_for_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched left row must be
+    emitted with nulls — but only after the watermark proves no match
+    can still arrive (outer results are watermark-delayed by design).
+    The follow-up batch advances event time far enough to close the
+    join state for the unmatched purchase."""
+    dc = str(tmp_path / "clicks")
+    dp = str(tmp_path / "purchases")
+    write_batch(dc, "c1", [(1, 0, 7, "click", 1)])
+    write_batch(dp, "p1", [(10, 20, 7, "purchase", 9), (11, 30, 8, "purchase", 8)])
+    clicks = (
+        events_stream(spark, dc)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        events_stream(spark, dp)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    sink = IdempotentBatchSink()
+    q = joined.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        # advance both watermarks far past the unmatched purchase's
+        # state horizon so the outer null row can finalize
+        write_batch(dc, "c2", [(5, 500, 99, "click", 1)])
+        write_batch(dp, "p2", [(12, 500, 99, "purchase", 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {(r.purchase_id, r.click_id) for r in sink.rows}
+    assert (10, 1) in pairs  # matched within lookback
+    assert (11, None) in pairs, pairs  # unmatched → outer null after watermark
