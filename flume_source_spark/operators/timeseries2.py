@@ -216,10 +216,11 @@ _SEASONAL_ORACLE = """
         FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, wd, hr, s.n AS n,
-           CAST(((s.cents * 200 + s.n) // (2 * s.n)) / 10000.0 AS DOUBLE) AS cell_mean,
-           CAST(((200 * (s.cents * g.n - g.cents * s.n)
-                  + (CASE WHEN s.cents * g.n >= g.cents * s.n THEN 1 ELSE -1 END) * s.n * g.n)
-                 // (2 * s.n * g.n)) / 10000.0 AS DOUBLE) AS seasonal_dev
+           CAST(((CAST(s.cents AS HUGEINT) * 200 + s.n) // (2 * s.n)) / 10000.0 AS DOUBLE) AS cell_mean,
+           CAST(((200 * (CAST(s.cents AS HUGEINT) * g.n - CAST(g.cents AS HUGEINT) * s.n)
+                  + (CASE WHEN CAST(s.cents AS HUGEINT) * g.n >= CAST(g.cents AS HUGEINT) * s.n THEN 1 ELSE -1 END)
+                    * CAST(s.n AS HUGEINT) * g.n)
+                 // (2 * CAST(s.n AS HUGEINT) * g.n)) / 10000.0 AS DOUBLE) AS seasonal_dev
     FROM s, g
     ORDER BY event_type, wd, hr
 """
@@ -242,7 +243,12 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding itself is done in INTEGER arithmetic, identical by
     # construction on both engines: round_half_away(p/q) =
     # (2p + sign(p)·q) div (2q), with div truncating toward zero in
-    # both Spark (`div`) and DuckDB (`//`).
+    # both Spark (`div`) and DuckDB (`//`). The cross products
+    # (cents·gn ≈ corpus-cents × row-count) outgrow int64 around
+    # sf≈100, so they are computed in DECIMAL(38,0) (Spark) / HUGEINT
+    # (DuckDB): scale-0 decimals add/multiply exactly, headroom to
+    # ~1e38 (sf ~1e12), and the final quotient (a 4-dp-scaled mean)
+    # is long-ranged again.
     cents = F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     g = e.agg(cents, F.count("*").alias("gn")).select(
         F.col("cents").alias("gcents"), F.col("gn")
@@ -251,11 +257,12 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.weekday("ts").alias("wd"), F.hour("ts").alias("hr")
     ).agg(F.count("*").alias("n"), cents)
     j = s.crossJoin(F.broadcast(g))
-    mean_scaled = F.expr("(cents * 200 + n) div (2 * n)")
+    mean_scaled = F.expr("(CAST(cents AS DECIMAL(38,0)) * 200 + n) div (2 * n)")
     dev_scaled = F.expr(
-        "(200 * (cents * gn - gcents * n)"
-        " + (CASE WHEN cents * gn >= gcents * n THEN 1 ELSE -1 END) * n * gn)"
-        " div (2 * n * gn)"
+        "(200 * (CAST(cents AS DECIMAL(38,0)) * gn - CAST(gcents AS DECIMAL(38,0)) * n)"
+        " + (CASE WHEN CAST(cents AS DECIMAL(38,0)) * gn >= CAST(gcents AS DECIMAL(38,0)) * n"
+        "    THEN 1 ELSE -1 END) * CAST(n AS DECIMAL(38,0)) * gn)"
+        " div (2 * CAST(n AS DECIMAL(38,0)) * gn)"
     )
     return (
         j.select(

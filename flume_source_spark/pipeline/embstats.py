@@ -104,9 +104,9 @@ _QUANT_ORACLE = """
     ),
     codes AS (
         SELECT e.vec_id, b.dim,
-               CAST(least(255, greatest(0,
+               coalesce(CAST(least(255, greatest(0,
                    floor((CAST(e.embedding[b.dim] AS DOUBLE) - b.lo)
-                         / nullif(b.hi - b.lo, 0) * 256))) AS BIGINT) AS code
+                         / nullif(b.hi - b.lo, 0) * 256))) AS BIGINT), 0) AS code
         FROM embeddings e, b
     )
     SELECT vec_id,
@@ -134,13 +134,21 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
     )
     book = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    code = F.least(
-        F.lit(255),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("x") - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0)) * 256),
-        ),
-    ).cast("long")
+    # coalesce(…, 0) on BOTH sides pins constant-dimension (hi == lo)
+    # behavior explicitly: the nullif division yields NULL, and the
+    # engines disagree on NULL through least/greatest (Spark's
+    # least/greatest skip NULLs; DuckDB 1.0 propagates), so a constant
+    # dim maps to code 0 by contract rather than by engine version.
+    code = F.coalesce(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0)) * 256),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     return (
         dims.join(F.broadcast(book), "dim")
         .select("vec_id", code.alias("code"))

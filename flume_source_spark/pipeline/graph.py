@@ -232,8 +232,12 @@ def pagerank(
     teleport mass only. Same scale mechanics as CC: one shuffle join +
     one aggregation per round, lineage truncated per round
     (``localCheckpoint``, or reliable ``checkpoint`` when
-    ``checkpoint_dir`` is given); total mass is conserved at N (up to
-    float noise), which the tests assert as the invariant.
+    ``checkpoint_dir`` is given). Mass accounting: under the
+    rank = (1-d) + d·inflow formulation total mass N is conserved only
+    on dangling-free graphs — a dangling/isolated node forwards no
+    mass and retains just the teleport term (1-d), so graphs with
+    isolates settle below N (the tests pin exactly this: sum = 3.15 on
+    a 4-node graph with one isolate, not 4).
     """
     from pyspark.sql import functions as F  # local: keep module import surface tidy
 

@@ -101,36 +101,55 @@ _DRIVER_GREEN_R02 = frozenset(
     }
 )
 
-_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
-
-# Queries first registered in round 3. The driver sweep is budgeted
-# (~50/round) and there are more unverified queries than slots, so the
-# unverified block is ordered: round-2-era never-verified queries and
-# the two round-2 hash-red fixes FIRST (they close VERDICT items),
-# then these round-3 additions (verified locally; driver rows can
-# arrive a round later without losing information).
-_NEW_R03 = frozenset(
+# Queries with a row in the driver's CORRECTNESS_r03.json — the FIRST
+# sweep run on the regenerated fixtures (micros timestamps, 10×
+# documents), so these 50 are the only queries whose driver evidence
+# is known-current. 48 hash-green + 2 rows-only by design
+# (sim_ann_ivf, multimodal_binaryfile).
+_DRIVER_GREEN_R03 = frozenset(
     {
-        "ds_mixture_weighted", "ds_token_budget_fill", "ds_global_shuffle",
-        "ds_interleave_sources", "ts_ohlc_bars", "ts_concurrency_sweep",
-        "ts_calendar_features", "text_gopher_rules", "text_unigram_logprob",
-        "agg_wave2", "graph_degree_hist", "source_text_roundtrip",
-        "emb_centroid_cohesion", "ds_quality_cascade", "sql_interface_cte",
-        "graph_pagerank_neardup", "ts_seasonal_profile", "ts_ewma_bounded",
-        "ds_pipeline_end_to_end", "source_xml_roundtrip", "source_csv_malformed",
-        "scalar_variant", "sql_lateral_topk", "sql_recursive_cte",
-        "udf_cogrouped_merge", "ds_pack_attention_spans", "emb_quantize_int8",
-        "agg_incremental_merge",
+        "ts_sessionize_gaps", "ds_shard_manifest", "sim_ann_ivf",
+        "sim_cosine_arrow", "text_quality", "text_token_stats",
+        "text_lang_id", "text_token_count_bpeish", "text_fingerprint",
+        "text_chunk_overlap", "text_pii_scrub", "text_repetition_filter",
+        "text_vocab_topk", "text_tfidf_topk", "text_dup_ngram_fraction",
+        "text_url_parse", "text_normalize_unicode", "text_inverted_index",
+        "multimodal_binary_meta", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_binaryfile",
+        "streaming_tumbling_window", "streaming_sliding_window",
+        "streaming_session_window", "streaming_dedup_batch",
+        "streaming_interval_join_batch", "streaming_static_enrich",
+        "filemeta_scan", "filemeta_ignore_pattern", "source_csv_roundtrip",
+        "source_jsonl_roundtrip", "source_orc_roundtrip",
+        "source_csv_options", "sink_partitioned_write",
+        "udf_pandas_vectorized", "udf_grouped_map_zscore",
+        "udf_row_classify", "udtf_expand", "udf_map_in_arrow",
+        "agg_wave2", "agg_incremental_merge", "ts_ohlc_bars",
+        "ts_concurrency_sweep", "ts_calendar_features",
+        "ts_seasonal_profile", "ts_ewma_bounded", "sql_interface_cte",
+        "sql_lateral_topk", "sql_recursive_cte",
     }
 )
+
+# Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
+# driver regenerated the fixtures (events.ts type and documents
+# cardinality changed). Locally green on the current fixtures; their
+# driver evidence is stale until a sweep re-pins them.
+_STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _DRIVER_GREEN_R03
+
+# Known-current driver evidence.
+_FRESH_GREEN = _DRIVER_GREEN_R03
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
 
-    Returns the registry with driver-unverified queries FIRST (the
-    union of ``_DRIVER_GREEN_R01``/``_DRIVER_GREEN_R02`` sorts last)
-    so a budget-truncated correctness sweep maximizes new coverage.
+    Ordering maximizes information per budget-truncated driver sweep
+    (~50 rows/round): (1) queries with NO driver row ever — the 18
+    round-3 additions the r03 sweep didn't reach, plus anything new
+    this round; (2) queries whose only green rows predate the round-3
+    fixture regeneration (re-pin on current fixtures); (3) queries
+    already verified on the current fixtures.
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
@@ -167,9 +186,8 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.sources.formats  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
 
-    ordered = {
-        n: s for n, s in REGISTRY.items() if n not in _DRIVER_GREEN and n not in _NEW_R03
-    }
-    ordered.update({n: s for n, s in REGISTRY.items() if n in _NEW_R03})
-    ordered.update({n: s for n, s in REGISTRY.items() if n in _DRIVER_GREEN})
+    ever_swept = _STALE_GREEN | _FRESH_GREEN
+    ordered = {n: s for n, s in REGISTRY.items() if n not in ever_swept}
+    ordered.update({n: s for n, s in REGISTRY.items() if n in _STALE_GREEN})
+    ordered.update({n: s for n, s in REGISTRY.items() if n in _FRESH_GREEN})
     return ordered

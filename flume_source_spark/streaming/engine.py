@@ -86,8 +86,14 @@ def ohlc_agg(events: DataFrame, bar: str = "15 minutes", watermark: str = "1 hou
     and the event-time key makes open/close arrival-order-independent:
     a late row that is event-time-earlier correctly replaces the open.
     With a watermark the state per (bar × type) group is bounded and
-    bars finalize in append mode."""
+    bars finalize in append mode. Volume sums through exact decimal
+    (same ``dec``/``dsum`` contract as the batch twin): decimal
+    addition is associative, so the result is independent of arrival
+    order / partial-aggregation grouping — round(sum(double), 2) at a
+    2-dp boundary could diverge from the batch twin on larger inputs."""
     from pyspark.sql import functions as F
+
+    from flume_source_spark.canon import dec, dsum
 
     key = F.struct("ts", "event_id")
     return (
@@ -99,7 +105,7 @@ def ohlc_agg(events: DataFrame, bar: str = "15 minutes", watermark: str = "1 hou
             F.min("value").alias("low"),
             F.max_by("value", key).alias("close"),
             F.count("*").alias("n_ticks"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            dsum(dec("value"), "volume"),
         )
         .select(F.col("w.start").alias("bar_start"), "event_type", "open", "high", "low", "close", "n_ticks", "volume")
     )
