@@ -42,7 +42,7 @@ HEADLINE = [
     "streaming_tumbling_window",
     "merge_upsert_emulation",
     "dedup_minhash_lsh",
-    "dedup_cluster_cc",
+    "dedup_cluster_cc_lsh",
     "sim_cosine_topk",
     "text_quality",
     "text_tfidf_topk",
@@ -110,25 +110,38 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def run(name: str) -> float:
-        # two executions, report the steady-state (min): the first pays
-        # one-time whole-stage-codegen compilation, which on a long-lived
-        # cluster amortizes to zero. This host shows multi-minute
-        # noisy-neighbor bursts (BASELINE.md: same query 0.95 s vs 29 s
-        # across back-to-back runs) — when the two samples disagree by
-        # >3×, both may be contended, so take a third.
-        a, b = run_once(name), run_once(name)
-        best = min(a, b)
-        if max(a, b) > 3 * best:
-            best = min(best, run_once(name))
-        return best
+    # Contention protocol (round-3 lesson: BENCH_r03 recorded 83.7 s
+    # of which ~65 s was noisy-neighbor burst, unfalsifiable after the
+    # fact). Three defenses:
+    #   1. THREE samples per query minimum, min-of-N reported; a 4th
+    #      sample when the three disagree >3× (all three may sit
+    #      inside one burst).
+    #   2. Samples for a query are NOT back-to-back: the sweep runs
+    #      the whole headline list three times end-to-end, so one
+    #      multi-second burst inflates one PASS, not every sample of
+    #      one query.
+    #   3. A CANARY (q06, a fixed ~0.1 s scan+agg) is timed before
+    #      each pass and recorded — the next reader can see which
+    #      passes ran contended without re-running anything.
+    def sweep(names: list[str]) -> tuple[dict[str, list[float]], list[float]]:
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        canary: list[float] = []
+        for _pass in range(3):
+            canary.append(round(run_once("q06_forecast_revenue"), 3))
+            for n in names:
+                samples[n].append(run_once(n))
+        for n in names:  # escape hatch: all three inside one burst
+            if max(samples[n]) > 3 * min(samples[n]):
+                samples[n].append(run_once(n))
+        return samples, canary
 
     # warmup: JVM + parquet footer cache (q01) and the codegen-heaviest
     # expression shape (64-wide zip_with cosine) whose first compile
     # otherwise dominates its own measurement
     run_once("q01_pricing_summary")
     run_once("sim_cosine_topk")
-    timings = {name: round(run(name), 3) for name in HEADLINE}
+    samples, canary = sweep(HEADLINE)
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
     timings["filemeta_drain_5k_files"] = round(_bench_filemeta_drain(spark), 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -139,6 +152,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # per-pass canary timings: a canary ≫ its own min
+                # flags that pass as contended; per-query spread
+                # (max/min over samples) identifies burst-inflated
+                # entries without a re-run
+                "canary_q06_per_pass": canary,
+                "sample_spread": {
+                    n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
+                },
             }
         )
     )

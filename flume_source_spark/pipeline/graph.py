@@ -24,12 +24,15 @@ iterative pattern, same shape GraphX/GraphFrames use underneath).
   decrease (monotone min), so an unchanged sum is a proof of
   fixpoint — one cheap scalar aggregate per round instead of an
   old⋈new anti-join.
-- At 100 TB, the known refinement is alternating large-star /
-  small-star (Kiveris et al., "Connected Components in MapReduce and
-  Beyond", SoCC'14), which bounds per-round skew when one component
-  is huge; plain min-propagation keeps per-round cost Θ(|E|) which is
-  already fine for dedup graphs whose components are small by
-  construction (MAX_BUCKET caps upstream candidate fan-out).
+- At 100 TB, the refinement for skewed graphs is alternating
+  large-star / small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14) — IMPLEMENTED here as
+  ``connected_components(..., algorithm="star")`` — which bounds
+  per-round skew when one component is huge; plain min-propagation
+  (the default) keeps per-round cost Θ(|E|) which is right for dedup
+  graphs whose components are small by construction (MAX_BUCKET caps
+  upstream candidate fan-out). Use ``graph_degree_hist`` to decide:
+  a heavy tail there means a giant component is forming → star.
 
 Oracle: DuckDB ``WITH RECURSIVE`` transitive reachability with the
 same edge predicate, min(root) per node — an independent fixpoint
@@ -41,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flume_source_spark.pipeline.dedup import dedup_ngram_jaccard
+from flume_source_spark.pipeline.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
@@ -53,12 +56,27 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = MAX_CC_ROUNDS,
     checkpoint_dir: str | None = None,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Min-label propagation over an undirected edge list.
+    """Connected components over an undirected edge list.
 
     ``nodes``: one column ``id`` (long). ``edges``: columns ``src``,
     ``dst`` (each undirected edge listed once, either direction).
     Returns (id, component_id) where component_id = min id reachable.
+
+    ``algorithm``:
+    - ``"propagation"`` (default): min-label propagation — converges
+      in O(diameter) rounds, per-round cost Θ(|E|). Right for dedup
+      graphs (shallow components by construction), but a giant
+      skewed component concentrates every round's aggregation on the
+      hot min-label key.
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log²ⁿ) rounds and, crucially, per-round work is redistributed
+      as the graph contracts toward stars, so one huge component does
+      not pin a single reduce key. The right choice when
+      ``graph_degree_hist`` shows a heavy tail. See
+      :func:`_connected_components_star`.
 
     ``checkpoint_dir``: when set, lineage is truncated with reliable
     ``checkpoint`` into that directory (survives executor loss — what
@@ -73,6 +91,10 @@ def connected_components(
     join+agg, so raising (caller retries with a larger bound) beats
     corrupting a dedup pass.
     """
+    if algorithm == "star":
+        return _connected_components_star(nodes, edges, max_rounds, checkpoint_dir)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (propagation|star)")
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -103,6 +125,100 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_rounds} rounds "
         f"(graph diameter exceeds bound); rerun with a larger max_rounds"
+    )
+
+
+def _connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. SoCC'14).
+
+    Per round, every node u with neighborhood N(u) and
+    m(u) = min(N(u) ∪ {u}):
+
+    - **large-star** rewires u's strictly-larger neighbors to m(u):
+      E' = ∪_u {(v, m(u)) : v ∈ N(u), v > u}
+    - **small-star** orients edges toward the smaller endpoint, then
+      rewires each node's ≤-neighbors (and itself) to the minimum:
+      E' = ∪_u {(v, m(u)) : v ∈ N⁻(u) ∪ {u}, v ≠ m(u)}
+
+    Both preserve connectivity; the composition strictly contracts
+    until every component is a star centered on its minimum — at which
+    point the edge set is a fixpoint of the round. Why this beats
+    min-propagation at scale: propagation's per-round aggregation
+    funnels a giant component's whole frontier into ONE reduce key
+    (its min label), while star rounds spread rewiring across every
+    node's own neighborhood group — no single hot key, O(log²ⁿ)
+    rounds regardless of diameter.
+
+    Fixpoint detection: the canonical (hi→lo) edge set is compared
+    round-over-round by (count, xor of per-edge xxhash64) — equal
+    pair ⇒ same set with P(collision) ≈ 2⁻⁶⁴ (and the paper
+    guarantees the fixpoint exists, so the loop terminates). Isolated
+    nodes never enter the edge set and resolve to themselves in the
+    final left join.
+    """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    # canonical undirected representation: (hi, lo), no self-loops
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    e = _ckpt(e)
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    for _ in range(max_rounds):
+        # -- large-star: full neighborhoods (both directions)
+        bidir = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # m(u) = min(mn, u) ≤ u < v ⇒ output is already (hi, lo)
+            .select(F.col("v").alias("hi"), F.least("mn", "u").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # -- small-star: edges already oriented hi → lo; m(u) = min(N⁻(u))
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        e = _ckpt(ss)
+        cur = _sig(e)
+        if cur == prev:
+            labels = nodes.join(e, nodes.id == e.hi, "left").select(
+                F.col("id"), F.coalesce("lo", "id").alias("component_id")
+            )
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components(star): no fixpoint after {max_rounds} rounds; "
+        f"rerun with a larger max_rounds"
     )
 
 
@@ -139,25 +255,13 @@ _CC_ORACLE = """
 """
 
 
-@query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("llm", "dedup", "graph"))
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup clusters: connected components over the exact
-    near-dup pair graph (Jaccard ≥ 0.5), keeper = min doc_id per
-    component. The step after pair generation in every dedup pipeline:
-    A~B, B~C ⇒ one cluster {A,B,C}, one keeper, two drops.
-
-    Edges here come from the EXACT pair join so the recursive-CTE
-    oracle is closure over the identical edge set; at 100 TB swap the
-    edge source for ``dedup_minhash_lsh`` (same output on this corpus,
-    banded + capped instead of data-dependent quadratic) — the loop is
-    indifferent to where edges came from. Measured sf0.1 (5,000 docs):
-    pair stage ≈ 2 s steady / 18 s first-run codegen; the propagation
-    loop itself ≈ 2-3 s."""
+def _cc_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Shared closure body: pairs (i, j) → (doc_id, component_id,
+    component_size, is_keeper). The CC loop is indifferent to where
+    edges came from."""
     docs = load_tables(spark, sf_dir)["documents"]
     nodes = docs.select(F.col("doc_id").alias("id"))
-    edges = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("i").alias("src"), F.col("j").alias("dst")
-    )
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
     comp = connected_components(nodes, edges)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
     return (
@@ -170,6 +274,67 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the exact
+    near-dup pair graph (Jaccard ≥ 0.5), keeper = min doc_id per
+    component. The step after pair generation in every dedup pipeline:
+    A~B, B~C ⇒ one cluster {A,B,C}, one keeper, two drops.
+
+    Edges here come from the EXACT pair join (the Σ|docs(s)|² shingle
+    self-join — the declared oracle path, not the scale path), so the
+    recursive-CTE oracle is closure over the identical edge set. This
+    variant is CORRECTNESS-ONLY: the benched/production variant is
+    ``dedup_cluster_cc_lsh`` below, whose banded+capped edge source is
+    the one that survives 100 TB."""
+    return _cc_clusters(spark, sf_dir, dedup_ngram_jaccard(spark, sf_dir))
+
+
+@query("dedup_cluster_cc_star", oracle=_CC_ORACLE, tags=("llm", "dedup", "graph", "star"))
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters computed with the large-star/small-star
+    algorithm (``connected_components(..., algorithm='star')``) over
+    the exact near-dup pair graph — same recursive-CTE oracle as
+    ``dedup_cluster_cc``, so the driver hash-check pins the star
+    implementation against an independent closure formulation on real
+    data (the hand-built-graph property tests pin it against
+    min-propagation). Star is the skew-robust choice once
+    ``graph_degree_hist`` shows a heavy tail; equality here is the
+    evidence the swap is safe."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("i").alias("src"), F.col("j").alias("dst")
+    )
+    comp = connected_components(nodes, edges, algorithm="star")
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "component_id",
+            "component_size",
+            (F.col("id") == F.col("component_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_cluster_cc_lsh", oracle=_CC_ORACLE, tags=("llm", "dedup", "graph", "lsh"))
+def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over the MinHash-LSH near-dup pair
+    graph — the production/scale variant of ``dedup_cluster_cc``:
+    candidate generation is banded + hot-bucket-capped
+    (Σ_bucket |bucket|², bucket ≤ MAX_BUCKET) instead of the exact
+    shingle self-join's data-dependent Σ|docs(s)|². On this corpus the
+    LSH pair set equals the exact pair set with P(miss) < 1e-10 (see
+    ``pipeline/dedup.py`` module docstring), so the SAME recursive-CTE
+    oracle (closure over exact edges) hash-checks this query —
+    that equivalence is the point: swapping the edge source changes
+    the cost model, not the answer."""
+    return _cc_clusters(spark, sf_dir, dedup_minhash_lsh(spark, sf_dir))
 
 
 _DEGREE_ORACLE = """
@@ -200,9 +365,10 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup pair graph (including
     degree-0 isolates via a left join against the full corpus) — the
     dedup-graph health metric: a heavy tail here is the early warning
-    that a boilerplate template is about to create a giant component
-    (and that large-star/small-star CC, not plain propagation, is the
-    right closure algorithm). One explode + one count per endpoint +
+    that a boilerplate template is about to create a giant component —
+    and the signal to run the closure with
+    ``connected_components(..., algorithm="star")`` (implemented
+    above) instead of plain propagation. One explode + one count per endpoint +
     one histogram aggregate; the left join keeps isolates without
     shuffling document text."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -222,6 +388,8 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     checkpoint_dir: str | None = None,
+    tol: float | None = None,
+    residuals: list[float] | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an undirected edge list (each
     edge contributes both directions), the second iterative-join
@@ -238,6 +406,15 @@ def pagerank(
     mass and retains just the teleport term (1-d), so graphs with
     isolates settle below N (the tests pin exactly this: sum = 3.15 on
     a 4-node graph with one isolate, not 4).
+
+    Convergence observability: a fixed iteration count silently
+    under-converges on some graphs (the same failure mode CC's
+    fixpoint guard exists for), so callers can pass ``tol`` — stop
+    early once the L1 residual ‖r_t − r_{t−1}‖₁ drops below it — and/
+    or ``residuals`` (a list the per-round residual is appended to,
+    for reporting). The residual costs one extra join+agg per round on
+    the already-materialized rank vectors and is only computed when
+    requested, so the default path is unchanged.
     """
     from pyspark.sql import functions as F  # local: keep module import surface tidy
 
@@ -261,7 +438,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = _ckpt(
+        new_ranks = _ckpt(
             nodes.join(contrib, "id", "left")
             .select(
                 "id",
@@ -270,6 +447,19 @@ def pagerank(
                 ),
             )
         )
+        if tol is not None or residuals is not None:
+            resid = (
+                new_ranks.join(ranks.select("id", F.col("rank").alias("prev")), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            if residuals is not None:
+                residuals.append(float(resid))
+            ranks = new_ranks
+            if tol is not None and resid < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -206,6 +206,25 @@ class _Options:
         self.reader_mode = options.get("readermode", "simple")
         if self.reader_mode not in ("simple", "partitioned"):
             raise ValueError(f"invalid readerMode: {self.reader_mode!r} (simple|partitioned)")
+        # listingMode (batch reader only):
+        #   flat (default)  — one driver-side scandir of `path`, exact
+        #     reference semantics (subdirectories are never entered).
+        #   sharded         — `path` holds SHARD SUBDIRECTORIES (the
+        #     spool layout a high-rate deployment uses: producers write
+        #     into per-producer/per-hour shards). The driver lists only
+        #     the shard names (cheap, O(#shards)); each EXECUTOR
+        #     scandirs its shards in read() — listing cost parallelizes
+        #     with the cluster instead of serializing on the driver.
+        #     Loose files at the top level are still included (the root
+        #     itself is shard 0). Global consume-order is NOT defined
+        #     across shards (batch output order is undefined in Spark
+        #     anyway); per-shard candidate filtering is identical.
+        self.listing_mode = options.get("listingmode", "flat")
+        if self.listing_mode not in ("flat", "sharded"):
+            raise ValueError(f"invalid listingMode: {self.listing_mode!r} (flat|sharded)")
+        self.listing_partitions = int(options.get("listingpartitions", "32"))
+        if self.listing_partitions < 1:
+            raise ValueError(f"invalid listingPartitions: {self.listing_partitions} (must be >= 1)")
         self.canary = options.get("canary", "true").lower() == "true"
         _order_files([], self.order)  # validate eagerly, like Source:95-96's valueOf
         re.compile(self.ignore)
@@ -230,16 +249,43 @@ class FileMetaBatchReader(DataSourceReader):
         self.opts = opts
         if opts.canary:
             _canary_probe(opts.path)
-        files = _order_files(_list_candidates(opts.path, opts.suffix, opts.ignore), opts.order)
-        self.files = files
+        if opts.listing_mode == "sharded":
+            # driver touches only the shard NAMES — O(#shards) driver
+            # work no matter how many files the shards hold. The root
+            # itself is a shard (loose top-level files still emit).
+            with os.scandir(opts.path) as it:
+                shards = [e.path for e in it if e.is_dir(follow_symlinks=False)]
+            self.shards: list[str] | None = [opts.path] + sorted(shards)
+            self.files: list[tuple[str, str, float]] = []
+        else:
+            self.shards = None
+            self.files = _order_files(
+                _list_candidates(opts.path, opts.suffix, opts.ignore), opts.order
+            )
 
     def partitions(self):
+        if self.shards is not None:
+            n = max(1, min(self.opts.listing_partitions, len(self.shards)))
+            chunks = [self.shards[i::n] for i in range(n)]
+            return [
+                ShardsPartition(c, self.opts.suffix, self.opts.ignore, self.opts.order)
+                for c in chunks
+                if c
+            ]
         n = max(1, min(self.NUM_PARTITIONS, len(self.files)))
         chunks = [self.files[i::n] for i in range(n)]
         # Spark requires ≥1 partition even for an empty directory.
         return [FilesPartition(c) for c in chunks if c] or [FilesPartition([])]
 
     def read(self, partition) -> Iterator[Tuple]:
+        if isinstance(partition, ShardsPartition):
+            # runs on an EXECUTOR: the expensive scandir + stat work —
+            # the whole point of sharded mode
+            files: list[tuple[str, str, float]] = []
+            for shard in partition.shards:
+                files.extend(_list_candidates(shard, partition.suffix, partition.ignore))
+            yield _arrow_batch(_order_files(files, partition.order))
+            return
         # emit one Arrow RecordBatch per partition instead of per-row
         # tuples: row-at-a-time pickling dominates drain time for
         # metadata-sized rows (~4x measured on a 5k-file drain)
@@ -264,6 +310,18 @@ def _arrow_batch(files):
 class FilesPartition(InputPartition):
     def __init__(self, files):
         self.files = files
+
+
+class ShardsPartition(InputPartition):
+    """Sharded-listing partition: carries shard DIRECTORY paths (plus
+    the candidate-filter options, which must travel to the executor) —
+    not file lists. The executor does the listing."""
+
+    def __init__(self, shards, suffix, ignore, order):
+        self.shards = shards
+        self.suffix = suffix
+        self.ignore = ignore
+        self.order = order
 
 
 class FileMetaSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -467,7 +525,11 @@ class FileMetaDataSource(DataSource):
       canary=true, maxFileAge=<seconds> (off by default; bounds the
       checkpoint-mode offset, see FileMetaSimpleStreamReader),
       maxBackoff=<ms> (Flume parity; accepted + warned, backpressure
-      is maxFilesPerTrigger + trigger interval in this engine)
+      is maxFilesPerTrigger + trigger interval in this engine),
+      listingMode=flat|sharded + listingPartitions=<n> (batch reader:
+      sharded pushes the directory listing itself to executors for
+      shard-subdirectory spool layouts — the 100×-file-count path;
+      see _Options)
     """
 
     @classmethod

@@ -43,6 +43,34 @@ def filemeta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filemeta_sharded_scan",
+    oracle=f"""
+    SELECT file_name FROM (VALUES {_VALUES}) AS t(file_name)
+    ORDER BY file_name
+    """,
+    tags=("source", "scale"),
+)
+def filemeta_sharded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded (executor-side) listing path end-to-end in the
+    driver environment: listingMode=sharded plans shard paths, the
+    executors scandir them (sf_dir has no subdirectories, so the root
+    is the only shard — multi-shard coverage is in
+    tests/test_filemeta_source.py; the SCALE.md 1M-file measurement is
+    why this mode exists). Same oracle as filemeta_scan: the two modes
+    must agree on a flat directory."""
+    register(spark)
+    return (
+        spark.read.format("filemeta")
+        .option("path", sf_dir)
+        .option("listingMode", "sharded")
+        .option("canary", "false")
+        .load()
+        .select("file_name")
+        .orderBy("file_name")
+    )
+
+
+@query(
     "filemeta_ignore_pattern",
     oracle=f"""
     SELECT file_name, length(file_name) AS name_len

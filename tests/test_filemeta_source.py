@@ -697,3 +697,114 @@ def test_rename_mode_partitioned_crash_window_at_least_once(tmp_path):
     assert os.path.exists(os.path.join(d, "file1.COMPLETED"))
     # manifest replay after the rename is tolerant (file already moved)
     r2.commit(off2)
+
+
+# ---------- sharded (executor-side) listing ----------
+
+
+def test_sharded_listing_reads_all_shards_and_root(spark, tmp_path):
+    """listingMode=sharded: files in shard subdirectories AND loose
+    top-level files all emit; candidate filters (suffix/dot/ignore)
+    apply per shard exactly as in flat mode."""
+    register(spark)
+    make_files(str(tmp_path), [("loose_a", 0), ("loose_b.COMPLETED", 1), (".hidden", 2)])
+    for shard in ("shard0", "shard1", "shard2"):
+        d = tmp_path / shard
+        d.mkdir()
+        make_files(str(d), [(f"{shard}_f{i}", i) for i in range(4)])
+    make_files(str(tmp_path / "shard1"), [("skipme.COMPLETED", 9)])
+    got = (
+        spark.read.format("filemeta")
+        .option("path", str(tmp_path))
+        .option("listingMode", "sharded")
+        .option("canary", "false")
+        .load()
+        .select("file_name")
+        .collect()
+    )
+    names = sorted(r.file_name for r in got)
+    expect = sorted(["loose_a"] + [f"shard{s}_f{i}" for s in range(3) for i in range(4)])
+    assert names == expect
+
+
+def test_sharded_listing_matches_flat_union(spark, tmp_path):
+    """Sharded output == the union of flat reads over root + each
+    shard (same rows, any order)."""
+    register(spark)
+    make_files(str(tmp_path), [("root_x", 0)])
+    for shard in ("p0", "p1"):
+        d = tmp_path / shard
+        d.mkdir()
+        make_files(str(d), [(f"{shard}_y{i}", i) for i in range(3)])
+    sharded = (
+        spark.read.format("filemeta")
+        .option("path", str(tmp_path))
+        .option("listingMode", "sharded")
+        .option("canary", "false")
+        .load()
+        .select("file_name", "file_path", "body")
+    )
+    flats = []
+    for d in (tmp_path, tmp_path / "p0", tmp_path / "p1"):
+        flats.append(
+            spark.read.format("filemeta")
+            .option("path", str(d))
+            .option("canary", "false")
+            .load()
+            .select("file_name", "file_path", "body")
+        )
+    flat_union = flats[0].unionAll(flats[1]).unionAll(flats[2])
+    assert sorted(map(tuple, sharded.collect())) == sorted(map(tuple, flat_union.collect()))
+
+
+def test_flat_mode_still_ignores_subdirectories(spark, tmp_path):
+    """Default (flat) semantics are unchanged by the sharded feature:
+    subdirectory contents must NOT appear (reference parity — the
+    spool dir is flat; Reader:111-121 skips dirs)."""
+    register(spark)
+    make_files(str(tmp_path), [("top", 0)])
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    make_files(str(sub), [("nested", 1)])
+    got = (
+        spark.read.format("filemeta")
+        .option("path", str(tmp_path))
+        .option("canary", "false")
+        .load()
+        .select("file_name")
+        .collect()
+    )
+    assert [r.file_name for r in got] == ["top"]
+
+
+def test_sharded_listing_partitions_plan(tmp_path):
+    """Planner contract: #input partitions = min(listingPartitions,
+    #shards incl. root), and partitions carry shard PATHS (executor
+    does the listing), never file lists."""
+    from flume_source_spark.sources.filemeta import (
+        FileMetaBatchReader,
+        ShardsPartition,
+        _Options,
+    )
+
+    for i in range(5):
+        (tmp_path / f"s{i}").mkdir()
+    opts = _Options(
+        {"path": str(tmp_path), "listingmode": "sharded", "listingpartitions": "3", "canary": "false"}
+    )
+    parts = FileMetaBatchReader(opts).partitions()
+    assert len(parts) == 3
+    assert all(isinstance(p, ShardsPartition) for p in parts)
+    covered = sorted(s for p in parts for s in p.shards)
+    assert covered == sorted([str(tmp_path)] + [str(tmp_path / f"s{i}") for i in range(5)])
+
+
+def test_invalid_listing_mode_raises(tmp_path):
+    from flume_source_spark.sources.filemeta import _Options
+
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid listingMode"):
+        _Options({"path": str(tmp_path), "listingmode": "banana"})
+    with pytest.raises(ValueError, match="invalid listingPartitions"):
+        _Options({"path": str(tmp_path), "listingpartitions": "0"})

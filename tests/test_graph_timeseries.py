@@ -181,3 +181,89 @@ def test_pagerank_degree_monotone_on_star(spark):
     hub, leaves = ranks[1], [ranks[k] for k in (2, 3, 4, 5)]
     assert all(hub > leaf for leaf in leaves)
     assert max(leaves) - min(leaves) < 1e-12  # symmetry
+
+
+def _cc_star_map(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "src long, dst long"
+    ).filter(F.col("src").isNotNull())
+    out = connected_components(nodes, edges, algorithm="star", **kw).collect()
+    return {r.id: r.component_id for r in out}
+
+
+def test_cc_star_equals_propagation_on_canonical_shapes(spark):
+    """large-star/small-star and min-propagation must agree on the
+    shapes that stress them differently: a long chain (diameter),
+    a clique (density), a hub (skew), plus isolates."""
+    cases = [
+        (range(1, 10), [(i, i + 1) for i in range(1, 9)]),                 # chain
+        (range(6), [(i, j) for i in range(5) for j in range(i + 1, 5)]),   # clique+isolate
+        (range(8), [(0, k) for k in range(1, 7)]),                          # hub+isolate
+        (range(12), [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10)]),    # mixed
+    ]
+    for nodes, edges in cases:
+        assert _cc_star_map(spark, nodes, edges) == _cc_map(spark, nodes, edges)
+
+
+def test_cc_star_random_graphs_match_propagation(spark):
+    """Randomized cross-check (fixed seed): sparse random graphs,
+    including edges listed high→low and duplicate edges."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randrange(8, 20)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(n // 2, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_star_map(spark, range(n), edges) == _cc_map(spark, range(n), edges)
+
+
+def test_cc_star_no_edges_all_isolates(spark):
+    got = _cc_star_map(spark, range(5), [])
+    assert got == {i: i for i in range(5)}
+
+
+def test_cc_star_unknown_algorithm_raises(spark):
+    import pytest
+
+    nodes = spark.createDataFrame([(1,)], "id long")
+    edges = spark.createDataFrame([(1, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(nodes, edges, algorithm="nope")
+
+
+def test_pagerank_residual_decreases_and_converges(spark):
+    """The per-round L1 residual is monotonically decreasing on a
+    fixed graph and reaches < 1e-4 within the default 10 rounds —
+    the observability contract: a caller can TELL whether 10
+    iterations was enough instead of trusting it."""
+    from flume_source_spark.pipeline.graph import pagerank
+
+    n = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3)], "src long, dst long"
+    )
+    residuals: list[float] = []
+    pagerank(n, e, residuals=residuals)
+    assert len(residuals) == 10
+    # observed decay ≈ 0.42×/round on this graph: 1.13 → 4.6e-4
+    assert residuals[-1] < 1e-3
+    # geometric-ish decay: each residual ≤ the previous (damping<1 is a
+    # contraction on this graph)
+    assert all(b <= a * 1.01 for a, b in zip(residuals, residuals[1:]))
+
+
+def test_pagerank_tol_stops_early(spark):
+    from flume_source_spark.pipeline.graph import pagerank
+
+    n = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    residuals: list[float] = []
+    out = pagerank(n, e, n_iter=50, tol=1e-6, residuals=residuals)
+    assert len(residuals) < 50  # stopped early
+    assert residuals[-1] < 1e-6
+    assert out.count() == 4
