@@ -190,6 +190,48 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_clustered_write",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    """,
+    tags=("sink", "clustered", "plan"),
+)
+def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: ``repartitionByRange(l_shipdate)``
+    + ``sortWithinPartitions(l_shipdate)`` before the write, then a
+    date-window read-back. The OTHER 100 TB layout decision next to
+    Hive partitioning (``sink_partitioned_write``): when the filter
+    column is high-cardinality (a date/timestamp), directory-per-value
+    partitioning explodes into tiny files — range clustering instead
+    gives every output file a NARROW min/max footer range on the sort
+    column, so a predicate skips whole files (and row groups within
+    them) via parquet statistics, no directory scheme needed. The
+    pushed-down filter reaching the clustered scan is pinned by
+    tests/test_plans.py::test_clustered_write_skips_by_stats."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "lineitem_by_shipdate")
+    (
+        t["lineitem"]
+        .repartitionByRange(8, F.col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    li = spark.read.parquet(out)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1995-03-31"))
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"),
+    )
+
+
+@query(
     "source_text_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs,
