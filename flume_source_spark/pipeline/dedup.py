@@ -292,6 +292,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+              GROUP BY 1, 2)
+    SELECT i, j,
+           CAST(round(c * 1.0 / (sa.n + sb.n - c), 4) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON i = sa.doc_id
+    JOIN sz sb ON j = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ORDER BY i, j
+"""
+
+
+@query("dedup_incremental_lsh", oracle=_INCR_ORACLE, tags=("llm", "dedup", "lsh", "incremental"))
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents (stand-in:
+    doc_id % 10 == 0) against the STANDING corpus (the rest) — the
+    daily-crawl pipeline shape, where re-running all-pairs dedup over
+    corpus+increment every day is the classic quadratic blowup. The
+    scale design: band signatures on BOTH sides, equi-join the
+    increment's buckets against the corpus's buckets (cost =
+    Σ_bucket |inc ∩ bucket|·|corpus ∩ bucket|, never corpus×corpus),
+    hot corpus buckets capped at MAX_BUCKET exactly like the batch
+    variant, then exact-Jaccard verification of the (rare) candidates
+    via broadcast. At 100 TB the corpus's banded signatures are a
+    PERSISTED index (write once, bucket-partitioned); each increment
+    only computes its own signatures and joins in. Oracle: the exact
+    shingle join restricted to increment × corpus pairs — on this
+    corpus LSH equals exact (same probability argument as
+    ``dedup_minhash_lsh``)."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles")).persist()
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    b_inc = _banded(minhash_signature(inc, "doc_id", "shingles"), "doc_id").select(
+        F.col("bid").alias("i"), "band", "band_sig"
+    )
+    b_cor = _banded(minhash_signature(corpus, "doc_id", "shingles"), "doc_id")
+    # cap on the CORPUS side (the unbounded side at scale): buckets
+    # larger than MAX_BUCKET are dropped from candidate generation,
+    # bounding per-bucket work exactly as in lsh_candidate_pairs
+    cor_buckets = (
+        b_cor.groupBy("band", "band_sig")
+        .agg(F.collect_set("bid").alias("js"))
+        .filter(F.size("js") <= MAX_BUCKET)
+    )
+    cand = (
+        b_inc.join(cor_buckets, ["band", "band_sig"])
+        .select("i", F.explode("js").alias("j"))
+        .distinct()
+        .persist()
+    )
+    ids = cand.select(F.col("i").alias("doc_id")).union(cand.select("j")).distinct()
+    cdocs = docs.join(F.broadcast(ids), "doc_id")
+    left = cdocs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
+    right = cdocs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    jac = inter / union
+    return (
+        cand.join(F.broadcast(left), "i")
+        .join(F.broadcast(right), "j")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=None,  # Spark-specific bit patterns (xxhash64); determinism

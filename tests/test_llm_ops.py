@@ -225,3 +225,92 @@ def test_split_assignment_stable_and_balanced(spark, sf_dir):
     frac_val = sum(1 for s in a.values() if s == "val") / n
     assert 0.7 < frac_train < 0.9, frac_train
     assert 0.04 < frac_val < 0.16, frac_val
+
+
+def test_pq_codes_valid_and_deterministic(spark, sf_dir):
+    """PQ digests: codes live in [0, PQ_K); two invocations produce
+    identical output (seeded TakeOrdered init, rounded codebooks —
+    no RNG anywhere)."""
+    from flume_source_spark.pipeline.embstats import PQ_K, emb_quantize_pq
+
+    a = emb_quantize_pq(spark, sf_dir).collect()
+    b = emb_quantize_pq(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert 0 <= r.code_min <= r.code_max < PQ_K
+        assert r.n_subs == 8
+
+
+def test_pq_training_reduces_reconstruction_error(spark, sf_dir):
+    """Lloyd rounds must reduce mean reconstruction MSE vs the raw
+    seed codebooks (iters=0), and the trained quantizer must beat the
+    degenerate single-centroid quantizer (per-subspace data variance)
+    — the 'did training actually learn the distribution' invariants."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.embstats import _pq_digest
+    from flume_source_spark.tables import load_tables
+
+    untrained = {r.vec_id: r.recon_mse for r in _pq_digest(spark, sf_dir, iters=0).collect()}
+    trained = {r.vec_id: r.recon_mse for r in _pq_digest(spark, sf_dir, iters=2).collect()}
+    mean_untrained = sum(untrained.values()) / len(untrained)
+    mean_trained = sum(trained.values()) / len(trained)
+    assert mean_trained <= mean_untrained + 1e-9
+    # single-centroid baseline: quantizing every vector to the global
+    # mean gives MSE = mean per-dim variance; K=16 per subspace must do
+    # strictly better (fixture is tiny — numpy on the collected table
+    # is fine IN A TEST)
+    emb = load_tables(spark, sf_dir)["embeddings"].select("embedding").collect()
+    X = np.array([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+    baseline = X.var(axis=0).mean()
+    assert mean_trained < baseline
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
+    """ADC top-k over PQ codes must rank by real distance (tiny
+    fixture → numpy exact is fine IN A TEST). Calibration: a faithful
+    numpy PQ simulation with the same (M=8, K=16) parameters achieves
+    mean recall@5 ≈ 0.21 on this 500-vector fixture at ANY training
+    depth — 32-bit codes are that coarse here — so the pinned floor is
+    0.1 mean, which is still ~10× the random-ranking expectation of
+    5/499 ≈ 0.01: distinguishes 'ranks by distance' from 'broken',
+    without pretending coarse PQ is exact."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.embstats import PQ_TOP_K, sim_ann_pq_adc
+    from flume_source_spark.tables import load_tables
+
+    got: dict[int, list[int]] = {}
+    for r in sim_ann_pq_adc(spark, sf_dir).collect():
+        got.setdefault(r.qid, []).append(r.nid)
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+    recalls = []
+    for qid, approx in got.items():
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((X - X[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        exact = set(ids[np.argsort(d)[:PQ_TOP_K]].tolist())
+        recalls.append(len(exact & set(approx)) / PQ_TOP_K)
+    mean_recall = sum(recalls) / len(recalls)
+    random_baseline = PQ_TOP_K / (len(ids) - 1)
+    assert mean_recall >= 0.1, recalls
+    assert mean_recall > 5 * random_baseline, (mean_recall, random_baseline)
+
+
+def test_pq_adc_deterministic_and_ranked(spark, sf_dir):
+    from flume_source_spark.pipeline.embstats import sim_ann_pq_adc
+
+    a = [tuple(r) for r in sim_ann_pq_adc(spark, sf_dir).collect()]
+    b = [tuple(r) for r in sim_ann_pq_adc(spark, sf_dir).collect()]
+    assert a == b
+    # per qid: rn 1..5, adc_dist non-decreasing, no self-matches
+    per_q: dict[int, list] = {}
+    for qid, nid, dist, rn in a:
+        assert qid != nid
+        per_q.setdefault(qid, []).append((rn, dist))
+    for rows in per_q.values():
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
