@@ -292,6 +292,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT i, j,
+           CAST(round(c * 1.0 / sa.n, 4) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sz sa ON i = sa.doc_id
+    WHERE c * 1.0 / sa.n >= 0.8
+    ORDER BY i, j
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("llm", "dedup", "containment"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(i→j) = |sh(i) ∩ sh(j)| / |sh(i)| ≥ 0.8 — document i is (nearly)
+    a subset of j. The duplicate class symmetric Jaccard structurally
+    misses: a 50-token quote inside a 5,000-token page has J ≈ 0.01
+    but C ≈ 1.0 (excerpt pages, boilerplate wrappers, syndicated
+    articles with added chrome). Directional output: (i, j) and
+    (j, i) are independent findings; dedup policy usually drops the
+    CONTAINED side (i). Same shared-shingle join shape as
+    ``dedup_ngram_jaccard`` — the exact/oracle path; at 100 TB the
+    candidate set comes from the same MinHash bands (containment ≥ t
+    implies Jaccard ≥ t·|sh(i)|/|sh(j)|, so high-containment pairs of
+    comparable size collide in bands; for extreme size ratios the
+    scale path is a dedicated containment sketch, e.g. bottom-k with
+    size-stratified bands)."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    sh = d.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("i"), "shingle")
+    b = sh.select(F.col("doc_id").alias("j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na"))
+    cont = F.col("c") / F.col("na")
+    return (
+        inter.join(sza, "i")
+        .filter(cont >= 0.8)
+        .select("i", "j", F.round(cont, 4).cast("double").alias("containment"))
+        .orderBy("i", "j")
+    )
+
+
 _INCR_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
