@@ -349,3 +349,42 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_incremental_lsh_no_cartesian_broadcast_verify(spark, sf_dir):
+    """dedup_incremental_lsh's scale contract in the physical plan: no
+    cartesian/nested-loop anywhere (candidate generation is a bucket
+    equi-join), and the exact-verification joins are broadcast (the
+    candidate side is rare by LSH design) — the corpus never shuffles
+    for the verify stage."""
+    p = plan(spark, sf_dir, "dedup_incremental_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_registry_green_sets_are_consistent():
+    """The driver-green frozensets must only name queries that exist
+    (a typo would silently demote a query into the wrong sweep block)
+    and every registered query must be orderable into exactly one
+    block."""
+    from flume_source_spark.registry import (
+        REGISTRY,
+        _DRIVER_GREEN_R01,
+        _DRIVER_GREEN_R02,
+        _DRIVER_GREEN_R03,
+        _FRESH_GREEN,
+        _STALE_GREEN,
+        load_all,
+    )
+
+    load_all()
+    names = set(REGISTRY)
+    for s in (_DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03):
+        missing = s - names
+        assert not missing, f"green set names unknown queries: {missing}"
+    assert not (_STALE_GREEN & _FRESH_GREEN)
+    ordered = list(load_all())
+    never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
+    # never-swept block must be a prefix (verify-first contract)
+    assert ordered[: len(never)] == never
