@@ -355,3 +355,93 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dropmalformed").alias("mode"), "n_rows", F.lit(0).cast("long").alias("n_corrupt")
     )
     return n_perm.unionByName(n_drop).orderBy("mode")
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sink", "maintenance", "compaction"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-running ingest needs (streaming sinks and per-trigger writes
+    produce file counts that grow without bound; at 100 TB the
+    metadata and open() overhead of millions of small files dominates
+    scan time long before bytes do). Simulates the problem by writing
+    ``documents`` as 64 deliberate fragments, then compacts with
+    ``coalesce(4)`` — a NARROW repartitioning: each output task
+    concatenates ~16 input fragments with no shuffle at all (this is
+    the OPTIMIZE/bin-packing primitive; use repartitionByRange instead
+    when the rewrite should also re-cluster, cf.
+    ``sink_clustered_write``). Verified on three axes: the compacted
+    file count is actually ≤ 4 (asserted here — a compaction that
+    silently doesn't compact is the classic regression), the
+    round-tripped data aggregates identically to the original parquet
+    (the oracle), and the write is atomic-by-directory (overwrite
+    mode)."""
+    t = load_tables(spark, sf_dir)
+    frag = _slot(sf_dir, "documents_fragmented")
+    compact = _slot(sf_dir, "documents_compacted")
+    t["documents"].repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    n_files = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_files <= 4, f"compaction produced {n_files} files (> 4)"
+    d = spark.read.parquet(compact)
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the other inevitable operational
+    reality of a long-lived 100 TB table: early files were written
+    before a column existed. Writes ``orders`` as two generations
+    (v1: WITHOUT o_orderdate, for orders before 1996; v2: full
+    schema, the rest), reads the union with ``mergeSchema=true``
+    (Spark reconciles the footers; v1 rows surface NULL o_orderdate),
+    and aggregates with explicit NULL handling. The oracle computes
+    the identical result from the original table: a 1996+ date exists
+    exactly for the v2 generation, so ``n_with_date`` counts evolved
+    rows — pinning both the schema merge and the NULL semantics of
+    the missing column."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "orders_evolved")
+    o = t["orders"]
+    v1 = o.filter(F.col("o_orderdate") < "1996-01-01").drop("o_orderdate")
+    v2 = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderdate").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
