@@ -371,11 +371,19 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist = np.zeros((len(qids), n), dtype=np.float64)
             for m in range(PQ_M):
                 dist += luts[:, m, :][:, codes[:, m]]
+            # LOCAL top-k per query within this Arrow batch: the
+            # global top-k of a union equals the top-k of the locals,
+            # so only k rows per (query, batch) ever reach the global
+            # window — without this, the window's |queries| partition
+            # keys would each receive the WHOLE corpus at scale
+            nids = pdf["vec_id"].to_numpy()
+            k = min(PQ_TOP_K + 1, n)  # +1: self-match dropped later
+            idx = np.argpartition(dist, k - 1, axis=1)[:, :k]
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(qids, n),
-                    "nid": np.tile(pdf["vec_id"].to_numpy(), len(qids)),
-                    "adc_dist": np.round(dist.ravel(), 6),
+                    "qid": np.repeat(qids, k),
+                    "nid": nids[idx].ravel(),
+                    "adc_dist": np.round(np.take_along_axis(dist, idx, axis=1).ravel(), 6),
                 }
             )
 
