@@ -156,3 +156,60 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "multimodal_content_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, encode(text) AS payload FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               sha256(text) AS payload_sha256,
+               1 + octet_length(payload) % 64 AS width,
+               1 + (octet_length(payload) // 64) % 64 AS height,
+               CAST(1 + ascii(substring(text, 1, 1)) % 4 AS BIGINT) AS channels
+        FROM b
+    )
+    SELECT width, height, channels,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT payload_sha256) AS BIGINT) AS n_distinct_payloads,
+           min(doc_id) AS kept_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM sig
+    GROUP BY width, height, channels
+    ORDER BY width, height, channels
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-bucket dedup for binary media — the LAION-style
+    image-dedup shape: bucket by a decode-derived signature (here the
+    deterministic fake decoder's (width, height, channels); a real
+    pipeline uses pHash/dHash), keep one representative per bucket
+    (min doc_id), and report exact-content diversity inside each
+    bucket via sha2 over the raw bytes. Both stages are one hash
+    aggregate keyed on the signature — no pairwise comparison, so the
+    plan is the same at 100 TB (pHash buckets are the image analogue
+    of LSH bands; intra-bucket verify would broadcast bucket members
+    exactly like dedup_minhash_lsh's verify stage)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    payload = F.encode(F.col("text"), "UTF-8")
+    sig = d.select(
+        "doc_id",
+        F.sha2(payload, 256).alias("payload_sha256"),
+        (1 + F.length(payload) % 64).alias("width"),
+        (1 + F.expr("octet_length(encode(text, 'UTF-8')) div 64") % 64).alias("height"),
+        (1 + F.ascii(F.substring("text", 1, 1)) % 4).cast("bigint").alias("channels"),
+    )
+    return (
+        sig.groupBy("width", "height", "channels")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("payload_sha256").alias("n_distinct_payloads"),
+            F.min("doc_id").alias("kept_doc_id"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("width", "height", "channels")
+    )

@@ -180,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text3  # noqa: F401
     import flume_source_spark.pipeline.text4  # noqa: F401
     import flume_source_spark.pipeline.text5  # noqa: F401
+    import flume_source_spark.pipeline.text6  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401

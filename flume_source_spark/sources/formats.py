@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flume_source_spark.canon import dec, dsum
@@ -444,4 +444,90 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_with_date"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+N_ZORDER_FILES = 16
+_ZBITS = 8  # 8 bits per dimension → 16-bit z-values
+
+
+def _zorder_bucket(col: Column, bounds: list[float]) -> Column:
+    """Quantile-bucket assignment WITHOUT a global sort: count how many
+    precomputed boundaries lie at or below the value (a 255-element
+    array scan per row, pure expression work). This is the scale-safe
+    replacement for ntile() over an unpartitioned window, which would
+    funnel the whole table through one task; the boundaries themselves
+    come from approxQuantile — a driver-bounded (≤255 scalars)
+    Greenwald-Khanna sketch, the same sampling strategy
+    repartitionByRange uses internally."""
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(barr, lambda b: b <= col.cast("double")))
+
+
+def _interleave_bits(bx: Column, by: Column) -> Column:
+    """16-bit Morton (z-order) code from two 8-bit bucket ranks —
+    bit-interleave as a fixed chain of shift/mask expressions (JVM
+    codegen, no UDF)."""
+    z = F.lit(0)
+    for i in range(_ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@query(
+    "sink_zorder_write",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_totalprice BETWEEN 100000 AND 150000
+    """,
+    tags=("sink", "clustered", "plan", "zorder"),
+)
+def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered parquet layout on TWO columns
+    — the multi-dimensional file-skipping layout (Delta OPTIMIZE
+    ZORDER BY / Iceberg sort-order analogue) that 1-D range clustering
+    (``sink_clustered_write``) cannot provide: range-cluster on
+    o_custkey and every o_totalprice predicate still reads all files;
+    interleave the two dims' quantile-bucket ranks bit-by-bit and
+    every output file covers a narrow rectangle in BOTH dims, so
+    min/max footer stats skip files for predicates on either column.
+    Pipeline: approxQuantile boundaries (driver-bounded sketch) →
+    per-row bucket rank via array scan (no global sort) → 16-bit
+    Morton code → repartitionByRange(z) + sortWithinPartitions(z) →
+    parquet. The skipping itself is pinned by
+    tests/test_plans.py::test_zorder_write_skips_both_dims; this query
+    verifies the layout is LOSSLESS via a 2-D filtered read-back
+    aggregate against the original table."""
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "orders_zorder")
+    orders = t["orders"]
+    qs = [i / 256 for i in range(1, 256)]
+    cust_bounds = orders.approxQuantile("o_custkey", qs, 0.001)
+    price_bounds = orders.approxQuantile("o_totalprice", qs, 0.001)
+    z = _interleave_bits(
+        _zorder_bucket(F.col("o_custkey"), cust_bounds),
+        _zorder_bucket(F.col("o_totalprice"), price_bounds),
+    )
+    (
+        orders.withColumn("_z", z)
+        .repartitionByRange(N_ZORDER_FILES, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    o = spark.read.parquet(out)
+    return o.filter(
+        F.col("o_custkey").between(100, 500) & F.col("o_totalprice").between(100000, 150000)
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(dec("o_totalprice"), "total_price"),
     )

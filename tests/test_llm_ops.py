@@ -314,3 +314,67 @@ def test_pq_adc_deterministic_and_ranked(spark, sf_dir):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         dists = [r[1] for r in rows]
         assert dists == sorted(dists)
+
+
+def test_substring_spans_crafted_docs(spark):
+    """Substring-level dedup on hand-crafted docs: a 6-token quote
+    shared by docs 1 and 2 (embedded in otherwise-unique text) is
+    recovered as ONE merged span at the right positions in each;
+    doc 3 (unique) and doc 4 (< k tokens) report no spans; two
+    disjoint shared runs in one doc stay separate islands."""
+    from flume_source_spark.pipeline.text6 import substring_dup_spans
+
+    quote = "to be or not to be"          # 6 tokens → two 5-grams, one island
+    tail = "that is the question indeed"  # second shared run for doc 5/6
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {quote} gamma delta"),
+            (2, f"{quote} epsilon zeta eta theta iota"),
+            (3, "entirely unique words that no other document shares here"),
+            (4, "too few"),
+            (5, f"{quote} unique1 unique2 unique3 {tail}"),
+            (6, f"{tail} other3 other4 other5 {quote}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dup_spans(docs).collect()}
+    assert out[1].spans == "3-8" and out[1].n_spans == 1 and out[1].dup_tokens == 6
+    assert out[2].spans == "1-6" and out[2].n_spans == 1
+    assert out[3].n_spans == 0 and out[3].spans == ""
+    assert out[4].n_spans == 0 and out[4].n_tokens == 2
+    # doc 5: quote at 1-6 and tail at 10-14 — two disjoint islands
+    assert out[5].spans == "1-6;10-14" and out[5].n_spans == 2 and out[5].dup_tokens == 11
+    assert out[6].n_spans == 2
+    # permyriad is floor((dup/total)*10000): doc 1 → 6/10 tokens
+    assert out[1].dup_permyriad == 6000
+
+
+def test_substring_spans_merge_adjacent_and_overlapping(spark):
+    """Overlapping k-gram hits (a shared run longer than k) merge into
+    a single span covering the whole run, not per-gram fragments."""
+    from flume_source_spark.pipeline.text6 import substring_dup_spans
+
+    run12 = " ".join(f"w{i}" for i in range(12))  # 12-token shared run
+    docs = spark.createDataFrame(
+        [(1, f"{run12} x1 x2"), (2, f"y1 y2 {run12}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dup_spans(docs).collect()}
+    assert out[1].spans == "1-12" and out[1].dup_tokens == 12
+    assert out[2].spans == "3-14"
+
+
+def test_url_canonical_dedup_collapses_variants(spark, sf_dir):
+    """Every canonical URL groups doc_ids congruent mod 50 with the
+    same (source, lang); the kept doc has the max n_chars in its
+    group (min doc_id tiebreak), and variant counts sum to |docs|."""
+    rows = run("text_url_canonical_dedup", spark, sf_dir).collect()
+    total = sum(r.n_variants for r in rows)
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs = con.execute(f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    assert total == n_docs
+    assert all(r.n_variants >= 1 for r in rows)
+    assert all("utm_" not in r.canonical_url and "#" not in r.canonical_url for r in rows)
+    assert all(".example.com/" in r.canonical_url for r in rows)  # host lowercased

@@ -5,6 +5,8 @@ TakeOrderedAndProject, aggregates partial+final, codegen engaged."""
 
 from __future__ import annotations
 
+import os
+
 from flume_source_spark.registry import load_all
 
 SPECS = load_all()
@@ -388,3 +390,59 @@ def test_registry_green_sets_are_consistent():
     never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
     # never-swept block must be a prefix (verify-first contract)
     assert ordered[: len(never)] == never
+
+
+def test_zorder_write_skips_both_dims(spark, sf_dir):
+    """Z-order layout: after the Morton-clustered write, each parquet
+    file's min/max footer range must be NARROW on BOTH clustered
+    columns — a centered 20%-quantile window on either dim overlaps
+    at most ~60% of files, where a 1-D custkey-sorted layout leaves
+    o_totalprice ranges spanning ~everything (overlap ~100%). Read
+    directly from the parquet footers (pyarrow), the same statistics
+    Spark's scan consults for file/row-group skipping."""
+    import pyarrow.parquet as pq
+
+    from flume_source_spark.registry import load_all
+    from flume_source_spark.workdir import slot
+
+    load_all()["sink_zorder_write"].builder(spark, sf_dir).collect()
+    out = slot(sf_dir, "orders_zorder")
+    files = [f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 8, f"expected >=8 z-clustered files, got {len(files)}"
+
+    stats = {}  # file -> {col: (min, max)}
+    lo, hi = {}, {}
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        per = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                c = row.column(ci)
+                name = c.path_in_schema
+                if name in ("o_custkey", "o_totalprice") and c.statistics is not None:
+                    mn, mx = c.statistics.min, c.statistics.max
+                    pmn, pmx = per.get(name, (mn, mx))
+                    per[name] = (min(pmn, mn), max(pmx, mx))
+        stats[path] = per
+        for name, (mn, mx) in per.items():
+            lo[name] = min(lo.get(name, mn), mn)
+            hi[name] = max(hi.get(name, mx), mx)
+
+    def mean_overlap(col):
+        """Mean file-overlap fraction of 10%-of-range windows at four
+        offsets — one window can straddle a z-prefix boundary (range
+        partition cuts are not prefix-aligned), the mean cannot."""
+        span = hi[col] - lo[col]
+        fr = []
+        for c0 in (0.15, 0.35, 0.55, 0.75):
+            qlo, qhi = lo[col] + c0 * span, lo[col] + (c0 + 0.1) * span
+            n = sum(1 for per in stats.values() if per[col][0] <= qhi and per[col][1] >= qlo)
+            fr.append(n / len(files))
+        return sum(fr) / len(fr)
+
+    for col in ("o_custkey", "o_totalprice"):
+        frac = mean_overlap(col)
+        # unclustered / wrong-dim-sorted layout → ~100%; z-order with 16
+        # files (2 z-prefix bits per dim) → ~25-55% incl. straddle files
+        assert frac <= 0.6, f"{col}: mean {frac:.0%} of files overlap 10% windows — not clustered"
