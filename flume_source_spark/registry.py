@@ -174,6 +174,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
+    import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
     import flume_source_spark.pipeline.text2  # noqa: F401

@@ -378,3 +378,38 @@ def test_url_canonical_dedup_collapses_variants(spark, sf_dir):
     assert all(r.n_variants >= 1 for r in rows)
     assert all("utm_" not in r.canonical_url and "#" not in r.canonical_url for r in rows)
     assert all(".example.com/" in r.canonical_url for r in rows)  # host lowercased
+
+
+def test_semdedup_greedy_invariant_exact(spark, sf_dir):
+    """ds_semdedup's drop decisions recomputed exactly in numpy over
+    EVERY vector: j is dropped iff some lower-id member of its own
+    cluster has cosine ≥ SEM_TAU with it. Also: some drops happen
+    (the fixture plants near-dups and near-dup vectors land in the
+    same cluster), and two kept members of one cluster are never
+    τ-similar UNLESS shielded by a dropped predecessor — i.e. the
+    exact greedy policy, not a transitive closure."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.semdedup import SEM_TAU
+
+    rows = run("ds_semdedup", spark, sf_dir).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    cluster = {r.vec_id: r.cluster for r in rows}
+    dropped = {r.vec_id: r.is_dropped for r in rows}
+    ids = sorted(cluster)
+    unit = {i: emb[i] / np.linalg.norm(emb[i]) for i in ids}
+    n_drop = 0
+    for j in ids:
+        peers = [i for i in ids if i < j and cluster[i] == cluster[j]]
+        expect = any(float(unit[i] @ unit[j]) >= SEM_TAU for i in peers)
+        assert dropped[j] == expect, f"vec {j}: is_dropped={dropped[j]} but exact recompute={expect}"
+        n_drop += dropped[j]
+    assert n_drop > 0, "fixture's planted near-dups should produce drops"
+    assert n_drop < len(ids) // 2, "semantic dedup should not halve a mostly-unique corpus"
+
+
+def test_semdedup_deterministic(spark, sf_dir):
+    a = [tuple(r) for r in run("ds_semdedup", spark, sf_dir).collect()]
+    b = [tuple(r) for r in run("ds_semdedup", spark, sf_dir).collect()]
+    assert a == b
