@@ -53,6 +53,13 @@ HEADLINE = [
     # pure-HOF per-row text scoring)
     "ts_ohlc_bars",
     "text_gopher_rules",
+    # round-4 additions (new cost classes: positional-gram span
+    # merge with gaps-and-islands windows; iterative k-means training
+    # + cluster-blocked pairwise cosine — latency-bound at fixture
+    # scale: ~8 sequential jobs with Python-worker barriers, which is
+    # the cost that AMORTIZES at real scale, steady ≈ 6 s at sf0.1)
+    "text_substring_dedup_spans",
+    "ds_semdedup",
 ]
 
 

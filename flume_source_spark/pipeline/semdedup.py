@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flume_source_spark.pipeline.dedup import spread
 from flume_source_spark.pipeline.similarity import (
     _dvec,
     assign_nearest,
@@ -72,7 +73,14 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which duplicate to keep and a per-cluster cohesion diagnostic."""
     import numpy as np
 
-    e = load_tables(spark, sf_dir)["embeddings"]
+    # the fixture arrives as ONE parquet split — hash-spread so the
+    # matmul kernels and the pairwise join use every core (at 100 TB
+    # input splits already provide this; see dedup.spread). Persist:
+    # the embeddings are scanned ~8× across Lloyd rounds, assignment
+    # and the pairwise join; at 100 TB this is MEMORY_AND_DISK on the
+    # N×dim vectors — still linear state, the standard k-means
+    # trade-off, not a driver collect.
+    e = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").persist()
     c_mat = train_spherical_kmeans(e, SEM_NLIST, SEM_ITERS)
     assigned = assign_nearest(e, c_mat, 1)
 

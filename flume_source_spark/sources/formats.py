@@ -509,8 +509,10 @@ def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _slot(sf_dir, "orders_zorder")
     orders = t["orders"]
     qs = [i / 256 for i in range(1, 256)]
-    cust_bounds = orders.approxQuantile("o_custkey", qs, 0.001)
-    price_bounds = orders.approxQuantile("o_totalprice", qs, 0.001)
+    # ONE sketch pass for both dims (approxQuantile accepts a column
+    # list) — at 100 TB the quantile scan is the dominant extra cost
+    # of z-ordering, so never pay it per-column
+    cust_bounds, price_bounds = orders.approxQuantile(["o_custkey", "o_totalprice"], qs, 0.001)
     z = _interleave_bits(
         _zorder_bucket(F.col("o_custkey"), cust_bounds),
         _zorder_bucket(F.col("o_totalprice"), price_bounds),
