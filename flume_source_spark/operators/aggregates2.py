@@ -127,3 +127,73 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("o_orderstatus")
+
+
+_HEAVY_HITTERS_ORACLE = """
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM c
+    ),
+    g AS (
+        SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS cnt FROM c GROUP BY 1
+    ),
+    gr AS (
+        SELECT 'ALL' AS o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM g
+    )
+    SELECT o_orderstatus, o_orderpriority, cnt, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT * FROM per WHERE rn <= 3 UNION ALL SELECT * FROM gr WHERE rn <= 3)
+    ORDER BY o_orderstatus, rn
+"""
+
+
+@query("agg_heavy_hitters", oracle=_HEAVY_HITTERS_ORACLE, tags=("agg", "sketch", "approx"))
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4.1's ApproxTopK sketch family — the
+    frequent-items surface (Misra-Gries-class) next to HLL
+    (``agg_sketch_mergeable``): per-group top-3 order priorities from
+    ``approx_top_k``, plus a global 'ALL' row computed by MERGING the
+    per-group sketches (``approx_top_k_accumulate`` →
+    ``approx_top_k_combine`` → ``approx_top_k_estimate``) — history
+    partials re-aggregated without rescanning, the same mergeability
+    contract the HLL query pins.
+
+    Hash-checkable against an EXACT oracle because maxItemsTracked
+    (10000) far exceeds the 5 distinct priorities, where the sketch
+    counts are exact by construction; ties are re-ranked
+    deterministically ((cnt DESC, item ASC) row_number) since the
+    sketch's own array order ranks ties arbitrarily. At 100 TB the
+    sketch is what survives: per-partition state is
+    O(maxItemsTracked), partials merge associatively, and the
+    estimate never needs the raw value distribution."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per_sketch = o.groupBy("o_orderstatus").agg(
+        F.expr("approx_top_k_accumulate(o_orderpriority, 10000)").alias("sk")
+    )
+    per = (
+        per_sketch.select(
+            "o_orderstatus",
+            F.explode(F.expr("approx_top_k_estimate(sk, 10000)")).alias("e"),
+        )
+        .select("o_orderstatus", F.col("e.item").alias("o_orderpriority"), F.col("e.count").alias("cnt"))
+    )
+    merged = (
+        per_sketch.agg(F.expr("approx_top_k_combine(sk, 10000)").alias("sk"))
+        .select(F.explode(F.expr("approx_top_k_estimate(sk, 10000)")).alias("e"))
+        .select(F.lit("ALL").alias("o_orderstatus"), F.col("e.item").alias("o_orderpriority"), F.col("e.count").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (
+        per.unionByName(merged)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderpriority", F.col("cnt").cast("long").alias("cnt"), "rn")
+        .orderBy("o_orderstatus", "rn")
+    )
