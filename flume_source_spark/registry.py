@@ -186,6 +186,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
     import flume_source_spark.sources.formats  # noqa: F401
+    import flume_source_spark.sources.spool_writer  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
 
     ever_swept = _STALE_GREEN | _FRESH_GREEN

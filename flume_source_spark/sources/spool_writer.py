@@ -1,0 +1,174 @@
+"""Spool-directory PRODUCER — a custom Python DataSource *writer*,
+the inverse of the filemeta *reader* (``sources/filemeta.py``).
+
+The reference consumes a spool directory: upstream producers drop one
+file per record, the Flume source emits per-file events and
+rename-commits them (`CephFSEventReader.java:172-210`). This module is
+the other half of that contract: write a DataFrame out as one file per
+row, with the same rename-as-commit protocol on the PRODUCER side —
+rows are written to dot-prefixed temp names on executors and only
+renamed to their final names in the driver-side job commit, so a
+concurrently-polling consumer (the reference, or our filemeta source,
+whose candidate filter skips dot-files — `CephFSEventReader.java:115`
+parity) can never observe a half-written or uncommitted file. A failed
+job aborts by deleting the temp files; the spool directory is left
+unchanged.
+
+This exercises the full Python DataSource API surface: the repo
+already ships a batch reader, a simple stream reader, a partitioned
+stream reader, and a stream *writer* path via foreachBatch; this adds
+the batch ``DataSourceWriter`` (write → WriterCommitMessage →
+commit/abort two-phase protocol).
+
+Scale: each executor task writes its partition's files locally and
+ships only (tmp, final) name pairs to the driver; the commit is pure
+renames (one syscall/file on the shared filesystem a spool directory
+implies). The per-file cost model is exactly the reference's — this is
+the small-file regime by DESIGN (a spool contract), not an accident;
+bulk data belongs in the parquet sinks.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+from flume_source_spark.workdir import slot as _slot
+
+
+@dataclass
+class SpoolCommitMessage(WriterCommitMessage):
+    # (tmp_path, final_path) pairs written by one task
+    files: list = field(default_factory=list)
+
+
+class SpoolWriter(DataSourceWriter):
+    """Two-phase spool writer: temp-write on executors, rename on
+    job commit. Input schema must provide ``file_name`` and ``body``
+    string columns."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("textspool writer requires option 'path'")
+        self.suffix = options.get("tmpPrefix", ".spool-tmp-")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        files = []
+        for row in iterator:
+            name = row["file_name"]
+            if not name or name.startswith(".") or "/" in name:
+                raise ValueError(f"illegal spool file name: {name!r}")
+            tmp = os.path.join(self.path, f"{self.suffix}{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(row["body"] if row["body"] is not None else "")
+            files.append((tmp, os.path.join(self.path, name)))
+        return SpoolCommitMessage(files=files)
+
+    def commit(self, messages) -> None:
+        pending = [p for m in messages if m is not None for p in m.files]
+        if self.overwrite:
+            keep = {tmp for tmp, _ in pending}
+            for entry in os.listdir(self.path):
+                full = os.path.join(self.path, entry)
+                if os.path.isfile(full) and full not in keep:
+                    os.remove(full)
+        else:
+            # errorifexists/append parity with the reference's
+            # dest-exists rename failure (CephFSEventReader.java:189)
+            clash = [f for _, f in pending if os.path.exists(f)]
+            if clash:
+                for tmp, _ in pending:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                raise FileExistsError(f"spool destinations already exist: {sorted(clash)[:3]}...")
+        for tmp, final in pending:
+            os.rename(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _ in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+
+
+class TextSpoolDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "textspool"
+
+    def writer(self, schema, overwrite: bool) -> SpoolWriter:
+        names = [f.name for f in schema.fields]
+        if "file_name" not in names or "body" not in names:
+            raise ValueError(f"textspool requires (file_name, body) columns, got {names}")
+        return SpoolWriter(self.options, overwrite)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(TextSpoolDataSource)
+
+
+@query(
+    "sink_spool_writer",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE NOT contains(text, chr(9)) AND NOT contains(text, chr(10))
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sink", "source", "spool", "datasource"),
+)
+def sink_spool_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one spool file per doc via the custom textspool
+    writer (rename-commit) → read back with text(wholetext) +
+    input-file-name parsing → per-lang aggregate, oracle-checked
+    against the original parquet: the written bytes must round-trip
+    losslessly through the two-phase protocol. Line-unsafe docs are
+    excluded by the same predicate on both sides (none exist in the
+    fixtures)."""
+    register(spark)
+    t = load_tables(spark, sf_dir)
+    out = _slot(sf_dir, "documents_spool")
+    d = t["documents"].filter(~F.col("text").contains("\t") & ~F.col("text").contains("\n"))
+    (
+        d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+            F.col("text").alias("body"),
+        )
+        .write.format("textspool")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    back = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(out)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"doc-(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+            F.col("value").alias("text_back"),
+        )
+    )
+    return (
+        d.join(back, "doc_id")
+        .filter(F.col("text") == F.col("text_back"))  # lossless round-trip gate
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("lang")
+    )
