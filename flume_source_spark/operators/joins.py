@@ -329,3 +329,68 @@ def join_shuffle_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.value AS cval
+           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         )
+    SELECT event_id, user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN cts >= pts - INTERVAL 30 MINUTE
+                THEN strftime(cts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+           CASE WHEN cts >= pts - INTERVAL 30 MINUTE
+                THEN CAST(round(cval, 4) AS DOUBLE) END AS click_value,
+           COALESCE(cts >= pts - INTERVAL 30 MINUTE, FALSE) AS within_tolerance
+    FROM m
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a bounded lookback (pandas merge_asof's
+    ``tolerance``, kdb wj-style): the nearest prior click counts only
+    if it happened within 30 minutes of the purchase; staler state is
+    reported as NO match (attribution windows, sensor staleness
+    cutoffs). Same single-shuffle window recipe as ``join_asof`` —
+    the tolerance is applied AFTER the carry-forward (if the nearest
+    prior is too old, every prior is), so it adds zero shuffles; the
+    DuckDB oracle mirrors with ASOF LEFT JOIN + the same cutoff
+    predicate."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir)["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("timestamp").alias("c_ts"), F.col("event_id").alias("tie_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts", F.lit(0).alias("is_p"),
+        F.col("value").alias("c_value"), F.col("ts").alias("c_ts"), F.col("event_id").alias("tie_id"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "is_p", "tie_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    in_tol = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    merged = (
+        purchases.unionByName(clicks)
+        .withColumn("last_click_value", F.last("c_value", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.when(in_tol, F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss")).alias("click_ts"),
+            F.when(in_tol, F.round("last_click_value", 4).cast("double")).alias("click_value"),
+            F.coalesce(in_tol, F.lit(False)).alias("within_tolerance"),
+        )
+        .orderBy("event_id")
+    )
