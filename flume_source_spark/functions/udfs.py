@@ -275,3 +275,54 @@ def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases long, purchase_value double",
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "udtf_analyze_dynamic",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 1)
+    SELECT doc_id,
+           toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2, toks[4] AS tok3,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("udf", "udtf", "analyze"),
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed
+    at plan time by ``analyze()`` from a constant argument — here a
+    leading-token widener whose column count (tok0..tokN-1) comes from
+    the N literal in the query. This is the UDTF tier you cannot
+    express with a static returnType (``udtf_expand``): schema is
+    data-dependent-by-argument, resolved once on the driver, and
+    Catalyst plans the lateral join against the resolved shape. The
+    kernel itself stays a plain row generator on executors."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(row, n):
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant literal")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_tokens", LongType()))
+
+        def eval(self, row, n):
+            toks = (row["text"] or "").split(" ")
+            yield (row["doc_id"], *[toks[i] if i < len(toks) else None for i in range(n)], len(toks))
+
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT t.* FROM documents_v d,
+        LATERAL lead_tokens(struct(d.doc_id, d.text), 4) t
+        WHERE d.doc_id % 20 = 1
+        ORDER BY doc_id
+        """
+    )

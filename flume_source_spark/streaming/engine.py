@@ -316,9 +316,60 @@ class ParquetUpsertSink:
         except FileNotFoundError:
             return None
 
+    def _read_commit_full(self) -> dict | None:
+        try:
+            with open(self._commit) as f:
+                c = json.loads(f.read())
+        except FileNotFoundError:
+            return None
+        # pre-history commit files carried only the live generation
+        c.setdefault("history", [{"gen": c["gen"], "epoch": int(c["epoch"])}])
+        return c
+
     def read_target(self, spark) -> DataFrame | None:
         c = self._read_commit()
         return spark.read.parquet(os.path.join(self.path, c[0])) if c else None
+
+    def generations(self) -> list[tuple[int, str]]:
+        """Committed (epoch, generation-dir) pairs, oldest first —
+        crashed write attempts never appear (the commit file is the
+        only source of truth, exactly the Delta/Iceberg log contract
+        in miniature)."""
+        c = self._read_commit_full()
+        return [(int(h["epoch"]), h["gen"]) for h in c["history"]] if c else []
+
+    def read_generation(self, spark, as_of_epoch: int | None = None) -> DataFrame | None:
+        """TIME TRAVEL: the newest committed generation with
+        epoch ≤ as_of_epoch (None → latest). Each generation is a full
+        keyed snapshot, so historical reads need no log replay."""
+        gens = [g for g in self.generations() if as_of_epoch is None or g[0] <= as_of_epoch]
+        if not gens:
+            return None
+        return spark.read.parquet(os.path.join(self.path, gens[-1][1]))
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete generation directories not among the last
+        ``keep_last`` committed ones — including orphans from crashed
+        attempts (present on disk, absent from history). Trims the
+        commit history to match (atomic replace, same single commit
+        point). Returns the deleted directory names."""
+        import shutil
+
+        c = self._read_commit_full()
+        if c is None:
+            return []
+        keep_hist = c["history"][-max(keep_last, 1):]
+        keep = {h["gen"] for h in keep_hist}
+        deleted = []
+        for entry in os.listdir(self.path):
+            if entry.startswith("gen-") and entry not in keep:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                deleted.append(entry)
+        tmp = self._commit + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({**c, "history": keep_hist}))
+        os.replace(tmp, self._commit)
+        return sorted(deleted)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         committed = self._read_commit()
@@ -342,7 +393,9 @@ class ParquetUpsertSink:
         # the read path and write path cannot coincide.
         gen = f"gen-{epoch_id}-{uuid.uuid4().hex[:8]}"
         latest.write.mode("overwrite").parquet(os.path.join(self.path, gen))
+        prev = self._read_commit_full()
+        history = (prev["history"] if prev else []) + [{"gen": gen, "epoch": epoch_id}]
         tmp = self._commit + ".tmp"
         with open(tmp, "w") as f:
-            f.write(json.dumps({"gen": gen, "epoch": epoch_id}))
+            f.write(json.dumps({"gen": gen, "epoch": epoch_id, "history": history}))
         os.replace(tmp, self._commit)  # single atomic commit point

@@ -560,3 +560,35 @@ def test_stream_stream_left_outer_emits_null_for_unmatched(spark, tmp_path):
     pairs = {(r.purchase_id, r.click_id) for r in sink.rows}
     assert (10, 1) in pairs  # matched within lookback
     assert (11, None) in pairs, pairs  # unmatched → outer null after watermark
+
+
+def test_parquet_upsert_time_travel_and_vacuum(spark, tmp_path):
+    """Each committed epoch is a readable snapshot: read_generation
+    (as-of-epoch) returns the PRE-update state, generations() lists
+    only committed dirs (crashed orphans excluded), and vacuum
+    deletes everything but the last k generations — orphans included
+    — while the live read is unaffected."""
+    from flume_source_spark.streaming.engine import ParquetUpsertSink
+
+    tgt = str(tmp_path / "target")
+    sink = ParquetUpsertSink(tgt, key="event_id", order_col="ts")
+    sink(spark.createDataFrame([(1, 10, 1.0)], "event_id INT, ts INT, value DOUBLE"), 0)
+    sink(spark.createDataFrame([(1, 20, 5.0), (2, 20, 2.0)], "event_id INT, ts INT, value DOUBLE"), 1)
+    sink(spark.createDataFrame([(3, 30, 3.0)], "event_id INT, ts INT, value DOUBLE"), 2)
+    (tmp_path / "target" / "gen-9-orphan").mkdir()  # crashed attempt
+
+    assert [e for e, _ in sink.generations()] == [0, 1, 2]
+    assert "gen-9-orphan" not in {g for _, g in sink.generations()}
+
+    asof0 = {r.event_id: r.value for r in sink.read_generation(spark, 0).collect()}
+    assert asof0 == {1: 1.0}  # time travel: pre-update value visible
+    asof1 = {r.event_id: r.value for r in sink.read_generation(spark, 1).collect()}
+    assert asof1 == {1: 5.0, 2: 2.0}
+    latest = {r.event_id: r.value for r in sink.read_generation(spark).collect()}
+    assert latest == {1: 5.0, 2: 2.0, 3: 3.0}
+
+    deleted = sink.vacuum(keep_last=1)
+    assert "gen-9-orphan" in deleted and len(deleted) == 3  # two old gens + orphan
+    assert [e for e, _ in sink.generations()] == [2]
+    assert {r.event_id: r.value for r in sink.read_target(spark).collect()} == {1: 5.0, 2: 2.0, 3: 3.0}
+    assert sink.read_generation(spark, 0) is None  # vacuumed history is gone, loudly
