@@ -1,0 +1,199 @@
+"""Data-quality surface: column profiling and constraint checking.
+
+The two operators every ingestion pipeline runs before anything else:
+
+- ``profile_summary`` — a per-column profile (rows, nulls, exact
+  distinct, min/max) over ``lineitem``, computed in ONE aggregation
+  pass: every metric for every column is an aggregate expression in a
+  single ``agg()``, so the table is scanned once and partials combine
+  map-side; the final single-row result is exploded into the long
+  (column, metric…) shape driver-side-free (an ``explode`` over an
+  in-row array, not a collect). ``count(distinct)`` per column makes
+  Catalyst plan an Expand (one duplicated stream per distinct
+  aggregate) — the exact-answer cost; at 100 TB swap in
+  ``approx_count_distinct`` (HLL, single stream, mergeable — see
+  ``agg_sketch_mergeable``) and the plan collapses back to one
+  partial+final aggregate. Min/max reprs are normalized to strings
+  via DECIMAL(18,2) (doubles) / DATE (timestamps) so both engines
+  print identical forms ("1.00", "1995-01-01").
+
+- ``constraint_check`` — declarative expectations evaluated as
+  aggregates, not row filters: per-table rules compile to
+  ``sum(CASE WHEN violated)`` inside one ``agg()`` per table (one
+  scan each), plus one referential-integrity anti-join
+  (lineitem→orders). Mixes hard rules whose violation count must be
+  0 (PK uniqueness, FK orphans, NOT NULL, domain membership) with
+  distribution "warn" rules that have REAL nonzero counts on the
+  fixture (quantity > 45, discount at the 0.1 cap) so the gate
+  verifies exact violation counting, not just zero-propagation.
+
+Scale: profile = 1 scan (+Expand for exact NDV); constraints = 2
+scans + 1 shuffle anti-join on the FK key. Both outputs are O(rules),
+never O(rows). The FK check at 100 TB is the canonical
+null-producing-join skew case: AQE skew-join handles the hot
+orderkeys, and the count-only projection means no payload columns
+survive the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# (name, kind) — kind picks the min/max string normalization
+_PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _repr_sql(col: str, kind: str) -> str:
+    """Engine-portable string form of min/max (identical in both)."""
+    if kind == "double":
+        return f"CAST(CAST(round({col}, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"CAST(CAST({col} AS DATE) AS VARCHAR)"
+    return f"CAST({col} AS VARCHAR)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           min({_repr_sql(c, k)}) AS min_repr,
+           max({_repr_sql(c, k)}) AS max_repr
+    FROM lineitem
+    """
+    for c, k in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@query("profile_summary", oracle=_PROFILE_ORACLE, tags=("quality", "profile"))
+def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiler: all metrics for all columns in a
+    single agg() (one table scan), exploded to long form in-plan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        rep = _repr_sql(c, k).replace("VARCHAR", "STRING")
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.expr(f"min({rep})").alias(f"{c}__min"),
+            F.expr(f"max({rep})").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").cast("long").alias("n_rows"),
+                F.col(f"{c}__null").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*").orderBy("col_name")
+
+
+# Per-table rules as (rule_name, violation_predicate SQL). Hard rules
+# must count 0; the *_warn rules have real nonzero counts on the
+# fixture so exact counting (not just zero-propagation) is verified.
+_LINEITEM_RULES = [
+    ("lineitem_quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50 OR l_quantity IS NULL"),
+    ("lineitem_discount_in_0_0p1", "l_discount < 0 OR l_discount > 0.1 OR l_discount IS NULL"),
+    ("lineitem_returnflag_domain", "l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL"),
+    ("lineitem_shipdate_not_null", "l_shipdate IS NULL"),
+    ("lineitem_quantity_gt_45_warn", "l_quantity > 45"),
+    ("lineitem_discount_at_cap_warn", "l_discount >= 0.1"),
+]
+_ORDERS_RULES = [
+    ("orders_totalprice_positive", "o_totalprice <= 0 OR o_totalprice IS NULL"),
+    ("orders_jumbo_totalprice_warn", "o_totalprice > 300000"),
+]
+
+
+def _rules_oracle(table: str, rules: list[tuple[str, str]]) -> str:
+    branches = ",\n".join(
+        f"CAST(count_if({pred}) AS BIGINT) AS \"{name}\"" for name, pred in rules
+    )
+    return f"SELECT {branches} FROM {table}"
+
+
+_ALL_RULE_NAMES = (
+    [n for n, _ in _LINEITEM_RULES]
+    + [n for n, _ in _ORDERS_RULES]
+    + ["orders_pk_unique", "lineitem_fk_orders"]
+)
+_LONG_SELECTS = " UNION ALL ".join(
+    "SELECT '" + name + "' AS rule, \"" + name + "\" AS violations FROM wide"
+    for name in _ALL_RULE_NAMES
+)
+
+_CONSTRAINT_ORACLE = f"""
+    WITH li AS ({_rules_oracle('lineitem', _LINEITEM_RULES)}),
+    o AS ({_rules_oracle('orders', _ORDERS_RULES)}),
+    pk AS (
+        SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS "orders_pk_unique" FROM orders
+    ),
+    fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS "lineitem_fk_orders"
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey)
+    ),
+    wide AS (SELECT * FROM li, o, pk, fk),
+    long AS ({_LONG_SELECTS})
+    SELECT rule, violations, violations = 0 AS passed
+    FROM long ORDER BY rule
+"""
+
+
+@query("constraint_check", oracle=_CONSTRAINT_ORACLE, tags=("quality", "constraint"))
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ expectations compiled to count_if aggregates:
+    one scan per table + one anti-join for referential integrity."""
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+
+    def table_counts(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+        agg = df.agg(
+            *[F.count_if(F.expr(pred)).cast("long").alias(name) for name, pred in rules]
+        )
+        structs = F.array(
+            *[
+                F.struct(F.lit(name).alias("rule"), F.col(name).alias("violations"))
+                for name, _ in rules
+            ]
+        )
+        return agg.select(F.explode(structs).alias("r")).select("r.*")
+
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("violations")
+    ).select(F.lit("orders_pk_unique").alias("rule"), "violations")
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("violations"))
+        .select(F.lit("lineitem_fk_orders").alias("rule"), "violations")
+    )
+    out = (
+        table_counts(li, _LINEITEM_RULES)
+        .unionByName(table_counts(o, _ORDERS_RULES))
+        .unionByName(pk)
+        .unionByName(fk)
+    )
+    return out.withColumn("passed", F.col("violations") == 0).orderBy("rule")

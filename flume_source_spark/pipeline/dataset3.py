@@ -1,0 +1,170 @@
+"""Dataset-prep wave 3: length histogram, deterministic importance
+resampling, curriculum ordering.
+
+- ``ds_length_histogram`` — fixed-width histogram of document length
+  (bucket = floor(n_chars / 200)) with cumulative counts/fractions.
+  One hash aggregate on a derived int key (map-side combinable) plus
+  one window over the tiny bucket table; DuckDB 1.0 has no
+  ``width_bucket``, so the bucket IS the floor arithmetic on both
+  engines (also the version that pushes into codegen).
+- ``ds_importance_resample`` — weighted up/down-sampling with ZERO
+  RNG state: each doc's copy count is floor(w) plus one Bernoulli
+  extra decided by comparing frac(w) against the doc's own
+  md5-identity uniform (same hash family as ds_split_deterministic
+  — reproducible across runs, retries, and engines; sampling
+  decisions must never depend on partitioning). w is a length-based
+  quality proxy capped at 2.0; both engines evaluate the identical
+  double expression, so the comparison is bit-reproducible.
+- ``ds_curriculum_order`` — curriculum stages (easy→hard quartiles
+  via ntile(4) over a UNIQUE (n_chars, doc_id) ordering — unique
+  ordering is what makes ntile deterministic and cross-engine
+  stable) with intra-stage order shuffled by identity hash, and a
+  global curriculum rank. The two full-corpus windows are single-
+  partition global sorts — correct at fixture scale and the honest
+  oracle; at 100 TB replace ntile with percentile_approx stage
+  boundaries (broadcast, then a stateless CASE assign) and the
+  global rank with repartitionByRange(stage, h) + per-partition
+  row_number offset by partition counts (the sink_clustered_write
+  layout), both already demonstrated elsewhere in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+
+def _hash_mod(col: F.Column, mod: int) -> F.Column:
+    """Identity hash: first 8 hex chars of md5, base-16, mod N —
+    portable to DuckDB (see pipeline/dataset.py)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+
+_HIST_ORACLE = """
+    WITH b AS (
+        SELECT CAST(n_chars // 200 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(bucket * 200 AS BIGINT) AS lo_chars,
+           CAST((bucket + 1) * 200 AS BIGINT) AS hi_chars,
+           n_docs,
+           CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+           CAST(round(sum(n_docs) OVER (ORDER BY bucket)
+                      / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 4)
+                AS DOUBLE) AS cum_frac
+    FROM b ORDER BY bucket
+"""
+
+
+@query("ds_length_histogram", oracle=_HIST_ORACLE, tags=("llm", "dataset", "histogram"))
+def ds_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram + CDF: hash-agg on floor-bucket,
+    window only over the O(buckets) aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    total = d.count()  # scalar; at 100 TB reuse the agg below instead
+    b = d.groupBy(
+        (F.floor(F.col("n_chars") / 200)).cast("long").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.withColumn("lo_chars", (F.col("bucket") * 200).cast("long"))
+        .withColumn("hi_chars", ((F.col("bucket") + 1) * 200).cast("long"))
+        .withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+        .withColumn("cum_frac", F.round(F.col("cum_docs") / F.lit(float(total)), 4))
+        .select("bucket", "lo_chars", "hi_chars", "n_docs", "cum_docs", "cum_frac")
+        .orderBy("bucket")
+    )
+
+
+_RESAMPLE_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, source,
+               least(2.0, n_chars / 800.0) AS wt,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10000) / 10000.0 AS u
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               CAST(floor(wt) + CASE WHEN wt - floor(wt) > u THEN 1 ELSE 0 END
+                    AS BIGINT) AS copies
+        FROM w
+    )
+    SELECT source, copies,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(copies) AS BIGINT) AS emitted_rows
+    FROM c GROUP BY source, copies ORDER BY source, copies
+"""
+
+
+@query("ds_importance_resample", oracle=_RESAMPLE_ORACLE, tags=("llm", "dataset", "sampling"))
+def ds_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless weighted resampling: copies = floor(w) + Bernoulli
+    via the doc's own identity-hash uniform. No RNG, no seed plumbing,
+    identical decisions under any partitioning/retry — emit with
+    explode(sequence(1, copies)) when materializing."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.select(
+        "doc_id",
+        "source",
+        F.least(F.lit(2.0), F.col("n_chars") / 800.0).alias("wt"),
+        (_hash_mod(F.col("doc_id"), 10000) / 10000.0).alias("u"),
+    )
+    c = w.select(
+        "doc_id",
+        "source",
+        (
+            F.floor("wt")
+            + F.when(F.col("wt") - F.floor("wt") > F.col("u"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("copies"),
+    )
+    return (
+        c.groupBy("source", "copies")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("copies").cast("long").alias("emitted_rows"),
+        )
+        .orderBy("source", "copies")
+    )
+
+
+_CURRICULUM_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100000 AS h
+        FROM documents
+    )
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+               AS curriculum_rank
+    FROM s ORDER BY curriculum_rank
+"""
+
+
+@query("ds_curriculum_order", oracle=_CURRICULUM_ORACLE, tags=("llm", "dataset", "curriculum"))
+def ds_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum: quartile stages (deterministic ntile on a
+    unique ordering) + identity-hash shuffle within stage. See module
+    doc for the 100 TB window-free formulation."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).cast("int").alias("stage"),
+        _hash_mod(F.col("doc_id"), 100000).alias("h"),
+    )
+    return s.select(
+        "doc_id",
+        "stage",
+        F.row_number().over(Window.orderBy("stage", "h", "doc_id")).cast("long").alias("curriculum_rank"),
+    ).orderBy("curriculum_rank")

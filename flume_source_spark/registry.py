@@ -168,20 +168,26 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.scalars  # noqa: F401
     import flume_source_spark.operators.subqueries  # noqa: F401
     import flume_source_spark.operators.sqlapi  # noqa: F401
+    import flume_source_spark.operators.quality  # noqa: F401
+    import flume_source_spark.operators.sqlapi2  # noqa: F401
+    import flume_source_spark.operators.scalars2  # noqa: F401
     import flume_source_spark.operators.variant  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
     import flume_source_spark.pipeline.dataset2  # noqa: F401
+    import flume_source_spark.pipeline.dataset3  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
+    import flume_source_spark.pipeline.embstats2  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
     import flume_source_spark.pipeline.text2  # noqa: F401
     import flume_source_spark.pipeline.text3  # noqa: F401
     import flume_source_spark.pipeline.text4  # noqa: F401
     import flume_source_spark.pipeline.text5  # noqa: F401
     import flume_source_spark.pipeline.text6  # noqa: F401
+    import flume_source_spark.pipeline.text7  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
