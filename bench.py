@@ -60,6 +60,15 @@ HEADLINE = [
     # the cost that AMORTIZES at real scale, steady ≈ 6 s at sf0.1)
     "text_substring_dedup_spans",
     "ds_semdedup",
+    # round-4 session-2 additions (new cost classes: one-pass
+    # multi-metric profiling with Expand for exact NDV; corpus bigram
+    # LM — explode → two count aggs → double join-back on vocab keys;
+    # RAKE — per-doc prefix-sum windows + vocabulary join; time-RANGE
+    # frame windows per user)
+    "profile_summary",
+    "text_bigram_lm",
+    "text_rake_keywords",
+    "window_range_interval",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Aggregation wave 3: the linear-regression aggregate family and the
+existence-join (disjunctive EXISTS) shape.
+
+- ``agg_regression_family`` — regr_slope / regr_intercept / regr_r2 /
+  regr_count / regr_avgx / regr_avgy of price-on-quantity per return
+  flag. These are single-pass COMPOSABLE aggregates (each reduces to
+  the five moment sums n, Σx, Σy, Σxy, Σx² — partials combine
+  map-side and merge associatively, the same mergeability contract
+  as agg_incremental_merge), i.e. regression at 100 TB is one
+  shuffle, never a collect. Cross-engine float note: both engines
+  accumulate moments in double; compared digits are rounded (4 dp
+  slope/r2, 2 dp intercept/means) far above the ~1e-10 relative
+  accumulation noise.
+- ``join_existence_or`` — a semi-join condition OR'd with a local
+  predicate: ``c_acctbal > 9000 OR EXISTS(urgent order)``. A plain
+  LEFT SEMI can't express this (the local arm must pass rows the
+  subquery arm rejects), so Catalyst plans an ExistenceJoin — a semi
+  join that outputs a boolean 'exists' column consumed by the filter
+  (asserted in tests/test_round4_ops.py). Still hash-partitionable
+  on the correlation key; the oracle runs the literal SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables, register_views
+
+_REGR_ORACLE = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(l_extendedprice, l_quantity), 2) AS DOUBLE) AS intercept,
+           CAST(round(regr_r2(l_extendedprice, l_quantity), 4) AS DOUBLE) AS r2,
+           CAST(round(regr_avgx(l_extendedprice, l_quantity), 2) AS DOUBLE) AS avg_x,
+           CAST(round(regr_avgy(l_extendedprice, l_quantity), 2) AS DOUBLE) AS avg_y
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("agg_regression_family", oracle=_REGR_ORACLE, tags=("agg", "regression"))
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS of price on quantity via the regr_* aggregate
+    family — five mergeable moment sums, one shuffle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.regr_avgx(y, x), 2).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EXISTENCE_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_qualifying,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > 9000
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("join_existence_or", oracle=_EXISTENCE_SQL, tags=("join", "subquery", "existence"))
+def join_existence_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS inside a disjunction → ExistenceJoin physical shape
+    (semi join emitting a boolean instead of filtering)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTENCE_SQL)

@@ -1,0 +1,108 @@
+"""Graph analytics wave 2: triangle counting over the near-dup graph.
+
+``graph_triangle_count`` — per-label triangle census over the
+embedding near-duplicate graph (the oracled edge set from
+``sim_embedding_neardup``: label-blocked pairs with cosine ≥ 0.35,
+i < j). Triangle density distinguishes CLIQUE-like duplicate
+clusters (template boilerplate: every pair similar → many triangles)
+from CHAIN-like drift (A~B~C but A≁C → zero triangles) — the signal
+that decides whether transitive-closure dedup (dedup_cluster_cc) is
+safe or will over-merge.
+
+Algorithm: the standard two-join triangle enumeration on canonically
+ordered edges (i<j<k): edges(i,j) ⋈ edges(j,k) ⋈ edges(i,k). With
+every edge stored only in (min,max) orientation each triangle is
+counted exactly once — no /6 correction, no direction explosion.
+
+Scale: the joins shuffle on single vertex keys; skew follows the
+max-degree vertex (a hub h with degree d contributes d² join-pairs).
+The standard mitigation at 100 TB — degree-ordered orientation
+(point each edge from lower- to higher-degree endpoint, bounding
+out-degree at O(√m)) — matters when hubs exist; here the label
+blocking already caps any vertex's degree at its block size, the
+same bound that makes the edge source itself tractable. The oracle
+mirrors the identical 3-way join in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.pipeline.similarity import _dvec, cosine
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_EDGE_CTE = """
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    edges AS (
+        SELECT a.vec_id AS i, b.vec_id AS j, a.label
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    )
+"""
+
+_TRIANGLE_ORACLE = f"""
+    WITH {_EDGE_CTE},
+    tri AS (
+        SELECT e1.label, e1.i AS a, e1.j AS b, e2.j AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.i = e1.j
+        JOIN edges e3 ON e3.i = e1.i AND e3.j = e2.j
+    ),
+    per_label AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_triangles
+        FROM tri GROUP BY label
+    ),
+    edge_counts AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_edges FROM edges GROUP BY label
+    )
+    SELECT ec.label, ec.n_edges,
+           coalesce(pl.n_triangles, 0) AS n_triangles,
+           CAST(round(coalesce(pl.n_triangles, 0) * 3.0 / greatest(ec.n_edges, 1), 4)
+                AS DOUBLE) AS closure_ratio
+    FROM edge_counts ec LEFT JOIN per_label pl ON ec.label = pl.label
+    ORDER BY ec.label
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("llm", "graph", "dedup"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once triangle enumeration on canonically ordered
+    near-dup edges; closure_ratio = 3·triangles/edges is the
+    clique-vs-chain health signal for transitive dedup."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("i", "j", "label")
+    )
+    e1 = edges.select(F.col("i").alias("a"), F.col("j").alias("b"), "label")
+    e2 = edges.select(F.col("i").alias("b2"), F.col("j").alias("c"))
+    e3 = edges.select(F.col("i").alias("a3"), F.col("j").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    per_label = tri.groupBy("label").agg(F.count("*").cast("long").alias("n_triangles"))
+    edge_counts = edges.groupBy("label").agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        edge_counts.join(per_label, "label", "left")
+        .select(
+            "label",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0)) * 3.0
+                / F.greatest(F.col("n_edges"), F.lit(1)),
+                4,
+            ).alias("closure_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -161,8 +161,11 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.joins  # noqa: F401
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.aggregates2  # noqa: F401
+    import flume_source_spark.operators.aggregates3  # noqa: F401
+    import flume_source_spark.operators.windows2  # noqa: F401
     import flume_source_spark.operators.timeseries  # noqa: F401
     import flume_source_spark.operators.timeseries2  # noqa: F401
+    import flume_source_spark.operators.timeseries3  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -177,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dataset3  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
+    import flume_source_spark.pipeline.graph2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
@@ -188,10 +192,13 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text5  # noqa: F401
     import flume_source_spark.pipeline.text6  # noqa: F401
     import flume_source_spark.pipeline.text7  # noqa: F401
+    import flume_source_spark.pipeline.text8  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
+    import flume_source_spark.streaming.batch_equiv2  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
     import flume_source_spark.sources.formats  # noqa: F401
+    import flume_source_spark.sources.introspect  # noqa: F401
     import flume_source_spark.sources.spool_writer  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
 

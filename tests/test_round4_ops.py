@@ -91,6 +91,15 @@ def test_profile_summary_single_scan(spark, sf_dir):
     assert 1 <= p.count("Scan parquet") <= 2
 
 
+def test_existence_join_planned(spark, sf_dir):
+    """EXISTS inside an OR must compile to an ExistenceJoin (semi join
+    emitting a boolean), not a cartesian or a rewritten inner join."""
+    df = SPECS["join_existence_or"].builder(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in logical
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "join_existence_or")
+
+
 def test_resample_copies_bounded_and_reproducible(spark, sf_dir):
     """copies ∈ {0,1,2} by construction (w capped at 2.0) and the
     decision is identity-hash deterministic: two runs agree exactly."""
