@@ -3,17 +3,19 @@
 The two operators every ingestion pipeline runs before anything else:
 
 - ``profile_summary`` — a per-column profile (rows, nulls, exact
-  distinct, min/max) over ``lineitem``, computed in ONE aggregation
-  pass: every metric for every column is an aggregate expression in a
-  single ``agg()``, so the table is scanned once and partials combine
-  map-side; the final single-row result is exploded into the long
-  (column, metric…) shape driver-side-free (an ``explode`` over an
-  in-row array, not a collect). ``count(distinct)`` per column makes
-  Catalyst plan an Expand (one duplicated stream per distinct
-  aggregate) — the exact-answer cost; at 100 TB swap in
-  ``approx_count_distinct`` (HLL, single stream, mergeable — see
-  ``agg_sketch_mergeable``) and the plan collapses back to one
-  partial+final aggregate. Min/max reprs are normalized to strings
+  distinct, min/max) over ``lineitem``, computed as a UNION of
+  per-column aggregates: each branch scans ONLY its column (parquet
+  column pruning — ReadSchema is single-column, so total bytes read
+  across the 7 branches ≈ one full-width scan) and its single
+  ``count(distinct)`` plans as a plain two-phase group-by — no
+  Expand. The rejected alternative, one ``agg()`` with all metrics
+  (single scan), forces Catalyst to plan an Expand that duplicates
+  the full-width stream once per distinct aggregate: measured
+  10.8 s vs 1.3–2.5 s for this formulation at sf0.1 — the Expand
+  blow-up dominates the saved scans, and the gap widens with column
+  count. At 100 TB swap ``approx_count_distinct`` (HLL, mergeable —
+  see ``agg_sketch_mergeable``) into either shape and NDV stops
+  being the binding cost. Min/max reprs are normalized to strings
   via DECIMAL(18,2) (doubles) / DATE (timestamps) so both engines
   print identical forms ("1.00", "1995-01-01").
 
@@ -80,34 +82,27 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 
 @query("profile_summary", oracle=_PROFILE_ORACLE, tags=("quality", "profile"))
 def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-column profiler: all metrics for all columns in a
-    single agg() (one table scan), exploded to long form in-plan."""
+    """Per-column profiler as a union of column-pruned aggregates —
+    each branch reads one column, its lone count(distinct) plans
+    Expand-free (see module doc for the measured comparison)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    aggs = []
+    parts = []
     for c, k in _PROFILE_COLS:
         rep = _repr_sql(c, k).replace("VARCHAR", "STRING")
-        aggs += [
-            F.count("*").alias(f"{c}__rows"),
-            (F.count("*") - F.count(c)).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.expr(f"min({rep})").alias(f"{c}__min"),
-            F.expr(f"max({rep})").alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
+        parts.append(
+            li.select(F.col(c)).agg(
                 F.lit(c).alias("col_name"),
-                F.col(f"{c}__rows").cast("long").alias("n_rows"),
-                F.col(f"{c}__null").cast("long").alias("n_null"),
-                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_repr"),
-                F.col(f"{c}__max").alias("max_repr"),
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") - F.count(c)).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.expr(f"min({rep})").alias("min_repr"),
+                F.expr(f"max({rep})").alias("max_repr"),
             )
-            for c, _ in _PROFILE_COLS
-        ]
-    )
-    return one.select(F.explode(structs).alias("p")).select("p.*").orderBy("col_name")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
 
 
 # Per-table rules as (rule_name, violation_predicate SQL). Hard rules

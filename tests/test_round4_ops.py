@@ -81,14 +81,17 @@ def test_bigram_lm_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_profile_summary_single_scan(spark, sf_dir):
-    """All column metrics come from ONE aggregation pass: exactly one
-    lineitem parquet scan in the plan (Expand duplicates the stream
-    for the distinct aggregates, but never re-scans)."""
+def test_profile_summary_pruned_scans_no_expand(spark, sf_dir):
+    """Each union branch must scan ONLY its own column (ReadSchema is
+    single-column) and plan its lone count(distinct) without an
+    Expand — the Expand-based single-scan formulation measured 4-8×
+    slower (see quality.py module doc)."""
     p = _plan(spark, sf_dir, "profile_summary")
-    # AQE's toString prints initial+final plan sections → the one
-    # logical scan can appear twice; three would mean a real re-scan.
-    assert 1 <= p.count("Scan parquet") <= 2
+    assert "Expand" not in p
+    # one pruned scan per profiled column (AQE may print plan sections
+    # twice, hence >=)
+    assert p.count("Scan parquet") >= 7
+    assert "ReadSchema: struct<l_discount:double>" in p
 
 
 def test_existence_join_planned(spark, sf_dir):
