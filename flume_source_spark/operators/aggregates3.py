@@ -79,3 +79,31 @@ def join_existence_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     (semi join emitting a boolean instead of filtering)."""
     register_views(spark, sf_dir)
     return spark.sql(_EXISTENCE_SQL)
+
+
+_PDISC_SQL = """
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS q25_disc,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS median_disc,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS median_cont,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p90_price_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("agg_percentile_disc_cont", oracle=_PDISC_SQL, tags=("agg", "percentile"))
+def agg_percentile_disc_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI WITHIN GROUP inverse-distribution aggregates:
+    percentile_disc (smallest value with CDF ≥ p — always an actual
+    data value) next to percentile_cont (interpolated) on the same
+    column, pinning the disc/cont divergence on even-sized groups.
+    The identical statement runs on DuckDB. Scale: Spark plans these
+    as sort-based aggregates per group — memory is bounded by the
+    group's value multiset; for the approximate regime at 100 TB see
+    agg_approx (approx_percentile sketch, mergeable)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PDISC_SQL)

@@ -294,6 +294,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS next_click_ts,
+           CAST(round(c.value, 4) AS DOUBLE) AS next_click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (nearest NEXT event per key — pandas
+    merge_asof direction='forward'): the mirror of ``join_asof``'s
+    recipe with the window reflected — first(value, ignorenulls) over
+    (current row → unbounded FOLLOWING), ordering (ts, is_p DESC) so
+    a click at the same instant sorts after its purchase and lands in
+    the frame, giving >= semantics — matching DuckDB's forward ASOF
+    (c.ts >= p.ts). Same single-shuffle + window cost as backward."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir)["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.col("event_id").alias("tie_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_p"),
+        F.col("value").alias("c_value"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("tie_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_p"), "tie_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = (
+        purchases.unionByName(clicks)
+        .withColumn("next_click_value", F.first("c_value", ignorenulls=True).over(w))
+        .withColumn("next_click_ts", F.first("c_ts", ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("next_click_ts", "yyyy-MM-dd HH:mm:ss").alias("next_click_ts"),
+            F.round("next_click_value", 4).cast("double").alias("next_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "join_shuffle_fact_fact",
     oracle="""
     SELECT o_orderpriority,

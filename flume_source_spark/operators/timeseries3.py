@@ -149,3 +149,72 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+_M4_ORACLE = """
+    WITH b AS (
+        -- explicit epoch arithmetic, not time_bucket(): bucket origin
+        -- must match Spark's epoch-aligned floor exactly
+        SELECT event_type,
+               make_timestamp(CAST(floor(floor(epoch(ts)) / 21600) * 21600
+                                   AS BIGINT) * 1000000) AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(value), 4) AS DOUBLE) AS v_min,
+           CAST(round(max(value), 4) AS DOUBLE) AS v_max,
+           CAST(round(max(CASE WHEN rn_first = 1 THEN value END), 4) AS DOUBLE)
+               AS v_first,
+           CAST(round(max(CASE WHEN rn_last = 1 THEN value END), 4) AS DOUBLE)
+               AS v_last
+    FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
+@query("ts_m4_downsample", oracle=_M4_ORACLE, tags=("timeseries", "downsample"))
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (min/max/first/last per time bucket — the
+    error-free line-chart reduction used by Grafana/M4 paper): one
+    hash-agg with min_by/max_by selectors keyed on a (ts, event_id)
+    struct so first/last are total-order deterministic, exactly the
+    ts_ohlc_bars selector discipline at a different bucket width.
+    Map-side combinable — M4 at 100 TB is a pre-aggregation, never a
+    window."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 21600) * 21600
+            ).alias("b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+            F.round(F.min_by("value", ordkey), 4).alias("v_first"),
+            F.round(F.max_by("value", ordkey), 4).alias("v_last"),
+        )
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -168,3 +168,85 @@ def ds_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.row_number().over(Window.orderBy("stage", "h", "doc_id")).cast("long").alias("curriculum_rank"),
     ).orderBy("curriculum_rank")
+
+
+_RESERVOIR_ORACLE = """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 100000, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, n_chars
+    FROM r WHERE rk <= 5 ORDER BY source, rk
+"""
+
+
+@query("ds_reservoir_per_group", oracle=_RESERVOIR_ORACLE, tags=("llm", "dataset", "sampling"))
+def ds_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (reservoir-sampling
+    semantics without reservoir state): rank each doc within its
+    source by identity hash, keep rank ≤ 5. Because the hash is a
+    pure function of doc_id, the selection is uniform-like yet
+    reproducible under any partitioning, retry, or engine — the same
+    no-RNG contract as ds_split_deterministic, here in k-exact form
+    (vs ds_stratified_sample's fraction form). Scale: one window
+    partitioned by the stratum key; for heavy strata replace
+    row_number with a per-partition top-k (TakeOrdered-shaped)
+    pre-reduction — algebraically identical because the hash order
+    is total."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(_hash_mod(F.col("doc_id"), 100000), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
+_TEMP_MIX_ORACLE = """
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               sqrt(CAST(n_docs AS DOUBLE)) AS scaled,
+               sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS z,
+               sum(n_docs) OVER () AS total
+        FROM c
+    )
+    SELECT source, n_docs,
+           CAST(round(scaled / z, 6) AS DOUBLE) AS weight,
+           CAST(round((scaled / z) * total / n_docs, 4) AS DOUBLE) AS dup_factor
+    FROM w ORDER BY source
+"""
+
+
+@query("ds_mixture_temperature", oracle=_TEMP_MIX_ORACLE, tags=("llm", "dataset", "mixture"))
+def ds_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights computed FROM the corpus
+    (vs ds_mixture_weighted's static tiers): w_i ∝ n_i^(1/T) with
+    T = 2 — the multilingual-LM flattening that up-weights small
+    sources. T = 2 makes the scaling an exact sqrt (IEEE
+    correctly-rounded in both engines), so the weights hash-match
+    without a pow() portability caveat. dup_factor = w_i·N/n_i is
+    the per-source duplication a sampler must apply; feed it to
+    ds_importance_resample's copy machinery to materialize. One
+    aggregate + one O(|sources|) window — nothing touches row scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    wall = Window.partitionBy()
+    w = c.withColumn("scaled", F.sqrt(F.col("n_docs").cast("double"))).withColumn(
+        "z", F.sum("scaled").over(wall)
+    ).withColumn("total", F.sum("n_docs").over(wall))
+    return w.select(
+        "source",
+        "n_docs",
+        F.round(F.col("scaled") / F.col("z"), 6).alias("weight"),
+        F.round((F.col("scaled") / F.col("z")) * F.col("total") / F.col("n_docs"), 4).alias(
+            "dup_factor"
+        ),
+    ).orderBy("source")

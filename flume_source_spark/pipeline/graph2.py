@@ -106,3 +106,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    vertices with degree < k until fixpoint. Returns the surviving
+    vertices with their final in-core degree.
+
+    ``edges`` must be canonical undirected pairs (i < j, one row per
+    edge). Each round is two shuffles (degree agg + semi-join filter
+    of the edge list); the vertex set shrinks monotonically so the
+    fixpoint check (a driver-side count comparison, one scalar per
+    round — the same convergence-guard discipline as
+    connected_components, graph.py:69) terminates in ≤ max_rounds or
+    raises. At 100 TB the peel is the standard iterative-join shape;
+    localCheckpoint would truncate lineage exactly as in CC.
+    """
+    cur = edges.select("i", "j").localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("i").alias("v"))
+            .unionAll(cur.select(F.col("j").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "i"), "i", "left_semi")
+            .join(keep.withColumnRenamed("v", "j"), "j", "left_semi")
+            .select("i", "j")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        if n == prev_edges:
+            cur = nxt
+            break
+        cur, prev_edges = nxt, n
+    else:
+        raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+    return (
+        cur.select(F.col("i").alias("v"))
+        .unionAll(cur.select(F.col("j").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+@query("graph_kcore", oracle=None, tags=("llm", "graph", "iterative"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the embedding near-dup graph: vertices surviving
+    iterative degree-< 2 peeling — the dense-duplicate skeleton
+    (chains and pendant vertices peel away; cliques survive intact).
+    Rows-only (iterative fixpoint); invariants pinned by model tests
+    on cliques/chains/stars in tests/test_round4_ops.py."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("i", "j")
+    )
+    return kcore(edges, k=2).orderBy("v")

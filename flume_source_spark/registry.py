@@ -140,6 +140,20 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _DRIVER_GREEN_R03
 # Known-current driver evidence.
 _FRESH_GREEN = _DRIVER_GREEN_R03
 
+# The 18 round-3 queries the r03 sweep never reached (VERDICT r3 §
+# "What's missing" item 1 — their driver verification is the round-4
+# acceptance criterion). With ~120 round-4 additions also unswept and
+# a ~50-row sweep budget, these must sort FIRST within the
+# never-swept block or they could miss a fourth consecutive sweep.
+_R03_LEFTOVERS = (
+    "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
+    "ds_global_shuffle", "ds_interleave_sources", "ds_pipeline_end_to_end",
+    "ds_pack_attention_spans", "graph_degree_hist", "graph_pagerank_neardup",
+    "emb_centroid_cohesion", "emb_quantize_int8", "text_gopher_rules",
+    "text_unigram_logprob", "ds_quality_cascade", "source_text_roundtrip",
+    "source_xml_roundtrip", "source_csv_malformed", "udf_cogrouped_merge",
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
@@ -181,6 +195,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.graph2  # noqa: F401
+    import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
@@ -204,7 +219,10 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.functions.udfs  # noqa: F401
 
     ever_swept = _STALE_GREEN | _FRESH_GREEN
-    ordered = {n: s for n, s in REGISTRY.items() if n not in ever_swept}
+    ordered = {n: REGISTRY[n] for n in _R03_LEFTOVERS if n in REGISTRY}
+    ordered.update(
+        {n: s for n, s in REGISTRY.items() if n not in ever_swept and n not in ordered}
+    )
     ordered.update({n: s for n, s in REGISTRY.items() if n in _STALE_GREEN})
     ordered.update({n: s for n, s in REGISTRY.items() if n in _FRESH_GREEN})
     return ordered

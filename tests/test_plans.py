@@ -390,6 +390,14 @@ def test_registry_green_sets_are_consistent():
     never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
     # never-swept block must be a prefix (verify-first contract)
     assert ordered[: len(never)] == never
+    # ...and the 18 r03-leftover queries (VERDICT r3 acceptance item)
+    # must lead it, ahead of the ~120 round-4 additions, so a
+    # budget-truncated sweep reaches them first
+    from flume_source_spark.registry import _R03_LEFTOVERS
+
+    assert set(_R03_LEFTOVERS) <= names
+    assert not (set(_R03_LEFTOVERS) & (_STALE_GREEN | _FRESH_GREEN))
+    assert ordered[: len(_R03_LEFTOVERS)] == list(_R03_LEFTOVERS)
 
 
 def test_zorder_write_skips_both_dims(spark, sf_dir):

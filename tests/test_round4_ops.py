@@ -103,6 +103,37 @@ def test_existence_join_planned(spark, sf_dir):
     assert "CartesianProduct" not in _plan(spark, sf_dir, "join_existence_or")
 
 
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "i LONG, j LONG")
+
+
+def test_kcore_clique_survives_chain_dies(spark):
+    """2-core invariants: a 4-clique survives whole (degree 3 each); a
+    chain has no 2-core (endpoints peel, then everything); a star's
+    leaves peel then the hub follows."""
+    from flume_source_spark.pipeline.graph2 import kcore
+
+    clique = _edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    out = {r.v: r.core_degree for r in kcore(clique, 2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    chain = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert kcore(chain, 2).count() == 0
+
+    star = _edges(spark, [(1, k) for k in range(2, 7)])
+    assert kcore(star, 2).count() == 0
+
+
+def test_kcore_mixed_graph_peels_pendants_only(spark):
+    """A triangle with a pendant vertex: the pendant peels, the
+    triangle survives as the exact 2-core."""
+    from flume_source_spark.pipeline.graph2 import kcore
+
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    out = {r.v: r.core_degree for r in kcore(g, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
 def test_resample_copies_bounded_and_reproducible(spark, sf_dir):
     """copies ∈ {0,1,2} by construction (w capped at 2.0) and the
     decision is identity-hash deterministic: two runs agree exactly."""
