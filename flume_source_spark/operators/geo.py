@@ -1,0 +1,166 @@
+"""Spatial operators: grid-blocked distance self-join and radius-NN.
+
+The classic spatial-join problem — "all pairs of points within
+distance R" — is a non-equi predicate, which Spark would otherwise
+plan as a cartesian product (O(n²) at 100 TB: non-viable). The
+standard distributed reformulation (same blocking idea as
+Sedona/Magellan's grid partitioning) is:
+
+    1. quantize each point to a grid cell of side ≥ R,
+    2. replicate each LEFT point to its 3×3 cell neighborhood
+       (bounded 9× explode — a constant, not data-dependent),
+    3. EQUI-join on the cell id (hash shuffle, no cartesian),
+    4. exact distance filter within the candidate pairs.
+
+Any pair within R lands in the same or an adjacent cell, so recall is
+exact; each pair is produced exactly once because only the left side
+is replicated and the right side keeps its unique home cell. At 100 TB
+the equi-join shuffles on cell id; skewed cells (urban density) are
+AQE-splittable like any hash join, and the 9× replication factor is
+independent of data size.
+
+Cross-engine determinism: coordinates are synthesized from customer
+keys with integer modular arithmetic (the fixture has no geo columns),
+the join predicate is an INTEGER squared-distance threshold in
+centidegree space, and the reported distance uses only IEEE-exact
+float ops (sqrt is correctly rounded per IEEE 754 — identical bits on
+both engines — unlike sin/cos, whose libm implementations may differ
+in the last ulp; a haversine-thresholded variant could diverge on a
+boundary pair, so the contract here is deliberately trig-free).
+
+Plan check: `test_geo_grid_join_no_cartesian` pins that the pair
+generation is a hash equi-join, not BroadcastNestedLoop/Cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# Synthetic coordinate space: lat ∈ [0, 12000), lon ∈ [0, 36000)
+# centidegrees (i.e. a 120° × 360° flat patch at 0.01° resolution).
+LAT_MOD = 12_000
+LON_MOD = 36_000
+# Radius threshold in centidegrees; grid cell side == RADIUS so
+# adjacency covers the ball.
+RADIUS = 100
+_T2 = RADIUS * RADIUS
+
+_COORDS_SQL = f"""
+        SELECT c_custkey AS id,
+               (c_custkey * 7919) % {LAT_MOD} AS lat_cd,
+               (c_custkey * 104729) % {LON_MOD} AS lon_cd
+        FROM customer
+"""
+
+_PAIRS_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    pairs AS (
+        SELECT a.id AS i, b.id AS j,
+               (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
+             + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) AS d2
+        FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT i, j, CAST(d2 AS BIGINT) AS d2,
+           CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS dist_cd
+    FROM pairs WHERE d2 <= {_T2}
+    ORDER BY i, j
+"""
+
+_NN_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    pairs AS (
+        SELECT a.id AS i, b.id AS j,
+               (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
+             + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) AS d2
+        FROM pts a JOIN pts b ON a.id <> b.id),
+    inr AS (SELECT * FROM pairs WHERE d2 <= {_T2}),
+    r AS (SELECT i, j, d2,
+                 row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+          FROM inr)
+    SELECT i, j AS nn_id, CAST(d2 AS BIGINT) AS d2
+    FROM r WHERE rn = 1
+    ORDER BY i
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % LAT_MOD).alias("lat_cd"),
+        ((F.col("c_custkey") * 104729) % LON_MOD).alias("lon_cd"),
+    )
+
+
+def grid_pairs(pts: DataFrame, radius: int = RADIUS) -> DataFrame:
+    """All (i < j) point pairs with squared centidegree distance
+    ≤ radius², via 3×3-neighborhood grid equi-join. Coordinates must
+    be non-negative integers (floor-division cell ids)."""
+    t2 = radius * radius
+    with_cell = pts.select(
+        "id", "lat_cd", "lon_cd",
+        F.floor(F.col("lat_cd") / radius).alias("cx"),
+        F.floor(F.col("lon_cd") / radius).alias("cy"),
+    )
+    offs = F.expr("explode(flatten(transform(sequence(-1,1), dx -> "
+                  "transform(sequence(-1,1), dy -> struct(dx, dy)))))")
+    left = with_cell.select(
+        F.col("id").alias("i"),
+        F.col("lat_cd").alias("lat_i"),
+        F.col("lon_cd").alias("lon_i"),
+        "cx", "cy", offs.alias("o"),
+    ).select(
+        "i", "lat_i", "lon_i",
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    )
+    right = with_cell.select(
+        F.col("id").alias("j"),
+        F.col("lat_cd").alias("lat_j"),
+        F.col("lon_cd").alias("lon_j"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    d2 = (F.col("lat_i") - F.col("lat_j")) * (F.col("lat_i") - F.col("lat_j")) + (
+        F.col("lon_i") - F.col("lon_j")
+    ) * (F.col("lon_i") - F.col("lon_j"))
+    return (
+        left.join(right, ["jcx", "jcy"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", d2.cast("bigint").alias("d2"))
+        .where(F.col("d2") <= t2)
+    )
+
+
+@query("geo_grid_join", oracle=_PAIRS_ORACLE, tags=("geo", "join"))
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: all point pairs within RADIUS centidegrees,
+    grid-blocked equi-join (oracle: independent quadratic formulation)."""
+    pairs = grid_pairs(_points(spark, sf_dir))
+    return pairs.select(
+        "i", "j", "d2",
+        F.floor(F.sqrt(F.col("d2").cast("double"))).cast("bigint").alias("dist_cd"),
+    ).orderBy("i", "j")
+
+
+@query("geo_nearest_neighbor", oracle=_NN_ORACLE, tags=("geo", "join"))
+def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest neighbor per point: min-distance partner
+    within RADIUS (tie → smallest id), from the grid-blocked pair set.
+    Points with no neighbor in range are absent (their NN is outside
+    the blocking horizon — an unbounded-NN query needs expanding-ring
+    search instead; this is the bounded variant used for 'is there a
+    station/store/duplicate within X' pipelines)."""
+    pairs = grid_pairs(_points(spark, sf_dir))
+    both = pairs.union(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "d2")
+    )
+    key = F.struct((-F.col("d2")).alias("nd"), (-F.col("j")).alias("nj"))
+    return (
+        both.groupBy("i")
+        .agg(F.max_by("j", key).alias("nn_id"), F.min("d2").alias("d2"))
+        .orderBy("i")
+    )

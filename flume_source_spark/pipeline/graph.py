@@ -222,7 +222,12 @@ def _connected_components_star(
     )
 
 
-_CC_ORACLE = """
+# Shared recursive-closure CTE prefix: exact Jaccard≥0.5 pair graph →
+# transitive components. Reused verbatim by every oracle that needs
+# the cluster assignment (dedup_cluster_cc* here, dedup_keep_best in
+# pipeline/canonical.py) so all of them pin against the SAME
+# independently-formulated closure.
+_CC_CTE = """
     WITH RECURSIVE
     sh AS (
         SELECT doc_id,
@@ -245,6 +250,9 @@ _CC_ORACLE = """
         SELECT b.j, r.root FROM reach r JOIN bidir b ON b.i = r.node
     ),
     comp AS (SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node)
+"""
+
+_CC_ORACLE = _CC_CTE + """
     SELECT c.doc_id, c.component_id,
            s.component_size,
            c.doc_id = c.component_id AS is_keeper

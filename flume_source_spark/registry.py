@@ -186,6 +186,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.subqueries  # noqa: F401
     import flume_source_spark.operators.sqlapi  # noqa: F401
     import flume_source_spark.operators.quality  # noqa: F401
+    import flume_source_spark.operators.geo  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
     import flume_source_spark.operators.scalars2  # noqa: F401
     import flume_source_spark.operators.variant  # noqa: F401
@@ -208,6 +209,8 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text6  # noqa: F401
     import flume_source_spark.pipeline.text7  # noqa: F401
     import flume_source_spark.pipeline.text8  # noqa: F401
+    import flume_source_spark.pipeline.text9  # noqa: F401
+    import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.streaming.batch_equiv2  # noqa: F401

@@ -141,3 +141,108 @@ def test_resample_copies_bounded_and_reproducible(spark, sf_dir):
     b = SPECS["ds_importance_resample"].builder(spark, sf_dir).toPandas()
     assert set(a["copies"].unique()) <= {0, 1, 2}
     assert a.equals(b)
+
+
+# ---- wave 12: corpus segment dedup + quality-aware canonical selection
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """Two docs share an exact 10-token 'footer' segment; a third is
+    fully unique. The shared segment (and only it) must be flagged in
+    BOTH sharers; within-doc repetition must NOT count as duplicated."""
+    from flume_source_spark.pipeline.text9 import line_dedup_stats
+
+    footer = " ".join(f"f{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    # doc 3 repeats ITS OWN segment twice — cross-doc df is still 1.
+    selfrep = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq_a + " " + footer),
+            (2, uniq_b + " " + footer),
+            (3, selfrep + " " + selfrep),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r.asDict() for r in line_dedup_stats(docs).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[1]["kept_tokens"] == 10 and out[1]["kept_permyriad"] == 5000
+    assert out[2]["n_dup_segments"] == 1
+    # self-repetition: both segments identical but df (distinct docs) == 1
+    assert out[3]["n_dup_segments"] == 0 and out[3]["kept_tokens"] == 20
+
+
+def test_line_dedup_ragged_tail_counts(spark):
+    """A 25-token doc has segments of 10/10/5; token accounting must
+    use real segment lengths, not SEG."""
+    from flume_source_spark.pipeline.text9 import line_dedup_stats
+
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    row = line_dedup_stats(docs).collect()[0]
+    assert row["n_segments"] == 3
+    assert row["n_dup_segments"] == 0
+    assert row["kept_tokens"] == 25 and row["kept_permyriad"] == 10000
+
+
+def test_keep_best_elects_longest_then_smallest_id(spark):
+    from flume_source_spark.pipeline.canonical import keep_best
+
+    members = spark.createDataFrame(
+        [
+            # component 1: lengths 5, 9, 9 → keeper = doc 20 (longest,
+            # tie vs doc 30 broken to the smaller id)
+            (10, 1, 5),
+            (20, 1, 9),
+            (30, 1, 9),
+            # component 2: singleton
+            (40, 2, 7),
+        ],
+        "doc_id LONG, component_id LONG, n_tokens LONG",
+    )
+    out = {r["component_id"]: r.asDict() for r in keep_best(members).collect()}
+    assert out[1]["keeper_doc_id"] == 20
+    assert out[1]["keeper_tokens"] == 9
+    assert out[1]["n_members"] == 3 and out[1]["n_dropped"] == 2
+    assert out[1]["dropped_tokens"] == 5 + 9  # one of the tied 9s drops
+    assert out[2]["keeper_doc_id"] == 40 and out[2]["n_dropped"] == 0
+    assert out[2]["dropped_tokens"] == 0
+
+
+# ---- wave 13: grid-blocked spatial join
+
+
+def test_geo_grid_join_no_cartesian(spark, sf_dir):
+    """Pair generation must plan as a hash/sort equi-join on cell id —
+    never BroadcastNestedLoopJoin or CartesianProduct."""
+    from flume_source_spark.operators.geo import geo_grid_join
+
+    plan = geo_grid_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_geo_grid_recall_matches_bruteforce(spark):
+    """Grid blocking is exact (not approximate): on a synthetic point
+    set with pairs straddling cell borders, the blocked pair set must
+    equal the brute-force quadratic one."""
+    from flume_source_spark.operators.geo import grid_pairs
+
+    # points hugging cell boundaries (cell side = radius = 100)
+    pts = [
+        (1, 99, 99), (2, 101, 101),      # adjacent-diagonal cells, d2=8
+        (3, 0, 0), (4, 0, 100),          # adjacent cells, d2 = 100^2 (== T2)
+        (5, 500, 500), (6, 601, 500),    # d2 = 101^2 > T2 → excluded
+        (7, 700, 700), (8, 700, 700),    # identical coords, d2=0
+    ]
+    df = spark.createDataFrame(pts, "id LONG, lat_cd LONG, lon_cd LONG")
+    got = {(r["i"], r["j"], r["d2"]) for r in grid_pairs(df).collect()}
+    brute = set()
+    for i, (ida, la, lo) in enumerate(pts):
+        for idb, lb, lob in pts[i + 1:]:
+            d2 = (la - lb) ** 2 + (lo - lob) ** 2
+            if d2 <= 100 * 100:
+                brute.add((min(ida, idb), max(ida, idb), d2))
+    assert got == brute
+    assert (1, 2, 8) in got and (3, 4, 10000) in got and (7, 8, 0) in got
