@@ -68,6 +68,24 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
+def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared graph-query edge set: label-blocked cosine ≥ 0.35
+    pairs (i < j, with the block label) over the embeddings table —
+    the Spark twin of ``_EDGE_CTE``. Used by graph_common_neighbors
+    (pipeline/graph3.py); triangle/kcore predate the helper and inline
+    the same construction."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("i", "j", "label")
+    )
+
+
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("llm", "graph", "dedup"))
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once triangle enumeration on canonically ordered

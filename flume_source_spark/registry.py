@@ -180,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries  # noqa: F401
     import flume_source_spark.operators.timeseries2  # noqa: F401
     import flume_source_spark.operators.timeseries3  # noqa: F401
+    import flume_source_spark.operators.timeseries4  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -188,14 +189,17 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.quality  # noqa: F401
     import flume_source_spark.operators.geo  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
+    import flume_source_spark.operators.sqlapi3  # noqa: F401
     import flume_source_spark.operators.scalars2  # noqa: F401
     import flume_source_spark.operators.variant  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
     import flume_source_spark.pipeline.dataset2  # noqa: F401
     import flume_source_spark.pipeline.dataset3  # noqa: F401
+    import flume_source_spark.pipeline.dataset4  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.graph2  # noqa: F401
+    import flume_source_spark.pipeline.graph3  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401

@@ -246,3 +246,138 @@ def test_geo_grid_recall_matches_bruteforce(spark):
                 brute.add((min(ida, idb), max(ida, idb), d2))
     assert got == brute
     assert (1, 2, 8) in got and (3, 4, 10000) in got and (7, 8, 0) in got
+
+
+# ---- wave 14: Spark-4 SQL surface (collation, star-except, listagg)
+
+
+def test_star_except_prunes_scan(spark, sf_dir):
+    """* EXCEPT resolves at analysis time: the parquet ReadSchema must
+    contain only the surviving + referenced columns, never l_comment
+    (which only exists post-projection anyway) nor l_tax (never
+    referenced)."""
+    from flume_source_spark.operators.sqlapi3 import sql_star_except
+
+    plan = sql_star_except(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "l_tax" not in schema and "l_shipdate" not in schema
+    assert "l_quantity" in schema and "l_extendedprice" in schema
+
+
+def test_collation_folds_casing_variants(spark, sf_dir):
+    """Every case-folded segment must show >1 raw casing variant (the
+    jitter plants 3) and the folded group count must equal the
+    canonical segment count."""
+    from flume_source_spark.operators.sqlapi3 import scalar_collation
+    from flume_source_spark.tables import load_tables
+
+    rows = scalar_collation(spark, sf_dir).collect()
+    n_segs = load_tables(spark, sf_dir)["customer"].select("c_mktsegment").distinct().count()
+    assert len(rows) == n_segs
+    assert all(r["n_case_variants"] >= 2 for r in rows)
+
+
+# ---- wave 15: link prediction + ACF/interpolation
+
+
+def test_common_neighbors_square_graph(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the
+    non-adjacent pairs, each with cn=2, deg 2+2, Jaccard 2/(2+2-2)=1."""
+    from flume_source_spark.pipeline.graph3 import common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "i LONG, j LONG"
+    )
+    rows = {(r["i"], r["j"]): r.asDict() for r in common_neighbors(edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)]["cn"] == 2 and rows[(1, 3)]["jaccard_permyriad"] == 10000
+
+
+def test_common_neighbors_excludes_adjacent(spark):
+    """Triangle + pendant: adjacent pairs never appear even when they
+    share a neighbor; (2,4) shares only vertex 1."""
+    from flume_source_spark.pipeline.graph3 import common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "i LONG, j LONG"
+    )
+    rows = {(r["i"], r["j"]): r.asDict() for r in common_neighbors(edges).collect()}
+    # (1,2),(2,3),(1,3) adjacent → excluded despite shared neighbors
+    assert set(rows) == {(2, 4), (3, 4)}
+    # deg: 1→3, 2→2, 3→2, 4→1 ; (2,4): cn=1, 1/(2+1-1)=0.5
+    assert rows[(2, 4)]["cn"] == 1 and rows[(2, 4)]["jaccard_permyriad"] == 5000
+
+
+def test_interp_linear_midpoints(spark, sf_dir):
+    """Interpolated rows must lie between their bracketing observed
+    values (integer floor), and observed rows must be untouched."""
+    from flume_source_spark.operators.timeseries4 import ts_interp_linear
+
+    rows = ts_interp_linear(spark, sf_dir).collect()
+    assert any(r["interpolated"] for r in rows) or len(rows) > 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    checked = 0
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["bucket"])
+        # walk runs of interpolated rows between two observed anchors
+        i = 0
+        while i < len(seq):
+            if seq[i]["interpolated"]:
+                j = i
+                while j < len(seq) and seq[j]["interpolated"]:
+                    j += 1
+                lo = seq[i - 1]["interp_cents"]
+                hi = seq[j]["interp_cents"]
+                for r in seq[i:j]:
+                    assert min(lo, hi) - 1 <= r["interp_cents"] <= max(lo, hi)
+                    checked += 1
+                i = j
+            else:
+                i += 1
+    assert checked > 0, "fixture produced no gaps to interpolate"
+
+
+# ---- wave 16: relational bloom filter
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Members are ALWAYS bloom-positive; non-members are
+    overwhelmingly negative at ~1 bit/key density."""
+    from flume_source_spark.pipeline.dataset4 import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)], "seg STRING"
+    )
+    non_members = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "seg STRING"
+    )
+    bloom = bloom_build(members)
+    pos_members = bloom_probe(members, bloom).count()
+    assert pos_members == 500  # zero false negatives, guaranteed
+    fp = bloom_probe(non_members, bloom).count()
+    assert fp <= 25  # 500 probes at ~1% FPP; generous 5% bound
+
+
+def test_bloom_word_table_is_compact_and_mergeable(spark):
+    """The filter is ≤ NBITS/64 rows, and the union-then-bit_or merge
+    of two shard filters equals the filter of the union."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.pipeline.dataset4 import BLOOM_NBITS, bloom_build
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(200)], "seg STRING")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(200)], "seg STRING")
+    fa, fb = bloom_build(a), bloom_build(b)
+    merged = (
+        fa.unionAll(fb).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    whole = bloom_build(a.unionAll(b))
+    assert merged.count() <= BLOOM_NBITS // 64
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
