@@ -72,23 +72,24 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    # Spark's lag() offset must be a literal, so the lag axis is a
-    # small union of windowed selects (MAX_LAG passes over the reduced
-    # series, not the raw events) rather than DuckDB's column-offset
-    # lag. Catalyst reuses the one sort per partition spec.
+    # Spark's lag() offset must be a literal (DuckDB's may be a
+    # column), so the lag axis is MAX_LAG lag columns computed in ONE
+    # window pass (all share the partition/order spec → one sort of
+    # the reduced series), then stacked to (lag, x, x_lag) rows.
     w = Window.partitionBy("event_type").orderBy("bucket")
-    per_lag = [
-        hourly.select(
-            "event_type",
-            F.lit(k).cast("long").alias("lag"),
-            F.col("cents").cast("double").alias("x"),
-            F.lag("cents", k).over(w).cast("double").alias("x_lag"),
-        )
-        for k in range(1, MAX_LAG + 1)
-    ]
-    lagged = per_lag[0]
-    for frame in per_lag[1:]:
-        lagged = lagged.unionAll(frame)
+    with_lags = hourly.select(
+        "event_type",
+        F.col("cents").cast("double").alias("x"),
+        *[
+            F.lag("cents", k).over(w).cast("double").alias(f"lag{k}")
+            for k in range(1, MAX_LAG + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, x_lag)".format(
+        n=MAX_LAG,
+        args=", ".join(f"CAST({k} AS BIGINT), lag{k}" for k in range(1, MAX_LAG + 1)),
+    )
+    lagged = with_lags.select("event_type", "x", F.expr(stack_expr))
     return (
         lagged.groupBy("event_type", "lag")
         .agg(

@@ -209,3 +209,56 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim INT, loading DOUBLE, eigenvalue DOUBLE, residual DOUBLE"
     )
+
+
+_DIMVAR_ORACLE = """
+    WITH dims AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    stats AS (
+        SELECT dim,
+               CAST(round(avg(x), 6) AS DOUBLE) AS mean,
+               CAST(round(var_samp(x), 6) AS DOUBLE) AS variance
+        FROM dims GROUP BY dim),
+    r AS (SELECT *, row_number() OVER (ORDER BY variance DESC, dim) AS rk
+          FROM stats)
+    SELECT CAST(dim AS BIGINT) AS dim, mean, variance,
+           rk <= 32 AS keep
+    FROM r
+    ORDER BY dim
+"""
+
+
+@query("emb_dim_variance_prune", oracle=_DIMVAR_ORACLE, tags=("llm", "embedding", "stats"))
+def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-based dimension pruning: per-dimension mean/variance
+    over the whole corpus, keeping the top-32 (of 64) highest-variance
+    dimensions (tie → lower index). The cheap linear cousin of PCA
+    (``emb_pca_power``): low-variance dimensions carry little signal
+    for cosine retrieval and halving dims halves ANN memory/compute —
+    a standard pre-quantization step. One posexplode + one mergeable
+    moment aggregate (64 groups); the rank is over a 64-row frame —
+    driver-trivial at any corpus size. Variances are rounded to 6 dp
+    BEFORE ranking on both engines so the keep-set boundary cannot
+    straddle a sub-ulp disagreement (both engines then rank identical
+    doubles with the same dim tiebreak)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dims = e.select(F.posexplode(_dvec("embedding")).alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).cast("double").alias("mean"),
+        F.round(F.var_samp("x"), 6).cast("double").alias("variance"),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("variance"), F.col("dim")))
+    return (
+        stats.withColumn("rk", rk)
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "mean",
+            "variance",
+            (F.col("rk") <= 32).alias("keep"),
+        )
+        .orderBy("dim")
+    )

@@ -501,3 +501,76 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
         sums[r["from_type"]] += r["prob_permyriad"]
     for s in sums.values():
         assert 10000 - 5 <= s <= 10000
+
+
+# ---- plan pins: line dedup dictionary join + bloom probe
+
+
+def test_line_dedup_dictionary_broadcasts(spark, sf_dir):
+    """The df>=2 dictionary must reach the flag join as a broadcast
+    (bits of boilerplate, not the corpus) — never a sort-merge join."""
+    from flume_source_spark.registry import load_all
+
+    plan = (
+        load_all()["text_line_dedup"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_word_table(spark, sf_dir):
+    """The bloom word table joins broadcast on word_idx; the history
+    segment table appears only in the build/verify stages, never in a
+    cartesian."""
+    from flume_source_spark.registry import load_all
+
+    plan = (
+        load_all()["ds_bloom_dedup"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---- wave 19: batch plan + PSI drift
+
+
+def test_batch_plan_full_steps_and_coverage(spark, sf_dir):
+    from flume_source_spark.pipeline.dataset5 import BATCH_DOCS, ds_batch_plan
+    from flume_source_spark.tables import load_tables
+
+    rows = ds_batch_plan(spark, sf_dir).collect()
+    n_docs_total = load_tables(spark, sf_dir)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    # every step but the last is exactly full; steps are contiguous
+    steps = [r["step"] for r in rows]
+    assert steps == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_docs"] == BATCH_DOCS
+    assert all(r["max_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_psi_zero_on_identical_distribution(spark):
+    """When ref and cur are the same distribution (copies), every
+    smoothed PSI term must be ~0."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(100 + (i % 17) * 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_extendedprice DOUBLE")
+    # mirror dq_drift_psi's arithmetic on this frame
+    from flume_source_spark.pipeline.dataset5 import N_BUCKETS
+
+    c = df.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_ref"),
+    )
+    # identical odd/even distributions by construction (i%17 cycles)
+    b = c.select(F.least(F.expr("cents div 500000"), F.lit(N_BUCKETS - 1)).alias("bucket"), "is_ref")
+    counts = b.groupBy("bucket").agg(
+        F.count_if("is_ref").alias("n_ref"), F.count_if(~F.col("is_ref")).alias("n_cur")
+    )
+    for r in counts.collect():
+        # same cycle → counts differ by at most the parity remainder
+        assert abs(r["n_ref"] - r["n_cur"]) <= 60
