@@ -11,7 +11,10 @@ the slow path, and the same logic as built-ins stays in codegen):
 3. applyInPandas (grouped map)     — `group_zscore`
 4. mapInArrow (batch-level)        — `udf_map_in_arrow` (raw
    RecordBatches, zero pandas; numpy over the flat Arrow buffer)
-5. @udtf / posexplode              — `udtf_expand`
+5. @udtf / posexplode              — `udtf_expand`; polymorphic
+   analyze() — `udtf_analyze_dynamic`; TABLE argument with
+   PARTITION BY/ORDER BY (engine-sorted streaming partition state)
+   — `udtf_table_partition`
 6. row-at-a-time @udf              — `row_classify` (deliberately the
    worst tier: per-row pickling; exists for surface completeness and
    as the baseline the vectorized tiers beat)
@@ -324,5 +327,73 @@ def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL lead_tokens(struct(d.doc_id, d.text), 4) t
         WHERE d.doc_id % 20 = 1
         ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "udtf_table_partition",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    isl AS (
+        SELECT user_id, rn,
+               sum(CASE WHEN prev IS NULL OR value <= prev THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM ordered),
+    runs AS (SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+             FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_events,
+           CAST(max(run_len) AS BIGINT) AS longest_inc_run
+    FROM runs GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udf", "udtf", "table-arg"),
+)
+def udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY/ORDER BY
+    (Spark 4): the engine hash-partitions the input on user_id, sorts
+    each partition by (ts, event_id), streams the rows through
+    ``eval`` and calls ``terminate`` at each partition boundary — the
+    UDTF-tier equivalent of applyInPandas with streaming (row-at-a-
+    time, O(1) state) instead of whole-group materialization. Kernel:
+    per-user event count + longest strictly-increasing run of value
+    in time order — trivially sequential, annoying in pure SQL
+    (gaps-and-islands), natural as partition state."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, longest_inc_run bigint")
+    class RunStats:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.prev = None
+            self.cur = 0
+            self.best = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            v = row["value"]
+            self.cur = self.cur + 1 if (self.prev is not None and v > self.prev) else 1
+            self.best = max(self.best, self.cur)
+            self.prev = v
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.best)
+
+    spark.udtf.register("run_stats", RunStats)
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events_utp")
+    return spark.sql(
+        """
+        SELECT * FROM run_stats(
+            TABLE(events_utp) PARTITION BY user_id ORDER BY (ts, event_id))
+        ORDER BY user_id
         """
     )

@@ -1,0 +1,87 @@
+"""SQL entry-path wave 4: SQL scripting (Spark 4 BEGIN/END blocks).
+
+``sql_scripting_threshold`` — Spark 4's SQL scripting (DECLARE /
+SET / WHILE / IF inside BEGIN…END, gated by
+``spark.sql.scripting.enabled``) runs an imperative driver loop whose
+every statement is still a declarative Catalyst query — the right
+mental model is "procedural glue around full-engine queries", the
+same role as this repo's python-side iterative builders (CC rounds,
+Lloyd rounds). The script here does a real iterative task: find the
+smallest integer quantity threshold q such that the revenue from
+lineitems with quantity > q falls to ≤ 10 % of total revenue — a
+classic "where do I cut the tail" calibration loop.
+
+Determinism contract: the loop compares EXACT INTEGER CENTS
+(revenue as decimal → cents BIGINT; the 10 % test is
+``above·10 ≤ total``), so the stopping threshold is tie-free. The
+oracle finds the same q non-iteratively (min q over a generated
+series satisfying the predicate) — an independent formulation, which
+is precisely what makes the hash check meaningful.
+
+Scale note: each loop iteration is a full filtered aggregate over the
+fact table — fine when iterations are few (q converges in ~15 steps
+here). The set-based rewrite (ONE pass: group revenue by quantity,
+running suffix sum, pick the first q — what the oracle does) is the
+100 TB formulation; the scripting query exists to pin the FEATURE,
+and its docstring points at the rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import register_views
+
+_SCRIPT_ORACLE = """
+    WITH per_q AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4))) * 100, 0)
+                        AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_q),
+    sweep AS (
+        SELECT g.q,
+               CAST(COALESCE((SELECT sum(p.cents) FROM per_q p WHERE p.q > g.q), 0)
+                    AS BIGINT) AS above
+        FROM (SELECT unnest(generate_series(0, 60)) AS q) g)
+    SELECT CAST(min(s.q) AS BIGINT) AS threshold_qty,
+           CAST(min_by(s.above, s.q) AS BIGINT) AS above_cents,
+           t.total AS total_cents
+    FROM sweep s CROSS JOIN tot t
+    WHERE s.above * 10 <= t.total
+    GROUP BY t.total
+"""
+
+
+@query("sql_scripting_threshold", oracle=_SCRIPT_ORACLE, tags=("sql", "scripting"))
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-scripting WHILE loop: raise the quantity cutoff until the
+    above-cutoff revenue is ≤ 10 % of total (exact integer cents);
+    returns (threshold_qty, above_cents, total_cents)."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT;
+          DECLARE above BIGINT;
+          DECLARE q BIGINT DEFAULT 0;
+          SET total = (SELECT sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                             * 100, 0) AS BIGINT))
+                       FROM lineitem);
+          SET above = total;
+          WHILE above * 10 > total DO
+            SET q = q + 1;
+            SET above = (SELECT COALESCE(sum(CAST(round(
+                                 CAST(l_extendedprice AS DECIMAL(18,4))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                 * 100, 0) AS BIGINT)), 0)
+                         FROM lineitem WHERE CAST(l_quantity AS BIGINT) > q);
+          END WHILE;
+          SELECT q AS threshold_qty, above AS above_cents, total AS total_cents;
+        END
+        """
+    )

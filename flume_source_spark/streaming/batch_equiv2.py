@@ -64,3 +64,55 @@ def streaming_cdc_latest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_CHAINED_ORACLE = """
+    WITH q AS (
+        SELECT user_id,
+               to_timestamp(epoch_us(ts) // 900000000 * 900) AS w15,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q_cents
+        FROM events GROUP BY 1, 2)
+    SELECT strftime(to_timestamp(epoch_us(w15) // 3600000000 * 3600),
+                    '%Y-%m-%d %H:%M:%S') AS hour,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_quarters,
+           CAST(sum(q_cents) AS BIGINT) AS total_cents
+    FROM q GROUP BY 1, 2
+    ORDER BY hour, user_id
+"""
+
+
+@query("streaming_chained_windows_batch", oracle=_CHAINED_ORACLE, tags=("streaming", "chained"))
+def streaming_chained_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of CHAINED windowed aggregations (two stateful
+    operators in one streaming query, Spark 3.5+/4): 15-min tumbling
+    cents per user re-windowed — via ``window_time()`` — into hourly
+    (n_quarters, total_cents). The live append-mode equivalence (one
+    checkpoint, one watermark lineage through both states) is pinned
+    by tests/test_streaming2.py with THIS exact plan as its batch
+    reference; the oracle reproduces both window levels with epoch
+    bucket arithmetic. Scale: two shuffles — (window, user) then
+    (hour, user) — each map-side combinable; the second operates on
+    the already-reduced quarter series."""
+    from flume_source_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir)["events"]
+    quarter = events.groupBy(
+        F.window("ts", "15 minutes").alias("w15"), "user_id"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("q_cents"))
+    return (
+        quarter.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("w60"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_quarters"),
+            F.sum("q_cents").alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.col("w60.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "user_id",
+            "n_quarters",
+            "total_cents",
+        )
+        .orderBy("hour", "user_id")
+    )

@@ -1,0 +1,111 @@
+"""Chained stateful operators in one streaming query (Spark 3.5+/4):
+two windowed aggregations back-to-back — 15-min tumbling cents per
+user, re-aggregated into hourly (n_quarters, total) — using
+``window_time()`` to re-window the first aggregation's event-time
+column. Pre-3.4 engines force two queries with an intermediate sink;
+single-query chaining keeps both states in one checkpoint with one
+watermark lineage. Verified against the identical batch plan."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+T0 = datetime(2025, 1, 1, 0, 0, 0)
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def write_batch(d, name, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [T0 + timedelta(minutes=r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click" for _ in rows],
+            "value": [float(r[3]) for r in rows],
+            "props": ["{}" for _ in rows],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def chained_windows(events):
+    """15-min tumbling cents per user → hourly rollup per user."""
+    quarter = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("q_cents"))
+    )
+    return (
+        quarter.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("w60"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_quarters"),
+            F.sum("q_cents").alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.col("w60.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "user_id",
+            "n_quarters",
+            "total_cents",
+        )
+    )
+
+
+def test_chained_windowed_aggs_stream_equals_batch(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    # user 1: events in three different quarters of hour 0 + one in hour 1;
+    # user 2: two events in the same quarter (n_quarters must be 1)
+    write_batch(
+        d,
+        "b1",
+        [
+            (1, 0, 1, 10),
+            (2, 16, 1, 20),
+            (3, 31, 1, 30),
+            (4, 65, 1, 40),
+            (5, 2, 2, 5),
+            (6, 7, 2, 7),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    q = (
+        chained_windows(stream)
+        .writeStream.format("memory")
+        .queryName("chained_q")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-closed windows; push the
+        # watermark far forward with a late batch so everything closes
+        write_batch(d, "b2", [(99, 10_000, 9, 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["hour"], r["user_id"]): (r["n_quarters"], r["total_cents"])
+        for r in spark.sql("SELECT * FROM chained_q").collect()
+        if r["user_id"] != 9
+    }
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
+    expected = {
+        (r["hour"], r["user_id"]): (r["n_quarters"], r["total_cents"])
+        for r in chained_windows(batch).collect()
+        if r["user_id"] != 9
+    }
+    assert got == expected
+    assert got[("2025-01-01 00:00:00", 1)] == (3, 6000)
+    assert got[("2025-01-01 01:00:00", 1)] == (1, 4000)
+    assert got[("2025-01-01 00:00:00", 2)] == (1, 1200)
