@@ -1,0 +1,142 @@
+"""Window wave 3: equi-depth histograms and DISTINCT-over-window.
+
+- ``agg_equidepth_histogram`` — equi-DEPTH (quantile-bucket)
+  statistics: ``ntile(10)`` over a TOTAL order assigns equal-count
+  buckets, then per bucket min/max/count — the optimizer-statistics
+  histogram shape (equal mass, data-driven edges), complementing
+  ``ds_length_histogram``'s fixed-WIDTH form. The total order
+  (cents, l_orderkey, l_linenumber) makes ntile deterministic:
+  same-valued rows straddling a bucket edge land identically on both
+  engines. Exact-rank histograms need a global sort; the 100 TB
+  equivalent is approx_percentile edges + one aggregate pass, same
+  trade ``sink_zorder_write`` uses for its range buckets.
+- ``window_distinct_count_emulation`` — Spark (and DuckDB) reject
+  ``count(DISTINCT x) OVER (...)``; the standard rewrite is the
+  dense_rank trick: within the partition, ``dense_rank`` ordered by x
+  numbers the distinct values 1..N, so ``max(dense_rank) OVER
+  (partition)`` IS the distinct count — two window passes over one
+  sort order, no quadratic rescans. Emitted per row (running
+  analytics shape): each order's line count, its distinct-supplier
+  count, and the share of the partition's distinct parts seen so far
+  (a cumulative-coverage curve). The oracle uses a correlated
+  grouped subquery — an independent formulation of the same
+  quantity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_EQUIDEPTH_ORACLE = """
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    t AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket
+        FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE, tags=("agg", "histogram"))
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of lineitem price cents: ntile(10)
+    over a deterministic total order, then per-bucket count/min/max."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
+    return (
+        c.select("cents", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n_rows", "lo_cents", "hi_cents")
+        .orderBy("bucket")
+    )
+
+
+_WDISTINCT_ORACLE = """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+        FROM lineitem WHERE l_orderkey % 50 = 0),
+    per_order AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supp
+        FROM base GROUP BY l_orderkey),
+    runn AS (
+        SELECT b.l_orderkey, b.l_linenumber,
+               (SELECT CAST(count(DISTINCT b2.l_partkey) AS BIGINT) FROM base b2
+                WHERE b2.l_orderkey = b.l_orderkey
+                  AND b2.l_linenumber <= b.l_linenumber) AS parts_seen
+        FROM base b)
+    SELECT r.l_orderkey, r.l_linenumber, p.n_lines, p.n_distinct_supp, r.parts_seen
+    FROM runn r JOIN per_order p USING (l_orderkey)
+    ORDER BY r.l_orderkey, r.l_linenumber
+"""
+
+
+@query(
+    "window_distinct_count_emulation",
+    oracle=_WDISTINCT_ORACLE,
+    tags=("window", "distinct"),
+)
+def window_distinct_count_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) OVER emulation: per lineitem row, the order's
+    line count, distinct-supplier count (dense_rank trick: partition
+    max of dense_rank-by-supplier == distinct suppliers), and the
+    running distinct-part count up to this line (first-occurrence
+    trick: flag each part's first line, running sum of flags — the
+    frame-capable form of running-distinct, since dense_rank cannot be
+    re-framed by a different order)."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+    part = Window.partitionBy("l_orderkey")
+    dr_supp = F.dense_rank().over(part.orderBy("l_suppkey"))
+    supp_cnt = F.max(dr_supp).over(
+        part.orderBy("l_suppkey").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    first_occ = (
+        F.row_number().over(
+            Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+        )
+        == 1
+    )
+    # RANGE (not ROWS) frame: the fixture has duplicate l_linenumber
+    # values within an order, and "seen by line L" must include ALL
+    # rows at L — peer rows — exactly what the oracle's <= gives.
+    runseen = F.sum(F.when(first_occ, 1).otherwise(0)).over(
+        part.orderBy("l_linenumber").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.count("*").over(part).alias("n_lines"),
+            supp_cnt.alias("n_distinct_supp"),
+            runseen.cast("long").alias("parts_seen"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

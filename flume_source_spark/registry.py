@@ -178,6 +178,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.aggregates3  # noqa: F401
     import flume_source_spark.operators.windows2  # noqa: F401
+    import flume_source_spark.operators.windows3  # noqa: F401
     import flume_source_spark.operators.timeseries  # noqa: F401
     import flume_source_spark.operators.timeseries2  # noqa: F401
     import flume_source_spark.operators.timeseries3  # noqa: F401

@@ -297,9 +297,11 @@ class ParquetUpsertSink:
 
     Scale note: rewriting the whole target per batch is right for
     dimension-sized upsert targets (the common case for streaming
-    MERGE); a fact-sized target would partition by key range and
-    rewrite only touched partitions — the plan shape (dedup window on
-    key) is unchanged.
+    MERGE); for fact-sized targets use
+    ``streaming/upsert_partitioned.PartitionedParquetUpsertSink`` —
+    the hash-bucketed variant that rewrites ONLY touched buckets per
+    batch (untouched generations stay byte-identical, tested), with
+    the same single-commit-file contract.
     """
 
     def __init__(self, path: str, key: str, order_col: str):

@@ -574,3 +574,38 @@ def test_psi_zero_on_identical_distribution(spark):
     for r in counts.collect():
         # same cycle → counts differ by at most the parity remainder
         assert abs(r["n_ref"] - r["n_cur"]) <= 60
+
+
+# ---- wave 21: equi-depth histogram + distinct-over-window
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    from flume_source_spark.registry import load_all
+
+    rows = load_all()["agg_equidepth_histogram"].builder(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    counts = [r["n_rows"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile depth balance
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]  # monotone edges
+
+
+def test_distinct_emulation_final_row_equals_total(spark, sf_dir):
+    """For each order, the last line's parts_seen must equal the
+    order's total distinct parts (coverage curve ends at 100%)."""
+    from flume_source_spark.registry import load_all
+    from flume_source_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    rows = load_all()["window_distinct_count_emulation"].builder(spark, sf_dir).collect()
+    last = {}
+    for r in rows:
+        last[r["l_orderkey"]] = r["parts_seen"]  # ordered by line asc
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 50 == 0)
+    truth = {
+        r["l_orderkey"]: r["d"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert last == truth
