@@ -1,0 +1,218 @@
+"""Text wave: BPE tokenizer-training statistics.
+
+``text_bpe_pair_stats`` — the distributed kernel inside BPE/WordPiece
+tokenizer training (Sennrich et al. 2016): count ADJACENT SYMBOL PAIRS
+across the corpus and rank merge candidates. Full BPE training is a
+sequential loop (each merge changes the next iteration's pair counts
+— the loop belongs on the driver, exactly like the CC/Lloyd loops
+elsewhere in this repo), but ~all the cost of every iteration is this
+one distributed job: explode words → per-word symbol sequence →
+adjacent pairs → global count. The query materializes iteration-0
+exactly as tokenizer trainers do it:
+
+    - words = whitespace tokens, weighted by corpus frequency (count
+      words FIRST — the pair scan then runs over the VOCABULARY with
+      a weight column, not the corpus; Zipf makes this the difference
+      between |vocab| and |corpus| work, the standard trainer trick),
+    - symbols = characters with an end-of-word marker '_' appended
+      (the classic formulation, so merges cannot cross word
+      boundaries),
+    - pair weight = Σ word_freq over occurrences, counting REPEATED
+      pairs within a word each time ('aaa' contributes (a,a) twice).
+
+Output: the top-20 merge candidates with exact weights (total order:
+weight desc, then pair text asc — deterministic cross-engine).
+The oracle rebuilds the same counts with generate_series over each
+vocabulary word. Scale: two hash aggregates (word counts, pair
+counts), both map-side combinable; the explode factor is word length
+(bounded), and everything after the first aggregate is vocabulary-
+sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+TOP_PAIRS = 20
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT unnest(str_split(text, ' ')) AS w
+        FROM documents),
+    vocab AS (
+        SELECT w || '_' AS w, CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE w <> '' GROUP BY 1),
+    pairs AS (
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+        FROM vocab, (SELECT unnest(generate_series(1, 200)) AS i) g
+        WHERE i < length(w)),
+    counted AS (
+        SELECT a || b AS pair, CAST(sum(freq) AS BIGINT) AS weight
+        FROM pairs GROUP BY 1)
+    SELECT pair, weight
+    FROM counted
+    ORDER BY weight DESC, pair
+    LIMIT {TOP_PAIRS}
+"""
+
+
+@query("text_bpe_pair_stats", oracle=_BPE_ORACLE, tags=("llm", "text", "tokenizer"))
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: frequency-weighted adjacent
+    character-pair counts over the end-of-word-marked vocabulary."""
+    from flume_source_spark.pipeline.dedup import spread
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    vocab = words.groupBy(F.concat(F.col("w"), F.lit("_")).alias("w")).agg(
+        F.count("*").alias("freq")
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), "pair")
+        .limit(TOP_PAIRS)
+    )
+
+
+def _merge_symbols(col: F.Column, a_b: str, merged: str) -> F.Column:
+    """Apply ONE BPE merge to a symbol array, left-to-right and
+    non-overlapping (the standard greedy application: 'aaa' under
+    merge (a,a) → [aa, a]). Pure fold — no UDF."""
+    a, b = a_b.split("\x00")
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("jm")
+    )
+    step = lambda acc, x: F.when(
+        (~acc["jm"])
+        & (F.size(acc["out"]) > 0)
+        & (F.element_at(acc["out"], -1) == a)
+        & (x == b),
+        F.struct(
+            F.concat(
+                F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+                F.array(F.lit(merged)),
+            ).alias("out"),
+            F.lit(True).alias("jm"),
+        ),
+    ).otherwise(
+        F.struct(F.concat(acc["out"], F.array(x)).alias("out"), F.lit(False).alias("jm"))
+    )
+    return F.aggregate(col, init, step, lambda acc: acc["out"])
+
+
+def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+    """Driver-loop BPE training over a (symbols array<string>, freq)
+    vocabulary: n_merges rounds of [distributed pair count → 1-row
+    collect of the argmax pair (weight desc, pair text asc — the
+    deterministic trainer tiebreak) → distributed merge application].
+    Returns [(left, right, weight)] in merge order. Each round is one
+    map-side-combinable aggregate + one narrow transform over the
+    VOCABULARY (not the corpus) — the loop state on the driver is just
+    the merge table, same pattern as the CC / Lloyd loops."""
+    merges: list[tuple[str, str, int]] = []
+    cur = vocab
+    for _ in range(n_merges):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.struct(
+                            F.element_at("symbols", i.cast("int")).alias("a"),
+                            F.element_at("symbols", (i + 1).cast("int")).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["weight"] is None:
+            break
+        a, b, w = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["weight"])
+        merges.append((a, b, w))
+        cur = cur.select(
+            _merge_symbols(F.col("symbols"), f"{a}\x00{b}", a + b).alias("symbols"),
+            "freq",
+        ).localCheckpoint()
+    return merges
+
+
+def corpus_vocab(docs: DataFrame) -> DataFrame:
+    """(symbols, freq) character-level vocabulary with end-of-word
+    marker, from a (doc_id, text) frame."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    return words.groupBy("w").agg(F.count("*").alias("freq")).select(
+        F.split(F.concat(F.col("w"), F.lit("_")), "(?!$)").alias("symbols"), "freq"
+    )
+
+
+@query("text_bpe_train_merges", oracle=None, tags=("llm", "text", "tokenizer", "iterative"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (merge_idx, left,
+    right, weight). Rows-only: the training loop is iterative (each
+    merge reshapes the next round's pair counts — not expressible as
+    one SQL query); pinned instead by tests against a pure-Python
+    reference trainer on hand corpora, plus the oracle-checked
+    iteration-0 kernel (text_bpe_pair_stats)."""
+    from flume_source_spark.pipeline.dedup import spread
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    merges = bpe_train(corpus_vocab(d), n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, w) for i, (a, b, w) in enumerate(merges)],
+        "merge_idx LONG, left STRING, right STRING, weight LONG",
+    )
+
+
+@query("text_bpe_encode_stats", oracle=None, tags=("llm", "text", "tokenizer", "iterative"))
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned merges back to the vocabulary and report
+    the compression they buy: per merge round, the corpus-weighted
+    token count (Σ freq·|symbols|) — the monotone-decreasing curve a
+    tokenizer-training report shows. Rows-only (iterative), invariants
+    pinned in tests: strictly fewer weighted tokens after every
+    effective merge, and round 0 equals chars+1 per word."""
+    from flume_source_spark.pipeline.dedup import spread
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    cur = corpus_vocab(d)
+    merges = bpe_train(corpus_vocab(d), n_merges=8)
+    rows = []
+    total0 = cur.select(
+        F.sum(F.size("symbols") * F.col("freq")).alias("t")
+    ).collect()[0]["t"]
+    rows.append((0, None, int(total0)))
+    for i, (a, b, _w) in enumerate(merges, start=1):
+        cur = cur.select(
+            _merge_symbols(F.col("symbols"), f"{a}\x00{b}", a + b).alias("symbols"),
+            "freq",
+        ).localCheckpoint()
+        t = cur.select(F.sum(F.size("symbols") * F.col("freq")).alias("t")).collect()[0]["t"]
+        rows.append((i, a + b, int(t)))
+    return spark.createDataFrame(
+        rows, "round LONG, merged_symbol STRING, weighted_tokens LONG"
+    )

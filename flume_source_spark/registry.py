@@ -220,6 +220,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text7  # noqa: F401
     import flume_source_spark.pipeline.text8  # noqa: F401
     import flume_source_spark.pipeline.text9  # noqa: F401
+    import flume_source_spark.pipeline.text10  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401

@@ -609,3 +609,75 @@ def test_distinct_emulation_final_row_equals_total(spark, sf_dir):
         .collect()
     }
     assert last == truth
+
+
+# ---- wave 22: BPE training
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer (Sennrich-style): greedy
+    top-pair (weight desc, pair asc) with left-to-right
+    non-overlapping merge application."""
+    vocab = {tuple(w) + ("_",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((pair[0], pair[1], counts[pair]))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, jm = [], False
+            for x in syms:
+                if not jm and out and out[-1] == pair[0] and x == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                    jm = True
+                else:
+                    out.append(x)
+                    jm = False
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from flume_source_spark.pipeline.text10 import bpe_train, corpus_vocab
+
+    corpus = "low low low lower lower newest newest newest widest widest"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id LONG, text STRING")
+    got = bpe_train(corpus_vocab(docs), n_merges=6)
+    freqs = {}
+    for w in corpus.split(" "):
+        freqs[w] = freqs.get(w, 0) + 1
+    want = _py_bpe(freqs, 6)
+    assert got == want
+
+
+def test_bpe_merge_handles_overlaps(spark):
+    """'aaaa' under merge (a,a) → [aa, aa] (left-to-right,
+    non-overlapping) — the classic greedy-application pitfall."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.pipeline.text10 import _merge_symbols
+
+    df = spark.createDataFrame([(["a", "a", "a", "a"],)], "symbols ARRAY<STRING>")
+    out = df.select(_merge_symbols(F.col("symbols"), "a\x00a", "aa").alias("m")).collect()
+    assert out[0]["m"] == ["aa", "aa"]
+    df3 = spark.createDataFrame([(["a", "a", "a"],)], "symbols ARRAY<STRING>")
+    out3 = df3.select(_merge_symbols(F.col("symbols"), "a\x00a", "aa").alias("m")).collect()
+    assert out3[0]["m"] == ["aa", "a"]
+
+
+def test_bpe_encode_compression_monotone(spark, sf_dir):
+    from flume_source_spark.registry import load_all
+
+    rows = sorted(
+        (r["round"], r["weighted_tokens"])
+        for r in load_all()["text_bpe_encode_stats"].builder(spark, sf_dir).collect()
+    )
+    toks = [t for _, t in rows]
+    assert all(a > b for a, b in zip(toks, toks[1:])), toks  # every merge helps
