@@ -145,6 +145,26 @@ _FRESH_GREEN = _DRIVER_GREEN_R03
 # acceptance criterion). With ~120 round-4 additions also unswept and
 # a ~50-row sweep budget, these must sort FIRST within the
 # never-swept block or they could miss a fourth consecutive sweep.
+# Round-4 session-3 headline additions, ordered by operator value:
+# if the driver sweep budget (~50 rows) is spent after the 18
+# round-3 leftovers, these are the next most informative rows — one
+# per new operator FAMILY (dedup, spatial, as-of, scripting, UDTF,
+# chained streaming, tokenizer, histogram, drift) rather than
+# whichever module happens to import first.
+_SESSION3_PRIORITY = (
+    "text_line_dedup", "dedup_keep_best", "ds_bloom_dedup",
+    "geo_grid_join", "geo_nearest_neighbor", "join_asof_nearest",
+    "sql_scripting_threshold", "udtf_table_partition",
+    "streaming_chained_windows_batch", "text_bpe_pair_stats",
+    "agg_equidepth_histogram", "window_distinct_count_emulation",
+    "dq_drift_psi", "ds_batch_plan", "emb_dim_variance_prune",
+    "ts_outlier_mad", "ts_event_pattern_regex", "ts_transition_matrix",
+    "ts_acf", "ts_interp_linear", "graph_common_neighbors",
+    "agg_mode_deterministic", "agg_listagg", "sql_star_except",
+    "scalar_collation", "dedup_simhash_hamming_join",
+    "text_bpe_train_merges", "text_bpe_encode_stats",
+)
+
 _R03_LEFTOVERS = (
     "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
     "ds_global_shuffle", "ds_interleave_sources", "ds_pipeline_end_to_end",
@@ -234,6 +254,7 @@ def load_all() -> dict[str, QuerySpec]:
 
     ever_swept = _STALE_GREEN | _FRESH_GREEN
     ordered = {n: REGISTRY[n] for n in _R03_LEFTOVERS if n in REGISTRY}
+    ordered.update({n: REGISTRY[n] for n in _SESSION3_PRIORITY if n in REGISTRY})
     ordered.update(
         {n: s for n, s in REGISTRY.items() if n not in ever_swept and n not in ordered}
     )
