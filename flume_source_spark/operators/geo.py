@@ -164,3 +164,64 @@ def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("j", key).alias("nn_id"), F.min("d2").alias("d2"))
         .orderBy("i")
     )
+
+
+_HEATMAP_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    cells AS (
+        SELECT lat_cd // {RADIUS} AS cx, lon_cd // {RADIUS} AS cy,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2),
+    neigh AS (
+        SELECT c.cx + dx.d AS cx, c.cy + dy.d AS cy, c.n
+        FROM cells c,
+             (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS d) dy),
+    sm AS (
+        SELECT cx, cy, CAST(sum(n) AS BIGINT) AS neighborhood_n
+        FROM neigh GROUP BY 1, 2)
+    SELECT c.cx, c.cy, c.n,
+           s.neighborhood_n,
+           c.n * 10000 // s.neighborhood_n AS concentration_permyriad
+    FROM cells c JOIN sm s USING (cx, cy)
+    ORDER BY c.cx, c.cy
+"""
+
+
+@query("geo_heatmap_grid", oracle=_HEATMAP_ORACLE, tags=("geo", "raster"))
+def geo_heatmap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density heatmap with 3×3 box smoothing — the raster
+    convolution done relationally: per-cell point counts, then each
+    cell SCATTERS its count to its 9-cell neighborhood (explode of a
+    constant offset array) and a second aggregate gathers the
+    neighborhood sum. Scatter-gather convolution is the shape that
+    scales: work is 9×|occupied cells| (sparse — empty cells never
+    materialize), both aggregates map-side combine, and wider kernels
+    just grow the constant. concentration = n/neighborhood_n flags
+    isolated hot cells (permyriad integer, tie-free). Output rows are
+    OCCUPIED cells only; their neighborhood sums still include every
+    neighbor's mass."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        F.floor(F.col("lat_cd") / RADIUS).alias("cx"),
+        F.floor(F.col("lon_cd") / RADIUS).alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dx -> "
+        "transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    scattered = cells.select("n", offs.alias("o"), "cx", "cy").select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "n",
+    )
+    sm = scattered.groupBy("cx", "cy").agg(F.sum("n").alias("neighborhood_n"))
+    return (
+        cells.join(sm, ["cx", "cy"])
+        .select(
+            "cx", "cy", "n", "neighborhood_n",
+            ((F.col("n") * 10000) / F.col("neighborhood_n")).cast("long")
+            .alias("concentration_permyriad"),
+        )
+        .orderBy("cx", "cy")
+    )
