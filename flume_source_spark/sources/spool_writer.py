@@ -35,7 +35,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
@@ -117,6 +122,12 @@ class TextSpoolDataSource(DataSource):
             raise ValueError(f"textspool requires (file_name, body) columns, got {names}")
         return SpoolWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        names = [f.name for f in schema.fields]
+        if "file_name" not in names or "body" not in names:
+            raise ValueError(f"textspool requires (file_name, body) columns, got {names}")
+        return SpoolStreamWriter(self.options)
+
 
 def register(spark: SparkSession) -> None:
     spark.dataSource.register(TextSpoolDataSource)
@@ -172,3 +183,73 @@ def sink_spool_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+class SpoolStreamWriter(DataSourceStreamWriter):
+    """STREAMING spool producer — the `DataSourceStreamWriter` tier of
+    the Python DataSource API (the batch `SpoolWriter` above covers
+    `writer()`; with this the engine ships all four custom-DataSource
+    roles: batch/stream reader, batch/stream writer). Same two-phase
+    protocol per micro-batch: executors temp-write dot-prefixed files,
+    the driver's per-epoch ``commit(messages, batchId)`` renames them
+    and advances a single epoch-marker file (atomic replace). The
+    marker makes redelivered epochs idempotent: a retried commit for
+    an already-marked epoch deletes its temps and renames nothing, so
+    a consumer polling the spool (the filemeta source) sees each
+    row's file exactly once. ``abort`` removes the epoch's temps and
+    leaves the spool unchanged."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("textspool stream writer requires option 'path'")
+        self.suffix = options.get("tmpPrefix", ".spool-tmp-")
+        self._marker = os.path.join(self.path, ".spool-epoch")
+
+    def _last_epoch(self) -> int:
+        try:
+            with open(self._marker) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        files = []
+        for row in iterator:
+            name = row["file_name"]
+            if not name or name.startswith(".") or "/" in name:
+                raise ValueError(f"illegal spool file name: {name!r}")
+            tmp = os.path.join(self.path, f"{self.suffix}{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(row["body"] if row["body"] is not None else "")
+            files.append((tmp, os.path.join(self.path, name)))
+        return SpoolCommitMessage(files=files)
+
+    def commit(self, messages, batchId: int) -> None:
+        pending = [p for m in messages if m is not None for p in m.files]
+        if batchId <= self._last_epoch():
+            for tmp, _ in pending:  # redelivered epoch: drop, don't re-publish
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+            return
+        for tmp, final in pending:
+            os.rename(tmp, final)
+        tmp_marker = self._marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            f.write(str(batchId))
+        os.replace(tmp_marker, self._marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _ in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass

@@ -75,3 +75,78 @@ def test_spool_producer_feeds_filemeta_consumer(spark, tmp_path):
         .collect()
     )
     assert sorted(r.file_name for r in rows) == [f"evt{i:03d}.txt" for i in range(10)]
+
+
+# ---- streaming writer tier
+
+
+def _docs_stream(spark, d):
+    return spark.readStream.schema("doc_id LONG, text STRING").parquet(d)
+
+
+def test_stream_spool_writer_publishes_per_epoch(spark, tmp_path):
+    """writeStream.format('textspool'): per micro-batch two-phase
+    publish — final names only after commit, no dot-temps left, epoch
+    marker advances, redelivered commit is a no-op, and the produced
+    spool is readable by the filemeta source (producer→consumer
+    composition)."""
+    import pandas as pd
+
+    from flume_source_spark.sources.spool_writer import (
+        SpoolCommitMessage,
+        SpoolStreamWriter,
+        register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "in")
+    spool = str(tmp_path / "spool")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]}).to_parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    q = (
+        _docs_stream(spark, src)
+        .selectExpr("concat('doc-', doc_id) AS file_name", "text AS body")
+        .writeStream.format("textspool")
+        .option("path", spool)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pd.DataFrame({"doc_id": [3], "text": ["gamma"]}).to_parquet(
+            os.path.join(src, "b2.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    names = sorted(os.listdir(spool))
+    assert [n for n in names if not n.startswith(".")] == ["doc-1", "doc-2", "doc-3"]
+    assert not [n for n in names if n.startswith(".spool-tmp-")]
+    with open(os.path.join(spool, "doc-3")) as f:
+        assert f.read() == "gamma"
+
+    # redelivered epoch: commit must drop temps without re-publishing
+    w = SpoolStreamWriter({"path": spool})
+    tmp = os.path.join(spool, ".spool-tmp-redeliver")
+    with open(tmp, "w") as f:
+        f.write("SHOULD_NOT_PUBLISH")
+    w.commit([SpoolCommitMessage(files=[(tmp, os.path.join(spool, "doc-1"))])], 0)
+    with open(os.path.join(spool, "doc-1")) as f:
+        assert f.read() == "alpha"  # original content intact
+    assert not os.path.exists(tmp)
+
+    # composition: the filemeta source consumes what the stream produced
+    from flume_source_spark.sources.filemeta import register as reg_meta
+
+    reg_meta(spark)
+    got = (
+        spark.read.format("filemeta")
+        .option("path", spool)
+        .option("canary", "false")
+        .load()
+        .select("file_name")
+        .collect()
+    )
+    assert sorted(r["file_name"] for r in got) == ["doc-1", "doc-2", "doc-3"]

@@ -109,3 +109,72 @@ def test_chained_windowed_aggs_stream_equals_batch(spark, tmp_path):
     assert got[("2025-01-01 00:00:00", 1)] == (3, 6000)
     assert got[("2025-01-01 01:00:00", 1)] == (1, 4000)
     assert got[("2025-01-01 00:00:00", 2)] == (1, 1200)
+
+
+def test_stream_stream_full_outer_both_sides_null(spark, tmp_path):
+    """FULL OUTER stream-stream join (both sides watermarked, time-
+    bounded condition): matched pair joins; an unmatched left row AND
+    an unmatched right row each finalize with nulls once the
+    watermark closes their state — completing the stream-stream
+    matrix (inner + left-outer live tests in test_streaming.py)."""
+    import os as _os
+
+    dc = str(tmp_path / "clicks")
+    dp = str(tmp_path / "purchases")
+
+    def wb(d, name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [T0 + timedelta(minutes=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["x" for _ in rows],
+                "value": [1.0 for _ in rows],
+                "props": ["{}" for _ in rows],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        _os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(_os.path.join(d, f"{name}.parquet"))
+
+    ev = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    # user 7: click+purchase within 30 min (match); user 8: purchase
+    # only (right-null left row); user 6: click only (left-null right row)
+    wb(dc, "c1", [(1, 0, 7), (2, 0, 6)])
+    wb(dp, "p1", [(10, 20, 7), (11, 30, 8)])
+    clicks = (
+        spark.readStream.schema(ev).parquet(dc)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+                F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(ev).parquet(dp)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("purchase_id", "click_id")
+    got = []
+
+    def sink(batch_df, epoch_id):
+        got.extend((r["purchase_id"], r["click_id"]) for r in batch_df.collect())
+
+    q = joined.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        wb(dc, "c2", [(5, 500, 99)])
+        wb(dp, "p2", [(12, 500, 99)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {p for p in got if p not in {(12, 5)}}  # drop the watermark-pusher pair
+    assert (10, 1) in pairs                         # matched
+    assert (11, None) in pairs, pairs               # right side unmatched purchase
+    assert (None, 2) in pairs, pairs                # left side unmatched click
