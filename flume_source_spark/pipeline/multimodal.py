@@ -213,3 +213,59 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height", "channels")
     )
+
+
+_CLIP_ORACLE = """
+    WITH t AS (
+        SELECT vec_id AS doc_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS tv
+        FROM embeddings),
+    img AS (
+        SELECT doc_id,
+               list_reverse(tv) AS iv,
+               tv
+        FROM t),
+    sim AS (
+        SELECT doc_id,
+               list_dot_product(tv, iv)
+               / (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(iv, iv)))
+                   AS s
+        FROM img)
+    SELECT doc_id,
+           CAST(round(s, 4) AS DOUBLE) AS clip_sim,
+           round(s, 4) >= 0.2 AS keep_pair
+    FROM sim
+    ORDER BY doc_id
+"""
+
+
+@query("multimodal_clip_filter", oracle=_CLIP_ORACLE, tags=("llm", "multimodal", "similarity"))
+def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score pair filtering — the LAION/WebLI curation shape:
+    per (text, image) pair, the cosine between the text embedding and
+    the image embedding, thresholded to keep aligned pairs. The
+    fixture has no real image encoder (the container has no vision
+    libs), so the 'image tower' embedding is a deterministic stand-in
+    (the reversed text vector — guaranteeing a realistic spread of
+    similarities rather than all-1s) while every Spark-side mechanic
+    is real: both towers as array columns, JVM-side zip_with dot
+    products, rounding-before-threshold so the keep boundary is
+    cross-engine exact. At scale this is one narrow projection per
+    pair — no shuffle at all (the towers arrive in the same row, the
+    common case when pairs are materialized upstream); the expensive
+    upstream (the encoders) runs as the mapInPandas kernels
+    multimodal_decode demonstrates."""
+    from flume_source_spark.pipeline.similarity import _dvec, cosine
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    pairs = e.select(
+        F.col("vec_id").alias("doc_id"),
+        _dvec("embedding").alias("tv"),
+        F.reverse(_dvec("embedding")).alias("iv"),
+    )
+    sim = pairs.select("doc_id", cosine(F.col("tv"), F.col("iv")).alias("s"))
+    return sim.select(
+        "doc_id",
+        F.round("s", 4).cast("double").alias("clip_sim"),
+        (F.round("s", 4) >= 0.2).alias("keep_pair"),
+    ).orderBy("doc_id")

@@ -164,6 +164,7 @@ _SESSION3_PRIORITY = (
     "agg_mode_deterministic", "agg_listagg", "sql_star_except",
     "scalar_collation", "dedup_simhash_hamming_join",
     "text_bpe_train_merges", "text_bpe_encode_stats",
+    "multimodal_clip_filter",
 )
 
 _R03_LEFTOVERS = (

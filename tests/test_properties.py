@@ -158,3 +158,79 @@ def test_dynamic_partition_overwrite_leaves_other_partitions(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     got = {(r.id, r.part) for r in spark.read.parquet(out).collect()}
     assert got == {(99, "a"), (3, "b")}, got  # a replaced, b untouched
+
+
+# ---- session-3 primitives: grid blocking, BPE merge, segmentation
+
+
+_points_strat = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 500)), min_size=0, max_size=12
+)
+
+
+@given(_points_strat)
+@settings(max_examples=25, deadline=None)
+def test_grid_pairs_equals_bruteforce_random(spark, pts):
+    """Grid blocking is EXACT on arbitrary point sets (radius 100,
+    coordinates straddling cells at will)."""
+    from flume_source_spark.operators.geo import grid_pairs
+
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id LONG, lat_cd LONG, lon_cd LONG")
+    got = {(r["i"], r["j"], r["d2"]) for r in grid_pairs(df).collect()}
+    brute = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            d2 = (rows[a][1] - rows[b][1]) ** 2 + (rows[a][2] - rows[b][2]) ** 2
+            if d2 <= 100 * 100:
+                brute.add((a, b, d2))
+    assert got == brute
+
+
+_symbols_strat = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10)
+
+
+@given(_symbols_strat, st.sampled_from([("a", "b"), ("a", "a"), ("b", "c")]))
+@settings(max_examples=25, deadline=None)
+def test_bpe_merge_fold_matches_python(spark, syms, pair):
+    """The HOF merge fold equals the reference greedy left-to-right
+    non-overlapping application on arbitrary symbol strings."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.pipeline.text10 import _merge_symbols
+
+    a, b = pair
+    out_ref, jm = [], False
+    for x in syms:
+        if not jm and out_ref and out_ref[-1] == a and x == b:
+            out_ref[-1] = a + b
+            jm = True
+        else:
+            out_ref.append(x)
+            jm = False
+    df = spark.createDataFrame([(syms,)], "symbols ARRAY<STRING>")
+    got = df.select(
+        _merge_symbols(F.col("symbols"), f"{a}\x00{b}", a + b).alias("m")
+    ).collect()[0]["m"]
+    assert got == out_ref
+
+
+@given(st.lists(st.sampled_from(["x", "yy", "zzz"]), min_size=1, max_size=35))
+@settings(max_examples=25, deadline=None)
+def test_line_dedup_segmentation_accounting(spark, words):
+    """Segment accounting invariants on arbitrary docs: segment count
+    = ceil(tokens/SEG), token mass conserved (kept + dropped =
+    total), self-repetition never counts as duplication for a
+    single-doc corpus."""
+    from flume_source_spark.pipeline.text9 import SEG, line_dedup_stats
+
+    text = " ".join(words)
+    n_tokens = len(words)
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    row = line_dedup_stats(df).collect()[0]
+    assert row["n_tokens"] == n_tokens
+    assert row["n_segments"] == -(-n_tokens // SEG)
+    assert row["n_dup_segments"] == 0  # single doc: df(seg) == 1 always
+    assert row["kept_tokens"] == n_tokens

@@ -178,3 +178,85 @@ def test_stream_stream_full_outer_both_sides_null(spark, tmp_path):
     assert (10, 1) in pairs                         # matched
     assert (11, None) in pairs, pairs               # right side unmatched purchase
     assert (None, 2) in pairs, pairs                # left side unmatched click
+
+
+def test_foreach_row_writer_delivers_all_rows(spark, tmp_path):
+    """writeStream.foreach(f): the ROW-level sink tier (foreachBatch
+    covers the batch tier; textspool covers the DataSource tier).
+    Each row lands exactly once in the side-effect file under normal
+    (no-retry) processing."""
+    import os as _os
+
+    d = str(tmp_path / "ev")
+    out = str(tmp_path / "rows.txt")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [T0, T0, T0],
+            "user_id": [1, 2, 3],
+            "event_type": ["a", "b", "c"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    _os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(_os.path.join(d, "b1.parquet"))
+
+    def write_row(row):
+        with open(out, "a") as f:
+            f.write(f"{row['event_id']}:{row['event_type']}\n")
+
+    ev = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    q = (
+        spark.readStream.schema(ev).parquet(d)
+        .writeStream.foreach(write_row)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(out) as f:
+        lines = sorted(f.read().splitlines())
+    assert lines == ["1:a", "2:b", "3:c"]
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: processes everything present in bounded
+    micro-batches, then terminates ON ITS OWN — the batch-like run
+    mode for periodic catch-up jobs (vs processingTime's perpetual
+    polling). maxFilesPerTrigger bounds each batch, so the drain runs
+    as multiple rate-limited batches before self-stopping."""
+    import os as _os
+
+    d = str(tmp_path / "ev")
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i],
+                "ts": [T0],
+                "user_id": [i],
+                "event_type": ["x"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        _os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(_os.path.join(d, f"b{i}.parquet"))
+    seen = []
+
+    def sink(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+
+    ev = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    q = (
+        spark.readStream.schema(ev).option("maxFilesPerTrigger", 1).parquet(d)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    assert sum(n for _, n in seen) == 3
+    assert len(seen) >= 3  # rate limit respected: one file per batch
