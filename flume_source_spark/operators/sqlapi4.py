@@ -85,3 +85,58 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_DECLARED_FN_ORACLE = """
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+"""
+
+
+@query("sql_declared_functions", oracle=_DECLARED_FN_ORACLE, tags=("sql", "udf", "declared"))
+def sql_declared_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared functions (Spark 3.5+/4 `CREATE FUNCTION …
+    RETURN`): a SCALAR SQL UDF (exact-cents net price) nested inside
+    a TABLE SQL UDF (an order's lines), consumed via correlated
+    LATERAL. SQL UDFs are macros to Catalyst — the body INLINES into
+    the caller's plan at analysis time, so optimization (pushdown
+    through the lateral, join selection, partial aggregation) sees
+    one flat query; the oracle IS that hand-inlined query, and the
+    hash match is the proof the abstraction costs nothing. The
+    engine-user story: reusable business logic (net price) shared
+    across queries without Python UDF overhead or copy-paste."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(CAST(p AS DECIMAL(18,4))
+                          * (1 - CAST(d AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_lines(k BIGINT)
+        RETURNS TABLE(ln BIGINT, cents BIGINT)
+        RETURN SELECT l_linenumber, net_cents(l_extendedprice, l_discount)
+               FROM lineitem WHERE l_orderkey = k
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               count(*) AS n_lines,
+               sum(t.cents) AS total_cents
+        FROM orders o, LATERAL order_lines(o.o_orderkey) t
+        WHERE o.o_orderkey % 100 = 0
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey
+        """
+    )

@@ -681,3 +681,15 @@ def test_bpe_encode_compression_monotone(spark, sf_dir):
     )
     toks = [t for _, t in rows]
     assert all(a > b for a, b in zip(toks, toks[1:])), toks  # every merge helps
+
+
+def test_sql_udf_inlines_to_flat_join_plan(spark, sf_dir):
+    """The declared SQL table UDF must decorrelate/inline to a plain
+    join plan — no per-row subquery execution, no cartesian, no
+    Python evaluation."""
+    from flume_source_spark.operators.sqlapi4 import sql_declared_functions
+
+    plan = sql_declared_functions(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan  # the lateral became a real join
