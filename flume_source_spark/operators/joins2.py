@@ -140,3 +140,68 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_INTERVAL_ORACLE = """
+    WITH iv AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               o_orderdate AS s,
+               o_orderdate + to_days(CAST(o_orderkey % 14 AS INT)) AS e
+        FROM orders),
+    pairs AS (
+        SELECT a.c AS custkey, a.k AS i, b.k AS j,
+               greatest(a.s, b.s) AS ov_start,
+               least(a.e, b.e) AS ov_end
+        FROM iv a JOIN iv b
+          ON a.c = b.c AND a.k < b.k
+         AND a.s <= b.e AND b.s <= a.e)
+    SELECT custkey, i, j,
+           strftime(ov_start, '%Y-%m-%d') AS overlap_start,
+           strftime(ov_end, '%Y-%m-%d') AS overlap_end,
+           CAST(date_diff('day', ov_start, ov_end) + 1 AS BIGINT) AS overlap_days
+    FROM pairs
+    ORDER BY custkey, i, j
+"""
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_ORACLE, tags=("join", "interval"))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — the temporal member of the
+    non-equi-join family (range: join_range_nonequi, spatial:
+    geo_grid_join, temporal: this): per customer, every pair of that
+    customer's order validity windows [o_orderdate, +k·days] that
+    overlap, with the intersection extent. The join is an EQUI-join
+    on the blocking key (custkey) with the overlap predicate
+    (a.s ≤ b.e AND b.s ≤ a.e) applied INSIDE bounded per-key groups —
+    never a cartesian (plan-pinned via the family's no-cartesian
+    tests); with no natural key the blocking falls back to time
+    buckets sized to max interval length, exactly geo_grid_join's
+    cell construction on the time axis. Interval ends are derived
+    deterministically from the key (the fixture has single-date
+    orders), all arithmetic in whole days — tie-free."""
+    o = load_tables(spark, sf_dir)["orders"]
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 14).cast("int")
+        ).alias("e"),
+    )
+    a = iv.select(F.col("c").alias("custkey"), F.col("k").alias("i"),
+                  F.col("s").alias("si"), F.col("e").alias("ei"))
+    b = iv.select(F.col("c").alias("custkey"), F.col("k").alias("j"),
+                  F.col("s").alias("sj"), F.col("e").alias("ej"))
+    pairs = a.join(b, "custkey").where(
+        (F.col("i") < F.col("j"))
+        & (F.col("si") <= F.col("ej"))
+        & (F.col("sj") <= F.col("ei"))
+    )
+    ov_s = F.greatest("si", "sj")
+    ov_e = F.least("ei", "ej")
+    return pairs.select(
+        "custkey", "i", "j",
+        F.date_format(ov_s, "yyyy-MM-dd").alias("overlap_start"),
+        F.date_format(ov_e, "yyyy-MM-dd").alias("overlap_end"),
+        (F.datediff(ov_e, ov_s) + 1).cast("long").alias("overlap_days"),
+    ).orderBy("custkey", "i", "j")

@@ -154,7 +154,7 @@ _FRESH_GREEN = _DRIVER_GREEN_R03
 _SESSION3_PRIORITY = (
     "text_line_dedup", "dedup_keep_best", "ds_bloom_dedup",
     "geo_grid_join", "geo_nearest_neighbor", "geo_heatmap_grid",
-    "join_asof_nearest",
+    "join_asof_nearest", "join_interval_overlap",
     "sql_scripting_threshold", "sql_declared_functions", "udtf_table_partition",
     "streaming_chained_windows_batch", "text_bpe_pair_stats",
     "agg_equidepth_histogram", "window_distinct_count_emulation",
