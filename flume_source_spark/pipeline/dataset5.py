@@ -166,3 +166,88 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") - 1).cast("long").alias("n_cur"),
         F.round((pa - pb) * F.log(pa / pb), 6).cast("double").alias("psi_term"),
     ).orderBy("bucket")
+
+
+_CURATION_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, source, lang,
+               str_split(text, ' ') AS toks,
+               md5(lower(trim(text))) AS h
+        FROM documents),
+    feat AS (
+        SELECT doc_id, source, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               (len(toks) >= 20 AND
+                len(list_distinct(toks)) * 1.0 / len(toks) >= 0.15) AS passes_q,
+               h
+        FROM t),
+    dup AS (SELECT h FROM feat GROUP BY h HAVING count(*) >= 2)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
+           CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(f.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(f.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(*) FILTER (f.passes_q) AS BIGINT) AS n_quality_pass,
+           count(*) FILTER (f.passes_q) * 10000 // count(*) AS quality_permyriad,
+           CAST(count(*) FILTER (d.h IS NOT NULL) AS BIGINT) AS n_exact_dup,
+           CAST(sum(f.n_tokens) FILTER (f.passes_q AND d.h IS NULL) AS BIGINT)
+               AS curated_tokens
+    FROM feat f LEFT JOIN dup d USING (h)
+    GROUP BY f.source
+    ORDER BY f.source
+"""
+
+
+@query("ds_curation_report", oracle=_CURATION_ORACLE, tags=("llm", "dataset", "report"))
+def ds_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation dashboard in ONE pass + one
+    dictionary join: doc/lang/token census, quality pass rate
+    (text_quality's composite rule), exact-dup incidence
+    (dedup_exact's normalized hash), and the curated token yield
+    (quality-passing AND not duplicated) — the number a pretraining
+    data report leads with. Composes three operator families into a
+    single plan: the scan computes all per-doc features at once
+    (column-pruned: doc_id/source/lang/text only), the dup dictionary
+    is the df≥2 hash set (broadcastable, same shape as
+    text_line_dedup's), and the rollup is one map-side-combinable
+    aggregate keyed on source."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id", "source", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            (F.size(toks) >= 20)
+            & (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks) >= 0.15)
+        ).alias("passes_q"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    dup = (
+        feat.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    j = feat.join(F.broadcast(dup), "h", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(False))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.count_if("passes_q").alias("n_quality_pass"),
+            ((F.count_if("passes_q") * 10000) / F.count("*")).cast("long").alias(
+                "quality_permyriad"
+            ),
+            F.count_if("is_dup").alias("n_exact_dup"),
+            F.sum(F.when(F.col("passes_q") & ~F.col("is_dup"), F.col("n_tokens"))).alias(
+                "curated_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

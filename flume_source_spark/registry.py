@@ -158,7 +158,7 @@ _SESSION3_PRIORITY = (
     "sql_scripting_threshold", "sql_declared_functions", "udtf_table_partition",
     "streaming_chained_windows_batch", "text_bpe_pair_stats",
     "agg_equidepth_histogram", "window_distinct_count_emulation",
-    "dq_drift_psi", "ds_batch_plan", "emb_dim_variance_prune",
+    "dq_drift_psi", "ds_batch_plan", "ds_curation_report", "emb_dim_variance_prune",
     "ts_outlier_mad", "ts_event_pattern_regex", "ts_transition_matrix",
     "ts_acf", "ts_interp_linear", "graph_common_neighbors",
     "agg_mode_deterministic", "agg_listagg", "sql_star_except",
