@@ -190,3 +190,70 @@ def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_PEAK_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    nb AS (
+        SELECT event_type, bucket, cents,
+               lag(cents) OVER w AS prev,
+               lead(cents) OVER w AS nxt
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+    peaks AS (
+        SELECT event_type, bucket, cents,
+               cents - greatest(prev, nxt) AS prominence
+        FROM nb
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND cents > prev AND cents > nxt)
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(prominence AS BIGINT) AS prominence
+    FROM peaks
+    WHERE prominence >= 500
+    ORDER BY event_type, bucket
+"""
+
+
+@query("ts_peak_detection", oracle=_PEAK_ORACLE, tags=("timeseries", "anomaly"))
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection with a minimum prominence: hourly
+    cents per type, a peak = strictly above BOTH neighbors with
+    margin ≥ 500 cents over the higher one. Integer comparisons only
+    (strict > excludes plateaus deterministically — a plateau run has
+    no row above both neighbors, the standard discrete-peak
+    convention); one lag+lead window over the pre-aggregated series.
+    Interior points only (series endpoints have one neighbor — not
+    classifiable)."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    nb = hourly.select(
+        "event_type", "bucket", "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    return (
+        nb.where(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("cents") > F.col("prev"))
+            & (F.col("cents") > F.col("nxt"))
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "cents",
+            (F.col("cents") - F.greatest("prev", "nxt")).cast("long").alias("prominence"),
+        )
+        .where(F.col("prominence") >= 500)
+        .orderBy("event_type", "bucket")
+    )

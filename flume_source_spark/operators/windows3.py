@@ -140,3 +140,71 @@ def window_distinct_count_emulation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+_WMEDIAN_ORACLE = """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+    agg AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+            FROM c GROUP BY 1, 2),
+    cum AS (
+        SELECT flag, cents, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM agg)
+    SELECT flag,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN cents END) AS BIGINT)
+               AS weighted_median_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(count(*) AS BIGINT) AS n_distinct_values
+    FROM cum GROUP BY flag
+    ORDER BY flag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("agg", "percentile", "weighted"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (weight = quantity) per return flag —
+    the aggregate Spark lacks natively (percentile() is unweighted;
+    percentile_approx has no weight arg): lower weighted median =
+    smallest value whose cumulative weight reaches half the total.
+    Plan: pre-aggregate (value → weight sum) FIRST — the cumulative
+    window then runs over DISTINCT values per group, not raw rows
+    (the same reduce-before-window shape as ts_acf); all arithmetic
+    in exact integers (cents × integer weights, cw·2 ≥ tw), so the
+    median selection is tie-free cross-engine. At 100 TB the
+    distinct-value domain per group is the bound that matters;
+    when it is too large, bucket values first (equi-depth or fixed
+    width) and the same cumulative selection yields a bounded-error
+    weighted quantile."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    agg = c.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag")
+    cum = agg.select(
+        "flag", "cents", "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))).alias(
+                "weighted_median_cents"
+            ),
+            F.max("tw").alias("total_weight"),
+            F.count("*").alias("n_distinct_values"),
+        )
+        .orderBy("flag")
+    )

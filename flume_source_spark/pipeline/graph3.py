@@ -91,3 +91,59 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
     return common_neighbors(similarity_edges(spark, sf_dir).select("i", "j"))
+
+
+_ASSORT_ORACLE = f"""
+    WITH {_EDGE_CTE},
+    bidir AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
+    deg AS (SELECT i AS node, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY i),
+    ends AS (
+        SELECT di.deg AS dx, dj.deg AS dy
+        FROM bidir b
+        JOIN deg di ON di.node = b.i
+        JOIN deg dj ON dj.node = b.j)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           CAST(round(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 4) AS DOUBLE)
+               AS assortativity
+    FROM ends
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE, tags=("llm", "graph", "stats"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all DIRECTED edge occurrences (each
+    undirected edge counted both ways — the standard symmetric
+    estimator). Positive ⇒ hubs attach to hubs (one giant near-dup
+    blob), negative ⇒ hub-leaf structure (star-shaped duplication:
+    one canonical doc, many partial copies) — together with
+    graph_degree_hist and the triangle census this is the third
+    shape-of-duplication health number. Cost: degree table (one agg)
+    joined twice onto the edge list, then one mergeable corr — all
+    linear in |E|."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    edges = similarity_edges(spark, sf_dir).select("i", "j")
+    bidir = edges.union(edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    deg = bidir.groupBy(F.col("i").alias("node")).agg(F.count("*").alias("deg"))
+    ends = (
+        bidir.join(deg.withColumnRenamed("node", "i").withColumnRenamed("deg", "dx"), "i")
+        .join(deg.withColumnRenamed("node", "j").withColumnRenamed("deg", "dy"), "j")
+    )
+    # corr() under ANSI raises DIVIDE_BY_ZERO on a zero-variance
+    # degree distribution (every node the same degree — true at tiny
+    # SF); the try_divide formulation returns NULL there, matching
+    # DuckDB's corr() NULL.
+    dx = F.col("dx").cast("double")
+    dy = F.col("dy").cast("double")
+    return ends.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.try_divide(
+                F.covar_samp(dx, dy), F.stddev_samp(dx) * F.stddev_samp(dy)
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("assortativity"),
+    )

@@ -160,6 +160,7 @@ _SESSION3_PRIORITY = (
     "agg_equidepth_histogram", "window_distinct_count_emulation",
     "dq_drift_psi", "ds_batch_plan", "ds_curation_report", "emb_dim_variance_prune",
     "ts_outlier_mad", "ts_event_pattern_regex", "ts_transition_matrix",
+    "ts_peak_detection", "agg_weighted_median", "graph_assortativity",
     "ts_acf", "ts_interp_linear", "graph_common_neighbors",
     "agg_mode_deterministic", "agg_listagg", "sql_star_except",
     "scalar_collation", "dedup_simhash_hamming_join",

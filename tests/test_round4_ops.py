@@ -693,3 +693,21 @@ def test_sql_udf_inlines_to_flat_join_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" in plan  # the lateral became a real join
+
+
+def test_weighted_median_hand_case(spark):
+    """values 10(w=1), 20(w=1), 30(w=8): cumulative 1,2,10 of 10 →
+    lower weighted median = 30 (first value reaching half)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    agg = spark.createDataFrame(
+        [("g", 10, 1), ("g", 20, 1), ("g", 30, 8)], "flag STRING, cents LONG, w LONG"
+    )
+    wc = Window.partitionBy("flag").orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("flag")
+    cum = agg.select("flag", "cents", F.sum("w").over(wc).alias("cw"), F.sum("w").over(wt).alias("tw"))
+    med = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))).alias("m")
+    ).collect()[0]["m"]
+    assert med == 30
