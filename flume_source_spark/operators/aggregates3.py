@@ -150,3 +150,52 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_BITMAP_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "distinct", "bitmap"))
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via positional bitmaps — the
+    Druid/ClickHouse roaring-bitmap pattern built from relational
+    primitives (the same word-table shape as ds_bloom_dedup's filter,
+    minus hashing, so zero collisions): for a bounded integer id
+    domain, bitmap word = id div 64, mask = 1 << (id % 64); per
+    (group, word) one ``bit_or`` aggregate, then Σ bit_count(word)
+    per group IS the exact distinct count. Why it matters at 100 TB:
+    count(DISTINCT) needs a shuffle of the DISTINCT VALUES per group
+    and is not partial-aggregatable as-is, while the bitmap is a
+    MERGEABLE aggregate — partial word tables OR together losslessly
+    across shards/days (same algebra the bloom tests pin), making
+    incremental/rollup-maintained exact distinct possible. Cost is
+    O(domain/64) words per group — the trade is memory for
+    mergeability, right when ids are dense and bounded (user ids,
+    item ids); for open domains use HLL (agg_approx) instead. The
+    oracle is the plain count(DISTINCT) — the hash match proves the
+    bitmap arithmetic exactly."""
+    c = load_tables(spark, sf_dir)["customer"]
+    words = (
+        c.select(
+            "c_mktsegment",
+            F.expr("c_custkey div 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(c_custkey, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("c_mktsegment", "word_idx")
+        .agg(F.bit_or("mask").alias("word"), F.count("*").alias("n"))
+    )
+    return (
+        words.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.bit_count("word")).cast("long").alias("n_distinct"),
+            F.sum("n").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
