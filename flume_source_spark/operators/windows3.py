@@ -208,3 +208,72 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_PARETO_ORACLE = """
+    WITH rev AS (
+        SELECT p_brand,
+               CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,4))) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand),
+    ranked AS (
+        SELECT p_brand, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, p_brand
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cents) OVER () AS BIGINT) AS total
+        FROM rev)
+    SELECT p_brand, cents,
+           cum * 10000 // total AS cum_share_permyriad,
+           CASE WHEN cum * 10 <= total * 8 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY cents DESC, p_brand
+"""
+
+
+@query("window_pareto_abc", oracle=_PARETO_ORACLE, tags=("window", "pareto"))
+def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: brands ranked by revenue, running
+    cumulative share, class A = within the first 80 % of revenue,
+    B = to 95 %, C = tail — the classic inventory/contribution
+    analysis. Reduce-first (brand revenue aggregate), then ONE global
+    cumulative window over the brand-sized frame (dozens of rows —
+    the global sort everyone fears is over the REDUCED domain, the
+    same reduce-before-window discipline as agg_weighted_median);
+    class boundaries compare exact integers (cum·10 vs total·8), so
+    a brand landing exactly on 80 % classifies identically on both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey", "l_extendedprice", "l_discount")
+    p = t["part"].select("p_partkey", "p_brand")
+    cents = F.round(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        * 100,
+        0,
+    ).cast("long")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "p_brand", "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    return ranked.select(
+        "p_brand", "cents",
+        ((F.col("cum") * 10000) / F.col("total")).cast("long").alias("cum_share_permyriad"),
+        F.when(F.col("cum") * 10 <= F.col("total") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.desc("cents"), "p_brand")

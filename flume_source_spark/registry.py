@@ -161,7 +161,7 @@ _SESSION3_PRIORITY = (
     "dq_drift_psi", "ds_batch_plan", "ds_curation_report", "emb_dim_variance_prune",
     "ts_outlier_mad", "ts_event_pattern_regex", "ts_transition_matrix",
     "ts_peak_detection", "agg_weighted_median", "graph_assortativity",
-    "agg_bitmap_distinct",
+    "agg_bitmap_distinct", "window_pareto_abc",
     "ts_acf", "ts_interp_linear", "graph_common_neighbors",
     "agg_mode_deterministic", "agg_listagg", "sql_star_except",
     "scalar_collation", "dedup_simhash_hamming_join",

@@ -711,3 +711,28 @@ def test_weighted_median_hand_case(spark):
         F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))).alias("m")
     ).collect()[0]["m"]
     assert med == 30
+
+
+def test_bitmap_distinct_partials_merge_losslessly(spark):
+    """The bitmap-distinct aggregate is mergeable: bit_or of two
+    shards' word tables counts the distinct of the UNION exactly
+    (overlap not double-counted)."""
+    from pyspark.sql import functions as F
+
+    def words(df):
+        return (
+            df.select(
+                F.expr("id div 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(id, 64) AS INT))").alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("m").alias("word"))
+        )
+
+    a = spark.range(0, 150)          # ids 0..149
+    b = spark.range(100, 260)        # ids 100..259 (50 overlap)
+    merged = (
+        words(a).unionAll(words(b)).groupBy("w").agg(F.bit_or("word").alias("word"))
+    )
+    n = merged.select(F.sum(F.bit_count("word")).alias("n")).collect()[0]["n"]
+    assert n == 260  # |0..259| exactly, overlap counted once
