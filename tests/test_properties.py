@@ -234,3 +234,44 @@ def test_line_dedup_segmentation_accounting(spark, words):
     assert row["n_segments"] == -(-n_tokens // SEG)
     assert row["n_dup_segments"] == 0  # single doc: df(seg) == 1 always
     assert row["kept_tokens"] == n_tokens
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.integers(1, 4), st.integers(1, 50)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_keep_best_matches_python_argmax(spark, members):
+    """keep_best's mergeable max_by election equals the reference
+    argmax (longest, tie → smallest doc_id) on random memberships."""
+    from flume_source_spark.pipeline.canonical import keep_best
+
+    df = spark.createDataFrame(
+        members, "doc_id LONG, component_id LONG, n_tokens LONG"
+    )
+    got = {r["component_id"]: (r["keeper_doc_id"], r["dropped_tokens"]) for r in keep_best(df).collect()}
+    by_comp = {}
+    for d, c, n in members:
+        by_comp.setdefault(c, []).append((d, n))
+    for c, rows in by_comp.items():
+        keeper = min(rows, key=lambda t: (-t[1], t[0]))
+        dropped = sum(n for _, n in rows) - max(n for _, n in rows)
+        assert got[c] == (keeper[0], dropped)
+
+
+def test_hamming_pairs_partition_invariant(spark):
+    """The banded Hamming join returns the identical pair set
+    regardless of input partitioning (1 vs 16 partitions) — no
+    partition-order dependence anywhere in the pipeline."""
+    from flume_source_spark.pipeline.dedup2 import hamming_pairs
+
+    base = 0b1011_0100_0101_1010_1100_1100_0011_0101
+    codes = [(i, base ^ (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(codes, "doc_id LONG, simhash LONG")
+    one = {(r["i"], r["j"], r["hamming"]) for r in hamming_pairs(df.coalesce(1)).collect()}
+    many = {(r["i"], r["j"], r["hamming"]) for r in hamming_pairs(df.repartition(16)).collect()}
+    assert one == many and one
