@@ -107,6 +107,24 @@ def dtype_mismatches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[st
     return out
 
 
+def unhashable_columns(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding raw list/ndarray values. The DRIVER's
+    canonicalizer does a pandas ``sort_values`` over all columns,
+    which raises ``TypeError: unhashable type: 'list'`` on these —
+    the exact failure behind the r04 ``ds_pack_attention_spans`` red.
+    The house rule (FIXTURES.md §A / ``agg_collect``): serialize array
+    outputs to joined strings on BOTH engines. This guard makes the
+    local sweep fail such a query before the driver ever sees it."""
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            for v in pdf[c].head(50):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    bad.append(c)
+                    break
+    return bad
+
+
 def compare(
     name: str,
     spark_df: DataFrame,
@@ -115,6 +133,14 @@ def compare(
 ) -> CompareResult:
     spark_pdf = spark_df.toPandas()
     duck_pdf = con.execute(oracle_sql).fetchdf()
+    raw_arrays = unhashable_columns(spark_pdf) + unhashable_columns(duck_pdf)
+    if raw_arrays:
+        return CompareResult(
+            name, False, len(spark_pdf), len(duck_pdf),
+            "raw array output column(s) "
+            f"{sorted(set(raw_arrays))} — driver canonicalizer cannot sort "
+            "lists; serialize with concat_ws/array_to_string (house rule)",
+        )
     s_rows = canonical_rows(spark_pdf)
     d_rows = canonical_rows(duck_pdf)
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):

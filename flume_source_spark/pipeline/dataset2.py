@@ -306,9 +306,9 @@ _PACK_SPANS_ORACLE = f"""
     )
     SELECT shard, pack_id,
            CAST(count(*) AS BIGINT) AS n_spans,
-           list(doc_id ORDER BY doc_id) AS span_docs,
-           list(span_start ORDER BY doc_id) AS span_starts,
-           list(span_len ORDER BY doc_id) AS span_lens
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS span_docs,
+           array_to_string(list(span_start ORDER BY doc_id), ',') AS span_starts,
+           array_to_string(list(span_len ORDER BY doc_id), ',') AS span_lens
     FROM spans GROUP BY shard, pack_id ORDER BY shard, pack_id
 """
 
@@ -321,8 +321,10 @@ def ds_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     start offsets and lengths (start is relative to the pack the doc
     STARTS in; the concat-and-chunk contract, same layout as
     ``ds_pack_sequences``). One per-shard window + one aggregate;
-    span arrays are doc_id-ordered on both engines so the array
-    equality is exact."""
+    span arrays are doc_id-ordered on both engines and serialized to
+    comma-joined strings so the comparison surface is scalar (the
+    house canonicalization rule for array outputs — the driver's
+    pandas canonicalizer cannot sort raw list columns)."""
     from pyspark.sql import Window as W
 
     d = load_tables(spark, sf_dir)["documents"]
@@ -349,9 +351,15 @@ def ds_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "shard", "pack_id", "n_spans",
-            F.transform("triples", lambda s: s["doc_id"]).alias("span_docs"),
-            F.transform("triples", lambda s: s["span_start"]).alias("span_starts"),
-            F.transform("triples", lambda s: s["span_len"]).alias("span_lens"),
+            F.array_join(
+                F.transform("triples", lambda s: s["doc_id"].cast("string")), ","
+            ).alias("span_docs"),
+            F.array_join(
+                F.transform("triples", lambda s: s["span_start"].cast("string")), ","
+            ).alias("span_starts"),
+            F.array_join(
+                F.transform("triples", lambda s: s["span_len"].cast("string")), ","
+            ).alias("span_lens"),
         )
         .orderBy("shard", "pack_id")
     )

@@ -131,63 +131,94 @@ _DRIVER_GREEN_R03 = frozenset(
     }
 )
 
+# Queries with a row in the driver's CORRECTNESS_r04.json: the 50-row
+# round-4 sweep covered the 18 r03-leftovers plus the head of the
+# round-4 priority list — 48 hash-green + graph_pagerank_neardup
+# (rows-only by design, driver row recorded). The one RED row,
+# ds_pack_attention_spans (raw-array canonicalization, fixed round 5
+# by serializing span arrays to strings on both engines), is
+# deliberately EXCLUDED so it re-enters the verify-first block.
+_DRIVER_GREEN_R04 = frozenset(
+    {
+        "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
+        "ds_global_shuffle", "ds_interleave_sources", "ds_pipeline_end_to_end",
+        "graph_degree_hist", "graph_pagerank_neardup", "emb_centroid_cohesion",
+        "emb_quantize_int8", "text_gopher_rules", "text_unigram_logprob",
+        "ds_quality_cascade", "source_text_roundtrip", "source_xml_roundtrip",
+        "source_csv_malformed", "udf_cogrouped_merge", "text_line_dedup",
+        "dedup_keep_best", "ds_bloom_dedup", "geo_grid_join",
+        "geo_nearest_neighbor", "geo_heatmap_grid", "join_asof_nearest",
+        "join_interval_overlap", "sql_scripting_threshold",
+        "sql_declared_functions", "udtf_table_partition",
+        "streaming_chained_windows_batch", "text_bpe_pair_stats",
+        "agg_equidepth_histogram", "window_distinct_count_emulation",
+        "dq_drift_psi", "ds_batch_plan", "ds_curation_report",
+        "emb_dim_variance_prune", "ts_outlier_mad", "ts_event_pattern_regex",
+        "ts_transition_matrix", "ts_peak_detection", "agg_weighted_median",
+        "graph_assortativity", "agg_bitmap_distinct", "window_pareto_abc",
+        "ts_acf", "ts_interp_linear", "graph_common_neighbors",
+        "agg_mode_deterministic", "agg_listagg",
+    }
+)
+
+# Round-5 verify-first block (VERDICT r4 "What's missing" items 1-2 and
+# "Next round" item 2): the ONLY driver-red row first (its fix must be
+# re-checked), then the 61 queries with NO driver CORRECTNESS row in
+# any of r01-r04 (derived as registry − ∪ CORRECTNESS_r01..r04 keys).
+# With a ~50-row sweep budget, ordering within the 61 puts one query
+# per operator FAMILY ahead of siblings so a truncated sweep still
+# yields evidence across families rather than depth in one module.
+_R05_VERIFY_FIRST = (
+    "ds_pack_attention_spans",            # the r04 red, fixed — must re-pin
+    # one per family first (most informative under truncation)
+    "dedup_cluster_cc_lsh", "profile_summary", "upsert_time_travel",
+    "sim_mips_topk", "graph_triangle_count", "window_range_interval",
+    "agg_heavy_hitters", "sql_pipe_syntax", "scalar_regexp_suite",
+    "text_rake_keywords", "ds_semdedup", "emb_norm_stats",
+    "source_schema_evolution", "sink_spool_writer", "filemeta_sharded_scan",
+    "multimodal_content_dedup", "join_null_safe", "streaming_cdc_latest_batch",
+    "ts_cusum_changepoint", "udtf_analyze_dynamic", "constraint_check",
+    # then the rest of the never-swept 61
+    "agg_percentile_disc_cont", "agg_regression_family",
+    "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
+    "dedup_incremental_lsh", "dedup_simhash_hamming_join",
+    "ds_curriculum_order", "ds_importance_resample", "ds_length_histogram",
+    "ds_mixture_temperature", "ds_reservoir_per_group",
+    "emb_pca_power", "emb_quantize_pq", "graph_kcore",
+    "join_asof_forward", "join_asof_tolerance", "join_existence_or",
+    "multimodal_clip_filter", "scalar_bitwise", "scalar_collation",
+    "sim_ann_pq_adc", "sink_clustered_write", "sink_compact_small_files",
+    "sink_zorder_write", "source_parquet_metadata",
+    "sql_group_by_all", "sql_star_except", "sql_unpivot",
+    "sql_variables_param", "text_bigram_lm", "text_bpe_encode_stats",
+    "text_bpe_train_merges", "text_char_entropy", "text_readability",
+    "text_substring_dedup_spans", "text_url_canonical_dedup",
+    "text_zipf_fit", "ts_cross_correlation", "ts_m4_downsample",
+)
+
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
 # driver regenerated the fixtures (events.ts type and documents
 # cardinality changed). Locally green on the current fixtures; their
-# driver evidence is stale until a sweep re-pins them.
-_STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _DRIVER_GREEN_R03
-
-# Known-current driver evidence.
-_FRESH_GREEN = _DRIVER_GREEN_R03
-
-# The 18 round-3 queries the r03 sweep never reached (VERDICT r3 §
-# "What's missing" item 1 — their driver verification is the round-4
-# acceptance criterion). With ~120 round-4 additions also unswept and
-# a ~50-row sweep budget, these must sort FIRST within the
-# never-swept block or they could miss a fourth consecutive sweep.
-# Round-4 session-3 headline additions, ordered by operator value:
-# if the driver sweep budget (~50 rows) is spent after the 18
-# round-3 leftovers, these are the next most informative rows — one
-# per new operator FAMILY (dedup, spatial, as-of, scripting, UDTF,
-# chained streaming, tokenizer, histogram, drift) rather than
-# whichever module happens to import first.
-_SESSION3_PRIORITY = (
-    "text_line_dedup", "dedup_keep_best", "ds_bloom_dedup",
-    "geo_grid_join", "geo_nearest_neighbor", "geo_heatmap_grid",
-    "join_asof_nearest", "join_interval_overlap",
-    "sql_scripting_threshold", "sql_declared_functions", "udtf_table_partition",
-    "streaming_chained_windows_batch", "text_bpe_pair_stats",
-    "agg_equidepth_histogram", "window_distinct_count_emulation",
-    "dq_drift_psi", "ds_batch_plan", "ds_curation_report", "emb_dim_variance_prune",
-    "ts_outlier_mad", "ts_event_pattern_regex", "ts_transition_matrix",
-    "ts_peak_detection", "agg_weighted_median", "graph_assortativity",
-    "agg_bitmap_distinct", "window_pareto_abc",
-    "ts_acf", "ts_interp_linear", "graph_common_neighbors",
-    "agg_mode_deterministic", "agg_listagg", "sql_star_except",
-    "scalar_collation", "dedup_simhash_hamming_join",
-    "text_bpe_train_merges", "text_bpe_encode_stats",
-    "multimodal_clip_filter",
+# driver evidence is stale until a sweep re-pins them. They form the
+# sweep tier right after the never-swept block.
+_STALE_GREEN = (
+    (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _DRIVER_GREEN_R03 - _DRIVER_GREEN_R04
 )
 
-_R03_LEFTOVERS = (
-    "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
-    "ds_global_shuffle", "ds_interleave_sources", "ds_pipeline_end_to_end",
-    "ds_pack_attention_spans", "graph_degree_hist", "graph_pagerank_neardup",
-    "emb_centroid_cohesion", "emb_quantize_int8", "text_gopher_rules",
-    "text_unigram_logprob", "ds_quality_cascade", "source_text_roundtrip",
-    "source_xml_roundtrip", "source_csv_malformed", "udf_cogrouped_merge",
-)
+# Known-current driver evidence (post-fixture-regeneration rounds).
+_FRESH_GREEN = _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
 
     Ordering maximizes information per budget-truncated driver sweep
-    (~50 rows/round): (1) queries with NO driver row ever — the 18
-    round-3 additions the r03 sweep didn't reach, plus anything new
-    this round; (2) queries whose only green rows predate the round-3
-    fixture regeneration (re-pin on current fixtures); (3) queries
-    already verified on the current fixtures.
+    (~50 rows/round): (1) the single r04 red (fixed, must re-pin) and
+    the 61 queries with no driver row in r01-r04, one per operator
+    family first; (2) anything newly registered this round (also
+    never swept); (3) queries whose only green rows predate the
+    round-3 fixture regeneration (re-pin on current fixtures);
+    (4) queries already verified on the current fixtures (r03 ∪ r04).
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
@@ -257,8 +288,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.functions.udfs  # noqa: F401
 
     ever_swept = _STALE_GREEN | _FRESH_GREEN
-    ordered = {n: REGISTRY[n] for n in _R03_LEFTOVERS if n in REGISTRY}
-    ordered.update({n: REGISTRY[n] for n in _SESSION3_PRIORITY if n in REGISTRY})
+    ordered = {n: REGISTRY[n] for n in _R05_VERIFY_FIRST if n in REGISTRY}
     ordered.update(
         {n: s for n, s in REGISTRY.items() if n not in ever_swept and n not in ordered}
     )

@@ -375,14 +375,16 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R01,
         _DRIVER_GREEN_R02,
         _DRIVER_GREEN_R03,
+        _DRIVER_GREEN_R04,
         _FRESH_GREEN,
+        _R05_VERIFY_FIRST,
         _STALE_GREEN,
         load_all,
     )
 
     load_all()
     names = set(REGISTRY)
-    for s in (_DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03):
+    for s in (_DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03, _DRIVER_GREEN_R04):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert not (_STALE_GREEN & _FRESH_GREEN)
@@ -390,14 +392,15 @@ def test_registry_green_sets_are_consistent():
     never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
     # never-swept block must be a prefix (verify-first contract)
     assert ordered[: len(never)] == never
-    # ...and the 18 r03-leftover queries (VERDICT r3 acceptance item)
-    # must lead it, ahead of the ~120 round-4 additions, so a
-    # budget-truncated sweep reaches them first
-    from flume_source_spark.registry import _R03_LEFTOVERS
-
-    assert set(_R03_LEFTOVERS) <= names
-    assert not (set(_R03_LEFTOVERS) & (_STALE_GREEN | _FRESH_GREEN))
-    assert ordered[: len(_R03_LEFTOVERS)] == list(_R03_LEFTOVERS)
+    # ...led by the r04 red fix + the 61 never-driver-checked queries
+    # (VERDICT r4 acceptance item 2), ahead of any round-5 additions,
+    # so a budget-truncated sweep reaches them first
+    assert set(_R05_VERIFY_FIRST) <= names
+    assert not (set(_R05_VERIFY_FIRST) & (_STALE_GREEN | _FRESH_GREEN))
+    assert ordered[: len(_R05_VERIFY_FIRST)] == list(_R05_VERIFY_FIRST)
+    assert ordered[0] == "ds_pack_attention_spans"  # the only r04 red
+    # r04's 49 rows must have LEFT the verify-first block
+    assert _DRIVER_GREEN_R04 <= _FRESH_GREEN
 
 
 def test_zorder_write_skips_both_dims(spark, sf_dir):
