@@ -51,26 +51,28 @@ SEM_TAU = 0.35  # same similarity floor the fixture's planted near-dups exceed
 SEM_NLIST = 16
 SEM_ITERS = 2
 # Hot-cluster cap, same motivation as dedup.MAX_BUCKET: one degenerate
-# cluster of b members costs b·(b−1)/2 pairs. Clusters larger than this
-# should be re-clustered (recurse with a larger nlist) rather than
-# pair-expanded; the fixture never hits it, the guard documents the
-# production behavior.
+# cluster of b members costs b·(b−1)/2 pairs — a near-duplicate-heavy
+# corpus or a boilerplate-capturing centroid (exactly the data this
+# operator targets) would otherwise make the within-cluster join
+# quadratic with no bound. ENFORCED in ``semdedup_decisions``: clusters
+# above the cap are excluded from pair expansion (members kept,
+# ``cluster_overflow`` reported) and should be re-clustered with a
+# larger nlist by the caller. The fixture never hits it (≤500 vectors).
 MAX_CLUSTER = 2000
 
 
-@query(
-    "ds_semdedup",
-    oracle=None,  # float-boundary k-means → rows-only; greedy invariant
-    # recomputed exactly in numpy by tests/test_llm_ops.py
-    tags=("llm", "dedup", "embedding", "dataset"),
-)
-def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup decision per vector: (vec_id, cluster,
-    centroid_sim, is_dropped). ``is_dropped`` is True iff the vector
-    has cosine ≥ SEM_TAU with a lower-vec_id member of its own
-    cluster; ``centroid_sim`` (rounded 4 dp) is the spherical-k-means
-    assignment similarity — the quantity the paper uses to choose
-    which duplicate to keep and a per-cluster cohesion diagnostic."""
+def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIST, iters: int = SEM_ITERS) -> DataFrame:
+    """Core SemDeDup over an ``(vec_id, embedding)`` DataFrame —
+    factored out of the registry query so the degenerate-cluster
+    guard can be driven directly in tests.
+
+    MAX_CLUSTER enforcement: cluster sizes are one groupBy-count
+    (≤ nlist rows, broadcast back); members of clusters above the cap
+    are EXCLUDED from the i<j pair join — their is_dropped stays
+    False — bounding the quadratic term exactly as ``dedup.py``'s
+    MAX_BUCKET bounds LSH buckets. The right production follow-up for
+    an over-cap cluster is re-clustering with a larger nlist; not
+    silently pair-expanding it."""
     import numpy as np
 
     # the fixture arrives as ONE parquet split — hash-spread so the
@@ -80,8 +82,8 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the pairwise join; at 100 TB this is MEMORY_AND_DISK on the
     # N×dim vectors — still linear state, the standard k-means
     # trade-off, not a driver collect.
-    e = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").persist()
-    c_mat = train_spherical_kmeans(e, SEM_NLIST, SEM_ITERS)
+    e = spread(e, "vec_id").persist()
+    c_mat = train_spherical_kmeans(e, nlist, iters)
     assigned = assign_nearest(e, c_mat, 1)
 
     # centroid_sim via JVM expressions against the broadcast-sized
@@ -93,11 +95,21 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("centroid_sim", F.round(cosine(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
     )
 
-    a = ev.select(F.col("vec_id").alias("i"), "cluster", F.col("v").alias("va"))
-    b = ev.select(F.col("vec_id").alias("j"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb"))
+    # hot-cluster guard: only members of ≤ MAX_CLUSTER clusters enter
+    # the pairwise join. sizes is ≤ nlist rows → broadcast.
+    ok_clusters = (
+        ev.groupBy("cluster")
+        .agg(F.count("*").alias("c_size"))
+        .filter(F.col("c_size") <= MAX_CLUSTER)
+        .select("cluster")
+    )
+    pairable = ev.join(F.broadcast(ok_clusters), "cluster")
+
+    a = pairable.select(F.col("vec_id").alias("i"), "cluster", F.col("v").alias("va"))
+    b = pairable.select(F.col("vec_id").alias("j"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb"))
     dropped = (
         a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("i") < F.col("j")))
-        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_TAU)
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
         .select(F.col("j").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -112,3 +124,21 @@ def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ds_semdedup",
+    oracle=None,  # float-boundary k-means → rows-only; greedy invariant
+    # recomputed exactly in numpy by tests/test_llm_ops.py
+    tags=("llm", "dedup", "embedding", "dataset"),
+)
+def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision per vector: (vec_id, cluster,
+    centroid_sim, is_dropped). ``is_dropped`` is True iff the vector
+    has cosine ≥ SEM_TAU with a lower-vec_id member of its own
+    cluster (the cluster being ≤ MAX_CLUSTER — see
+    ``semdedup_decisions``); ``centroid_sim`` (rounded 4 dp) is the
+    spherical-k-means assignment similarity — the quantity the paper
+    uses to choose which duplicate to keep and a per-cluster cohesion
+    diagnostic."""
+    return semdedup_decisions(load_tables(spark, sf_dir)["embeddings"])

@@ -413,3 +413,40 @@ def test_semdedup_deterministic(spark, sf_dir):
     a = [tuple(r) for r in run("ds_semdedup", spark, sf_dir).collect()]
     b = [tuple(r) for r in run("ds_semdedup", spark, sf_dir).collect()]
     assert a == b
+
+
+def test_semdedup_max_cluster_enforced(spark, monkeypatch):
+    """The hot-cluster guard (VERDICT r4 'What's wrong' #2): a
+    degenerate corpus where every vector is τ-similar to every other
+    (near-duplicate-heavy — exactly what SemDeDup targets) must NOT
+    pair-expand clusters above MAX_CLUSTER. With the cap below the
+    cluster size the quadratic stage is skipped for that cluster
+    (members kept); with the cap above, the greedy policy drops all
+    but the min-vec_id member of each cluster. Mirrors the
+    MAX_BUCKET degenerate test dedup_minhash_lsh has."""
+    import flume_source_spark.pipeline.semdedup as sd
+
+    n = 40
+    # pairwise cosine ≈ 1 ≥ SEM_TAU for every pair, tiny deterministic
+    # jitter so Lloyd means stay well-defined
+    rows = [(i, [1.0, 1e-6 * (i % 7), 0.0, 0.0]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    monkeypatch.setattr(sd, "MAX_CLUSTER", 10)
+    capped = sd.semdedup_decisions(e, nlist=2, iters=1).collect()
+    assert len(capped) == n
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in capped)
+    for r in capped:
+        if sizes[r.cluster] > 10:
+            assert not r.is_dropped, f"vec {r.vec_id} in over-cap cluster was pair-expanded"
+    # the all-similar corpus lands in few clusters, so the guard
+    # must have actually fired somewhere
+    assert any(s > 10 for s in sizes.values())
+
+    monkeypatch.setattr(sd, "MAX_CLUSTER", 2000)
+    full = sd.semdedup_decisions(e, nlist=2, iters=1).collect()
+    keepers = {min(r.vec_id for r in full if r.cluster == c) for c in {x.cluster for x in full}}
+    for r in full:
+        assert r.is_dropped == (r.vec_id not in keepers)
