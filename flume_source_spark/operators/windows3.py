@@ -271,7 +271,10 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "p_brand", "cents",
-        ((F.col("cum") * 10000) / F.col("total")).cast("long").alias("cum_share_permyriad"),
+        # exact integer floor division (cum, total BIGINT non-negative →
+        # `div` == floor), mirroring the oracle's `//`: double division
+        # is inexact once cum*10000 exceeds 2^53 and can floor wrong
+        F.expr("cum * 10000 div total").alias("cum_share_permyriad"),
         F.when(F.col("cum") * 10 <= F.col("total") * 8, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
         .otherwise("C")

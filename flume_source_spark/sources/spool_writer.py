@@ -204,6 +204,11 @@ class SpoolStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("textspool stream writer requires option 'path'")
         self.suffix = options.get("tmpPrefix", ".spool-tmp-")
+        # dest-exists behavior, parity with the batch writer: a later
+        # epoch re-emitting a published file_name must NOT silently
+        # destroy the earlier file (and the filemeta consumer's
+        # exactly-once view). Opt in to overwrite explicitly.
+        self.overwrite = str(options.get("overwrite", "false")).lower() == "true"
         self._marker = os.path.join(self.path, ".spool-epoch")
 
     def _last_epoch(self) -> int:
@@ -237,6 +242,22 @@ class SpoolStreamWriter(DataSourceStreamWriter):
                 except FileNotFoundError:
                     pass
             return
+        if not self.overwrite:
+            # mirror the batch writer's rename-failure contract
+            # (CephFSEventReader.java:189): collect clashes, clean the
+            # temps, and FAIL the epoch rather than silently replacing
+            # a previously published file.
+            clash = [f for _, f in pending if os.path.exists(f)]
+            if clash:
+                for tmp, _ in pending:
+                    try:
+                        os.remove(tmp)
+                    except FileNotFoundError:
+                        pass
+                raise FileExistsError(
+                    f"spool destinations already exist: {sorted(clash)[:3]}... "
+                    "(set writer option overwrite=true to allow replacement)"
+                )
         for tmp, final in pending:
             os.rename(tmp, final)
         tmp_marker = self._marker + ".tmp"

@@ -79,7 +79,22 @@ class StreamingBloomDedup:
         return spark.read.parquet(os.path.join(self.state_path, c["gen"]))
 
     def screening_output(self, spark) -> DataFrame | None:
-        parts = [p for p in os.listdir(self.out_path) if p.startswith("epoch-")]
+        """Only FENCED epochs: the per-epoch output dir is written
+        (step 3) before the filter commit (step 4), so a crash between
+        the two leaves an epoch-N dir whose filter merge never
+        happened. Epochs commit in order, so the committed epoch is
+        the fence — dirs beyond it are invisible until their epoch is
+        reprocessed and committed (the redelivery check reruns any
+        epoch > committed, overwriting the dir)."""
+        c = self._read_commit()
+        if c is None:
+            return None
+        fence = int(c["epoch"])
+        parts = [
+            p
+            for p in os.listdir(self.out_path)
+            if p.startswith("epoch-") and int(p.split("-", 1)[1]) <= fence
+        ]
         if not parts:
             return None
         return spark.read.parquet(*[os.path.join(self.out_path, p) for p in parts])

@@ -48,14 +48,17 @@ def test_observe_zero_extra_jobs(spark, sf_dir):
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None) or []
     n_rows = df.count()
-    metrics = obs.get  # must not launch a job
-    after = tracker.getJobIdsForGroup(None) or []
+    # snapshot BETWEEN the action and obs.get: the delta across obs.get
+    # itself is the claim under test (must be empty)
+    after_count = set(tracker.getJobIdsForGroup(None) or [])
+    metrics = obs.get
+    after_get = set(tracker.getJobIdsForGroup(None) or [])
     assert metrics["n"] == n_rows
-    # at most the count()'s own job(s) ran between the two snapshots;
-    # obs.get added none (it reads the listener-delivered result)
-    jobs_during = set(after) - set(before)
+    assert after_get == after_count, (
+        f"obs.get launched job(s): {sorted(after_get - after_count)}"
+    )
+    assert after_count - set(before), "sanity: the count() did create a job"
     n_check = df.count()  # a second action re-fires the plan...
-    after2 = tracker.getJobIdsForGroup(None) or []
-    assert set(after2) - set(after), "sanity: actions do create jobs"
+    after2 = set(tracker.getJobIdsForGroup(None) or [])
+    assert after2 - after_get, "sanity: actions do create jobs"
     assert n_check == n_rows
-    assert len(jobs_during) >= 1  # the count's job — not zero, not obs-driven

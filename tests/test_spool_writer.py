@@ -150,3 +150,46 @@ def test_stream_spool_writer_publishes_per_epoch(spark, tmp_path):
         .collect()
     )
     assert sorted(r["file_name"] for r in got) == ["doc-1", "doc-2", "doc-3"]
+
+
+def test_stream_spool_dest_exists_fails_epoch_not_file(spark, tmp_path):
+    """ADVICE r4 (medium): the STREAM commit must carry the batch
+    writer's dest-exists contract — a NEW epoch re-emitting an
+    already-published file_name fails the epoch (temps cleaned,
+    original file untouched) instead of silently destroying it.
+    overwrite=true opts in to replacement."""
+    from flume_source_spark.sources.spool_writer import (
+        SpoolCommitMessage,
+        SpoolStreamWriter,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    final = os.path.join(spool, "doc-1")
+    with open(final, "w") as f:
+        f.write("original")
+
+    w = SpoolStreamWriter({"path": spool})
+    # simulate epoch 0 already committed so epoch 1 is NEW (not a
+    # redelivery — that path drops temps silently by design)
+    with open(os.path.join(spool, ".spool-epoch"), "w") as f:
+        f.write("0")
+    tmp = os.path.join(spool, ".spool-tmp-clash")
+    with open(tmp, "w") as f:
+        f.write("CLOBBER")
+    import pytest
+
+    with pytest.raises(FileExistsError, match="doc-1"):
+        w.commit([SpoolCommitMessage(files=[(tmp, final)])], 1)
+    with open(final) as f:
+        assert f.read() == "original"  # previously published file intact
+    assert not os.path.exists(tmp)  # temp cleaned
+
+    # explicit opt-in replaces
+    w2 = SpoolStreamWriter({"path": spool, "overwrite": "true"})
+    tmp2 = os.path.join(spool, ".spool-tmp-ow")
+    with open(tmp2, "w") as f:
+        f.write("replaced")
+    w2.commit([SpoolCommitMessage(files=[(tmp2, final)])], 1)
+    with open(final) as f:
+        assert f.read() == "replaced"

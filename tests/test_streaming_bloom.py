@@ -120,3 +120,41 @@ def test_streaming_bloom_epoch_fence_and_mergeability(spark, tmp_path):
 
     segs = _segments(all_docs).select("seg").distinct()
     assert bloom_probe(segs, sink.current_filter(spark)).count() == segs.count()
+
+
+def test_streaming_bloom_screening_respects_commit_fence(spark, tmp_path):
+    """ADVICE r4: a crash between the per-epoch output write (step 3)
+    and the filter commit (step 4) leaves an epoch dir whose merge
+    never happened — screening_output must NOT expose it. After the
+    epoch is reprocessed (redelivery check reruns epochs beyond the
+    committed fence) and committed, it becomes visible."""
+    d = str(tmp_path / "docs")
+    state = str(tmp_path / "bloom_state")
+    out = str(tmp_path / "screened")
+    sink = StreamingBloomDedup(state, out)
+
+    write_docs(d, "b1", [(1, _tokens("a")), (2, _tokens("b"))])
+    _drain(spark, d, sink, str(tmp_path / "ckpt"))
+    fenced = sink.screening_output(spark)
+    epochs_before = {r.epoch for r in fenced.select("epoch").distinct().collect()}
+
+    # simulate the crash window: epoch-99 output exists, commit doesn't
+    import pandas as pd
+
+    os.makedirs(os.path.join(out, "epoch-99"))
+    pd.DataFrame(
+        {"doc_id": [7], "n_segments": [1], "n_flagged": [0],
+         "maybe_dup": [False], "epoch": [99]}
+    ).to_parquet(os.path.join(out, "epoch-99", "part-0.parquet"))
+    visible = {r.epoch for r in sink.screening_output(spark).select("epoch").distinct().collect()}
+    assert visible == epochs_before, "uncommitted epoch leaked past the fence"
+
+    # reprocess epoch 99 properly → committed → now visible
+    batch = spark.read.schema(DOCS_SCHEMA).parquet(d)
+    sink(batch, 99)
+    visible2 = {r.epoch for r in sink.screening_output(spark).select("epoch").distinct().collect()}
+    assert 99 in visible2 and epochs_before <= visible2
+
+    # before any commit at all: no output is exposed
+    empty_sink = StreamingBloomDedup(str(tmp_path / "s2"), str(tmp_path / "o2"))
+    assert empty_sink.screening_output(spark) is None
