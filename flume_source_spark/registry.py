@@ -170,6 +170,7 @@ _DRIVER_GREEN_R04 = frozenset(
 # yields evidence across families rather than depth in one module.
 _R05_VERIFY_FIRST = (
     "ds_pack_attention_spans",            # the r04 red, fixed — must re-pin
+    "graph_pagerank_exact",               # VERDICT r4 item 5: hash-able PageRank twin
     # one per family first (most informative under truncation)
     "dedup_cluster_cc_lsh", "profile_summary", "upsert_time_travel",
     "sim_mips_topk", "graph_triangle_count", "window_range_interval",
@@ -261,6 +262,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph  # noqa: F401
     import flume_source_spark.pipeline.graph2  # noqa: F401
     import flume_source_spark.pipeline.graph3  # noqa: F401
+    import flume_source_spark.pipeline.graph4  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
