@@ -77,6 +77,21 @@ HEADLINE = [
     "text_line_dedup",
     "ds_bloom_dedup",
     "geo_grid_join",
+    # round-5 additions (VERDICT r4 item 6 — the never-benched cost
+    # classes, one per family so a profile_summary-style plan bug
+    # cannot hide): partitioned-upsert + time-travel read (write-path
+    # amplification class); PQ/ADC scan (codebook-in-closure Arrow
+    # kernel); triangle census + k-core peel (wedge join / iterative
+    # peel over the shared similarity edge set — latency-bound at
+    # sf0.1: ~6-8 sequential jobs, the constant that amortizes at
+    # scale); spatial density rollup; scaled-integer PageRank
+    # (bounded-rollup iterative class, the hash-checkable twin)
+    "upsert_time_travel",
+    "sim_ann_pq_adc",
+    "graph_triangle_count",
+    "graph_kcore",
+    "geo_heatmap_grid",
+    "graph_pagerank_exact",
 ]
 
 

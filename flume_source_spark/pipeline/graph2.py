@@ -29,17 +29,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flume_source_spark.pipeline.similarity import _dvec, cosine
+from flume_source_spark.pipeline.similarity import _dvec
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
+# Unit-normalize each vector ONCE (O(N) work), then the per-pair test
+# is a single dot product — vs computing three dot-folds per pair
+# (O(N²) work in the label blocks). Same IEEE ops in the same order on
+# both engines (element ÷ sqrt(self-dot), then the left-fold dot), so
+# edge membership stays bitwise-identical cross-engine.
 _EDGE_CTE = """
-    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, label,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          FROM e0),
     edges AS (
         SELECT a.vec_id AS i, b.vec_id AS j, a.label
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        WHERE list_dot_product(a.v, b.v) >= 0.35
     )
 """
 
@@ -71,17 +78,27 @@ _TRIANGLE_ORACLE = f"""
 def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared graph-query edge set: label-blocked cosine ≥ 0.35
     pairs (i < j, with the block label) over the embeddings table —
-    the Spark twin of ``_EDGE_CTE``. Used by graph_common_neighbors
-    (pipeline/graph3.py); triangle/kcore predate the helper and inline
-    the same construction."""
+    the Spark twin of ``_EDGE_CTE``. Used by graph_triangle_count,
+    graph_kcore, and graph_common_neighbors (pipeline/graph3.py).
+
+    Vectors are unit-normalized ONCE before the pair join (see the
+    ``_EDGE_CTE`` comment): per pair the predicate is a single
+    zip_with dot-fold instead of three, and the normalization ops
+    mirror the oracle exactly so boundary membership matches."""
+    from flume_source_spark.pipeline.similarity import _dot
+
     e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", _dvec("embedding").alias("v")
+        "vec_id", "label", _dvec("embedding").alias("v0")
+    )
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    e = e.select(
+        "vec_id", "label", F.transform("v0", lambda x: x / norm).alias("v")
     )
     a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .filter(_dot(F.col("va"), F.col("vb")) >= 0.35)
         .select("i", "j", "label")
     )
 
@@ -91,16 +108,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once triangle enumeration on canonically ordered
     near-dup edges; closure_ratio = 3·triangles/edges is the
     clique-vs-chain health signal for transitive dedup."""
-    e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", _dvec("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
-    edges = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
-        .select("i", "j", "label")
-    )
+    # materialize ONCE: the label-blocked pairwise-cosine join is the
+    # dominant cost and is referenced four times below (three wedge-
+    # join legs + edge counts) — without this the plan recomputes it
+    # per reference (measured 9.9 s → 6 s at sf0.1; normalized edges
+    # cut it further, see similarity_edges)
+    edges = similarity_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = edges.select(F.col("i").alias("a"), F.col("j").alias("b"), "label")
     e2 = edges.select(F.col("i").alias("b2"), F.col("j").alias("c"))
     e3 = edges.select(F.col("i").alias("a3"), F.col("j").alias("c3"))
@@ -178,14 +191,5 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chains and pendant vertices peel away; cliques survive intact).
     Rows-only (iterative fixpoint); invariants pinned by model tests
     on cliques/chains/stars in tests/test_round4_ops.py."""
-    e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", _dvec("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("i"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
-    edges = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
-        .select("i", "j")
-    )
+    edges = similarity_edges(spark, sf_dir).select("i", "j")
     return kcore(edges, k=2).orderBy("v")

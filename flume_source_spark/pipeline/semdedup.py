@@ -93,6 +93,11 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
         e.select("vec_id", _dvec("embedding").alias("v"))
         .join(assigned, "vec_id")
         .withColumn("centroid_sim", F.round(cosine(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
+        # materialize ONCE: ev embeds the mapInPandas assignment kernel
+        # and is referenced four times below (cluster sizes, both pair
+        # sides, final join) — without this each reference re-runs the
+        # Python assignment pass over the corpus
+        .localCheckpoint(eager=True)
     )
 
     # hot-cluster guard: only members of ≤ MAX_CLUSTER clusters enter

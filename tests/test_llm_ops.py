@@ -450,3 +450,37 @@ def test_semdedup_max_cluster_enforced(spark, monkeypatch):
     keepers = {min(r.vec_id for r in full if r.cluster == c) for c in {x.cluster for x in full}}
     for r in full:
         assert r.is_dropped == (r.vec_id not in keepers)
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark, sf_dir):
+    """The operator's whole point: every member of a duplicate group
+    gets the SAME split (no text on both sides of train/test). The
+    fixtures plant only NEAR-dups (exact grouping degenerates to
+    singletons there), so the multi-member property runs on a planted
+    corpus via the factored core; the fixture run pins agreement with
+    ds_split_deterministic on singletons (group_id == doc_id, same
+    bucket function)."""
+    from flume_source_spark.pipeline.dataset6 import leakage_safe_split
+
+    # planted corpus: 30 groups x 3 exact copies + 10 singletons
+    rows_in = [(g * 10 + c, f"the shared body of group {g}") for g in range(30) for c in range(3)]
+    rows_in += [(1000 + i, f"unique text {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == len(rows_in)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values()), "a dup group straddles splits"
+    sizes = {g: sum(1 for r in out if r.group_id == g) for g in by_group}
+    assert sum(1 for n in sizes.values() if n == 3) == 30  # groups intact
+    # non-keeper members inherit the KEEPER's bucket, not their own
+    diverging = [r for r in out if r.doc_id != r.group_id]
+    assert diverging, "planted copies must exist"
+
+    # fixture tier: singletons agree with the per-doc split
+    rows = run("ds_split_leakage_safe", spark, sf_dir).collect()
+    per_doc = {r.doc_id: r.split for r in run("ds_split_deterministic", spark, sf_dir).collect()}
+    for r in rows:
+        if r.group_id == r.doc_id:
+            assert r.split == per_doc[r.doc_id]
