@@ -41,3 +41,27 @@ def test_harness_is_dtype_strict(spark, duck):
     assert not res.ok and "dtype kind mismatch" in res.detail
     cast_fixed = "SELECT 1 AS grp, CAST(sum(x) AS BIGINT) AS total FROM (SELECT CAST(10 AS BIGINT) AS x)"
     assert compare("hugeint_cast", sdf, duck, cast_fixed).ok
+
+
+def test_harness_rejects_raw_array_output_columns(spark, duck):
+    """The driver's canonicalizer crashes on list-valued columns
+    (pandas sort_values → 'unhashable type', the r04
+    ds_pack_attention_spans red). The local harness must fail such a
+    query BEFORE the driver sweep does, pointing at the house
+    serialize-to-string rule."""
+    from flume_source_spark.oracle import compare, unhashable_columns
+    import pandas as pd
+
+    assert unhashable_columns(pd.DataFrame({"a": [[1, 2]], "b": ["x"]})) == ["a"]
+    assert unhashable_columns(pd.DataFrame({"a": ["1,2"], "b": [3]})) == []
+
+    sdf = spark.sql("SELECT array(1, 2) AS xs")
+    res = compare("raw_array", sdf, duck, "SELECT [1, 2] AS xs")
+    assert not res.ok and "raw array" in res.detail
+    ok = compare(
+        "joined_array",
+        spark.sql("SELECT array_join(array(1, 2), ',') AS xs"),
+        duck,
+        "SELECT array_to_string([1, 2], ',') AS xs",
+    )
+    assert ok.ok
