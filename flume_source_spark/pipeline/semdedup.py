@@ -41,7 +41,6 @@ from flume_source_spark.pipeline.dedup import spread
 from flume_source_spark.pipeline.similarity import (
     _dvec,
     assign_nearest,
-    cosine,
     train_spherical_kmeans,
 )
 from flume_source_spark.registry import query
@@ -89,10 +88,19 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
     # centroid_sim via JVM expressions against the broadcast-sized
     # centroid literal array (nlist × dim doubles).
     cent = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in np.asarray(c_mat)])
+    # unit-normalize each vector ONCE (O(N)): the within-cluster pair
+    # predicate below becomes a single dot-fold instead of three
+    # (cosine = dot ÷ norms), and centroid_sim reduces to a plain dot
+    # because train_spherical_kmeans returns unit-norm centroids —
+    # the same O(N²)→O(N)+O(pairs) move as graph2.similarity_edges.
+    from flume_source_spark.pipeline.similarity import _dot
+
+    v0 = _dvec("embedding")
+    norm = F.sqrt(_dot(v0, v0))
     ev = (
-        e.select("vec_id", _dvec("embedding").alias("v"))
+        e.select("vec_id", F.transform(v0, lambda x: x / norm).alias("v"))
         .join(assigned, "vec_id")
-        .withColumn("centroid_sim", F.round(cosine(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
+        .withColumn("centroid_sim", F.round(_dot(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
         # materialize ONCE: ev embeds the mapInPandas assignment kernel
         # and is referenced four times below (cluster sizes, both pair
         # sides, final join) — without this each reference re-runs the
@@ -114,7 +122,7 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
     b = pairable.select(F.col("vec_id").alias("j"), F.col("cluster").alias("cluster_b"), F.col("v").alias("vb"))
     dropped = (
         a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("i") < F.col("j")))
-        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .filter(_dot(F.col("va"), F.col("vb")) >= tau)
         .select(F.col("j").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
