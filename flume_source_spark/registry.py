@@ -161,6 +161,76 @@ _DRIVER_GREEN_R04 = frozenset(
     }
 )
 
+# Queries with a row in the driver's CORRECTNESS_r05.json: the 50-row
+# round-5 sweep covered the head of _R05_VERIFY_FIRST — 44 hash-green
+# + 6 rows-only by design (ds_semdedup, dedup_simhash_hamming_join,
+# emb_pca_power, emb_quantize_pq, graph_kcore, sim_ann_pq_adc). Zero
+# red rows.
+_DRIVER_GREEN_R05 = frozenset(
+    {
+        "ds_pack_attention_spans", "graph_pagerank_exact",
+        "dedup_cluster_cc_lsh", "profile_summary", "upsert_time_travel",
+        "sim_mips_topk", "graph_triangle_count", "window_range_interval",
+        "agg_heavy_hitters", "sql_pipe_syntax", "scalar_regexp_suite",
+        "text_rake_keywords", "ds_semdedup", "emb_norm_stats",
+        "source_schema_evolution", "sink_spool_writer",
+        "filemeta_sharded_scan", "multimodal_content_dedup",
+        "join_null_safe", "streaming_cdc_latest_batch",
+        "ts_cusum_changepoint", "udtf_analyze_dynamic", "constraint_check",
+        "agg_percentile_disc_cont", "agg_regression_family",
+        "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
+        "dedup_incremental_lsh", "dedup_simhash_hamming_join",
+        "ds_curriculum_order", "ds_importance_resample",
+        "ds_length_histogram", "ds_mixture_temperature",
+        "ds_reservoir_per_group", "emb_pca_power", "emb_quantize_pq",
+        "graph_kcore", "join_asof_forward", "join_asof_tolerance",
+        "join_existence_or", "multimodal_clip_filter", "scalar_bitwise",
+        "scalar_collation", "sim_ann_pq_adc", "sink_clustered_write",
+        "sink_compact_small_files", "sink_zorder_write",
+        "source_parquet_metadata", "sql_group_by_all",
+    }
+)
+
+# Round-6 verify-first block (VERDICT r5 "Next round" item 1): the 15
+# queries with NO driver CORRECTNESS row in any of r01-r05 (derived as
+# registry − ∪ CORRECTNESS_r01..r05 keys), led by the two round-5
+# operators that were registered after the r05 sweep ordering froze —
+# they are new operators with zero driver evidence.
+_R06_VERIFY_FIRST = (
+    "ds_split_leakage_safe", "sim_hard_negatives",
+    "sql_star_except", "sql_unpivot", "sql_variables_param",
+    "text_bigram_lm", "text_bpe_encode_stats", "text_bpe_train_merges",
+    "text_char_entropy", "text_readability", "text_substring_dedup_spans",
+    "text_url_canonical_dedup", "text_zipf_fit",
+    "ts_cross_correlation", "ts_m4_downsample",
+)
+
+# Round-6 stale-green re-pin ordering (VERDICT r5 item 1 / item 8):
+# the 98 queries whose only driver evidence predates the round-3
+# fixture regeneration, explicitly ordered so the ~35 sweep slots left
+# after the never-swept block go to the most user-visible surface
+# first — the full TPC-H suite (22), then one-per-family heads of the
+# core relational operators (joins, aggs, windows, setops, subqueries,
+# scalars, filter/sort, dedup/sim/ts representatives). The tail is the
+# remaining stale greens in deterministic sorted order; round 7
+# finishes them.
+_R06_STALE_REPIN = (
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q04_priority_exists", "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_nation_volume", "q08_market_share", "q09_product_type_profit",
+    "q10_returned_items", "q11_important_stock", "q12_conditional_shipping",
+    "q13_order_count_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_excess_concentration",
+    "q21_waiting_supplier", "q22_dormant_customers",
+    # one-per-family heads (13 → sweep position 38-50)
+    "join_inner", "join_shuffle_fact_fact", "agg_basic", "window_ranking",
+    "setop_union_all", "subquery_exists_correlated", "scalar_string",
+    "filter_predicates", "sort_multi_key", "dedup_minhash_lsh",
+    "sim_cosine_topk", "ts_gap_fill", "ds_split_deterministic",
+)
+
 # Round-5 verify-first block (VERDICT r4 "What's missing" items 1-2 and
 # "Next round" item 2): the ONLY driver-red row first (its fix must be
 # re-checked), then the 61 queries with NO driver CORRECTNESS row in
@@ -168,6 +238,8 @@ _DRIVER_GREEN_R04 = frozenset(
 # With a ~50-row sweep budget, ordering within the 61 puts one query
 # per operator FAMILY ahead of siblings so a truncated sweep still
 # yields evidence across families rather than depth in one module.
+# Kept for the ordering-consistency test; superseded by
+# _R06_VERIFY_FIRST + _R06_STALE_REPIN as the live sweep order.
 _R05_VERIFY_FIRST = (
     "ds_pack_attention_spans",            # the r04 red, fixed — must re-pin
     "graph_pagerank_exact",               # VERDICT r4 item 5: hash-able PageRank twin
@@ -207,19 +279,20 @@ _STALE_GREEN = (
 )
 
 # Known-current driver evidence (post-fixture-regeneration rounds).
-_FRESH_GREEN = _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
+_FRESH_GREEN = _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
 
     Ordering maximizes information per budget-truncated driver sweep
-    (~50 rows/round): (1) the single r04 red (fixed, must re-pin) and
-    the 61 queries with no driver row in r01-r04, one per operator
-    family first; (2) anything newly registered this round (also
-    never swept); (3) queries whose only green rows predate the
-    round-3 fixture regeneration (re-pin on current fixtures);
-    (4) queries already verified on the current fixtures (r03 ∪ r04).
+    (~50 rows/round): (1) the 15 queries with no driver row in any of
+    r01-r05, the two round-5 operators first; (2) anything newly
+    registered this round (also never swept); (3) the stale r01/r02
+    greens re-pinned in explicit priority order — TPC-H q01-q22, then
+    one-per-family core-operator heads, then the rest (their only
+    driver evidence predates the round-3 fixture regeneration);
+    (4) queries already verified on the current fixtures (r03-r05).
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
@@ -291,10 +364,11 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.functions.udfs  # noqa: F401
 
     ever_swept = _STALE_GREEN | _FRESH_GREEN
-    ordered = {n: REGISTRY[n] for n in _R05_VERIFY_FIRST if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _R06_VERIFY_FIRST if n in REGISTRY}
     ordered.update(
         {n: s for n, s in REGISTRY.items() if n not in ever_swept and n not in ordered}
     )
+    ordered.update({n: REGISTRY[n] for n in _R06_STALE_REPIN if n in REGISTRY})
     ordered.update({n: s for n, s in REGISTRY.items() if n in _STALE_GREEN})
     ordered.update({n: s for n, s in REGISTRY.items() if n in _FRESH_GREEN})
     return ordered

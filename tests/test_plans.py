@@ -376,15 +376,23 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R02,
         _DRIVER_GREEN_R03,
         _DRIVER_GREEN_R04,
+        _DRIVER_GREEN_R05,
         _FRESH_GREEN,
-        _R05_VERIFY_FIRST,
+        _R06_STALE_REPIN,
+        _R06_VERIFY_FIRST,
         _STALE_GREEN,
         load_all,
     )
 
     load_all()
     names = set(REGISTRY)
-    for s in (_DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03, _DRIVER_GREEN_R04):
+    for s in (
+        _DRIVER_GREEN_R01,
+        _DRIVER_GREEN_R02,
+        _DRIVER_GREEN_R03,
+        _DRIVER_GREEN_R04,
+        _DRIVER_GREEN_R05,
+    ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert not (_STALE_GREEN & _FRESH_GREEN)
@@ -392,15 +400,27 @@ def test_registry_green_sets_are_consistent():
     never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
     # never-swept block must be a prefix (verify-first contract)
     assert ordered[: len(never)] == never
-    # ...led by the r04 red fix + the 61 never-driver-checked queries
-    # (VERDICT r4 acceptance item 2), ahead of any round-5 additions,
-    # so a budget-truncated sweep reaches them first
-    assert set(_R05_VERIFY_FIRST) <= names
-    assert not (set(_R05_VERIFY_FIRST) & (_STALE_GREEN | _FRESH_GREEN))
-    assert ordered[: len(_R05_VERIFY_FIRST)] == list(_R05_VERIFY_FIRST)
-    assert ordered[0] == "ds_pack_attention_spans"  # the only r04 red
-    # r04's 49 rows must have LEFT the verify-first block
-    assert _DRIVER_GREEN_R04 <= _FRESH_GREEN
+    # ...led by the 15 queries never driver-checked in r01-r05
+    # (VERDICT r5 acceptance item 1), the two round-5 operators first,
+    # so a budget-truncated sweep reaches them before anything else
+    assert set(_R06_VERIFY_FIRST) <= names
+    assert not (set(_R06_VERIFY_FIRST) & (_STALE_GREEN | _FRESH_GREEN))
+    assert ordered[: len(_R06_VERIFY_FIRST)] == list(_R06_VERIFY_FIRST)
+    assert ordered[0] == "ds_split_leakage_safe"
+    assert ordered[1] == "sim_hard_negatives"
+    # r05's 50 rows must have LEFT the verify-first block
+    assert _DRIVER_GREEN_R05 <= _FRESH_GREEN
+    # stale-green re-pin tier follows the never-swept block: TPC-H
+    # q01-q22 lead, then the one-per-family heads, so sweep positions
+    # ~16-50 re-pin the most user-visible stale surface
+    assert set(_R06_STALE_REPIN) <= _STALE_GREEN
+    assert ordered[len(never) : len(never) + len(_R06_STALE_REPIN)] == list(
+        _R06_STALE_REPIN
+    )
+    assert _R06_STALE_REPIN[0] == "q01_pricing_summary"
+    assert _R06_STALE_REPIN[21] == "q22_dormant_customers"
+    # the whole registry is ordered exactly once
+    assert len(ordered) == len(names)
 
 
 def test_zorder_write_skips_both_dims(spark, sf_dir):
