@@ -75,21 +75,18 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
-def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared graph-query edge set: label-blocked cosine ≥ 0.35
-    pairs (i < j, with the block label) over the embeddings table —
-    the Spark twin of ``_EDGE_CTE``. Used by graph_triangle_count,
-    graph_kcore, and graph_common_neighbors (pipeline/graph3.py).
+def similarity_edges_from(e: DataFrame) -> DataFrame:
+    """Label-blocked cosine ≥ 0.35 pair join over a ``(vec_id, label,
+    v0)`` frame (v0 = double vector) — factored from
+    :func:`similarity_edges` so planted-topology model tests (hub
+    blocks, cliques, chains) drive the exact production pair-join
+    code path.
 
     Vectors are unit-normalized ONCE before the pair join (see the
     ``_EDGE_CTE`` comment): per pair the predicate is a single
     zip_with dot-fold instead of three, and the normalization ops
     mirror the oracle exactly so boundary membership matches."""
     from flume_source_spark.pipeline.similarity import _dot
-
-    e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", _dvec("embedding").alias("v0")
-    )
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
     e = e.select(
         "vec_id", "label", F.transform("v0", lambda x: x / norm).alias("v")
@@ -103,17 +100,22 @@ def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("llm", "graph", "dedup"))
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once triangle enumeration on canonically ordered
-    near-dup edges; closure_ratio = 3·triangles/edges is the
-    clique-vs-chain health signal for transitive dedup."""
-    # materialize ONCE: the label-blocked pairwise-cosine join is the
-    # dominant cost and is referenced four times below (three wedge-
-    # join legs + edge counts) — without this the plan recomputes it
-    # per reference (measured 9.9 s → 6 s at sf0.1; normalized edges
-    # cut it further, see similarity_edges)
-    edges = similarity_edges(spark, sf_dir).localCheckpoint(eager=True)
+def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared graph-query edge set over the embeddings table —
+    the Spark twin of ``_EDGE_CTE``. Used by graph_triangle_count,
+    graph_kcore, and graph_common_neighbors (pipeline/graph3.py)."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _dvec("embedding").alias("v0")
+    )
+    return similarity_edges_from(e)
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Per-label exactly-once (i<j<k) triangle enumeration over a
+    canonically ordered ``(i, j, label)`` edge frame — factored from
+    the registry query so planted-topology model tests (hub/star vs
+    clique blocks) pin the census against brute force."""
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("i").alias("a"), F.col("j").alias("b"), "label")
     e2 = edges.select(F.col("i").alias("b2"), F.col("j").alias("c"))
     e3 = edges.select(F.col("i").alias("a3"), F.col("j").alias("c3"))
@@ -137,6 +139,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("llm", "graph", "dedup"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once triangle enumeration on canonically ordered
+    near-dup edges; closure_ratio = 3·triangles/edges is the
+    clique-vs-chain health signal for transitive dedup.
+
+    The edge frame is materialized ONCE inside ``triangle_census``:
+    the label-blocked pairwise-cosine join is the dominant cost and is
+    referenced four times (three wedge-join legs + edge counts) —
+    without the localCheckpoint the plan recomputes it per reference
+    (measured 9.9 s → 6 s at sf0.1; normalized edges cut it further,
+    see similarity_edges_from)."""
+    return triangle_census(similarity_edges(spark, sf_dir))
 
 
 def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
@@ -184,12 +201,97 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     )
 
 
-@query("graph_kcore", oracle=None, tags=("llm", "graph", "iterative"))
+KCORE_ROUNDS = 6  # fixed unroll: the profile is "the first 6 peel rounds"
+
+
+def _kcore_peel_oracle(k: int = 2, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB twin of the peel profile: per round t,
+    d{t} = degrees on the surviving edge set r{t-1}, k{t} = the
+    keep-set, r{t} = edges with both endpoints kept. All counts are
+    integer-exact, so the profile is driver-HASHABLE — the same
+    scaled-integer-twin pattern as graph_pagerank_exact (graph4.py).
+    Edge membership is bitwise cross-engine (see _EDGE_CTE).
+
+    The per-round CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs
+    at every reference, and each round references the previous ~3×,
+    so an un-materialized unroll re-expands the base scan ~3^rounds
+    times (observed as a too-many-open-files parquet blowup)."""
+    ctes = ["r0 AS MATERIALIZED (SELECT i, j FROM edges)"]
+    selects = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+        SELECT v, count(*) AS deg
+        FROM (SELECT i AS v FROM r{p} UNION ALL SELECT j AS v FROM r{p})
+        GROUP BY v),
+    k{t} AS MATERIALIZED (SELECT v FROM d{t} WHERE deg >= {k}),
+    r{t} AS MATERIALIZED (SELECT i, j FROM r{p}
+             WHERE i IN (SELECT v FROM k{t}) AND j IN (SELECT v FROM k{t}))"""
+        )
+        selects.append(
+            f"""SELECT CAST({t} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM d{t} WHERE deg < {k}) AS removed_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM r{t}) AS remaining_edges"""
+        )
+    return (
+        f"WITH {_EDGE_CTE},\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY round"
+    )
+
+
+_KCORE_PEEL_ORACLE = _kcore_peel_oracle()
+
+
+@query("graph_kcore", oracle=_KCORE_PEEL_ORACLE, tags=("llm", "graph", "iterative"))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the embedding near-dup graph: vertices surviving
-    iterative degree-< 2 peeling — the dense-duplicate skeleton
-    (chains and pendant vertices peel away; cliques survive intact).
-    Rows-only (iterative fixpoint); invariants pinned by model tests
-    on cliques/chains/stars in tests/test_round4_ops.py."""
+    """2-core peel PROFILE of the embedding near-dup graph: for each
+    of the first ``KCORE_ROUNDS`` peel rounds, how many vertices fell
+    below degree 2 and how many edges survive — non-empty whenever the
+    graph has edges, and integer-exact, so it is hash-oracled with an
+    unrolled CTE (the round-5 verdict's fix for the zero-signal
+    rows-only row: at sf0.01 the 2-core itself is genuinely empty, so
+    a 0-row result asserted nothing). The surviving core is the
+    fixpoint tail of the profile (remaining_edges of the last round);
+    ``kcore()`` itself is unchanged and stays pinned by the
+    clique/chain/star model tests in tests/test_round4_ops.py.
+
+    Scale: identical per-round shape to ``kcore()`` — two shuffles
+    (degree agg + semi-join filter) on a monotonically shrinking edge
+    set, localCheckpoint truncating lineage per round; the profile
+    adds only two distributed scalar aggregates per round (bounded
+    driver traffic, the CC-fixpoint discipline, graph.py:69)."""
     edges = similarity_edges(spark, sf_dir).select("i", "j")
-    return kcore(edges, k=2).orderBy("v")
+    cur = edges.localCheckpoint(eager=True)
+    rows = []
+    t = 1
+    while t <= KCORE_ROUNDS:
+        deg = (
+            cur.select(F.col("i").alias("v"))
+            .unionAll(cur.select(F.col("j").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        removed = deg.filter(F.col("deg") < 2).count()
+        if removed == 0:
+            # fixpoint: peeling removes nothing, so every remaining
+            # round is provably (0, same edge count) — fill without
+            # running jobs (identical result, 4 fewer jobs/round)
+            n = cur.count()
+            rows.extend((r, 0, n) for r in range(t, KCORE_ROUNDS + 1))
+            break
+        keep = deg.filter(F.col("deg") >= 2).select("v")
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "i"), "i", "left_semi")
+            .join(keep.withColumnRenamed("v", "j"), "j", "left_semi")
+            .select("i", "j")
+            .localCheckpoint(eager=True)
+        )
+        rows.append((t, removed, cur.count()))
+        t += 1
+    return spark.createDataFrame(
+        rows, "round long, removed_vertices long, remaining_edges long"
+    ).orderBy("round")

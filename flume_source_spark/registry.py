@@ -165,7 +165,11 @@ _DRIVER_GREEN_R04 = frozenset(
 # round-5 sweep covered the head of _R05_VERIFY_FIRST — 44 hash-green
 # + 6 rows-only by design (ds_semdedup, dedup_simhash_hamming_join,
 # emb_pca_power, emb_quantize_pq, graph_kcore, sim_ann_pq_adc). Zero
-# red rows.
+# red rows. graph_kcore is deliberately EXCLUDED from the set: its r05
+# row was zero-signal (spark_rows: 0 — the sf0.01 2-core is genuinely
+# empty), and round 6 re-shaped it into a hash-oracled peel profile
+# (VERDICT r5 item 2), so it re-enters the verify-first block for a
+# first meaningful driver row.
 _DRIVER_GREEN_R05 = frozenset(
     {
         "ds_pack_attention_spans", "graph_pagerank_exact",
@@ -183,7 +187,7 @@ _DRIVER_GREEN_R05 = frozenset(
         "ds_curriculum_order", "ds_importance_resample",
         "ds_length_histogram", "ds_mixture_temperature",
         "ds_reservoir_per_group", "emb_pca_power", "emb_quantize_pq",
-        "graph_kcore", "join_asof_forward", "join_asof_tolerance",
+        "join_asof_forward", "join_asof_tolerance",
         "join_existence_or", "multimodal_clip_filter", "scalar_bitwise",
         "scalar_collation", "sim_ann_pq_adc", "sink_clustered_write",
         "sink_compact_small_files", "sink_zorder_write",
