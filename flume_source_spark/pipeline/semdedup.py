@@ -109,13 +109,13 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
     )
 
     # hot-cluster guard: only members of ≤ MAX_CLUSTER clusters enter
-    # the pairwise join. sizes is ≤ nlist rows → broadcast.
-    ok_clusters = (
-        ev.groupBy("cluster")
-        .agg(F.count("*").alias("c_size"))
-        .filter(F.col("c_size") <= MAX_CLUSTER)
-        .select("cluster")
-    )
+    # the pairwise join. sizes is ≤ nlist rows → broadcast. The same
+    # size table drives the REPORTED ``cluster_overflow`` flag: an
+    # over-cap member's is_dropped stays False, but it is now
+    # distinguishable from a genuinely unique vector (no silent cap —
+    # the lsh_bucket_profile discipline).
+    sizes = ev.groupBy("cluster").agg(F.count("*").alias("c_size"))
+    ok_clusters = sizes.filter(F.col("c_size") <= MAX_CLUSTER).select("cluster")
     pairable = ev.join(F.broadcast(ok_clusters), "cluster")
 
     a = pairable.select(F.col("vec_id").alias("i"), "cluster", F.col("v").alias("va"))
@@ -129,11 +129,13 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
     )
     return (
         ev.join(dropped, "vec_id", "left")
+        .join(F.broadcast(sizes), "cluster")
         .select(
             "vec_id",
             "cluster",
             F.col("centroid_sim").cast("double").alias("centroid_sim"),
             F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+            (F.col("c_size") > MAX_CLUSTER).alias("cluster_overflow"),
         )
         .orderBy("vec_id")
     )
@@ -147,11 +149,13 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
 )
 def ds_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup decision per vector: (vec_id, cluster,
-    centroid_sim, is_dropped). ``is_dropped`` is True iff the vector
-    has cosine ≥ SEM_TAU with a lower-vec_id member of its own
-    cluster (the cluster being ≤ MAX_CLUSTER — see
-    ``semdedup_decisions``); ``centroid_sim`` (rounded 4 dp) is the
-    spherical-k-means assignment similarity — the quantity the paper
-    uses to choose which duplicate to keep and a per-cluster cohesion
-    diagnostic."""
+    centroid_sim, is_dropped, cluster_overflow). ``is_dropped`` is
+    True iff the vector has cosine ≥ SEM_TAU with a lower-vec_id
+    member of its own cluster (the cluster being ≤ MAX_CLUSTER — see
+    ``semdedup_decisions``); ``cluster_overflow`` is True for members
+    of clusters the cap excluded from pair expansion (kept, but
+    flagged — re-cluster with a larger nlist); ``centroid_sim``
+    (rounded 4 dp) is the spherical-k-means assignment similarity —
+    the quantity the paper uses to choose which duplicate to keep and
+    a per-cluster cohesion diagnostic."""
     return semdedup_decisions(load_tables(spark, sf_dir)["embeddings"])

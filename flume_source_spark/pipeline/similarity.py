@@ -242,8 +242,10 @@ def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
     broadcast-assign pass + distributed elementwise means (posexplode →
     partial avg per (cluster, dim)); only the nlist refined centroids
     return to the driver. Components rounded 6 dp per round so
-    float-sum ordering noise cannot flip boundary assignments. Returns
-    the unit-norm centroid matrix (nlist × dim float64)."""
+    float-sum ordering noise cannot flip boundary assignments, then
+    re-normalized so the returned matrix is exactly unit-norm (dot
+    consumers like SemDeDup's centroid_sim read it as a cosine).
+    Returns the unit-norm centroid matrix (nlist × dim float64)."""
     import numpy as np
 
     cpdf = (
@@ -275,7 +277,17 @@ def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
             n = np.linalg.norm(v)
             if n > 0:
                 new_c[r["cluster"]] = v / n
+        # round 6 dp to absorb distributed float-sum ordering noise,
+        # then RE-normalize: rounding alone leaves |c| off unity by up
+        # to ~1e-6·√dim, which would make a dot(v̂, c) consumer (e.g.
+        # SemDeDup's centroid_sim) deviate from the documented
+        # assignment-cosine semantics at 4-dp boundaries. The renorm
+        # is deterministic (driver-side numpy on the already-canonical
+        # rounded components), so round-to-round stability is kept.
         c_mat = np.round(new_c, 6)
+        norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        c_mat = c_mat / norms
     return c_mat
 
 
