@@ -53,6 +53,35 @@ class SpoolCommitMessage(WriterCommitMessage):
     files: list = field(default_factory=list)
 
 
+def _duplicate_finals(pending) -> list:
+    """Final paths targeted by more than one (tmp, final) pair of the
+    SAME commit — each would silently clobber its predecessor under
+    plain rename, and no dest-exists check can see them (the dest is
+    not on disk until the first publish)."""
+    from collections import Counter
+
+    counts = Counter(final for _, final in pending)
+    return sorted(f for f, n in counts.items() if n > 1)
+
+
+def _cleanup_temps(pending) -> None:
+    for tmp, _ in pending:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def _publish_no_replace(tmp: str, final: str) -> None:
+    """Atomic no-replace publish: hard-link the temp to its final name
+    (link(2) fails with EEXIST if the dest appeared since the
+    pre-check — rename(2) would silently replace it), then drop the
+    temp name. Same syscall count as rename; closes the
+    exists()→rename() TOCTOU window."""
+    os.link(tmp, final)
+    os.unlink(tmp)
+
+
 class SpoolWriter(DataSourceWriter):
     """Two-phase spool writer: temp-write on executors, rename on
     job commit. Input schema must provide ``file_name`` and ``body``
@@ -82,23 +111,37 @@ class SpoolWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         pending = [p for m in messages if m is not None for p in m.files]
+        # two rows in ONE commit targeting the same final name would
+        # pass any dest-exists check (dest not on disk yet) and the
+        # second publish would silently destroy the first — fail the
+        # job instead (same data-loss contract as dest-exists)
+        dups = _duplicate_finals(pending)
+        if dups:
+            _cleanup_temps(pending)
+            raise FileExistsError(
+                f"duplicate spool destinations within one commit: {dups[:3]}..."
+            )
         if self.overwrite:
             keep = {tmp for tmp, _ in pending}
             for entry in os.listdir(self.path):
                 full = os.path.join(self.path, entry)
                 if os.path.isfile(full) and full not in keep:
                     os.remove(full)
+            for tmp, final in pending:
+                os.rename(tmp, final)
         else:
             # errorifexists/append parity with the reference's
-            # dest-exists rename failure (CephFSEventReader.java:189)
+            # dest-exists rename failure (CephFSEventReader.java:189).
+            # The pre-check gives a clean all-or-nothing failure for
+            # the common case; the publish itself is link+unlink
+            # (no-replace), so a dest appearing INSIDE the
+            # check→publish window (TOCTOU) still cannot clobber.
             clash = [f for _, f in pending if os.path.exists(f)]
             if clash:
-                for tmp, _ in pending:
-                    if os.path.exists(tmp):
-                        os.remove(tmp)
+                _cleanup_temps(pending)
                 raise FileExistsError(f"spool destinations already exist: {sorted(clash)[:3]}...")
-        for tmp, final in pending:
-            os.rename(tmp, final)
+            for tmp, final in pending:
+                _publish_no_replace(tmp, final)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -242,24 +285,34 @@ class SpoolStreamWriter(DataSourceStreamWriter):
                 except FileNotFoundError:
                     pass
             return
+        # same intra-epoch duplicate-finals contract as the batch
+        # writer: two rows of one epoch targeting the same name would
+        # silently lose the first under rename — fail the epoch
+        dups = _duplicate_finals(pending)
+        if dups:
+            _cleanup_temps(pending)
+            raise FileExistsError(
+                f"duplicate spool destinations within one epoch: {dups[:3]}..."
+            )
         if not self.overwrite:
             # mirror the batch writer's rename-failure contract
             # (CephFSEventReader.java:189): collect clashes, clean the
             # temps, and FAIL the epoch rather than silently replacing
-            # a previously published file.
+            # a previously published file. Publish is link+unlink
+            # (no-replace) so the check→publish TOCTOU window cannot
+            # clobber either.
             clash = [f for _, f in pending if os.path.exists(f)]
             if clash:
-                for tmp, _ in pending:
-                    try:
-                        os.remove(tmp)
-                    except FileNotFoundError:
-                        pass
+                _cleanup_temps(pending)
                 raise FileExistsError(
                     f"spool destinations already exist: {sorted(clash)[:3]}... "
                     "(set writer option overwrite=true to allow replacement)"
                 )
-        for tmp, final in pending:
-            os.rename(tmp, final)
+            for tmp, final in pending:
+                _publish_no_replace(tmp, final)
+        else:
+            for tmp, final in pending:
+                os.rename(tmp, final)
         tmp_marker = self._marker + ".tmp"
         with open(tmp_marker, "w") as f:
             f.write(str(batchId))

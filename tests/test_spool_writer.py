@@ -193,3 +193,56 @@ def test_stream_spool_dest_exists_fails_epoch_not_file(spark, tmp_path):
     w2.commit([SpoolCommitMessage(files=[(tmp2, final)])], 1)
     with open(final) as f:
         assert f.read() == "replaced"
+
+
+def test_spool_duplicate_finals_within_one_commit_fail(spark, tmp_path):
+    """ADVICE r5 (medium): two rows of ONE commit targeting the same
+    final name pass any dest-exists check (the dest isn't on disk
+    yet) and the second publish would silently destroy the first —
+    the commit must fail instead, batch and stream alike, with temps
+    cleaned and nothing published."""
+    from flume_source_spark.sources.spool_writer import (
+        SpoolCommitMessage,
+        SpoolStreamWriter,
+    )
+
+    d = str(tmp_path / "spool")
+    with pytest.raises(Exception, match="duplicate spool destinations"):
+        _write(spark, [("same.txt", "one"), ("same.txt", "two")], d)
+    assert sorted(os.listdir(d)) == []  # nothing published, temps cleaned
+
+    # stream epoch path: same contract
+    spool = str(tmp_path / "spool2")
+    os.makedirs(spool)
+    w = SpoolStreamWriter({"path": spool})
+    final = os.path.join(spool, "doc-1")
+    t1, t2 = os.path.join(spool, ".t1"), os.path.join(spool, ".t2")
+    for t, body in ((t1, "one"), (t2, "two")):
+        with open(t, "w") as f:
+            f.write(body)
+    with pytest.raises(FileExistsError, match="duplicate spool destinations"):
+        w.commit([SpoolCommitMessage(files=[(t1, final), (t2, final)])], 0)
+    assert not os.path.exists(final)
+    assert not os.path.exists(t1) and not os.path.exists(t2)
+
+
+def test_spool_publish_is_no_replace_under_toctou(tmp_path):
+    """The publish primitive itself must refuse to clobber: a dest
+    appearing AFTER the pre-check but BEFORE the publish (TOCTOU)
+    raises instead of replacing — link(2)+unlink, not rename(2)."""
+    from flume_source_spark.sources.spool_writer import _publish_no_replace
+
+    tmp = str(tmp_path / ".tmp-x")
+    final = str(tmp_path / "x.txt")
+    with open(tmp, "w") as f:
+        f.write("new")
+    with open(final, "w") as f:
+        f.write("original")  # the racing writer won
+    with pytest.raises(FileExistsError):
+        _publish_no_replace(tmp, final)
+    assert open(final).read() == "original"
+    # and with no dest present it publishes atomically
+    os.remove(final)
+    _publish_no_replace(tmp, final)
+    assert open(final).read() == "new"
+    assert not os.path.exists(tmp)
