@@ -114,11 +114,16 @@ def unhashable_columns(pdf: pd.DataFrame) -> list[str]:
     the exact failure behind the r04 ``ds_pack_attention_spans`` red.
     The house rule (FIXTURES.md §A / ``agg_collect``): serialize array
     outputs to joined strings on BOTH engines. This guard makes the
-    local sweep fail such a query before the driver ever sees it."""
+    local sweep fail such a query before the driver ever sees it.
+
+    Scans EVERY value of each object column (ADVICE r5): a head-only
+    sample misses a column whose first list appears late (e.g. a
+    mostly-NULL column), turning the guard's guarantee probabilistic.
+    Query results here are sweep-sized, so the full scan is cheap."""
     bad = []
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            for v in pdf[c].head(50):
+            for v in pdf[c]:
                 if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
                     bad.append(c)
                     break

@@ -39,7 +39,8 @@ from flume_source_spark.tables import load_tables
 
 _LEAKAGE_SPLIT_ORACLE = f"""
     WITH h AS (
-        SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+        SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS content_hash
+        FROM documents
     ),
     g AS (SELECT content_hash, min(doc_id) AS group_id FROM h GROUP BY content_hash),
     b AS (
@@ -65,9 +66,15 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
     the same content_hash key, so the exchange is reused (the agg and
     the probe are co-partitioned — same one-shuffle shape as
     ``dedup_exact``). At 100 TB this composes with the LSH cluster
-    label instead of the hash with no plan change."""
+    label instead of the hash with no plan change.
+
+    NULL text coalesces to '' BEFORE hashing (ADVICE r5): md5(NULL)
+    is NULL and the inner equi-join never matches NULL keys on either
+    engine, so NULL-text docs would silently vanish from the split —
+    instead they form one deterministic group and get a side."""
     hashed = docs.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+        "doc_id",
+        F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))).alias("content_hash"),
     )
     grp = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("group_id"))
     bucket = split_bucket(F.col("group_id"))

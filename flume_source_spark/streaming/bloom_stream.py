@@ -90,10 +90,15 @@ class StreamingBloomDedup:
         if c is None:
             return None
         fence = int(c["epoch"])
+        # guarded parse (ADVICE r5): a stray dir matching the prefix
+        # with a non-decimal suffix (e.g. a leftover 'epoch-3.tmp')
+        # must be skipped, not crash every subsequent read
         parts = [
             p
             for p in os.listdir(self.out_path)
-            if p.startswith("epoch-") and int(p.split("-", 1)[1]) <= fence
+            if p.startswith("epoch-")
+            and p.split("-", 1)[1].isdecimal()
+            and int(p.split("-", 1)[1]) <= fence
         ]
         if not parts:
             return None

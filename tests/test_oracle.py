@@ -54,6 +54,10 @@ def test_harness_rejects_raw_array_output_columns(spark, duck):
 
     assert unhashable_columns(pd.DataFrame({"a": [[1, 2]], "b": ["x"]})) == ["a"]
     assert unhashable_columns(pd.DataFrame({"a": ["1,2"], "b": [3]})) == []
+    # ADVICE r5: the guard scans ALL values — a column whose head is
+    # None/scalar but holds its first list past row 50 must still trip
+    late = pd.DataFrame({"a": [None] * 60 + [[1, 2]], "b": ["x"] * 61})
+    assert unhashable_columns(late) == ["a"]
 
     sdf = spark.sql("SELECT array(1, 2) AS xs")
     res = compare("raw_array", sdf, duck, "SELECT [1, 2] AS xs")

@@ -149,6 +149,12 @@ def test_streaming_bloom_screening_respects_commit_fence(spark, tmp_path):
     visible = {r.epoch for r in sink.screening_output(spark).select("epoch").distinct().collect()}
     assert visible == epochs_before, "uncommitted epoch leaked past the fence"
 
+    # ADVICE r5: a stray prefix-matching dir with a non-decimal suffix
+    # (leftover temp, foreign dir) must be SKIPPED, not break reads
+    os.makedirs(os.path.join(out, "epoch-99.tmp"), exist_ok=True)
+    visible2 = {r.epoch for r in sink.screening_output(spark).select("epoch").distinct().collect()}
+    assert visible2 == epochs_before
+
     # reprocess epoch 99 properly → committed → now visible
     batch = spark.read.schema(DOCS_SCHEMA).parquet(d)
     sink(batch, 99)
