@@ -99,3 +99,116 @@ def dedup_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = dedup_simhash(spark, sf_dir)
     return hamming_pairs(codes).orderBy("i", "j")
+
+
+# ---- md5-based EXACT SimHash twins (round 6): the production pair
+# (dedup_simhash / dedup_simhash_hamming_join) rides on xxhash64,
+# which has no DuckDB implementation, so both are rows-only. These
+# twins swap the token hash for the first 8 md5 hex digits — bitwise
+# identical on both engines (the dataset6 split-bucket precedent) —
+# making the ENTIRE simhash machinery (majority vote, bit pack, band
+# blocking, popcount radius filter) driver-HASHABLE. Production keeps
+# xxhash64 (cheaper bytes); the twins verify the machinery.
+
+def _simhash_sql_cte() -> str:
+    bit_sums = ",\n               ".join(
+        f"CAST(SUM((hx >> {b}) & 1) AS BIGINT) AS b{b}" for b in range(32)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hx AS MATERIALIZED (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hx
+        FROM tok
+    ),
+    votes AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               {bit_sums}
+        FROM hx GROUP BY doc_id
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+_SIMHASH_EXACT_ORACLE = f"""
+    WITH {_simhash_sql_cte()}
+    SELECT doc_id, simhash FROM sh ORDER BY doc_id
+"""
+
+_HAMMING_EXACT_ORACLE = f"""
+    WITH {_simhash_sql_cte()},
+    bands AS MATERIALIZED (
+        SELECT doc_id, simhash, CAST(r.range AS BIGINT) AS band_idx,
+               (simhash >> (CAST(r.range AS INTEGER) * {BAND_BITS}))
+                   & {(1 << BAND_BITS) - 1} AS band_val
+        FROM sh, range({BANDS}) r
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT i, j, hamming FROM pairs WHERE hamming <= {HAMMING_RADIUS}
+    ORDER BY i, j
+"""
+
+
+def simhash_md5_codes(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash with md5-derived token hashes — the exact twin
+    of ``dedup.dedup_simhash``'s xxhash64 core, same majority-vote →
+    bit-pack plan (explode, 32 conditional sums, one doc_id shuffle)."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = tok.withColumn(
+        "hx", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(F.shiftright("hx", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(32)
+    ]
+    votes = tok.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_simhash_exact",
+    oracle=_SIMHASH_EXACT_ORACLE,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable SimHash codes (md5 token hashes) — converts the
+    rows-only simhash family to exact cross-engine verification; the
+    production operator stays ``dedup_simhash`` (xxhash64)."""
+    from flume_source_spark.pipeline.dedup import spread
+    from flume_source_spark.tables import load_tables
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    return simhash_md5_codes(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_hamming_exact",
+    oracle=_HAMMING_EXACT_ORACLE,
+    tags=("llm", "dedup", "simhash", "lsh"),
+)
+def dedup_simhash_hamming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius pair join over the md5 SimHash codes — the
+    hash-oracled twin of ``dedup_simhash_hamming_join``: identical
+    band blocking (pigeonhole exact recall at radius ≤ BANDS−1) and
+    popcount filter, verified value-exact against DuckDB's own band
+    join + bit_count."""
+    from flume_source_spark.pipeline.dedup import spread
+    from flume_source_spark.tables import load_tables
+
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    return hamming_pairs(simhash_md5_codes(docs)).orderBy("i", "j")
