@@ -736,3 +736,84 @@ def test_bitmap_distinct_partials_merge_losslessly(spark):
     )
     n = merged.select(F.sum(F.bit_count("word")).alias("n")).collect()[0]["n"]
     assert n == 260  # |0..259| exactly, overlap counted once
+
+
+def test_triangle_census_hub_block_bounded_and_exact(spark):
+    """VERDICT r5 item 7: the docstring argument that label blocking
+    bounds degree (so degree-ordered orientation is unnecessary) gets
+    a planted-hub pin. One label block of size B holds a hub
+    topology: the hub vector is τ-similar to every spoke, spokes are
+    pairwise dissimilar → B−1 edges all through the hub, ZERO
+    triangles. A second block is a 5-clique (all pairwise similar)
+    → 10 edges, C(5,3)=10 triangles. Assertions: (a) candidate pairs
+    per block stay ≤ B(B−1)/2 — the blocking bound, no cross-block
+    pair ever forms; (b) the census matches a numpy brute-force
+    recount exactly. If a future fixture breaks (a), implement
+    degree-ordered orientation (graph2.py docstring)."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.graph2 import (
+        similarity_edges_from,
+        triangle_census,
+    )
+
+    B = 24
+    rows = []
+    vecs = {}
+    # hub block: hub = e0; spoke s = (α·e0 + β·e_{s}) with α chosen so
+    # cos(hub, spoke) = α ≥ 0.35 but cos(spoke, spoke') = α² < 0.35
+    alpha = 0.5
+    beta = float(np.sqrt(1 - alpha**2))
+    dim = B + 2
+    hub = [0.0] * dim
+    hub[0] = 1.0
+    rows.append((0, "hub", hub))
+    vecs[0] = ("hub", np.array(hub))
+    for s in range(1, B):
+        v = [0.0] * dim
+        v[0], v[s + 1] = alpha, beta
+        rows.append((s, "hub", v))
+        vecs[s] = ("hub", np.array(v))
+    # clique block: 5 near-identical vectors
+    for c in range(5):
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, 1e-3 * c
+        rows.append((100 + c, "clique", v))
+        vecs[100 + c] = ("clique", np.array(v) / np.linalg.norm(v))
+
+    e = spark.createDataFrame(rows, "vec_id long, label string, v0 array<double>")
+    edges = similarity_edges_from(e).collect()
+
+    # (a) blocking bound: every pair intra-block, per-block pair count
+    # ≤ B(B−1)/2 even with the planted hub
+    from collections import Counter
+
+    lbl = {vid: l for vid, (l, _) in vecs.items()}
+    per_block = Counter(r.label for r in edges)
+    for r in edges:
+        assert lbl[r.i] == lbl[r.j] == r.label
+    assert per_block["hub"] <= B * (B - 1) // 2
+    assert per_block["hub"] == B - 1  # star: hub-spoke edges only
+    assert per_block["clique"] == 10
+
+    # (b) census == numpy brute force
+    got = {r.label: (r.n_edges, r.n_triangles) for r in triangle_census(
+        spark.createDataFrame([(r.i, r.j, r.label) for r in edges], "i long, j long, label string")
+    ).collect()}
+    ids = sorted(vecs)
+    unit = {i: vecs[i][1] / np.linalg.norm(vecs[i][1]) for i in ids}
+    brute_edges = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and lbl[a] == lbl[b] and float(unit[a] @ unit[b]) >= 0.35
+    }
+    assert {(r.i, r.j) for r in edges} == brute_edges
+    brute_tri = Counter()
+    be = brute_edges
+    for a, b in be:
+        for c in ids:
+            if c > b and (b, c) in be and (a, c) in be:
+                brute_tri[lbl[a]] += 1
+    assert got["hub"] == (B - 1, 0)
+    assert got["clique"] == (10, brute_tri["clique"]) == (10, 10)
