@@ -92,6 +92,12 @@ HEADLINE = [
     "graph_kcore",
     "geo_heatmap_grid",
     "graph_pagerank_exact",
+    # round-6 additions (the new hash-checkable twins — different
+    # cost classes from their rows-only siblings: 64×-explode +
+    # broadcast-lattice partial agg; 32-conditional-sum bit pack +
+    # banded self-join with popcount filter)
+    "emb_quantize_pq_exact",
+    "dedup_simhash_hamming_exact",
 ]
 
 
@@ -183,6 +189,28 @@ def main() -> None:
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     timings["filemeta_drain_5k_files"] = round(_bench_filemeta_drain(spark), 3)
     total = round(sum(timings.values()), 3)
+    # Artifact-survivability discipline (VERDICT r5 item 4): the driver
+    # records only a fixed-size TAIL of stdout, and round 5's single
+    # combined line (timings + spread + canary) overflowed it — the
+    # first ~16 entries' timings were truncated away. So: diagnostics
+    # (per-pass canary, per-query spread) go on an EARLIER line, and
+    # the LAST line is the compact contract JSON only, minimal
+    # separators, small enough to always fit the tail window.
+    print(
+        json.dumps(
+            {
+                # a canary ≫ its own min flags that pass as contended;
+                # per-query spread (max/min over samples) identifies
+                # burst-inflated entries without a re-run
+                "canary_q06_per_pass": canary,
+                "sample_spread": {
+                    n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
+                },
+            },
+            separators=(",", ":"),
+        )
+    )
+    spark.stop()
     print(
         json.dumps(
             {
@@ -191,18 +219,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # per-pass canary timings: a canary ≫ its own min
-                # flags that pass as contended; per-query spread
-                # (max/min over samples) identifies burst-inflated
-                # entries without a re-run
-                "canary_q06_per_pass": canary,
-                "sample_spread": {
-                    n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
-                },
-            }
+            },
+            separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
