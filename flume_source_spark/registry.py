@@ -343,6 +343,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph4  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
+    import flume_source_spark.pipeline.similarity2  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
     import flume_source_spark.pipeline.embstats2  # noqa: F401
