@@ -98,6 +98,7 @@ HEADLINE = [
     # banded self-join with popcount filter)
     "emb_quantize_pq_exact",
     "dedup_simhash_hamming_exact",
+    "sim_ann_lsh_exact",
 ]
 
 

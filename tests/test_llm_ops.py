@@ -507,3 +507,55 @@ def test_leakage_safe_split_assigns_null_text_docs(spark):
     # NULL coalesces to '' → NULLs and the empty string share a group
     assert out[2].group_id == out[3].group_id == out[4].group_id == 2
     assert out[2].split == out[3].split == out[4].split
+
+
+def test_sim_ann_lsh_exact_numpy_recompute(spark, sf_dir):
+    """The integer-LSH twin is fully deterministic, so the WHOLE
+    pipeline (quantize → lattice sign bits → buckets → candidates →
+    integer-dot rerank → top-5) is recomputable in numpy; the Spark
+    result must equal that recompute row-for-row. This is stronger
+    than the DuckDB oracle in one way: it is a third, independent
+    implementation with no SQL in common."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.similarity import Q_MAX, QUERY_MOD
+    from flume_source_spark.pipeline.similarity2 import (
+        _LSHX_A,
+        _LSHX_B,
+        _LSHX_C,
+        LSHX_BITS,
+        LSHX_TABLES,
+        LSHX_TOP_K,
+    )
+
+    e = run("sim_ann_lsh_exact", spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    xq = {i: np.floor(v * 1000).astype(np.int64) for i, v in emb.items()}
+    dimv = np.arange(64, dtype=np.int64)
+    buckets = {}  # (t, bucket) -> set of vec_ids
+    for i, v in xq.items():
+        for t in range(LSHX_TABLES):
+            b_val = 0
+            for b in range(LSHX_BITS):
+                h = ((t * _LSHX_A + b * _LSHX_B + dimv * _LSHX_C) % 2001) - 1000
+                if int((v * h).sum()) >= 0:
+                    b_val |= 1 << b
+            buckets.setdefault((t, b_val), set()).add(i)
+    qids = [i for i in xq if i % QUERY_MOD == 0 and i < QUERY_MOD * Q_MAX]
+    expect = []
+    for q in sorted(qids):
+        cands = set()
+        for (tb, members) in buckets.items():
+            if q in members:
+                cands |= members
+        cands.discard(q)
+        scored = sorted(
+            ((int(xq[q] @ xq[c]), c) for c in cands),
+            key=lambda sc: (-sc[0], sc[1]),
+        )[:LSHX_TOP_K]
+        expect += [(q, c, s, r + 1) for r, (s, c) in enumerate(scored)]
+    got = [(r.qid, r.cid, r.score, r.rank) for r in e]
+    assert got == expect

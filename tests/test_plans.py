@@ -477,3 +477,22 @@ def test_zorder_write_skips_both_dims(spark, sf_dir):
         # unclustered / wrong-dim-sorted layout → ~100%; z-order with 16
         # files (2 z-prefix bits per dim) → ~25-55% incl. straddle files
         assert frac <= 0.6, f"{col}: mean {frac:.0%} of files overlap 10% windows — not clustered"
+
+
+def test_round6_twins_no_cartesian(spark, sf_dir):
+    """The round-6 exact twins keep the production scale shapes: the
+    lattice/grid sides are broadcast (BroadcastNestedLoopJoin with a
+    ≤40-row side is the planned shape for a grid crossJoin), candidate
+    generation is an equi-join, and NO unbounded CartesianProduct
+    appears anywhere."""
+    for name in (
+        "emb_quantize_pq_exact",
+        "sim_ann_lsh_exact",
+        "dedup_simhash_exact",
+        "dedup_simhash_hamming_exact",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+    # the Hamming band join must be a real equi-join on (band, value)
+    p = plan(spark, sf_dir, "dedup_simhash_hamming_exact")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
