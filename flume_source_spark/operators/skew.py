@@ -104,3 +104,55 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"), dsum(dec("l_quantity"), "total_qty"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("skew", "join", "plan"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third manual skew lever (after salted aggregation and
+    bucketing): SALT-REPLICATED fact-fact join. The skewed probe side
+    gets a deterministic salt in [0, N); the build side is replicated
+    N× (explode of a static salt array — N small rows per key, never
+    a data-dependent blow-up), and the join key becomes
+    (key, salt) — one hot key now spreads across N reducers instead
+    of pinning one. Result is provably identical to the unsalted
+    join (the oracle checks exactly that); hint("merge") forces the
+    shuffle path at fixture scale the same way join_shuffle_fact_fact
+    and bucketed_colocated_join do, so the plan test can pin the
+    salted Exchange keys. At 100 TB, AQE's skew-split handles
+    MODERATE skew adaptively; explicit salting is the lever when one
+    key exceeds what post-shuffle splitting can rebalance (the
+    replicated side cost is N× its size, chosen up front)."""
+    t = load_tables(spark, sf_dir)
+    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    o_rep = (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = li.hint("merge").join(
+        o_rep,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (li.salt == o_rep.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

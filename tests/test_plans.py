@@ -496,3 +496,18 @@ def test_round6_twins_no_cartesian(spark, sf_dir):
     # the Hamming band join must be a real equi-join on (band, value)
     p = plan(spark, sf_dir, "dedup_simhash_hamming_exact")
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_salted_join_exchanges_on_key_plus_salt(spark, sf_dir):
+    """The whole point of skew_salted_join: BOTH join exchanges hash on
+    (key, salt) — a hot key spreads over SALT_BUCKETS reducers — and
+    no broadcast bypasses the shuffle."""
+    p = plan(spark, sf_dir, "skew_salted_join")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "Exchange hashpartitioning(l_orderkey" in p and "salt" in p.split(
+        "Exchange hashpartitioning(l_orderkey"
+    )[1][:80]
+    assert "Exchange hashpartitioning(o_orderkey" in p and "salt" in p.split(
+        "Exchange hashpartitioning(o_orderkey"
+    )[1][:80]
