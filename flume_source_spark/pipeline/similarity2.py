@@ -180,3 +180,199 @@ def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= LSHX_TOP_K)
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_exact — the hash-checkable IVF twin
+# ---------------------------------------------------------------------------
+
+IVFX_NLIST = 16
+IVFX_NPROBE = 4
+IVFX_TOP_K = 5
+# closed-form integer centroid lattice, values in [-1000, 1000]
+_IVFX_A, _IVFX_C = 69061, 293
+
+
+_IVFX_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q0 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS xq
+        FROM e
+    ),
+    norms AS MATERIALIZED (
+        SELECT vec_id, xq,
+               CAST(list_dot_product(
+                   list_transform(xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS na
+        FROM q0
+    ),
+    centg AS (
+        SELECT CAST(j.range AS BIGINT) AS j, CAST(d.range AS BIGINT) AS d,
+               ((j.range * {_IVFX_A} + d.range * {_IVFX_C}) % 2001) - 1000 AS c
+        FROM range({IVFX_NLIST}) j, range(64) d
+    ),
+    cent AS MATERIALIZED (
+        SELECT j, list(c ORDER BY d) AS carr,
+               CAST(SUM(c * c) AS BIGINT) AS nc
+        FROM centg GROUP BY j
+    ),
+    dist AS MATERIALIZED (
+        SELECT n.vec_id, c.j,
+               n.na + c.nc - 2 * CAST(list_dot_product(
+                   list_transform(n.xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.carr, x -> CAST(x AS DOUBLE))) AS BIGINT) AS dist,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   n.na + c.nc - 2 * CAST(list_dot_product(
+                       list_transform(n.xq, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.carr, x -> CAST(x AS DOUBLE))) AS BIGINT),
+                   c.j) AS rn
+        FROM norms n, cent c
+    ),
+    assign AS MATERIALIZED (SELECT vec_id, j FROM dist WHERE rn = 1),
+    qprobe AS MATERIALIZED (
+        SELECT vec_id AS qid, j FROM dist
+        WHERE rn <= {IVFX_NPROBE}
+          AND vec_id IN (SELECT vec_id FROM e WHERE {_QWHERE_SQL})
+    ),
+    cand AS MATERIALIZED (
+        SELECT qp.qid, a.vec_id AS cid
+        FROM qprobe qp JOIN assign a ON qp.j = a.j
+        WHERE qp.qid <> a.vec_id
+    ),
+    scored AS (
+        SELECT c.qid, c.cid,
+               CAST(list_dot_product(
+                   list_transform(qq.xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(cc.xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score
+        FROM cand c
+        JOIN q0 qq ON qq.vec_id = c.qid
+        JOIN q0 cc ON cc.vec_id = c.cid
+    ),
+    ranked AS (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT qid, cid, score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {IVFX_TOP_K} ORDER BY qid, rank
+"""
+
+
+@query(
+    "sim_ann_ivf_exact",
+    oracle=_IVFX_ORACLE,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice IVF ANN — the hash-checkable twin of
+    ``sim_ann_ivf`` (the graph_pagerank_exact pattern applied to the
+    inverted-file path, completing the ANN family: LSH and PQ already
+    have exact twins). Same moving parts as production IVF — coarse
+    quantizer, per-vector list assignment, nprobe list probing,
+    in-list rerank, top-k — but every arithmetic step is exact:
+
+    - vectors floor-quantized to a 1e-3 integer grid (|xq_d| <= 1000),
+    - the 16 "centroids" are a closed-form integer lattice c(j,d)
+      (no k-means float drift; both engines evaluate one expression),
+    - L2 distance via the integer identity ||x-c||^2 = na + nc - 2*x.c
+      (|dot| <= 6.4e7 < 2^53, so even DuckDB's double-valued
+      list_dot_product is exact; assignment ties broken by list id),
+    - rerank score = integer dot, top-5 by (score DESC, cid) — a
+      total order, no cross-engine tie ambiguity.
+
+    Scale shape mirrors production ``sim_ann_ivf``: the 16-row centroid
+    panel is BROADCAST into a 16x-per-vector dot stage (no shuffle);
+    the argmin collapses map-side (16 co-partitioned rows per vec_id);
+    the probe panel is <= Q_MAX*NPROBE = 256 rows and is broadcast
+    into the assignment frame, so the corpus is never shuffled for
+    candidate generation; the rerank broadcasts the Q_MAX-bounded
+    query vectors. NLIST scales as sqrt(N) in production; the twin
+    pins the machinery, not the constant."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    sq = F.aggregate(
+        F.transform("xq", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    q0 = (
+        e.select(
+            "vec_id",
+            F.transform("v", lambda x: F.floor(x * F.lit(1000)).cast("long")).alias(
+                "xq"
+            ),
+        )
+        .withColumn("na", sq)
+        .localCheckpoint(eager=True)  # assignment + both rerank sides reuse it
+    )
+    jcol = F.col("j")
+    cent = spark.range(IVFX_NLIST).select(
+        F.col("id").cast("long").alias("j"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((jcol * _IVFX_A + d.cast("long") * _IVFX_C) % 2001 - 1000).cast(
+                "long"
+            ),
+        ).alias("carr"),
+    )
+    cent = cent.withColumn(
+        "nc",
+        F.aggregate(
+            F.transform("carr", lambda c: c * c),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    dot_xc = F.aggregate(
+        F.zip_with("xq", "carr", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        q0.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "j",
+            (F.col("na") + F.col("nc") - F.lit(2) * dot_xc).alias("dist"),
+        )
+        .localCheckpoint(eager=True)  # assignment and probe ranking reuse it
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("j").asc())
+    )
+    ranked_lists = dist.select("vec_id", "j", rn.alias("rn"))
+    assign = ranked_lists.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"), "j"
+    )
+    qids = e.filter(_query_filter()).select(F.col("vec_id").alias("qid"))
+    qprobe = (
+        ranked_lists.where(F.col("rn") <= IVFX_NPROBE)
+        .join(F.broadcast(qids), ranked_lists.vec_id == qids.qid)
+        .select("qid", "j")
+    )
+    cand = assign.join(F.broadcast(qprobe), "j").where(
+        F.col("qid") != F.col("cid")
+    ).select("qid", "cid")
+    qx = q0.select(F.col("vec_id").alias("qid"), F.col("xq").alias("qxq"))
+    cx = q0.select(F.col("vec_id").alias("cid"), F.col("xq").alias("cxq"))
+    score = F.aggregate(
+        F.zip_with("qxq", "cxq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qx), "qid").join(cx, "cid").select(
+            "qid", "cid", score.alias("score")
+        )
+    )
+    topk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    )
+    return (
+        scored.select("qid", "cid", "score", topk.cast("long").alias("rank"))
+        .where(F.col("rank") <= IVFX_TOP_K)
+        .orderBy("qid", "rank")
+    )

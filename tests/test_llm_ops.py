@@ -559,3 +559,57 @@ def test_sim_ann_lsh_exact_numpy_recompute(spark, sf_dir):
         expect += [(q, c, s, r + 1) for r, (s, c) in enumerate(scored)]
     got = [(r.qid, r.cid, r.score, r.rank) for r in e]
     assert got == expect
+
+
+def test_sim_ann_ivf_exact_numpy_recompute(spark, sf_dir):
+    """Third-implementation pin for the IVF twin (the LSH-twin
+    precedent): quantize → lattice centroids → exact L2 argmin
+    assignment → nprobe probing → integer-dot rerank → top-5, all
+    recomputed in numpy with no SQL in common with either engine."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.similarity import Q_MAX, QUERY_MOD
+    from flume_source_spark.pipeline.similarity2 import (
+        _IVFX_A,
+        _IVFX_C,
+        IVFX_NLIST,
+        IVFX_NPROBE,
+        IVFX_TOP_K,
+    )
+
+    e = run("sim_ann_ivf_exact", spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    xq = {i: np.floor(v * 1000).astype(np.int64) for i, v in emb.items()}
+    dimv = np.arange(64, dtype=np.int64)
+    cent = {
+        j: ((j * _IVFX_A + dimv * _IVFX_C) % 2001) - 1000
+        for j in range(IVFX_NLIST)
+    }
+    # exact distances; ties broken by list id via sort key (dist, j)
+    order = {
+        i: sorted(
+            (int(((v - cent[j]) ** 2).sum()), j) for j in range(IVFX_NLIST)
+        )
+        for i, v in xq.items()
+    }
+    assign = {i: o[0][1] for i, o in order.items()}
+    lists = {}
+    for i, j in assign.items():
+        lists.setdefault(j, set()).add(i)
+    qids = [i for i in xq if i % QUERY_MOD == 0 and i < QUERY_MOD * Q_MAX]
+    expect = []
+    for q in sorted(qids):
+        cands = set()
+        for (_, j) in order[q][:IVFX_NPROBE]:
+            cands |= lists.get(j, set())
+        cands.discard(q)
+        scored = sorted(
+            ((int(xq[q] @ xq[c]), c) for c in cands),
+            key=lambda sc: (-sc[0], sc[1]),
+        )[:IVFX_TOP_K]
+        expect += [(q, c, s, r + 1) for r, (s, c) in enumerate(scored)]
+    got = [(r.qid, r.cid, r.score, r.rank) for r in e]
+    assert got == expect

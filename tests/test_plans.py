@@ -488,6 +488,7 @@ def test_round6_twins_no_cartesian(spark, sf_dir):
     for name in (
         "emb_quantize_pq_exact",
         "sim_ann_lsh_exact",
+        "sim_ann_ivf_exact",
         "dedup_simhash_exact",
         "dedup_simhash_hamming_exact",
     ):
