@@ -99,6 +99,12 @@ HEADLINE = [
     "emb_quantize_pq_exact",
     "dedup_simhash_hamming_exact",
     "sim_ann_lsh_exact",
+    # round-6 session-2 additions (new cost classes: N×-replicated
+    # salted fact-fact join — the explicit hot-key lever, exchanges
+    # hash on (key, salt); broadcast-centroid IVF assign + probe —
+    # argmin collapses map-side, corpus never shuffles for candidates)
+    "skew_salted_join",
+    "sim_ann_ivf_exact",
 ]
 
 

@@ -167,3 +167,52 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rn")
     )
+
+
+SAMPLE_MOD = 10
+SAMPLE_KEEP = 2  # keep buckets {0,1} → a deterministic 20% sample
+
+
+@query(
+    "ds_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % {SAMPLE_MOD} AS BIGINT) AS sample_bucket,
+           n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % {SAMPLE_MOD} < {SAMPLE_KEEP}
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dataset", "sample"),
+)
+def ds_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed deterministic sampling — the REPRODUCIBLE
+    twin of ``sample_and_introspect``'s seeded Bernoulli (whose RNG
+    stream is engine-specific, hence rows-only). The gate is
+    md5(doc_id) taken as an integer mod SAMPLE_MOD: every engine, every
+    run, every cluster size picks the SAME 20% of documents — the
+    property a training pipeline actually needs from a sample (re-run
+    the pipeline, get the same training subset; grow the corpus, keep
+    every previously sampled doc). md5-first-8-hex is the house
+    portable token hash (conv(substr(md5,1,8),16,10) on Spark ==
+    CAST('0x'||... AS BIGINT) on DuckDB, both zero-extended 32-bit so
+    never negative).
+
+    100 TB shape: a pure map-side scan filter — no shuffle, no UDF,
+    whole-stage codegen; the selectivity is exact (SAMPLE_KEEP /
+    SAMPLE_MOD) regardless of data skew because the hash is uniform
+    over ids, and the gate composes with partition pruning (the
+    filter prunes rows, the scan still prunes columns/partitions)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+    )
+    return (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", bucket.alias("sample_bucket"), "n_chars")
+        .where(F.col("sample_bucket") < SAMPLE_KEEP)
+        .orderBy("doc_id")
+    )
