@@ -105,6 +105,10 @@ HEADLINE = [
     # argmin collapses map-side, corpus never shuffles for candidates)
     "skew_salted_join",
     "sim_ann_ivf_exact",
+    # (new cost class: per-row 64×64 outer-product flatten into a
+    # 4096-key map-side-combinable Gram agg + corpus-independent
+    # integer matvec rounds)
+    "emb_pca_power_exact",
 ]
 
 

@@ -361,3 +361,153 @@ def emb_quantize_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.k").alias("code"),
         F.col("best.dist").alias("dist"),
     ).orderBy("vec_id", "sub")
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_power_exact — the hash-checkable power-iteration twin
+# ---------------------------------------------------------------------------
+
+PCAX_ROUNDS = 3
+PCAX_SCALE = 1000
+
+
+def _pcax_oracle() -> str:
+    rounds = []
+    prev = "x0"
+    for r in range(1, PCAX_ROUNDS + 1):
+        rounds.append(f"""
+    y{r} AS MATERIALIZED (
+        SELECT g.i, CAST(SUM(g.aij * x.xv) AS BIGINT) AS yv
+        FROM gram g JOIN {prev} x ON g.j = x.i GROUP BY g.i
+    ),
+    m{r} AS MATERIALIZED (SELECT MAX(ABS(yv)) AS m FROM y{r}),
+    x{r} AS MATERIALIZED (
+        SELECT i,
+               CASE WHEN yv < 0
+                    THEN -(((-yv) * {PCAX_SCALE}) // m)
+                    ELSE ((yv * {PCAX_SCALE}) // m) END AS xv
+        FROM y{r}, m{r}
+    )""")
+        prev = f"x{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(i AS BIGINT) AS dim, "
+        f"CAST(xv AS BIGINT) AS loading_q, CAST(m AS BIGINT) AS norm_scale "
+        f"FROM x{r}, m{r}"
+        for r in range(1, PCAX_ROUNDS + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q0 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * {PCAX_SCALE}) AS BIGINT)) AS xq
+        FROM e
+    ),
+    dims AS MATERIALIZED (
+        SELECT vec_id, CAST(r.range AS BIGINT) AS i,
+               xq[CAST(r.range + 1 AS INTEGER)] AS x
+        FROM q0, range(64) r
+    ),
+    gram AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS aij
+        FROM dims a JOIN dims b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    x0 AS (SELECT CAST(range AS BIGINT) AS i,
+                  CAST({PCAX_SCALE} AS BIGINT) AS xv FROM range(64)),
+    {",".join(rounds)}
+    {selects} ORDER BY round, dim
+    """
+
+
+@query(
+    "emb_pca_power_exact",
+    oracle=_pcax_oracle(),
+    tags=("llm", "embedding", "pca", "iterative"),
+)
+def emb_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled-integer power iteration — the hash-checkable twin of
+    ``emb_pca_power`` (the graph_pagerank_exact pattern applied to the
+    remaining iterative-float family). Same moving parts as
+    production — Gram accumulation, repeated matvec, per-round
+    renormalization, convergence profile — in exact integer
+    arithmetic on the UNCENTERED second-moment matrix:
+
+    - components floor-quantized to the 1e-3 grid,
+    - Gram entries a_ij = Σ_n xq_ni·xq_nj accumulated exactly
+      (|a_ij| ≤ N·10⁶ — BIGINT-safe to N ≈ 10¹²),
+    - matvec y = A·x with |y| ≤ 64·|a|·10³, renormalized each round
+      by max-abs with integer floor-division applied to |y| and the
+      sign reapplied (both engines' integer division agree on
+      non-negative operands — the house div rule),
+    - output = the full per-round profile (round, dim, loading_q,
+      norm_scale), 64·ROUNDS rows, every value BIGINT.
+
+    The production operator keeps float centering + L2 normalization
+    (better numerics, true PCA); the twin pins the distributed
+    machinery cross-engine. 100 TB shape: the ONLY full-corpus stage
+    is the Gram accumulation — a per-row 64×64 outer-product flatten
+    into a map-side-combinable 4096-key partial agg (one shuffle of
+    ≤4096 rows per partition); every iteration after it runs on the
+    4096-row Gram × 64-row vector — corpus-size-independent, exactly
+    like the PageRank twin's bounded-rollup rounds."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    q0 = e.select(
+        F.transform(
+            "v", lambda x: F.floor(x * F.lit(PCAX_SCALE)).cast("long")
+        ).alias("xq")
+    )
+    outer = F.flatten(
+        F.transform(
+            "xq",
+            lambda xi: F.transform(F.col("xq"), lambda xj: xi * xj),
+        )
+    )
+    gram = (
+        q0.select(F.posexplode(outer).alias("k", "val"))
+        .groupBy("k")
+        .agg(F.sum("val").alias("aij"))
+        .select(
+            (F.col("k") / 64).cast("long").alias("i"),
+            F.pmod(F.col("k"), F.lit(64)).cast("long").alias("j"),
+            "aij",
+        )
+        .localCheckpoint(eager=True)  # every round's matvec reuses it
+    )
+    x = spark.range(64).select(
+        F.col("id").cast("long").alias("i"),
+        F.lit(PCAX_SCALE).cast("long").alias("xv"),
+    )
+    profiles = []
+    for r in range(1, PCAX_ROUNDS + 1):
+        y = (
+            gram.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("aij") * F.col("xv")).alias("yv"))
+        )
+        m = y.agg(F.max(F.abs(F.col("yv"))).alias("m"))
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr(
+                    f"CASE WHEN yv < 0 THEN -(((-yv) * {PCAX_SCALE}) div m) "
+                    f"ELSE ((yv * {PCAX_SCALE}) div m) END"
+                ).cast("long").alias("xv"),
+                F.col("m"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        profiles.append(
+            x.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("i").alias("dim"),
+                F.col("xv").alias("loading_q"),
+                F.col("m").alias("norm_scale"),
+            )
+        )
+        x = x.select("i", "xv")
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round", "dim")

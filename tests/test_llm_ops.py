@@ -613,3 +613,66 @@ def test_sim_ann_ivf_exact_numpy_recompute(spark, sf_dir):
         expect += [(q, c, s, r + 1) for r, (s, c) in enumerate(scored)]
     got = [(r.qid, r.cid, r.score, r.rank) for r in e]
     assert got == expect
+
+
+def test_emb_pca_power_exact_numpy_recompute(spark, sf_dir):
+    """Third-implementation pin for the PCA twin: integer Gram,
+    3 scaled-integer matvec rounds with max-abs floor-div renorm,
+    recomputed in numpy int64 (all bounds < 2^62 at fixture size)."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.embstats2 import PCAX_ROUNDS, PCAX_SCALE
+
+    e = run("emb_pca_power_exact", spark, sf_dir).collect()
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    xq = np.floor(X * PCAX_SCALE).astype(np.int64)
+    gram = xq.T @ xq  # |a_ij| <= N*1e6, int64-exact
+    x = np.full(64, PCAX_SCALE, dtype=np.int64)
+    expect = []
+    for r in range(1, PCAX_ROUNDS + 1):
+        y = gram @ x
+        m = int(np.abs(y).max())
+        x = np.sign(y) * ((np.abs(y) * PCAX_SCALE) // m)
+        expect += [(r, d, int(x[d]), m) for d in range(64)]
+    got = [(r.round, r.dim, r.loading_q, r.norm_scale) for r in e]
+    assert sorted(got) == sorted(expect)
+
+
+def test_deterministic_sample_stable_under_corpus_growth(spark):
+    """The property seeded Bernoulli cannot give and the md5 gate can:
+    the sampled subset of a corpus is unchanged when new documents
+    arrive (membership depends only on each doc's own id). Also pins
+    the gate's selectivity near SAMPLE_KEEP/SAMPLE_MOD."""
+    from flume_source_spark.pipeline.dataset6 import (
+        SAMPLE_KEEP,
+        SAMPLE_MOD,
+    )
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+    )
+
+    def sample_ids(df):
+        return {
+            r.doc_id
+            for r in df.select("doc_id")
+            .where(bucket < SAMPLE_KEEP)
+            .collect()
+        }
+
+    small = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    grown = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s_small, s_grown = sample_ids(small), sample_ids(grown)
+    assert s_small == {i for i in s_grown if i < 2000}
+    # uniform hash → selectivity concentrates at KEEP/MOD (±5pp at n=5000)
+    frac = len(s_grown) / 5000
+    assert abs(frac - SAMPLE_KEEP / SAMPLE_MOD) < 0.05
