@@ -200,11 +200,13 @@ def ds_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST('0x'||... AS BIGINT) on DuckDB, both zero-extended 32-bit so
     never negative).
 
-    100 TB shape: a pure map-side scan filter — no shuffle, no UDF,
-    whole-stage codegen; the selectivity is exact (SAMPLE_KEEP /
-    SAMPLE_MOD) regardless of data skew because the hash is uniform
-    over ids, and the gate composes with partition pruning (the
-    filter prunes rows, the scan still prunes columns/partitions)."""
+    100 TB shape: the GATE is a pure map-side scan filter — no
+    shuffle, no UDF, whole-stage codegen; selectivity is exact
+    (SAMPLE_KEEP / SAMPLE_MOD) regardless of data skew because the
+    hash is uniform over ids, and it composes with partition pruning
+    (the filter prunes rows, the scan still prunes columns). The
+    trailing orderBy is presentation/determinism only — a pipeline
+    consumer drops it and the whole query is exchange-free."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
