@@ -109,6 +109,9 @@ HEADLINE = [
     # 4096-key map-side-combinable Gram agg + corpus-independent
     # integer matvec rounds)
     "emb_pca_power_exact",
+    # (new cost class: broadcast-LUT (sub, code) equi-join over the
+    # corpus code table + map-side-collapsed (qid, cid) sum)
+    "sim_ann_adc_exact",
 ]
 
 

@@ -511,3 +511,137 @@ def emb_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out.orderBy("round", "dim")
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_adc_exact — the hash-checkable ADC-scan twin
+# ---------------------------------------------------------------------------
+
+ADCX_TOP_K = 5
+
+
+_ADCX_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS MATERIALIZED (
+        SELECT vec_id, CAST(r.range AS BIGINT) AS dim,
+               CAST(floor(list_extract(v, CAST(r.range + 1 AS INTEGER)) * 1000)
+                    AS BIGINT) AS xq
+        FROM e, range({PQX_DIM}) r
+    ),
+    ks AS (SELECT CAST(range AS BIGINT) AS k FROM range({PQX_K})),
+    scored AS (
+        SELECT vec_id, dim // 8 AS sub, k,
+               CAST(SUM((xq - {_pqx_centroid_sql('k', 'dim')})
+                        * (xq - {_pqx_centroid_sql('k', 'dim')})) AS BIGINT) AS dist
+        FROM dims, ks GROUP BY vec_id, dim // 8, k
+    ),
+    best AS MATERIALIZED (
+        SELECT vec_id, sub, k AS code FROM (
+            SELECT vec_id, sub, k,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, k) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    qlut AS MATERIALIZED (
+        SELECT vec_id AS qid, sub, k, dist AS lut
+        FROM scored
+        WHERE vec_id IN (SELECT vec_id FROM e WHERE {_QWHERE_SQL})
+    ),
+    adc AS MATERIALIZED (
+        SELECT l.qid, b.vec_id AS cid, CAST(SUM(l.lut) AS BIGINT) AS adc_dist
+        FROM best b JOIN qlut l ON l.sub = b.sub AND l.k = b.code
+        WHERE l.qid <> b.vec_id
+        GROUP BY l.qid, b.vec_id
+    ),
+    ranked AS (
+        SELECT qid, cid, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, cid) AS rn
+        FROM adc
+    )
+    SELECT qid, cid, adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {ADCX_TOP_K} ORDER BY qid, rank
+"""
+
+
+@query(
+    "sim_ann_adc_exact",
+    oracle=_ADCX_ORACLE,
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def sim_ann_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) scan with EXACT integer arithmetic —
+    the hash-checkable twin of ``sim_ann_pq_adc``'s scan stage,
+    completing the PQ family's twin coverage (code ASSIGNMENT is
+    pinned by ``emb_quantize_pq_exact``; this pins the LOOKUP path):
+
+    - corpus vectors are reduced to their 8 lattice PQ codes (same
+      closed-form integer codebook as the assignment twin),
+    - each bounded query builds a per-subspace lookup table
+      lut[sub][k] = ||q_sub − c_k||² — exact integers, ≤ Q_MAX·128
+      rows total,
+    - ADC distance = Σ_sub lut[sub][code_v[sub]] — a (sub, code)
+      equi-join of the broadcast LUT against the corpus code table
+      plus one map-side-combinable (qid, cid) sum (the 8 sub-rows of
+      a vector are co-located after the broadcast join, so the
+      shuffle carries Q×N pre-collapsed rows, Q ≤ Q_MAX),
+    - top-5 per query by (adc_dist ASC, cid) — total order.
+
+    |lut| ≤ 8·(2000)² ≈ 3.2e7, |adc| ≤ 2.6e8 — BIGINT-exact on both
+    engines. The production operator keeps trained float codebooks in
+    an Arrow-kernel closure (the 100 TB hot path); the twin verifies
+    the quantize→LUT→lookup→rank machinery cross-engine with the
+    same broadcast-LUT, never-shuffle-the-corpus plan shape."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("v", lambda x: F.floor(x * F.lit(1000)).cast("long"))
+        ).alias("dim", "xq"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "xq")
+    ks = spark.range(PQX_K).select(F.col("id").cast("long").alias("k"))
+    c = ((F.col("k") * _PQX_CK + F.col("dim") * _PQX_CD) % 2001) - 1000
+    scored = (
+        dims.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            F.expr("dim div 8").alias("sub"),
+            "k",
+            ((F.col("xq") - c) * (F.col("xq") - c)).alias("contrib"),
+        )
+        .groupBy("vec_id", "sub", "k")
+        .agg(F.sum("contrib").alias("dist"))
+        .localCheckpoint(eager=True)  # codes AND LUTs both derive from it
+    )
+    best = (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("dist"), F.col("k"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.k").alias("code"))
+    )
+    qids = e.filter(_query_filter()).select(F.col("vec_id").alias("qid"))
+    qlut = (
+        scored.join(F.broadcast(qids), scored.vec_id == qids.qid)
+        .select("qid", "sub", "k", F.col("dist").alias("lut"))
+    )
+    adc = (
+        best.join(
+            F.broadcast(qlut),
+            (best.sub == qlut.sub) & (best.code == qlut.k),
+        )
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("lut").alias("adc_dist"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    )
+    return (
+        adc.select("qid", "cid", "adc_dist", rn.cast("long").alias("rank"))
+        .where(F.col("rank") <= ADCX_TOP_K)
+        .orderBy("qid", "rank")
+    )

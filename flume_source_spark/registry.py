@@ -283,6 +283,13 @@ _STALE_GREEN = (
 )
 
 # Known-current driver evidence (post-fixture-regeneration rounds).
+# ROUND-7 TODO (the proven per-round pattern, r4→r5→r6): when
+# CORRECTNESS_r06.json lands, (1) record its green keys as
+# _DRIVER_GREEN_R06 and fold into _FRESH_GREEN; (2) rebuild the tiers:
+# any r06 red first, then queries still never-swept (registry −
+# ∪r01..r06), then _STALE_GREEN − _R06_STALE_REPIN (≈63 remaining
+# pre-regeneration greens — ordering them all should let round 7
+# finish the full re-pin and reach 100% current-fixture evidence).
 _FRESH_GREEN = _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
 
 

@@ -676,3 +676,60 @@ def test_deterministic_sample_stable_under_corpus_growth(spark):
     # uniform hash → selectivity concentrates at KEEP/MOD (±5pp at n=5000)
     frac = len(s_grown) / 5000
     assert abs(frac - SAMPLE_KEEP / SAMPLE_MOD) < 0.05
+
+
+def test_sim_ann_adc_exact_numpy_recompute(spark, sf_dir):
+    """Third-implementation pin for the ADC twin: lattice codebook,
+    per-subspace code assignment, query LUT build, LUT-sum distances,
+    top-5 — all recomputed in numpy int64 with no SQL in common."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.embstats2 import (
+        _PQX_CD,
+        _PQX_CK,
+        ADCX_TOP_K,
+        PQX_DIM,
+        PQX_K,
+    )
+    from flume_source_spark.pipeline.similarity import Q_MAX, QUERY_MOD
+
+    e = run("sim_ann_adc_exact", spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    xq = {i: np.floor(v * 1000).astype(np.int64) for i, v in emb.items()}
+    dimv = np.arange(PQX_DIM, dtype=np.int64)
+    cent = {
+        k: ((k * _PQX_CK + dimv * _PQX_CD) % 2001) - 1000 for k in range(PQX_K)
+    }
+    # per (vec, sub, k) squared distance over the sub's 8 dims
+    def subdists(v):
+        return {
+            (s, k): int(((v[8 * s : 8 * s + 8] - cent[k][8 * s : 8 * s + 8]) ** 2).sum())
+            for s in range(8)
+            for k in range(PQX_K)
+        }
+
+    sd = {i: subdists(v) for i, v in xq.items()}
+    codes = {
+        i: {
+            s: min(range(PQX_K), key=lambda k: (d[(s, k)], k))
+            for s in range(8)
+        }
+        for i, d in sd.items()
+    }
+    qids = [i for i in xq if i % QUERY_MOD == 0 and i < QUERY_MOD * Q_MAX]
+    expect = []
+    for q in sorted(qids):
+        lut = sd[q]
+        scoredc = sorted(
+            (
+                (sum(lut[(s, codes[c][s])] for s in range(8)), c)
+                for c in xq
+                if c != q
+            ),
+        )[:ADCX_TOP_K]
+        expect += [(q, c, d, r + 1) for r, (d, c) in enumerate(scoredc)]
+    got = [(r.qid, r.cid, r.adc_dist, r.rank) for r in e]
+    assert got == expect

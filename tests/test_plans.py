@@ -489,6 +489,7 @@ def test_round6_twins_no_cartesian(spark, sf_dir):
         "emb_quantize_pq_exact",
         "sim_ann_lsh_exact",
         "sim_ann_ivf_exact",
+        "sim_ann_adc_exact",
         "emb_pca_power_exact",
         "dedup_simhash_exact",
         "dedup_simhash_hamming_exact",
