@@ -514,3 +514,42 @@ def test_salted_join_exchanges_on_key_plus_salt(spark, sf_dir):
     assert "Exchange hashpartitioning(o_orderkey" in p and "salt" in p.split(
         "Exchange hashpartitioning(o_orderkey"
     )[1][:80]
+
+
+def test_salted_join_equals_unsalted_on_planted_hot_key(spark):
+    """Model test for the salting transform itself (fixture-free):
+    on a planted 90%-hot-key fact, the salt-replicated join must
+    produce EXACTLY the unsalted join's aggregate. scripts/
+    skew_demo_r6.py measures the same transform's 2.8x win at 16M
+    rows; this pins its correctness at test scale."""
+    from pyspark.sql import functions as F
+
+    SALT = 4
+    fact = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(50)))
+        .alias("fk"),
+        F.col("id").alias("rid"),
+        (F.pmod(F.col("id"), F.lit(7)) + 1).cast("double").alias("qty"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("dk"),
+        F.pmod(F.col("id"), F.lit(5)).cast("string").alias("grp"),
+    )
+    plain = (
+        fact.join(dim, fact.fk == dim.dk)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("s"))
+    )
+    f = fact.withColumn("salt", F.pmod(F.xxhash64("rid"), F.lit(SALT)))
+    d = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    salted = (
+        f.join(d, (f.fk == d.dk) & (f.salt == d.salt))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("s"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
