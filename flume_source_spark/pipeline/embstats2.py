@@ -448,7 +448,16 @@ def emb_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a map-side-combinable 4096-key partial agg (one shuffle of
     ≤4096 rows per partition); every iteration after it runs on the
     4096-row Gram × 64-row vector — corpus-size-independent, exactly
-    like the PageRank twin's bounded-rollup rounds."""
+    like the PageRank twin's bounded-rollup rounds.
+
+    Integer-headroom honesty (unlike the other exact twins, whose
+    values are corpus-size-INDEPENDENT): Gram entries grow ~N·10⁶ and
+    the pre-renorm product |y|·SCALE ~ λmax·SCALE² ~ N·10¹², so
+    BIGINT (2⁶³) bounds the twin to roughly N ≲ 10⁶ unit-norm vectors
+    — ample for any verification fixture, and the PLAN shape above is
+    what transfers to 100 TB; the float production operator carries
+    the arithmetic there. Past that N, drop SCALE or renormalize by a
+    power-of-two shift per round."""
     e = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _dvec("embedding").alias("v")
     )
