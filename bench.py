@@ -203,27 +203,22 @@ def main() -> None:
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     timings["filemeta_drain_5k_files"] = round(_bench_filemeta_drain(spark), 3)
     total = round(sum(timings.values()), 3)
-    # Artifact-survivability discipline (VERDICT r5 item 4): the driver
-    # records only a fixed-size TAIL of stdout, and round 5's single
-    # combined line (timings + spread + canary) overflowed it — the
-    # first ~16 entries' timings were truncated away. So: diagnostics
-    # (per-pass canary, per-query spread) go on an EARLIER line, and
-    # the LAST line is the compact contract JSON only, minimal
-    # separators, small enough to always fit the tail window.
-    print(
-        json.dumps(
-            {
-                # a canary ≫ its own min flags that pass as contended;
-                # per-query spread (max/min over samples) identifies
-                # burst-inflated entries without a re-run
-                "canary_q06_per_pass": canary,
-                "sample_spread": {
-                    n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
-                },
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Artifact-survivability discipline (VERDICT r5 item 4 + r6 item
+    # 3): the driver records only a fixed-size TAIL of stdout, and
+    # round 5's single combined line (timings + full spread + canary)
+    # overflowed it — the first ~16 entries' timings were truncated
+    # away. Round 6's fix (diagnostics on an earlier line) kept the
+    # contract line alive but dropped the diagnostics OUT of the
+    # artifact, making the r6 ±15-33% drift unfalsifiable after the
+    # fact. Round 7: the contract line carries a BOUNDED diagnostics
+    # payload — the 3 per-pass canaries plus spread (max/min over
+    # samples) ONLY for entries at/above SPREAD_FLOOR (quiet entries
+    # are implicitly spread≈1) — ~0.1-0.5 KB extra, still far inside
+    # the tail window. The full spread map stays on the earlier line
+    # for local readers.
+    SPREAD_FLOOR = 1.3
+    spread = {n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()}
+    print(json.dumps({"sample_spread_full": spread}, separators=(",", ":")))
     spark.stop()
     print(
         json.dumps(
@@ -233,6 +228,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # a canary ≫ its own min flags that pass as contended
+                "canary_q06_per_pass": canary,
+                "spread_floor": SPREAD_FLOOR,
+                "spread": {n: v for n, v in spread.items() if v >= SPREAD_FLOOR},
             },
             separators=(",", ":"),
         )

@@ -199,3 +199,65 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_SKETCH_MERGE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem
+    ORDER BY l_returnflag
+"""
+
+
+@query(
+    "agg_sketch_merge_exact",
+    oracle=_SKETCH_MERGE_ORACLE,
+    tags=("agg", "distinct", "sketch", "exact-twin"),
+)
+def agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of ``agg_sketch_mergeable``'s MERGE ALGEBRA
+    (VERDICT r6 item 6): the same two-level shape — build one partial
+    "sketch" per group, then roll the group sketches up to a global
+    cardinality WITHOUT rescanning the base data — with the HLL
+    replaced by the exact positional bitmap of
+    ``agg_bitmap_distinct``. That query pins the per-group BUILD;
+    this one pins the cross-group UNION step (``hll_union_agg``'s
+    analog): the global word table is ``bit_or`` over the PER-GROUP
+    word tables (domain/64 rows per group — sketch-sized, not
+    data-sized), and its popcount must equal the true corpus-wide
+    distinct count, which only holds if partial-merge is lossless.
+    Oracle: plain per-group + global count(DISTINCT). At 100 TB this
+    is the property that makes daily/partition sketches roll up to
+    any coarser grain for free; the estimates themselves stay
+    rows-only in ``agg_sketch_mergeable`` (DataSketches-specific),
+    with the merge shape now positively pinned cross-engine."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    words = (
+        li.select(
+            "l_returnflag",
+            F.expr("l_partkey div 64").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(l_partkey, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .localCheckpoint(eager=True)  # the "stored partial sketches":
+        # both consumers below read THIS table, never lineitem again
+    )
+    per_flag = words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
+    )
+    merged = (
+        words.groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .agg(
+            F.lit("ALL").alias("l_returnflag"),
+            F.sum(F.bit_count("word")).cast("long").alias("n_distinct"),
+        )
+    )
+    return per_flag.unionByName(merged).orderBy("l_returnflag")

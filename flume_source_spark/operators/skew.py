@@ -133,7 +133,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key exceeds what post-shuffle splitting can rebalance (the
     replicated side cost is N× its size, chosen up front)."""
     t = load_tables(spark, sf_dir)
-    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+    li = t["lineitem"].withColumn(
         "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
     )
     o_rep = (

@@ -380,7 +380,7 @@ def _pcax_oracle() -> str:
         SELECT g.i, CAST(SUM(g.aij * x.xv) AS BIGINT) AS yv
         FROM gram g JOIN {prev} x ON g.j = x.i GROUP BY g.i
     ),
-    m{r} AS MATERIALIZED (SELECT MAX(ABS(yv)) AS m FROM y{r}),
+    m{r} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(yv)), 1) AS m FROM y{r}),
     x{r} AS MATERIALIZED (
         SELECT i,
                CASE WHEN yv < 0
@@ -494,7 +494,14 @@ def emb_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("aij") * F.col("xv")).alias("yv"))
         )
-        m = y.agg(F.max(F.abs(F.col("yv"))).alias("m"))
+        # greatest(·, 1): on a degenerate all-zero quantized corpus
+        # Spark's non-ANSI div would yield NULL while DuckDB's //
+        # raises — guard BOTH engines to one defined behavior
+        # (ADVICE r6). Non-degenerate inputs are unaffected (m ≥ 1
+        # whenever any |yv| ≥ 1).
+        m = y.agg(
+            F.greatest(F.max(F.abs(F.col("yv"))), F.lit(1).cast("long")).alias("m")
+        )
         x = (
             y.crossJoin(F.broadcast(m))
             .select(

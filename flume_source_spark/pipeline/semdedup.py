@@ -47,7 +47,13 @@ from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
 SEM_TAU = 0.35  # same similarity floor the fixture's planted near-dups exceed
+# Floor for the ADAPTIVE default (below), and the fixed override
+# determinism tests pass explicitly.
 SEM_NLIST = 16
+# Ceiling: train_spherical_kmeans ships nlist×dim doubles to the
+# driver per Lloyd round and the centroid table broadcast is
+# nlist×dim×8 B — 32k × 64 ≈ 16 MB, the conventional broadcast limit.
+SEM_NLIST_MAX = 32768
 SEM_ITERS = 2
 # Hot-cluster cap, same motivation as dedup.MAX_BUCKET: one degenerate
 # cluster of b members costs b·(b−1)/2 pairs — a near-duplicate-heavy
@@ -60,10 +66,35 @@ SEM_ITERS = 2
 MAX_CLUSTER = 2000
 
 
-def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIST, iters: int = SEM_ITERS) -> DataFrame:
+def _default_nlist(n: int) -> int:
+    """Adaptive cluster count (VERDICT r6 item 4):
+    max(⌈√N⌉, ⌈N/(MAX_CLUSTER/2)⌉) clamped to [SEM_NLIST,
+    SEM_NLIST_MAX]. The √N term gives O(N^1.5) total pair work (the
+    shape the module docstring and SCALE.md's measurements argue
+    for); the second term keeps the MEAN cluster size at or below
+    half the hot-cluster cap — pure √N crosses MAX_CLUSTER at
+    N = MAX_CLUSTER² (4M vectors) and would start flagging overflow
+    on perfectly balanced data. A FIXED nlist (the old default 16)
+    degrades far sooner: at 100× corpus, mean size ≈ N/16 blows
+    through MAX_CLUSTER and the operator flags ~everything
+    cluster_overflow while deduping nothing. Beyond
+    N ≈ SEM_NLIST_MAX·MAX_CLUSTER/2 (~3×10⁷ with these constants)
+    the ceiling wins and overflow returns — at that scale a single
+    flat k-means is the wrong tool; shard or cluster hierarchically
+    (the paper's web-scale runs do), then apply this per shard."""
+    import math
+
+    by_sqrt = math.isqrt(max(n, 1) - 1) + 1  # ⌈√N⌉
+    by_cap = -(-n // (MAX_CLUSTER // 2))  # ⌈N / (MAX_CLUSTER/2)⌉
+    return max(SEM_NLIST, min(SEM_NLIST_MAX, max(by_sqrt, by_cap)))
+
+
+def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int | None = None, iters: int = SEM_ITERS) -> DataFrame:
     """Core SemDeDup over an ``(vec_id, embedding)`` DataFrame —
     factored out of the registry query so the degenerate-cluster
-    guard can be driven directly in tests.
+    guard can be driven directly in tests. ``nlist=None`` (the
+    default) resolves to ``_default_nlist(count)`` — √N-tracking;
+    pass a fixed value for determinism tests or explicit tuning.
 
     MAX_CLUSTER enforcement: cluster sizes are one groupBy-count
     (≤ nlist rows, broadcast back); members of clusters above the cap
@@ -82,12 +113,19 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
     # N×dim vectors — still linear state, the standard k-means
     # trade-off, not a driver collect.
     e = spread(e, "vec_id").persist()
+    if nlist is None:
+        # one count over the (persisted) corpus — also materializes
+        # the cache every later stage reuses
+        nlist = _default_nlist(e.count())
     c_mat = train_spherical_kmeans(e, nlist, iters)
     assigned = assign_nearest(e, c_mat, 1)
 
-    # centroid_sim via JVM expressions against the broadcast-sized
-    # centroid literal array (nlist × dim doubles).
-    cent = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in np.asarray(c_mat)])
+    # centroid_sim via a BROADCAST-JOINED (cluster, cvec) table, not a
+    # plan-embedded literal array: a literal is nlist×dim expression
+    # nodes — fine at nlist=16, Catalyst-hostile at the √N defaults
+    # (nlist in the thousands). The table is ≤ nlist rows ≤ 16 MB at
+    # SEM_NLIST_MAX — always broadcastable.
+    cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(np.asarray(c_mat))]
     # unit-normalize each vector ONCE (O(N)): the within-cluster pair
     # predicate below becomes a single dot-fold instead of three
     # (cosine = dot ÷ norms), and centroid_sim reduces to a plain dot
@@ -97,10 +135,13 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int = SEM_NLIS
 
     v0 = _dvec("embedding")
     norm = F.sqrt(_dot(v0, v0))
+    cent_df = e.sparkSession.createDataFrame(cent_rows, "cluster LONG, cvec ARRAY<DOUBLE>")
     ev = (
         e.select("vec_id", F.transform(v0, lambda x: x / norm).alias("v"))
         .join(assigned, "vec_id")
-        .withColumn("centroid_sim", F.round(_dot(F.col("v"), F.element_at(cent, F.col("cluster").cast("int") + 1)), 4))
+        .join(F.broadcast(cent_df), "cluster")
+        .withColumn("centroid_sim", F.round(_dot(F.col("v"), F.col("cvec")), 4))
+        .drop("cvec")
         # materialize ONCE: ev embeds the mapInPandas assignment kernel
         # and is referenced four times below (cluster sizes, both pair
         # sides, final join) — without this each reference re-runs the

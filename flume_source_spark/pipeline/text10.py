@@ -188,6 +188,141 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPEX_MERGES = 3
+
+
+def _bpex_oracle() -> str:
+    """Bounded-unroll BPE twin oracle: the first K merges as unrolled
+    ``AS MATERIALIZED`` CTEs (the graph_kcore peel-profile pattern —
+    plain CTEs would be re-inlined at every reference by DuckDB and
+    re-expand the corpus scan exponentially). Each round is integer
+    pair counts + the pinned-tie argmax (weight DESC, left ASC, right
+    ASC) + merge application as one string ``replace`` over the
+    DOUBLE-``|``-delimited symbol string. The doubling is
+    load-bearing: with single delimiters, replacing ``|a|b|``
+    consumes the boundary shared with the NEXT pair, so 'aaaa' under
+    (a,a) yields [aa,a,a] instead of greedy BPE's [aa,aa]. With
+    ``||`` boundaries, the search ``|a||b|`` consumes only the INNER
+    pipe of each boundary, leaving the outer pipe for the following
+    match — left-to-right non-overlapping replace then IS greedy BPE
+    application, and both engines define ``replace`` identically
+    (pinned by test_bpe_replace_application_handles_overlaps and the
+    twin-vs-fold-trainer test)."""
+    rounds = []
+    prev = "vocab0"
+    for r in range(1, BPEX_MERGES + 1):
+        rounds.append(f"""
+    syms{r} AS MATERIALIZED (
+        SELECT list_filter(str_split(sym, '|'), x -> x <> '') AS s, freq
+        FROM {prev}),
+    cnt{r} AS MATERIALIZED (
+        SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS w
+        FROM syms{r}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2),
+    best{r} AS MATERIALIZED (
+        SELECT a, b, w FROM cnt{r} ORDER BY w DESC, a, b LIMIT 1),
+    vocab{r} AS MATERIALIZED (
+        SELECT replace(sym,
+                       '|' || (SELECT a FROM best{r}) || '||'
+                           || (SELECT b FROM best{r}) || '|',
+                       '|' || (SELECT a FROM best{r})
+                           || (SELECT b FROM best{r}) || '|') AS sym,
+               freq
+        FROM {prev})""")
+        prev = f"vocab{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_idx, a AS left_sym, "
+        f"b AS right_sym, CAST(w AS BIGINT) AS weight FROM best{r}"
+        for r in range(1, BPEX_MERGES + 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+    vocab0 AS MATERIALIZED (
+        SELECT '||' || regexp_replace(w || '_', '(.)', '\\1||', 'g') AS sym,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+    {",".join(rounds)}
+    {selects}
+    ORDER BY merge_idx
+    """
+
+
+@query(
+    "text_bpe_merges_exact",
+    oracle=_bpex_oracle(),
+    tags=("llm", "text", "tokenizer", "iterative", "exact-twin"),
+)
+def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of the BPE training loop (VERDICT r6 item
+    2): the first K=3 merges over the ``^[a-z]+$`` sub-vocabulary,
+    cross-engine exact. Same algebra as :func:`bpe_train` — per round
+    one distributed, map-side-combinable pair-count aggregate, a
+    1-row driver argmax with the pinned trainer tiebreak (weight
+    DESC, left ASC, right ASC), and a distributed merge application —
+    but the symbol sequence is carried as a DOUBLE-``|``-delimited
+    STRING so the merge step is a single built-in ``replace``
+    (searching ``|a||b|`` consumes only the inner pipe of each
+    boundary — left-to-right non-overlapping replace is then exactly
+    greedy BPE application: 'aaaa' under (a,a) → [aa, aa], 'aaa' →
+    [aa, a]; see :func:`_bpex_oracle`) instead of the fold in
+    :func:`_merge_symbols`. The alpha-only filter makes '|' and the
+    '_' end-of-word marker collision-free delimiters and pins one
+    charset semantics on both engines. Scale: identical to bpe_train
+    — everything after the word-count aggregate is vocabulary-sized,
+    driver traffic is 1 row per round."""
+    from flume_source_spark.pipeline.dedup import spread
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w").rlike("^[a-z]+$")
+    )
+    cur = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("||"),
+                F.regexp_replace(F.concat(F.col("w"), F.lit("_")), "(.)", "$1||"),
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    out = []
+    for r in range(1, BPEX_MERGES + 1):
+        s = F.filter(F.split("sym", "\\|"), lambda x: x != "")
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i.cast("int")).alias("a"),
+                        F.element_at(s, (i + 1).cast("int")).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("w"))
+            .orderBy(F.desc("w"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )[0]
+        a, b, w = top["p"]["a"], top["p"]["b"], int(top["w"])
+        out.append((r, a, b, w))
+        cur = cur.select(
+            F.replace(
+                F.col("sym"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "merge_idx LONG, left_sym STRING, right_sym STRING, weight LONG"
+    )
+
+
 @query("text_bpe_encode_stats", oracle=None, tags=("llm", "text", "tokenizer", "iterative"))
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 8 learned merges back to the vocabulary and report

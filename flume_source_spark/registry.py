@@ -273,37 +273,131 @@ _R05_VERIFY_FIRST = (
     "text_zipf_fit", "ts_cross_correlation", "ts_m4_downsample",
 )
 
-# Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
-# driver regenerated the fixtures (events.ts type and documents
-# cardinality changed). Locally green on the current fixtures; their
-# driver evidence is stale until a sweep re-pins them. They form the
-# sweep tier right after the never-swept block.
-_STALE_GREEN = (
-    (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _DRIVER_GREEN_R03 - _DRIVER_GREEN_R04
+# Queries with a hash-green row in the driver's CORRECTNESS_r06.json:
+# the 50-row round-6 sweep = the 15-query never-swept block + the 9
+# round-6 registrations (exact twins, skew_salted_join,
+# ds_deterministic_sample) + the full TPC-H q01-q22 re-pin + 3
+# one-per-family heads (agg_basic, join_inner, join_shuffle_fact_fact).
+# 48 hash-green, 0 red.
+_DRIVER_GREEN_R06 = frozenset(
+    {
+        "agg_basic", "dedup_simhash_exact", "dedup_simhash_hamming_exact",
+        "ds_deterministic_sample", "ds_split_leakage_safe",
+        "emb_pca_power_exact", "emb_quantize_pq_exact", "graph_kcore",
+        "join_inner", "join_shuffle_fact_fact",
+        "q01_pricing_summary", "q02_min_cost_supplier",
+        "q03_shipping_priority", "q04_priority_exists",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "q07_nation_volume", "q08_market_share", "q09_product_type_profit",
+        "q10_returned_items", "q11_important_stock",
+        "q12_conditional_shipping", "q13_order_count_distribution",
+        "q14_promo_revenue_share", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_disjunctive_predicates",
+        "q20_excess_concentration", "q21_waiting_supplier",
+        "q22_dormant_customers",
+        "sim_ann_adc_exact", "sim_ann_ivf_exact", "sim_ann_lsh_exact",
+        "sim_hard_negatives", "skew_salted_join", "sql_star_except",
+        "sql_unpivot", "sql_variables_param", "text_bigram_lm",
+        "text_char_entropy", "text_readability",
+        "text_substring_dedup_spans", "text_url_canonical_dedup",
+        "text_zipf_fit", "ts_cross_correlation", "ts_m4_downsample",
+    }
+)
+
+# r06 also spent 2 sweep rows on the rows-only-by-design BPE queries
+# (`err: no_oracle` — zero-signal rows; VERDICT r6 "What's wrong" 1).
+# They ARE swept (driver rows exist) but carry no hash evidence; they
+# re-enter the queue only BEHIND every oracled row (VERDICT r6 item 2)
+# so no future sweep budget is burned on no-oracle rows again.
+_DRIVER_ROWSONLY_R06 = frozenset(
+    {"text_bpe_encode_stats", "text_bpe_train_merges"}
+)
+
+# Round-7 stale-green re-pin ordering (VERDICT r6 "Next round" item 1):
+# the 73 queries whose only driver evidence predates the round-3
+# fixture regeneration — 67 oracled + 6 rows-only. Judge-verified ALL
+# pass on current fixtures (r6 session full sweep), so this is purely
+# artifact freshness. Ordering: one-per-family heads first (a
+# truncated sweep still spans families), then the rest grouped by
+# family, and the 6 rows-only stale queries LAST (their re-pin row is
+# rows-only-signal anyway — oracled evidence first). With ~50 rows of
+# budget and a couple of new round-7 registrations at the queue head,
+# this re-pins ≈47 and leaves ≈26 for round 8 to reach 271/271
+# current-fixture driver evidence.
+_R07_STALE_REPIN = (
+    # one-per-family heads (VERDICT r6 item 1 names the first eight)
+    "join_left_outer", "setop_except_all", "subquery_scalar_correlated",
+    "agg_grouping_sets", "scalar_datetime", "dedup_minhash_lsh",
+    "ts_gap_fill", "merge_upsert_emulation",
+    "window_ranking", "filter_predicates", "sort_multi_key",
+    "sim_cosine_topk", "ds_split_deterministic", "skew_salted_aggregation",
+    "bucketed_colocated_join", "text_decontaminate",
+    "scd2_interval_versions", "unpivot_stack",
+    # joins
+    "join_left_semi", "join_left_anti", "join_full_outer",
+    "join_right_outer", "join_cross", "join_broadcast_hint",
+    "join_range_nonequi", "join_asof",
+    # set ops
+    "setop_union_all", "setop_union_distinct", "setop_union_by_name",
+    "setop_intersect", "setop_intersect_all", "setop_drop_duplicates",
+    # subqueries
+    "subquery_exists_correlated", "subquery_not_exists_antijoin",
+    "subquery_in_uncorrelated", "subquery_scalar_uncorrelated",
+    "subquery_having",
+    # aggregates
+    "agg_stats", "agg_collect", "agg_pivot", "agg_rollup", "agg_cube",
+    "agg_percentile_exact",
+    # windows
+    "window_analytic", "window_frames", "window_topk_per_group",
+    # scalars
+    "scalar_string", "scalar_math", "scalar_conditional",
+    "scalar_array_hof", "scalar_map_ops", "scalar_struct_map",
+    "scalar_json", "scalar_json_tools", "scalar_hash",
+    "scalar_try_safety", "scalar_months_between_bround",
+    "explode_outer_nulls",
+    # dedup / similarity / ts / ds
+    "dedup_exact", "dedup_cluster_cc", "dedup_ngram_jaccard",
+    "sim_embedding_neardup", "ts_funnel", "ts_retention_cohorts",
+    "ts_rolling_anomaly", "ds_pack_sequences", "ds_stratified_sample",
+    # rows-only stale (no oracle by design) — always behind oracled
+    "agg_approx", "agg_sketch_mergeable", "dedup_simhash",
+    "sample_and_introspect", "scalar_hash_spark", "sim_ann_lsh",
 )
 
 # Known-current driver evidence (post-fixture-regeneration rounds).
-# ROUND-7 TODO (the proven per-round pattern, r4→r5→r6): when
-# CORRECTNESS_r06.json lands, (1) record its green keys as
-# _DRIVER_GREEN_R06 and fold into _FRESH_GREEN; (2) rebuild the tiers:
-# any r06 red first, then queries still never-swept (registry −
-# ∪r01..r06), then _STALE_GREEN − _R06_STALE_REPIN (≈63 remaining
-# pre-regeneration greens — ordering them all should let round 7
-# finish the full re-pin and reach 100% current-fixture evidence).
-_FRESH_GREEN = _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
+# ROUND-8 TODO (the proven per-round pattern, r4→…→r7): when
+# CORRECTNESS_r07.json lands, (1) record its green keys as
+# _DRIVER_GREEN_R07 and fold into _FRESH_GREEN; (2) rebuild the tiers:
+# any r07 red first, then queries still never-swept (registry −
+# ∪r01..r07), then the ≈26-query tail of _R07_STALE_REPIN that missed
+# the 50-row budget — that finishes the full re-pin: 271/271
+# current-fixture driver evidence.
+_FRESH_GREEN = (
+    _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
+    | _DRIVER_GREEN_R06
+)
+
+# Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
+# driver regenerated the fixtures (events.ts type and documents
+# cardinality changed). Locally green on the current fixtures (judge
+# re-verified all of them in the r6 session); their driver evidence is
+# stale until a sweep re-pins them. They form the sweep tier right
+# after the never-swept block, in _R07_STALE_REPIN order.
+_STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so REGISTRY is fully populated.
 
     Ordering maximizes information per budget-truncated driver sweep
-    (~50 rows/round): (1) the 15 queries with no driver row in any of
-    r01-r05, the two round-5 operators first; (2) anything newly
-    registered this round (also never swept); (3) the stale r01/r02
-    greens re-pinned in explicit priority order — TPC-H q01-q22, then
-    one-per-family core-operator heads, then the rest (their only
-    driver evidence predates the round-3 fixture regeneration);
-    (4) queries already verified on the current fixtures (r03-r05).
+    (~50 rows/round): (1) anything newly registered this round (no
+    driver row in r01-r06), oracled before rows-only; (2) the 73
+    stale r01/r02 greens re-pinned in explicit priority order —
+    one-per-family heads, then family groups, rows-only tail (their
+    only driver evidence predates the round-3 fixture regeneration);
+    (3) swept rows-only-by-design rows (r06 BPE); (4) queries already
+    verified on the current fixtures (r03-r06).
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
@@ -375,12 +469,24 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.sources.spool_writer  # noqa: F401
     import flume_source_spark.functions.udfs  # noqa: F401
 
-    ever_swept = _STALE_GREEN | _FRESH_GREEN
-    ordered = {n: REGISTRY[n] for n in _R06_VERIFY_FIRST if n in REGISTRY}
-    ordered.update(
-        {n: s for n, s in REGISTRY.items() if n not in ever_swept and n not in ordered}
-    )
-    ordered.update({n: REGISTRY[n] for n in _R06_STALE_REPIN if n in REGISTRY})
+    ever_swept = _STALE_GREEN | _FRESH_GREEN | _DRIVER_ROWSONLY_R06
+    # Tier 1: queries with no driver row in r01-r06 — i.e. anything
+    # newly registered this round. Oracled ones ahead of rows-only
+    # ones (VERDICT r6 item 2: no sweep budget on no-oracle rows while
+    # hashable evidence is pending); stable within each group.
+    new = [n for n in REGISTRY if n not in ever_swept]
+    ordered = {
+        n: REGISTRY[n]
+        for n in sorted(new, key=lambda n: REGISTRY[n].oracle is None)
+    }
+    # Tier 2: the 73 pre-regeneration stale greens in explicit re-pin
+    # priority order (oracled families first, rows-only tail).
+    ordered.update({n: REGISTRY[n] for n in _R07_STALE_REPIN if n in REGISTRY})
     ordered.update({n: s for n, s in REGISTRY.items() if n in _STALE_GREEN})
+    # Tier 3: swept rows-only (the r06 BPE rows) behind all oracled.
+    ordered.update(
+        {n: REGISTRY[n] for n in _DRIVER_ROWSONLY_R06 if n in REGISTRY}
+    )
+    # Tier 4: current-fixture driver-green evidence (r03-r06).
     ordered.update({n: s for n, s in REGISTRY.items() if n in _FRESH_GREEN})
     return ordered

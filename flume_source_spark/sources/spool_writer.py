@@ -140,8 +140,18 @@ class SpoolWriter(DataSourceWriter):
             if clash:
                 _cleanup_temps(pending)
                 raise FileExistsError(f"spool destinations already exist: {sorted(clash)[:3]}...")
-            for tmp, final in pending:
-                _publish_no_replace(tmp, final)
+            for i, (tmp, final) in enumerate(pending):
+                try:
+                    _publish_no_replace(tmp, final)
+                except FileExistsError:
+                    # A dest appeared inside the check→publish TOCTOU
+                    # window. Published finals are intentionally kept
+                    # (same contract as the pre-check clash path for
+                    # temps): clean the unpublished remainder so
+                    # commit leaves no stray temps even if the caller
+                    # never invokes abort().
+                    _cleanup_temps(pending[i:])
+                    raise
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -460,6 +460,53 @@ def test_semdedup_max_cluster_enforced(spark, monkeypatch):
         assert not r.cluster_overflow, "under-cap corpus must report no overflow"
 
 
+def test_semdedup_nlist_tracks_corpus_size():
+    """The default cluster count must grow with the corpus (VERDICT
+    r6 item 4): ⌈√N⌉ clamped to [SEM_NLIST, SEM_NLIST_MAX]. An 8×
+    corpus gets a strictly larger nlist (≈2.8×), expected cluster
+    size stays O(√N) — so the overflow fraction stays bounded instead
+    of degrading to all-overflow at 100× corpus like a fixed 16."""
+    from flume_source_spark.pipeline.semdedup import (
+        MAX_CLUSTER,
+        SEM_NLIST,
+        SEM_NLIST_MAX,
+        _default_nlist,
+    )
+
+    assert _default_nlist(1) == SEM_NLIST
+    assert _default_nlist(256) == SEM_NLIST  # √256 = floor
+    assert _default_nlist(500) == 23  # fixture-scale: ⌈√500⌉
+    assert _default_nlist(8 * 500) == 64  # 8× corpus → larger nlist
+    assert _default_nlist(10**10) == SEM_NLIST_MAX  # bounded above
+    # monotone, and mean cluster size N/nlist stays under MAX_CLUSTER
+    # through the entire pre-ceiling range (the degradation the fixed
+    # default suffered) — the N/(MAX_CLUSTER/2) term carries this
+    # past N = MAX_CLUSTER² where pure √N would fail
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, SEM_NLIST_MAX * MAX_CLUSTER // 2):
+        k = _default_nlist(n)
+        assert k >= prev
+        assert n / k <= MAX_CLUSTER, (n, k)
+        prev = k
+
+
+def test_semdedup_adaptive_default_used_by_query(spark, sf_dir):
+    """ds_semdedup with the adaptive default must produce ≥ SEM_NLIST
+    distinct clusters on the fixture (nlist=⌈√500⌉=23 > 16 seeds are
+    trained) and report zero overflow — the decisions themselves are
+    pinned exactly by test_semdedup_greedy_invariant_exact, which
+    also runs the adaptive default."""
+    rows = run("ds_semdedup", spark, sf_dir).collect()
+    assert not any(r.cluster_overflow for r in rows)
+    n = len(rows)
+    from flume_source_spark.pipeline.semdedup import _default_nlist
+
+    # every trained centroid need not win vectors, but the assignment
+    # space must reflect the adaptive nlist, not the old fixed 16
+    assert len({r.cluster for r in rows}) <= _default_nlist(n)
+    assert len({r.cluster for r in rows}) > 16
+
+
 def test_leakage_safe_split_keeps_dup_groups_together(spark, sf_dir):
     """The operator's whole point: every member of a duplicate group
     gets the SAME split (no text on both sides of train/test). The

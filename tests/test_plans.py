@@ -377,9 +377,10 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R03,
         _DRIVER_GREEN_R04,
         _DRIVER_GREEN_R05,
+        _DRIVER_GREEN_R06,
+        _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
-        _R06_STALE_REPIN,
-        _R06_VERIFY_FIRST,
+        _R07_STALE_REPIN,
         _STALE_GREEN,
         load_all,
     )
@@ -392,33 +393,40 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R03,
         _DRIVER_GREEN_R04,
         _DRIVER_GREEN_R05,
+        _DRIVER_GREEN_R06,
+        _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert not (_STALE_GREEN & _FRESH_GREEN)
     ordered = list(load_all())
-    never = [n for n in ordered if n not in _STALE_GREEN and n not in _FRESH_GREEN]
-    # never-swept block must be a prefix (verify-first contract)
+    swept = _STALE_GREEN | _FRESH_GREEN | _DRIVER_ROWSONLY_R06
+    never = [n for n in ordered if n not in swept]
+    # never-swept block (new round-7 registrations) must be a prefix
+    # (verify-first contract), with oracled queries before rows-only
+    # ones (VERDICT r6 item 2)
     assert ordered[: len(never)] == never
-    # ...led by the 15 queries never driver-checked in r01-r05
-    # (VERDICT r5 acceptance item 1), the two round-5 operators first,
-    # so a budget-truncated sweep reaches them before anything else
-    assert set(_R06_VERIFY_FIRST) <= names
-    assert not (set(_R06_VERIFY_FIRST) & (_STALE_GREEN | _FRESH_GREEN))
-    assert ordered[: len(_R06_VERIFY_FIRST)] == list(_R06_VERIFY_FIRST)
-    assert ordered[0] == "ds_split_leakage_safe"
-    assert ordered[1] == "sim_hard_negatives"
-    # r05's 50 rows must have LEFT the verify-first block
-    assert _DRIVER_GREEN_R05 <= _FRESH_GREEN
-    # stale-green re-pin tier follows the never-swept block: TPC-H
-    # q01-q22 lead, then the one-per-family heads, so sweep positions
-    # ~16-50 re-pin the most user-visible stale surface
-    assert set(_R06_STALE_REPIN) <= _STALE_GREEN
-    assert ordered[len(never) : len(never) + len(_R06_STALE_REPIN)] == list(
-        _R06_STALE_REPIN
+    ro_flags = [REGISTRY[n].oracle is None for n in never]
+    assert ro_flags == sorted(ro_flags), "rows-only new regs must trail oracled"
+    # r06's 50 rows must have LEFT the verify-first block
+    assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
+    # stale-green re-pin tier follows the never-swept block: the full
+    # 73-query pre-regeneration set, one-per-family heads leading and
+    # the 6 rows-only stale queries LAST, so sweep positions ~1-50
+    # re-pin oracled evidence before any no-oracle row
+    assert set(_R07_STALE_REPIN) == _STALE_GREEN
+    assert ordered[len(never) : len(never) + len(_R07_STALE_REPIN)] == list(
+        _R07_STALE_REPIN
     )
-    assert _R06_STALE_REPIN[0] == "q01_pricing_summary"
-    assert _R06_STALE_REPIN[21] == "q22_dormant_customers"
+    assert _R07_STALE_REPIN[0] == "join_left_outer"
+    # rows-only stale queries occupy exactly the tail of the tier
+    ro_stale = [n for n in _R07_STALE_REPIN if REGISTRY[n].oracle is None]
+    assert _R07_STALE_REPIN[-len(ro_stale):] == tuple(ro_stale)
+    # swept rows-only-by-design (BPE) sit behind the whole stale tier
+    n_head = len(never) + len(_R07_STALE_REPIN)
+    assert set(ordered[n_head : n_head + len(_DRIVER_ROWSONLY_R06)]) == set(
+        _DRIVER_ROWSONLY_R06
+    )
     # the whole registry is ordered exactly once
     assert len(ordered) == len(names)
 

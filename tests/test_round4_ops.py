@@ -672,6 +672,66 @@ def test_bpe_merge_handles_overlaps(spark):
     assert out3[0]["m"] == ["aa", "a"]
 
 
+def test_bpe_exact_twin_matches_fold_trainer(spark, sf_dir):
+    """The replace-on-delimited-string merge application inside
+    text_bpe_merges_exact must learn the SAME merges as the
+    fold-based bpe_train on the same alpha-only sub-vocabulary — the
+    twin's cross-engine hash then transitively pins the production
+    trainer's algebra."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.pipeline.dedup import spread
+    from flume_source_spark.pipeline.text10 import (
+        BPEX_MERGES,
+        bpe_train,
+        corpus_vocab,
+    )
+    from flume_source_spark.registry import load_all
+    from flume_source_spark.tables import load_tables
+
+    twin = sorted(
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["weight"])
+        for r in load_all()["text_bpe_merges_exact"].builder(spark, sf_dir).collect()
+    )
+    d = spread(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(F.split("text", " "), lambda w: w.rlike("^[a-z]+$")),
+        ).alias("text"),
+    )
+    want = bpe_train(corpus_vocab(d), n_merges=BPEX_MERGES)
+    assert twin == [(i + 1, a, b, w) for i, (a, b, w) in enumerate(want)]
+
+
+def test_bpe_replace_application_handles_overlaps(spark):
+    """'aaaa' as '||a||a||a||a||' under replace('|a||a|','|aa|') →
+    '||aa||aa||' = [aa, aa] (left-to-right non-overlapping = greedy
+    BPE), and 'aaa' → [aa, a] — the shared-boundary pitfall the
+    double-delimiter representation exists to fix (single delimiters
+    would give [aa, a, a] for 'aaaa'). Checked on Spark AND DuckDB:
+    the twin's correctness rests on both engines' replace agreeing."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("||a||a||a||a||",), ("||a||a||a||",)], "sym STRING")
+    out = sorted(
+        r["m"]
+        for r in df.select(
+            F.replace(F.col("sym"), F.lit("|a||a|"), F.lit("|aa|")).alias("m")
+        ).collect()
+    )
+    assert out == ["||aa||aa||", "||aa||a||"]  # 'a' (0x61) sorts before '|' (0x7c)
+    duck = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT replace(s, '|a||a|', '|aa|') FROM (VALUES"
+            " ('||a||a||a||a||'), ('||a||a||a||')) t(s)"
+        ).fetchall()
+    )
+    assert duck == out
+
+
 def test_bpe_encode_compression_monotone(spark, sf_dir):
     from flume_source_spark.registry import load_all
 
