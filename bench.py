@@ -112,6 +112,13 @@ HEADLINE = [
     # (new cost class: broadcast-LUT (sub, code) equi-join over the
     # corpus code table + map-side-collapsed (qid, cid) sum)
     "sim_ann_adc_exact",
+    # round-7 additions, solo-probed ~0.8 s / ~1.8 s steady (new cost
+    # classes: two-level mergeable-bitmap rollup — per-group bit_or
+    # word tables re-merged globally off a checkpointed partial, no
+    # base rescan; iterative string-rewrite trainer — 3 rounds of
+    # vocabulary pair-count agg + 1-row argmax + literal-replace map)
+    "agg_sketch_merge_exact",
+    "text_bpe_merges_exact",
 ]
 
 
@@ -204,38 +211,57 @@ def main() -> None:
     timings["filemeta_drain_5k_files"] = round(_bench_filemeta_drain(spark), 3)
     total = round(sum(timings.values()), 3)
     # Artifact-survivability discipline (VERDICT r5 item 4 + r6 item
-    # 3): the driver records only a fixed-size TAIL of stdout, and
-    # round 5's single combined line (timings + full spread + canary)
-    # overflowed it — the first ~16 entries' timings were truncated
-    # away. Round 6's fix (diagnostics on an earlier line) kept the
-    # contract line alive but dropped the diagnostics OUT of the
-    # artifact, making the r6 ±15-33% drift unfalsifiable after the
-    # fact. Round 7: the contract line carries a BOUNDED diagnostics
-    # payload — the 3 per-pass canaries plus spread (max/min over
-    # samples) ONLY for entries at/above SPREAD_FLOOR (quiet entries
-    # are implicitly spread≈1) — ~0.1-0.5 KB extra, still far inside
-    # the tail window. The full spread map stays on the earlier line
-    # for local readers.
+    # 3): the driver records only a fixed-size 2000-BYTE TAIL of
+    # stdout (measured: every BENCH_r*.json has len(tail) == 2000),
+    # and round 5's single combined line (timings + full spread +
+    # canary) overflowed it — the first ~16 entries' timings were
+    # truncated away. Round 6's fix (diagnostics on an earlier line)
+    # kept the contract line alive but dropped the diagnostics OUT of
+    # the artifact, making the r6 ±15-33% drift unfalsifiable after
+    # the fact. Round 7: the contract line carries a SIZE-BUDGETED
+    # diagnostics payload — the 3 per-pass canaries always, plus the
+    # LARGEST per-entry spreads (max/min over samples) at/above
+    # SPREAD_FLOOR, greedily added while the serialized line stays
+    # under TAIL_BUDGET bytes. "spread_n_over_floor" records the
+    # total over-floor count so a trimmed map is never mistaken for
+    # the full picture (no silent caps). The full spread map stays on
+    # the earlier line for local readers.
     SPREAD_FLOOR = 1.3
+    TAIL_BUDGET = 1900  # driver tail window is 2000 bytes; leave margin
     spread = {n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()}
     print(json.dumps({"sample_spread_full": spread}, separators=(",", ":")))
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # a canary ≫ its own min flags that pass as contended
-                "canary_q06_per_pass": canary,
-                "spread_floor": SPREAD_FLOOR,
-                "spread": {n: v for n, v in spread.items() if v >= SPREAD_FLOOR},
-            },
-            separators=(",", ":"),
-        )
+    over = sorted(
+        ((n, v) for n, v in spread.items() if v >= SPREAD_FLOOR),
+        key=lambda kv: -kv[1],
     )
+    contract = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # a canary ≫ its own min flags that pass as contended
+        "canary_q06_per_pass": canary,
+        "spread_floor": SPREAD_FLOOR,
+        "spread_n_over_floor": len(over),
+        "spread": {},
+    }
+    for n, v in over:
+        candidate = dict(contract, spread=dict(contract["spread"], **{n: v}))
+        if len(json.dumps(candidate, separators=(",", ":"))) > TAIL_BUDGET:
+            break
+        contract = candidate
+    line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 2000:
+        # never crash the bench over diagnostics — drop spread wholesale
+        # (the base timings dict is what the round's artifact cannot
+        # lose; it reaches ~1.6 KB at 52 entries, so headline growth
+        # past ~60 entries needs a key-shortening scheme first)
+        contract["spread"] = {}
+        line = json.dumps(contract, separators=(",", ":"))
+        print(f"WARN contract line over tail budget even without spread: {len(line)}B", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

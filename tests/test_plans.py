@@ -561,3 +561,17 @@ def test_salted_join_equals_unsalted_on_planted_hot_key(spark):
     assert {tuple(r) for r in plain.collect()} == {
         tuple(r) for r in salted.collect()
     }
+
+
+def test_sketch_merge_rollup_reads_partials_not_base(spark, sf_dir):
+    """agg_sketch_merge_exact's whole claim is rollup WITHOUT
+    rescanning base data: the per-group word table is checkpointed
+    once, and BOTH the per-group popcount and the cross-group bit_or
+    merge must read that partial (Scan ExistingRDD), never lineitem
+    again — the plan shows zero parquet scans."""
+    p = plan(spark, sf_dir, "agg_sketch_merge_exact")
+    assert "Scan ExistingRDD" in p
+    assert "FileScan parquet" not in p and "Scan parquet" not in p
+    # two-level shape: per-group popcount agg + global merge agg both
+    # present as partial+final hash aggregates
+    assert p.count("HashAggregate") >= 4

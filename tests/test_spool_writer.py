@@ -246,3 +246,46 @@ def test_spool_publish_is_no_replace_under_toctou(tmp_path):
     _publish_no_replace(tmp, final)
     assert open(final).read() == "new"
     assert not os.path.exists(tmp)
+
+
+def test_spool_midloop_toctou_cleans_unpublished_temps(tmp_path, monkeypatch):
+    """ADVICE r6: a dest appearing INSIDE the check→publish window
+    (mid-loop TOCTOU) must leave the commit in the same shape as the
+    pre-check clash path — already-published finals KEPT, the failing
+    pair's temp and every later unpublished temp removed by commit
+    ITSELF (not deferred to abort), and the squatter file intact.
+    The squatter is planted by the publish hook right before pair 1
+    publishes — after commit's pre-check already passed."""
+    import pytest
+
+    import flume_source_spark.sources.spool_writer as sw
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    temps, finals = [], []
+    for i in range(3):
+        t = os.path.join(spool, f".spool-tmp-{i}")
+        with open(t, "w") as f:
+            f.write(f"body-{i}")
+        temps.append(t)
+        finals.append(os.path.join(spool, f"doc-{i}"))
+
+    real_publish = sw._publish_no_replace
+
+    def squat_then_publish(tmp, final):
+        if final == finals[1] and not os.path.exists(final):
+            with open(final, "w") as f:
+                f.write("squatter")  # appears inside the TOCTOU window
+        real_publish(tmp, final)
+
+    monkeypatch.setattr(sw, "_publish_no_replace", squat_then_publish)
+    w = sw.SpoolWriter({"path": spool}, overwrite=False)
+    with pytest.raises(FileExistsError):
+        w.commit([sw.SpoolCommitMessage(files=list(zip(temps, finals)))])
+    assert os.path.exists(finals[0])  # published final kept
+    with open(finals[1]) as f:
+        assert f.read() == "squatter"  # squatter not clobbered
+    # failing pair's temp and the unpublished remainder cleaned by
+    # commit itself, no abort() needed
+    assert not os.path.exists(temps[1]) and not os.path.exists(temps[2])
+    assert not os.path.exists(finals[2])
