@@ -290,15 +290,20 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = []
     for r in range(1, BPEX_MERGES + 1):
-        s = F.filter(F.split("sym", "\\|"), lambda x: x != "")
-        pairs = cur.select(
+        # project the symbol array ONCE per round — inlining the
+        # split+filter into the Generate re-evaluates it 3× per pair
+        # (size + two element_at; HOF lambdas sit outside codegen CSE)
+        syms = cur.select(
+            "freq", F.filter(F.split("sym", "\\|"), lambda x: x != "").alias("s")
+        )
+        pairs = syms.select(
             "freq",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(s) - 1),
+                    F.sequence(F.lit(1), F.size("s") - 1),
                     lambda i: F.struct(
-                        F.element_at(s, i.cast("int")).alias("a"),
-                        F.element_at(s, (i + 1).cast("int")).alias("b"),
+                        F.element_at("s", i.cast("int")).alias("a"),
+                        F.element_at("s", (i + 1).cast("int")).alias("b"),
                     ),
                 )
             ).alias("p"),
