@@ -119,6 +119,12 @@ HEADLINE = [
     # vocabulary pair-count agg + 1-row argmax + literal-replace map)
     "agg_sketch_merge_exact",
     "text_bpe_merges_exact",
+    # round-7 late additions, solo-probed ~0.8 s / ~0.5 s steady (new
+    # cost classes: broadcast-bitmap runtime-filtered fact join — the
+    # ≤1 MB bloom word table prunes lineitem map-side pre-exchange;
+    # bit_and/bit_or set expressions over checkpointed sketch partials)
+    "join_bloom_prefilter",
+    "agg_sketch_intersect_exact",
 ]
 
 

@@ -261,3 +261,86 @@ def agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_flag.unionByName(merged).orderBy("l_returnflag")
+
+
+_SKETCH_INTERSECT_ORACLE = """
+    SELECT 'intersect' AS set_op, CAST(count(*) AS BIGINT) AS n_distinct
+    FROM (
+        SELECT l_partkey FROM lineitem GROUP BY l_partkey
+        HAVING count(DISTINCT l_returnflag)
+               = (SELECT count(DISTINCT l_returnflag) FROM lineitem)
+    )
+    UNION ALL
+    SELECT 'union' AS set_op, CAST(count(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    ORDER BY set_op
+"""
+
+
+def sketch_set_ops(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Union and intersection cardinalities over per-group word
+    bitmaps — the set algebra applied to STORED sketches, never the
+    base rows. Factored out of the registry query so the absent-word
+    guard can be driven on constructed data in tests (the fixture's
+    dense keys put every word in every group, which never exercises
+    it). Returns two rows: (set_op ∈ {union, intersect}, n_distinct).
+    """
+    words = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.expr(f"{key_col} div 64").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({key_col}, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("g", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .localCheckpoint(eager=True)  # the stored partial sketches —
+        # both set expressions below read these, never the base table
+    )
+    n_groups = words.select("g").distinct().count()
+    inter = (
+        words.groupBy("word_idx")
+        .agg(F.bit_and("word").alias("w"), F.count("*").alias("ng"))
+        .select(
+            F.when(F.col("ng") == n_groups, F.col("w")).otherwise(F.lit(0)).alias("w")
+        )
+        .agg(
+            F.lit("intersect").alias("set_op"),
+            F.coalesce(F.sum(F.bit_count("w")), F.lit(0)).cast("long").alias("n_distinct"),
+        )
+    )
+    union = (
+        words.groupBy("word_idx")
+        .agg(F.bit_or("word").alias("w"))
+        .agg(
+            F.lit("union").alias("set_op"),
+            F.coalesce(F.sum(F.bit_count("w")), F.lit(0)).cast("long").alias("n_distinct"),
+        )
+    )
+    return union.unionByName(inter).orderBy("set_op")
+
+
+@query(
+    "agg_sketch_intersect_exact",
+    oracle=_SKETCH_INTERSECT_ORACLE,
+    tags=("agg", "distinct", "sketch", "exact-twin"),
+)
+def agg_sketch_intersect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to :func:`agg_sketch_merge_exact`, pinning the sketch
+    INTERSECTION algebra — the capability that separates Theta-style
+    sketches (set expressions) from HLL (union only): parts appearing
+    in EVERY return-flag class, computed purely on the stored
+    per-group word bitmaps via ``bit_and``, vs the union via
+    ``bit_or``, with neither rescanning base data. The subtlety the
+    guard in :func:`sketch_set_ops` covers: a word absent from some
+    group's sketch is an implicit all-zeros word, but ``bit_and``
+    only folds the rows PRESENT per ``word_idx`` — so a
+    group-presence count rides along and words seen in fewer than all
+    groups are zeroed before the popcount. (Dropping that guard
+    overcounts: a part exclusive to one flag would survive the fold
+    untouched.) The class count is a driver scalar from a distinct
+    over the grouping column — flag-domain-sized, not data-sized.
+    Oracle: plain HAVING count(DISTINCT)=total membership test."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return sketch_set_ops(li, "l_returnflag", "l_partkey")

@@ -323,8 +323,9 @@ _DRIVER_ROWSONLY_R06 = frozenset(
 # family, and the 6 rows-only stale queries LAST (their re-pin row is
 # rows-only-signal anyway — oracled evidence first). With ~50 rows of
 # budget and a couple of new round-7 registrations at the queue head,
-# this re-pins ≈47 and leaves ≈26 for round 8 to reach 271/271
-# current-fixture driver evidence.
+# this re-pins ≈46 and leaves ≈27 for round 8 to reach full
+# current-fixture driver evidence (275 registered after the round-7
+# additions: 2 twins + join_bloom_prefilter + agg_sketch_intersect_exact).
 _R07_STALE_REPIN = (
     # one-per-family heads (VERDICT r6 item 1 names the first eight)
     "join_left_outer", "setop_except_all", "subquery_scalar_correlated",
@@ -371,8 +372,8 @@ _R07_STALE_REPIN = (
 # _DRIVER_GREEN_R07 and fold into _FRESH_GREEN; (2) rebuild the tiers:
 # any r07 red first, then queries still never-swept (registry −
 # ∪r01..r07), then the ≈26-query tail of _R07_STALE_REPIN that missed
-# the 50-row budget — that finishes the full re-pin: 271/271
-# current-fixture driver evidence.
+# the 50-row budget — that finishes the full re-pin: every
+# registered query with current-fixture driver evidence.
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
     | _DRIVER_GREEN_R06
@@ -411,6 +412,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.aggregates3  # noqa: F401
+    import flume_source_spark.operators.runtime_filter  # noqa: F401
     import flume_source_spark.operators.windows2  # noqa: F401
     import flume_source_spark.operators.windows3  # noqa: F401
     import flume_source_spark.operators.timeseries  # noqa: F401

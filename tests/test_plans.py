@@ -575,3 +575,47 @@ def test_sketch_merge_rollup_reads_partials_not_base(spark, sf_dir):
     # two-level shape: per-group popcount agg + global merge agg both
     # present as partial+final hash aggregates
     assert p.count("HashAggregate") >= 4
+
+
+def test_bloom_prefilter_bitmap_broadcasts_and_filters_mapside(spark, sf_dir):
+    """join_bloom_prefilter's claim: the dim-key bitmap reaches the
+    fact side as a BROADCAST with the bit test in the join condition
+    (map-side pruning before any fact exchange), and the fact scan
+    stays column-pruned despite the injected hash columns."""
+    p = plan(spark, sf_dir, "join_bloom_prefilter")
+    assert p.count("BroadcastExchange") >= 2  # bitmap + (local-sf) dim
+    assert "shiftright(bloom_word" in p  # the bit test, inside the join
+    assert "SortMergeJoin" not in p
+    # fact scan reads only the 4 needed lineitem columns
+    li_schema = [s for s in p.split("ReadSchema: ")[1:] if "l_orderkey" in s][0]
+    assert "l_shipdate" not in li_schema[:300] and "l_partkey" not in li_schema[:300]
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    """Property on constructed data: every fact key present in the dim
+    side survives the prefilter (no false negatives — the correctness
+    contract), and keys absent from dim are mostly dropped (the
+    efficiency contract; xxhash64 is seeded/deterministic so the FP
+    count is stable)."""
+    from flume_source_spark.operators.runtime_filter import bloom_prefilter
+
+    fact = spark.range(0, 5000).withColumnRenamed("id", "fk")
+    dim = spark.range(0, 5000, 7).withColumnRenamed("id", "dk")  # every 7th key
+    out = {r.fk for r in bloom_prefilter(fact, "fk", dim, "dk").collect()}
+    dim_keys = set(range(0, 5000, 7))
+    assert dim_keys <= out  # no false negatives, ever
+    # 2^23 bits vs 715 keys → FP rate ~0.01%; allow ample headroom
+    assert len(out - dim_keys) < len(dim_keys) * 0.05
+
+
+def test_sketch_intersect_absent_word_guard(spark):
+    """A key exclusive to ONE group must not survive the intersection:
+    bit_and only folds rows present per word_idx, so without the
+    group-presence guard a word seen by a single group passes through
+    untouched. Planted: key 640000 (its own word) only in group 'a'."""
+    from flume_source_spark.operators.aggregates3 import sketch_set_ops
+
+    rows = [("a", 1), ("b", 1), ("a", 2), ("b", 2), ("a", 640000)]
+    df = spark.createDataFrame(rows, "g STRING, k LONG")
+    got = {r.set_op: r.n_distinct for r in sketch_set_ops(df, "g", "k").collect()}
+    assert got == {"union": 3, "intersect": 2}
