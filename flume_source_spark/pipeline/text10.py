@@ -191,8 +191,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPEX_MERGES = 3
 
 
-def _bpex_oracle() -> str:
-    """Bounded-unroll BPE twin oracle: the first K merges as unrolled
+def _bpex_chain() -> str:
+    """Shared WITH-chain for both bounded-unroll BPE twins: the first K merges as unrolled
     ``AS MATERIALIZED`` CTEs (the graph_kcore peel-profile pattern —
     plain CTEs would be re-inlined at every reference by DuckDB and
     re-expand the corpus scan exponentially). Each round is integer
@@ -230,21 +230,53 @@ def _bpex_oracle() -> str:
                freq
         FROM {prev})""")
         prev = f"vocab{r}"
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_idx, a AS left_sym, "
-        f"b AS right_sym, CAST(w AS BIGINT) AS weight FROM best{r}"
-        for r in range(1, BPEX_MERGES + 1)
-    )
-    return f"""
+    chain = f"""
     WITH words AS (
         SELECT unnest(str_split(text, ' ')) AS w FROM documents),
     vocab0 AS MATERIALIZED (
         SELECT '||' || regexp_replace(w || '_', '(.)', '\\1||', 'g') AS sym,
                CAST(count(*) AS BIGINT) AS freq
         FROM words WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
-    {",".join(rounds)}
+    {",".join(rounds)}"""
+    return chain
+
+
+def _bpex_oracle() -> str:
+    """Merges-twin oracle: the chain's per-round argmax rows."""
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_idx, a AS left_sym, "
+        f"b AS right_sym, CAST(w AS BIGINT) AS weight FROM best{r}"
+        for r in range(1, BPEX_MERGES + 1)
+    )
+    return f"""
+    {_bpex_chain()}
     {selects}
     ORDER BY merge_idx
+    """
+
+
+# Symbols per delimited word: each symbol is wrapped |sym| and
+# boundaries share their outer pipes, so '||a||b||_||' carries
+# 2·(k+1) pipes for k symbols → k = pipes/2 − 1. Both engines count
+# pipes as length(sym) − length(replace(sym,'|','')); the halving is
+# integer division on non-negative operands, where DuckDB `//` and
+# Spark `div` agree (see env notes in graph_pagerank_exact).
+_BPEX_TOKENS_SQL = "(length(sym) - length(replace(sym, '|', ''))) // 2 - 1"
+
+
+def _bpex_encode_oracle() -> str:
+    """Encode-twin oracle: the corpus-weighted token count after each
+    of rounds 0..K, off the same materialized vocab chain."""
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST(sum(freq * ({_BPEX_TOKENS_SQL})) AS BIGINT) AS weighted_tokens "
+        f"FROM vocab{r}"
+        for r in range(0, BPEX_MERGES + 1)
+    )
+    return f"""
+    {_bpex_chain()}
+    {selects}
+    ORDER BY round
     """
 
 
@@ -271,6 +303,18 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset semantics on both engines. Scale: identical to bpe_train
     — everything after the word-count aggregate is vocabulary-sized,
     driver traffic is 1 row per round."""
+    out, _vocabs = _bpex_train(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "merge_idx LONG, left_sym STRING, right_sym STRING, weight LONG"
+    )
+
+
+def _bpex_train(spark: SparkSession, sf_dir: str):
+    """The K-merge delimited-string trainer shared by both twins.
+    Returns ``(merges, vocabs)``: ``merges`` = [(r, left, right,
+    weight)], ``vocabs`` = [vocab after round 0 .. after round K]
+    (each a (sym, freq) frame; post-merge rounds localCheckpointed so
+    the lineage doesn't re-run earlier rounds' 1-row argmax jobs)."""
     from flume_source_spark.pipeline.dedup import spread
 
     d = spread(load_tables(spark, sf_dir)["documents"])
@@ -289,6 +333,7 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = []
+    vocabs = [cur]
     for r in range(1, BPEX_MERGES + 1):
         # project the symbol array ONCE per round — inlining the
         # split+filter into the Generate re-evaluates it 3× per pair
@@ -323,9 +368,41 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        out, "merge_idx LONG, left_sym STRING, right_sym STRING, weight LONG"
-    )
+        vocabs.append(cur)
+    return out, vocabs
+
+
+@query(
+    "text_bpe_encode_curve_exact",
+    oracle=_bpex_encode_oracle(),
+    tags=("llm", "text", "tokenizer", "iterative", "exact-twin"),
+)
+def text_bpe_encode_curve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of the ENCODE side (the compression curve
+    ``text_bpe_encode_stats`` reports rows-only): corpus-weighted
+    token count after each of the first K=3 merges, computed from the
+    delimited-string trainer's per-round vocabularies. Token counts
+    come straight off the string — k symbols carry 2·(k+1) pipes, so
+    Σ freq·(pipes div 2 − 1) needs no re-tokenization pass — and the
+    oracle reads the SAME materialized vocab chain the merges twin
+    unrolls, so the two twins cross-check each other's intermediate
+    states, not just final answers. Monotone-decreasing by
+    construction (each merge strictly shrinks every word containing
+    the pair). Scale: one vocabulary-sized aggregate per round on
+    frames the trainer already checkpointed."""
+    _merges, vocabs = _bpex_train(spark, sf_dir)
+    tokens = F.expr(_BPEX_TOKENS_SQL.replace("//", "div"))
+    totals = [
+        v.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.sum(F.col("freq") * tokens).cast("long").alias("weighted_tokens"),
+        )
+        for r, v in enumerate(vocabs)
+    ]
+    out = totals[0]
+    for t in totals[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("round")
 
 
 @query("text_bpe_encode_stats", oracle=None, tags=("llm", "text", "tokenizer", "iterative"))

@@ -323,9 +323,10 @@ _DRIVER_ROWSONLY_R06 = frozenset(
 # family, and the 6 rows-only stale queries LAST (their re-pin row is
 # rows-only-signal anyway — oracled evidence first). With ~50 rows of
 # budget and a couple of new round-7 registrations at the queue head,
-# this re-pins ≈46 and leaves ≈27 for round 8 to reach full
-# current-fixture driver evidence (275 registered after the round-7
-# additions: 2 twins + join_bloom_prefilter + agg_sketch_intersect_exact).
+# this re-pins ≈45 and leaves ≈28 for round 8 to reach full
+# current-fixture driver evidence (276 registered after the round-7
+# additions: 3 BPE/sketch twins + join_bloom_prefilter +
+# agg_sketch_intersect_exact).
 _R07_STALE_REPIN = (
     # one-per-family heads (VERDICT r6 item 1 names the first eight)
     "join_left_outer", "setop_except_all", "subquery_scalar_correlated",
@@ -371,7 +372,7 @@ _R07_STALE_REPIN = (
 # CORRECTNESS_r07.json lands, (1) record its green keys as
 # _DRIVER_GREEN_R07 and fold into _FRESH_GREEN; (2) rebuild the tiers:
 # any r07 red first, then queries still never-swept (registry −
-# ∪r01..r07), then the ≈26-query tail of _R07_STALE_REPIN that missed
+# ∪r01..r07), then the ≈28-query tail of _R07_STALE_REPIN that missed
 # the 50-row budget — that finishes the full re-pin: every
 # registered query with current-fixture driver evidence.
 _FRESH_GREEN = (

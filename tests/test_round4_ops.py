@@ -877,3 +877,35 @@ def test_triangle_census_hub_block_bounded_and_exact(spark):
                 brute_tri[lbl[a]] += 1
     assert got["hub"] == (B - 1, 0)
     assert got["clique"] == (10, brute_tri["clique"]) == (10, 10)
+
+
+def test_bpe_twins_cross_check_merge_weight_equals_token_drop(spark, sf_dir):
+    """The two BPE twins must agree on the trainer's intermediate
+    states, not just pass their own oracles: each collapsed pair
+    occurrence removes one symbol, so round r's corpus-weighted token
+    count drops by the number of collapses. For a merge with
+    left ≠ right, occurrences cannot overlap (overlap at a shared
+    symbol needs left == right), so collapses == the counted weight
+    EXACTLY. For a self-pair (a,a), a run of k a's counts k−1
+    overlapping pairs but greedily collapses only ⌊k/2⌋ — there the
+    drop is bounded by (weight/2, weight]. The fixture's learned
+    merges are non-self-pairs, so the exact branch is the one
+    exercised; the bound branch keeps the test honest if a future
+    fixture learns (a,a)."""
+    from flume_source_spark.registry import load_all
+
+    merges = {
+        r["merge_idx"]: (r["left_sym"], r["right_sym"], r["weight"])
+        for r in load_all()["text_bpe_merges_exact"].builder(spark, sf_dir).collect()
+    }
+    curve = {
+        r["round"]: r["weighted_tokens"]
+        for r in load_all()["text_bpe_encode_curve_exact"].builder(spark, sf_dir).collect()
+    }
+    assert set(curve) == set(merges) | {0}
+    for r, (a, b, w) in merges.items():
+        drop = curve[r - 1] - curve[r]
+        if a != b:
+            assert drop == w, (r, a, b, drop, w)
+        else:
+            assert w // 2 < drop <= w, (r, a, b, drop, w)
