@@ -284,6 +284,12 @@ def sketch_set_ops(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     guard can be driven on constructed data in tests (the fixture's
     dense keys put every word in every group, which never exercises
     it). Returns two rows: (set_op ∈ {union, intersect}, n_distinct).
+
+    ``key_col`` must be NON-NEGATIVE (the dense-bounded-id contract
+    shared with agg_bitmap_distinct): for k < 0, truncating ``div``
+    pairs with ``pmod`` to alias k onto k+64 (e.g. −1 → word 0 bit
+    63, same slot as 63) — open or signed domains belong to the HLL
+    path (agg_approx), not positional bitmaps.
     """
     words = (
         df.select(
