@@ -256,7 +256,10 @@ def main() -> None:
     for n, v in over:
         candidate = dict(contract, spread=dict(contract["spread"], **{n: v}))
         if len(json.dumps(candidate, separators=(",", ":"))) > TAIL_BUDGET:
-            break
+            # skip, don't stop: entries are ordered by spread VALUE,
+            # so a long-NAMED over-budget entry must not truncate
+            # shorter-named ones that still fit
+            continue
         contract = candidate
     line = json.dumps(contract, separators=(",", ":"))
     if len(line) > 2000:

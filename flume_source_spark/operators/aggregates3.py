@@ -152,6 +152,58 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_and_mask(key_sql: str) -> tuple:
+    """The positional-bitmap slotting arithmetic, defined ONCE: word
+    index = key div 64, mask = 1 << (key mod 64). Every builder
+    (agg_bitmap_distinct, agg_sketch_merge_exact, sketch_set_ops, the
+    bloom build in runtime_filter) derives its layout from here, and
+    :func:`bit_test` is the matching probe — change one, both move.
+
+    ``key_sql`` must evaluate NON-NEGATIVE: for k < 0, truncating
+    ``div`` pairs with ``pmod`` to alias k onto k+64 (e.g. −1 → word 0
+    bit 63, same slot as 63) — open or signed domains belong to the
+    HLL path (agg_approx), not positional bitmaps. (The bloom build
+    satisfies this by construction: its key is pmod(hash, nbits).)
+    """
+    return (
+        F.expr(f"({key_sql}) div 64").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({key_sql}, 64) AS INT))"
+        ).alias("mask"),
+    )
+
+
+def bit_test(word_col: str, key_sql: str):
+    """True iff ``key_sql``'s bit is set in ``word_col`` — the probe
+    dual of :func:`word_and_mask`'s build layout."""
+    return F.expr(
+        f"(shiftright({word_col}, CAST(pmod({key_sql}, 64) AS INT)) & 1) = 1"
+    )
+
+
+def word_bitmaps(
+    df: DataFrame, group_col: str, key_col: str, *,
+    group_alias: str | None = None, with_rowcount: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Per-(group, word) positional bitmap table: one ``bit_or``
+    aggregate over :func:`word_and_mask` slots (see there for the
+    non-negative dense-id contract on ``key_col``). ``checkpoint``
+    materializes the table as the "stored partial sketches" the set
+    algebra consumers re-read without rescanning base data."""
+    widx, mask = word_and_mask(key_col)
+    gname = group_alias or group_col
+    aggs = [F.bit_or("mask").alias("word")]
+    if with_rowcount:
+        aggs.append(F.count("*").alias("n"))
+    out = (
+        df.select(F.col(group_col).alias(gname), widx, mask)
+        .groupBy(gname, "word_idx")
+        .agg(*aggs)
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
 _BITMAP_ORACLE = """
     SELECT c_mktsegment,
            CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
@@ -182,15 +234,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain count(DISTINCT) — the hash match proves the
     bitmap arithmetic exactly."""
     c = load_tables(spark, sf_dir)["customer"]
-    words = (
-        c.select(
-            "c_mktsegment",
-            F.expr("c_custkey div 64").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(c_custkey, 64) AS INT))").alias("mask"),
-        )
-        .groupBy("c_mktsegment", "word_idx")
-        .agg(F.bit_or("mask").alias("word"), F.count("*").alias("n"))
-    )
+    words = word_bitmaps(c, "c_mktsegment", "c_custkey", with_rowcount=True)
     return (
         words.groupBy("c_mktsegment")
         .agg(
@@ -236,19 +280,9 @@ def agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only in ``agg_sketch_mergeable`` (DataSketches-specific),
     with the merge shape now positively pinned cross-engine."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    words = (
-        li.select(
-            "l_returnflag",
-            F.expr("l_partkey div 64").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(l_partkey, 64) AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("l_returnflag", "word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-        .localCheckpoint(eager=True)  # the "stored partial sketches":
-        # both consumers below read THIS table, never lineitem again
-    )
+    # the "stored partial sketches" (checkpointed): both consumers
+    # below read THIS table, never lineitem again
+    words = word_bitmaps(li, "l_returnflag", "l_partkey", checkpoint=True)
     per_flag = words.groupBy("l_returnflag").agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
     )
@@ -284,26 +318,12 @@ def sketch_set_ops(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     guard can be driven on constructed data in tests (the fixture's
     dense keys put every word in every group, which never exercises
     it). Returns two rows: (set_op ∈ {union, intersect}, n_distinct).
-
-    ``key_col`` must be NON-NEGATIVE (the dense-bounded-id contract
-    shared with agg_bitmap_distinct): for k < 0, truncating ``div``
-    pairs with ``pmod`` to alias k onto k+64 (e.g. −1 → word 0 bit
-    63, same slot as 63) — open or signed domains belong to the HLL
-    path (agg_approx), not positional bitmaps.
+    ``key_col`` must be NON-NEGATIVE — :func:`word_and_mask` states
+    the dense-bounded-id contract.
     """
-    words = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.expr(f"{key_col} div 64").alias("word_idx"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({key_col}, 64) AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("g", "word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-        .localCheckpoint(eager=True)  # the stored partial sketches —
-        # both set expressions below read these, never the base table
-    )
+    # the stored partial sketches (checkpointed) — both set
+    # expressions below read these, never the base table
+    words = word_bitmaps(df, group_col, key_col, group_alias="g", checkpoint=True)
     n_groups = words.select("g").distinct().count()
     inter = (
         words.groupBy("word_idx")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flume_source_spark.canon import dec, dsum
+from flume_source_spark.operators.aggregates3 import bit_test, word_and_mask
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
@@ -66,26 +67,52 @@ def bloom_prefilter(
     follows. Both sides hash with ``xxhash64`` — engine-private hashes
     are fine here because the filter never determines the result, only
     the work.
+
+    ``xxhash64`` is TYPE-SENSITIVE (``xxhash64(1::INT) !=
+    xxhash64(1::BIGINT)``), so mismatched key types would silently
+    break the no-false-negative contract: equal values hashing to
+    different bits drop matching fact rows before the join ever sees
+    them. Integral keys are therefore normalized to ``long`` on both
+    sides; any other cross-type pairing is rejected rather than
+    guessed at (a cast the join itself wouldn't apply has no business
+    in a transparent prefilter).
     """
-    h_dim = F.pmod(F.xxhash64(F.col(dim_key)), F.lit(nbits))
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim_keys.dtypes)[dim_key]
+    if ft in _integral and dt in _integral:
+        fact_key_col = F.col(fact_key).cast("long")
+        dim_key_col = F.col(dim_key).cast("long")
+    elif ft == dt:
+        fact_key_col = F.col(fact_key)
+        dim_key_col = F.col(dim_key)
+    else:
+        raise ValueError(
+            f"bloom_prefilter: fact key {fact_key!r} ({ft}) and dim key "
+            f"{dim_key!r} ({dt}) must share a type (or both be integral); "
+            "xxhash64 is type-sensitive and a silent mismatch would drop "
+            "matching rows"
+        )
+    # the word/mask slotting layout is shared with the positional
+    # bitmaps (aggregates3.word_and_mask) so build and probe cannot
+    # drift apart; the pmod'd hash is non-negative by construction
+    h_dim = F.pmod(F.xxhash64(dim_key_col), F.lit(nbits))
+    widx, mask = word_and_mask("h")
     words = (
         dim_keys.select(h_dim.alias("h"))
-        .select(
-            F.expr("h div 64").alias("bloom_word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, 64) AS INT))").alias("mask"),
-        )
+        .select(widx.alias("bloom_word_idx"), mask)
         .groupBy("bloom_word_idx")
         .agg(F.bit_or("mask").alias("bloom_word"))
     )
     probed = (
-        fact.withColumn("__h", F.pmod(F.xxhash64(F.col(fact_key)), F.lit(nbits)))
-        .withColumn("__widx", F.expr("__h div 64"))
+        fact.withColumn("__h", F.pmod(F.xxhash64(fact_key_col), F.lit(nbits)))
+        .withColumn("__widx", word_and_mask("__h")[0])
         # INNER join: a word_idx absent from the bitmap means no dim
         # key hashed into that word — all 64 bits are zero and every
         # probe there fails, so dropping the row at the join is the
         # same decision the bit test would make, one comparison sooner.
         .join(F.broadcast(words), F.col("__widx") == F.col("bloom_word_idx"))
-        .where(F.expr("(shiftright(bloom_word, CAST(pmod(__h, 64) AS INT)) & 1) = 1"))
+        .where(bit_test("bloom_word", "__h"))
         .drop("__h", "__widx", "bloom_word_idx", "bloom_word")
     )
     return probed

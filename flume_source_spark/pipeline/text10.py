@@ -303,25 +303,22 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset semantics on both engines. Scale: identical to bpe_train
     — everything after the word-count aggregate is vocabulary-sized,
     driver traffic is 1 row per round."""
-    out, _vocabs = _bpex_train(spark, sf_dir)
+    out, _vocabs = _bpex_train(spark, sf_dir, want_vocabs=False)
     return spark.createDataFrame(
         out, "merge_idx LONG, left_sym STRING, right_sym STRING, weight LONG"
     )
 
 
-def _bpex_train(spark: SparkSession, sf_dir: str):
-    """The K-merge delimited-string trainer shared by both twins.
-    Returns ``(merges, vocabs)``: ``merges`` = [(r, left, right,
-    weight)], ``vocabs`` = [vocab after round 0 .. after round K]
-    (each a (sym, freq) frame; post-merge rounds localCheckpointed so
-    the lineage doesn't re-run earlier rounds' 1-row argmax jobs)."""
+def _bpex_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twins' (sym, freq) delimited-string vocabulary over the
+    ``^[a-z]+$`` sub-corpus."""
     from flume_source_spark.pipeline.dedup import spread
 
     d = spread(load_tables(spark, sf_dir)["documents"])
     words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
         F.col("w").rlike("^[a-z]+$")
     )
-    cur = (
+    return (
         words.groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
@@ -332,25 +329,58 @@ def _bpex_train(spark: SparkSession, sf_dir: str):
             "freq",
         )
     )
+
+
+def _bpex_train(spark: SparkSession, sf_dir: str, want_vocabs: bool = True):
+    """The K-merge delimited-string trainer shared by both twins.
+    Returns ``(merges, vocabs)``: ``merges`` = [(r, left, right,
+    weight)], ``vocabs`` = [vocab after round 0 .. after round K]
+    (each a (sym, freq) frame; post-merge rounds localCheckpointed so
+    the lineage doesn't re-run earlier rounds' 1-row argmax jobs).
+    ``want_vocabs=False`` (the merges twin) skips building the FINAL
+    round's vocabulary entirely — nothing consumes it, and its eager
+    checkpoint would cost one vocabulary-sized job per run — and
+    returns ``vocabs=None``."""
+    return bpex_train_vocab(
+        _bpex_corpus_vocab(spark, sf_dir), want_vocabs=want_vocabs
+    )
+
+
+def bpex_train_vocab(
+    vocab: DataFrame, n_merges: int = BPEX_MERGES, want_vocabs: bool = True
+):
+    """The delimited-string merge loop over an explicit (sym, freq)
+    vocabulary — the seam that lets tests drive the single-symbol
+    guard on constructed corpora (a word collapses to ONE symbol once
+    a merge absorbs its end marker; the fixture corpus never does)."""
+    cur = vocab
     out = []
     vocabs = [cur]
-    for r in range(1, BPEX_MERGES + 1):
+    for r in range(1, n_merges + 1):
         # project the symbol array ONCE per round — inlining the
         # split+filter into the Generate re-evaluates it 3× per pair
         # (size + two element_at; HOF lambdas sit outside codegen CSE)
         syms = cur.select(
             "freq", F.filter(F.split("sym", "\\|"), lambda x: x != "").alias("s")
         )
+        # size >= 2 guard (same as bpe_train): a word can collapse to a
+        # SINGLE symbol once a merge absorbs its end marker (e.g. word
+        # 'a' after merge (a,_) → ['a_']); sequence(1, 0) then DESCENDS
+        # to [1, 0] and element_at(s, 0) throws. The oracle side is
+        # safe for free (generate_series(1, 0) is empty).
         pairs = syms.select(
             "freq",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("s") - 1),
-                    lambda i: F.struct(
-                        F.element_at("s", i.cast("int")).alias("a"),
-                        F.element_at("s", (i + 1).cast("int")).alias("b"),
+                F.when(
+                    F.size("s") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i.cast("int")).alias("a"),
+                            F.element_at("s", (i + 1).cast("int")).alias("b"),
+                        ),
                     ),
-                )
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
             ).alias("p"),
         )
         top = (
@@ -362,6 +392,8 @@ def _bpex_train(spark: SparkSession, sf_dir: str):
         )[0]
         a, b, w = top["p"]["a"], top["p"]["b"], int(top["w"])
         out.append((r, a, b, w))
+        if r == n_merges and not want_vocabs:
+            break
         cur = cur.select(
             F.replace(
                 F.col("sym"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
@@ -369,7 +401,7 @@ def _bpex_train(spark: SparkSession, sf_dir: str):
             "freq",
         ).localCheckpoint(eager=True)
         vocabs.append(cur)
-    return out, vocabs
+    return out, (vocabs if want_vocabs else None)
 
 
 @query(

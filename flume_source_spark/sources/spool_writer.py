@@ -82,6 +82,22 @@ def _publish_no_replace(tmp: str, final: str) -> None:
     os.unlink(tmp)
 
 
+def _publish_all_no_replace(pending) -> None:
+    """Publish every (tmp, final) pair no-replace; on a dest appearing
+    inside the check→publish TOCTOU window, keep the already-published
+    finals (same contract as the pre-check clash path) but clean the
+    unpublished remainder's temps so commit itself leaves no strays
+    even if the caller never invokes abort(). Shared by the batch and
+    stream writers — the loop's failure contract must not diverge
+    between the two commit paths."""
+    for i, (tmp, final) in enumerate(pending):
+        try:
+            _publish_no_replace(tmp, final)
+        except FileExistsError:
+            _cleanup_temps(pending[i:])
+            raise
+
+
 class SpoolWriter(DataSourceWriter):
     """Two-phase spool writer: temp-write on executors, rename on
     job commit. Input schema must provide ``file_name`` and ``body``
@@ -140,18 +156,7 @@ class SpoolWriter(DataSourceWriter):
             if clash:
                 _cleanup_temps(pending)
                 raise FileExistsError(f"spool destinations already exist: {sorted(clash)[:3]}...")
-            for i, (tmp, final) in enumerate(pending):
-                try:
-                    _publish_no_replace(tmp, final)
-                except FileExistsError:
-                    # A dest appeared inside the check→publish TOCTOU
-                    # window. Published finals are intentionally kept
-                    # (same contract as the pre-check clash path for
-                    # temps): clean the unpublished remainder so
-                    # commit leaves no stray temps even if the caller
-                    # never invokes abort().
-                    _cleanup_temps(pending[i:])
-                    raise
+            _publish_all_no_replace(pending)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -318,8 +323,7 @@ class SpoolStreamWriter(DataSourceStreamWriter):
                     f"spool destinations already exist: {sorted(clash)[:3]}... "
                     "(set writer option overwrite=true to allow replacement)"
                 )
-            for tmp, final in pending:
-                _publish_no_replace(tmp, final)
+            _publish_all_no_replace(pending)
         else:
             for tmp, final in pending:
                 os.rename(tmp, final)

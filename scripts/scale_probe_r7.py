@@ -3,9 +3,10 @@ operators round 7 added or re-shaped — the agg_sketch_merge_exact
 bitmap rollup twin, the text_bpe_merges_exact string-rewrite trainer
 twin, and ds_semdedup under its new sqrt(N)-adaptive nlist default.
 Same protocol as scripts/scale_probe_r5/r6.py: 8 exact copies with
-shifted ids (embeddings) or shifted doc_ids + distinct-suffix text
-(documents, so vocabulary weights scale instead of collapsing to the
-identical word multiset), unchanged tables symlinked, min-of-3."""
+shifted ids (embeddings: emb_id; documents: doc_id, TEXT UNCHANGED —
+word frequencies grow 8x while the vocabulary stays fixed, which is
+the shape the vocabulary-sized BPE stages must be insensitive to),
+unchanged tables symlinked, min-of-3."""
 import json
 import os
 import shutil

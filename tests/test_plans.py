@@ -608,6 +608,38 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
     assert len(out - dim_keys) < len(dim_keys) * 0.05
 
 
+def test_bloom_prefilter_normalizes_integral_key_types(spark):
+    """xxhash64 is TYPE-SENSITIVE (xxhash64(1::INT) != 1::BIGINT's), so
+    an INT fact key probing a BIGINT dim bitmap would silently drop
+    every matching row — false negatives, the one failure mode the
+    operator's contract rules out. Integral keys must therefore be
+    normalized to long on both sides (join semantics are unchanged:
+    the equi-join itself widens integrals the same way)."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.operators.runtime_filter import bloom_prefilter
+
+    fact = spark.range(0, 500).select(F.col("id").cast("int").alias("fk"))
+    dim = spark.range(0, 500, 7).select(F.col("id").cast("bigint").alias("dk"))
+    out = {r.fk for r in bloom_prefilter(fact, "fk", dim, "dk").collect()}
+    assert set(range(0, 500, 7)) <= out  # would be EMPTY without the cast
+
+
+def test_bloom_prefilter_rejects_uncastable_key_type_mismatch(spark):
+    """A non-integral cross-type pairing (string fact key vs bigint
+    dim key) has no hash-compatible normalization the join itself
+    would apply — the prefilter must refuse loudly, not drop rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.operators.runtime_filter import bloom_prefilter
+
+    fact = spark.range(0, 10).select(F.col("id").cast("string").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="type-sensitive"):
+        bloom_prefilter(fact, "fk", dim, "dk")
+
+
 def test_sketch_intersect_absent_word_guard(spark):
     """A key exclusive to ONE group must not survive the intersection:
     bit_and only folds rows present per word_idx, so without the

@@ -909,3 +909,29 @@ def test_bpe_twins_cross_check_merge_weight_equals_token_drop(spark, sf_dir):
             assert drop == w, (r, a, b, drop, w)
         else:
             assert w // 2 < drop <= w, (r, a, b, drop, w)
+
+
+def test_bpex_trainer_survives_word_collapsing_to_single_symbol(spark):
+    """A word whose end-of-word marker gets absorbed by a merge
+    collapses to ONE symbol ('a' after merge (a,_) → '||a_||'); the
+    next round's pair scan must skip it, not crash (unguarded,
+    sequence(1, size-1) DESCENDS to [1, 0] at size 1 and
+    element_at(s, 0) throws). Constructed corpus: 'a'×10 forces
+    (a,_) as merge 1 via the a<b tiebreak against (b,c)×10, then
+    rounds 2-3 run over a vocabulary containing the collapsed word."""
+    from flume_source_spark.pipeline.text10 import bpex_train_vocab
+
+    def delim(w):
+        return "||" + "".join(ch + "||" for ch in w + "_")
+
+    vocab = spark.createDataFrame(
+        [(delim("a"), 10), (delim("bc"), 6), (delim("bcd"), 4)],
+        "sym STRING, freq LONG",
+    )
+    merges, vocabs = bpex_train_vocab(vocab, n_merges=3)
+    # r1: (a,_)=10 ties (b,c)=10, left-asc tiebreak picks 'a';
+    # r2: (b,c)=10 — the collapsed '||a_||' contributes no pairs;
+    # r3: (bc,_)=6 over (bc,d)=(d,_)=4
+    assert merges == [(1, "a", "_", 10), (2, "b", "c", 10), (3, "bc", "_", 6)]
+    syms_r1 = {r.sym for r in vocabs[1].collect()}
+    assert delim("a").replace("a||_", "a_") in syms_r1  # the 1-symbol word

@@ -289,3 +289,44 @@ def test_spool_midloop_toctou_cleans_unpublished_temps(tmp_path, monkeypatch):
     # commit itself, no abort() needed
     assert not os.path.exists(temps[1]) and not os.path.exists(temps[2])
     assert not os.path.exists(finals[2])
+
+
+def test_stream_spool_midloop_toctou_cleans_unpublished_temps(tmp_path, monkeypatch):
+    """The STREAM commit must carry the batch writer's mid-loop TOCTOU
+    contract (same shared publish loop): a dest appearing inside the
+    check→publish window fails the epoch with already-published finals
+    kept, the unpublished remainder's temps removed by commit itself,
+    the squatter intact — and the epoch marker NOT advanced, so the
+    epoch stays re-drivable."""
+    import pytest
+
+    import flume_source_spark.sources.spool_writer as sw
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    temps, finals = [], []
+    for i in range(3):
+        t = os.path.join(spool, f".spool-tmp-{i}")
+        with open(t, "w") as f:
+            f.write(f"body-{i}")
+        temps.append(t)
+        finals.append(os.path.join(spool, f"doc-{i}"))
+
+    real_publish = sw._publish_no_replace
+
+    def squat_then_publish(tmp, final):
+        if final == finals[1] and not os.path.exists(final):
+            with open(final, "w") as f:
+                f.write("squatter")
+        real_publish(tmp, final)
+
+    monkeypatch.setattr(sw, "_publish_no_replace", squat_then_publish)
+    w = sw.SpoolStreamWriter({"path": spool})
+    with pytest.raises(FileExistsError):
+        w.commit([sw.SpoolCommitMessage(files=list(zip(temps, finals)))], 5)
+    assert os.path.exists(finals[0])  # published final kept
+    with open(finals[1]) as f:
+        assert f.read() == "squatter"  # squatter not clobbered
+    assert not os.path.exists(temps[1]) and not os.path.exists(temps[2])
+    assert not os.path.exists(finals[2])
+    assert w._last_epoch() == -1  # marker untouched: epoch re-drivable
