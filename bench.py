@@ -125,6 +125,12 @@ HEADLINE = [
     # bit_and/bit_or set expressions over checkpointed sketch partials)
     "join_bloom_prefilter",
     "agg_sketch_intersect_exact",
+    # round-7 session-4 additions, solo-probed ~1.2 s / ~1.5 s steady
+    # (new cost classes: data-dependent rate table broadcast back over
+    # a map-side keep-gate; doc-set collect + bounded array pair
+    # expansion — one corpus exchange, no self-join)
+    "ds_domain_mix_rebalance",
+    "text_cooccurrence_pmi",
 ]
 
 

@@ -92,10 +92,17 @@ def ds_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
     m = counts.agg(F.min("n_before").alias("m_min"))
-    rates = counts.crossJoin(F.broadcast(m)).select(
-        "lang",
-        "n_before",
-        F.expr(f"({MIX_MOD} * m_min) div n_before").alias("rate_ppm"),
+    # the rate table feeds BOTH the keep-gate join and the audit
+    # join-back; checkpointing the #langs-row result pins the corpus
+    # count scan to exactly one execution instead of one per consumer
+    rates = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            "n_before",
+            F.expr(f"({MIX_MOD} * m_min) div n_before").alias("rate_ppm"),
+        )
+        .localCheckpoint(eager=True)
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -154,15 +161,24 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically with zero float drift (the house exact-twin
     arithmetic; log() would only monotone-transform the ordering).
 
-    The pair space is bounded BEFORE any join: document-frequency
+    The pair space is bounded BEFORE any pairing: document-frequency
     ranking picks the top-{PMI_VOCAB} vocabulary (one wordcount-shaped
     agg, output rows = distinct tokens), the vocabulary broadcasts,
-    and only vocabulary tokens enter the doc-grouped self-join — per
-    document at most C({PMI_VOCAB},2) pairs, independent of document
-    length or corpus size. That is the standard scalable collocation
-    plan: at 100 TB the self-join shuffles (doc_id, tok ∈ top-V) pairs
-    only, and the pair aggregation is map-side combinable on a key
-    space capped at V².
+    and only vocabulary tokens survive into the per-document token
+    SET — so pair generation is a map-side array expansion bounded at
+    C({PMI_VOCAB},2) per document, independent of document length or
+    corpus size. Deliberately NOT a doc_id self-join (the textbook
+    formulation): that plan exchanges the (doc, tok∈V) table by
+    doc_id twice and sorts both sides; collecting the ≤V-element
+    sorted token set per document instead needs ONE exchange, and the
+    ordered pairs fall out of a nested array transform with no join
+    at all. The pair aggregation is then map-side combinable on a key
+    space capped at V², and each token's document frequency joins
+    back from the 2·V-row broadcast vocabulary.
+
+    Array-pair guard: sequence(1, n) runs DESCENDING for n < 1 (house
+    gotcha), so single-token documents short-circuit via the size ≥ 2
+    filter — they contribute no pairs by definition.
 
     Integer headroom: 1e6 · c_ab · N ≤ 1e6 · N² needs N < 2^26.5 per
     partition-of-analysis; beyond that drop the ppm scale (the ratio
@@ -175,19 +191,34 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = dfreq.orderBy(F.col("df").desc(), "tok").limit(PMI_VOCAB)
-    vt = toks.join(F.broadcast(vocab), "tok")
-    a = vt.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
-    b = vt.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b", "df_a", "df_b")
-        .agg(F.count("*").alias("c_ab"))
+    doc_sets = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
+        .where(F.size("ts") >= 2)
     )
+    pairs = (
+        doc_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ts) - 1), i -> "
+                    "transform(slice(ts, i + 1, size(ts) - i), t2 -> "
+                    "struct(element_at(ts, i) AS tok_a, t2 AS tok_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        pairs.crossJoin(F.broadcast(n))
-        .where(F.col("c_ab") >= PMI_MIN_PAIR)
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
             "tok_b",

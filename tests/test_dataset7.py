@@ -81,3 +81,7 @@ def test_pmi_vocab_join_broadcast_and_topk(spark, sf_dir):
     p = plan(spark, sf_dir, "text_cooccurrence_pmi")
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p, "LIMIT+ORDER BY must plan as top-k"
+    # the pair stage is an array expansion off one doc_id exchange —
+    # a doc_id SELF-JOIN creeping back in would double the corpus
+    # exchange and sort both sides
+    assert "SortMergeJoin" not in p
