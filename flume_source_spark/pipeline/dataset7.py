@@ -33,8 +33,9 @@ from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
 # Acceptance rates are expressed in parts-per-million against the
-# md5-bucket (uniform over ids), so the realized per-language keep
-# probability equals rate_ppm / 1e6 exactly, independent of skew.
+# md5-bucket (uniform over ids — up to the ~1e-5 relative mod bias of
+# 2^32 % 1e6), so the realized per-language keep probability tracks
+# rate_ppm / 1e6 independent of skew.
 MIX_MOD = 1_000_000
 
 # Collocation bounds: pair space is (top PMI_VOCAB doc-frequency
@@ -115,8 +116,10 @@ def ds_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bucket < F.col("rate_ppm"))
     )
     after = kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+    # the checkpointed rates side carries no stats, so without the
+    # hint the #langs-row audit join falls back to a sort-merge plan
     return (
-        rates.join(after, "lang", "left")
+        rates.join(F.broadcast(after), "lang", "left")
         .select(
             "lang",
             "n_before",
@@ -133,6 +136,7 @@ def ds_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
     ),
     df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
     vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {PMI_VOCAB}),
@@ -180,13 +184,18 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha), so single-token documents short-circuit via the size ≥ 2
     filter — they contribute no pairs by definition.
 
-    Integer headroom: 1e6 · c_ab · N ≤ 1e6 · N² needs N < 2^26.5 per
-    partition-of-analysis; beyond that drop the ppm scale (the ratio
-    ordering is scale-invariant) or switch the lift to double — the
-    BOUND is on the reported scalar, not the plan shape."""
+    Integer headroom: 1e6 · c_ab · N ≤ 1e6 · N² < 2^63 needs
+    N < ~3.0e6 (2^21.5) documents per partition-of-analysis; beyond
+    that drop the ppm scale (the ratio ordering is scale-invariant)
+    or switch the lift to double — the BOUND is on the reported
+    scalar, not the plan shape."""
     d = spread(load_tables(spark, sf_dir)["documents"])
+    # empty tokens (double/leading/trailing spaces) would otherwise
+    # claim the top document-frequency vocab slot (house precedent:
+    # text4/text10 filter the same artifact)
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
         .distinct()
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))

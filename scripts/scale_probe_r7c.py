@@ -9,8 +9,9 @@
 2. text_cooccurrence_pmi at 1x and 8x documents (TEXT UNCHANGED — the
    vocabulary and per-doc pair fan-out stay fixed while doc count and
    document frequencies grow 8x, the shape the top-V bound promises
-   to absorb). Claim: ~linear; the self-join input is (doc, tok∈V)
-   rows (8x) and the pair agg key space is capped at C(V,2), so the
+   to absorb). Claim: ~linear; the pair stage is a map-side array
+   expansion off one doc_id exchange (8x doc-set rows, NOT a
+   self-join) and the pair agg key space is capped at C(V,2), so the
    partial agg absorbs growth map-side.
 
 Protocol: scripts/scale_probe_r5/6/7.py — 8 exact copies with shifted

@@ -10,18 +10,13 @@ from pyspark.sql import functions as F
 from flume_source_spark.pipeline.dataset7 import MIX_MOD, PMI_MIN_PAIR, PMI_TOP, PMI_VOCAB
 from flume_source_spark.registry import load_all
 from flume_source_spark.tables import load_tables
+from tests.test_plans import plan
 
 SPECS = load_all()
 
 
 def run(name, spark, sf_dir):
     return SPECS[name].builder(spark, sf_dir)
-
-
-def plan(spark, sf_dir, name) -> str:
-    df = SPECS[name].builder(spark, sf_dir)
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_mix_rebalance_rate_construction(spark, sf_dir):
@@ -42,11 +37,17 @@ def test_mix_rebalance_rate_construction(spark, sf_dir):
         assert x.rate_ppm >= y.rate_ppm
 
 
-def test_mix_rebalance_gate_is_broadcast(spark, sf_dir):
-    # the corpus-side gate must consume the rate table via broadcast —
-    # a shuffled join here would be a corpus-sized exchange at 100 TB
+def test_mix_rebalance_no_shuffle_joins(spark, sf_dir):
+    # every join in this plan (corpus-side gate, audit join-back) must
+    # resolve to broadcast — none may survive as a shuffle join. NOTE
+    # the limits of a plan-string pin under AQE: a #langs-row side
+    # would be broadcast-converted at runtime even without the
+    # explicit hint, so this guards the resolved SHAPE (no
+    # SortMergeJoin in the final adaptive plan, broadcast joins
+    # present), not the presence of the F.broadcast hint itself
     p = plan(spark, sf_dir, "ds_domain_mix_rebalance")
     assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_pmi_lift_integer_arithmetic(spark, sf_dir):
@@ -63,6 +64,7 @@ def test_pmi_pairs_come_from_topv_vocab(spark, sf_dir):
     toks = (
         load_tables(spark, sf_dir)["documents"]
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
         .distinct()
     )
     vocab = {
