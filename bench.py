@@ -131,6 +131,11 @@ HEADLINE = [
     # expansion — one corpus exchange, no self-join)
     "ds_domain_mix_rebalance",
     "text_cooccurrence_pmi",
+    # release-QA pair, solo-probed ~0.4 s / ~0.25 s steady (new cost
+    # classes: full-outer id-diff with per-source rollup; chained
+    # QI-cardinality aggregations)
+    "ds_snapshot_diff",
+    "ds_k_anonymity_audit",
 ]
 
 
