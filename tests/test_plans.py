@@ -431,6 +431,63 @@ def test_registry_green_sets_are_consistent():
     assert len(ordered) == len(names)
 
 
+def test_later_round_artifact_parsing(tmp_path):
+    """_later_round_artifacts must read only rounds > _KNOWN_ROUNDS,
+    classify rows (green / red / rows-only), keep the LATEST round's
+    verdict per name, and survive malformed files."""
+    import json
+
+    from flume_source_spark.registry import _KNOWN_ROUNDS, _later_round_artifacts
+
+    r = _KNOWN_ROUNDS
+    (tmp_path / f"CORRECTNESS_r{r:02d}.json").write_text(
+        json.dumps({"ignored_old_round": {"hash_match": False}})
+    )
+    (tmp_path / f"CORRECTNESS_r{r + 1:02d}.json").write_text(
+        json.dumps(
+            {
+                "green_q": {"rows_match": True, "hash_match": True, "err": None},
+                "red_q": {"rows_match": True, "hash_match": False, "err": None},
+                "healed_q": {"rows_match": False, "hash_match": False, "err": None},
+                "ro_q": {"rows_match": None, "hash_match": None, "err": "no_oracle"},
+                "weird": "not-a-dict",
+            }
+        )
+    )
+    # healed_q turns green in the LATER round — latest verdict wins
+    (tmp_path / f"CORRECTNESS_r{r + 2:02d}.json").write_text(
+        json.dumps({"healed_q": {"rows_match": True, "hash_match": True, "err": None}})
+    )
+    (tmp_path / f"CORRECTNESS_r{r + 3:02d}.json").write_text("{truncated")
+    swept, red = _later_round_artifacts(str(tmp_path))
+    assert swept == {"green_q", "red_q", "healed_q", "ro_q"}
+    assert red == {"red_q"}
+
+
+def test_later_round_artifact_reorders_sweep(monkeypatch):
+    """When a later-round artifact lands (the start-of-round state the
+    builder used to have to hand-record), load_all must re-tier by
+    itself: reds lead, re-pinned stale queries leave the head tier,
+    and newly swept queries fall to the back."""
+    import flume_source_spark.registry as reg
+
+    stale_head = reg._R07_STALE_REPIN[0]          # join_left_outer
+    stale_next = reg._R07_STALE_REPIN[1]          # still-stale neighbor
+    fresh_red = "q01_pricing_summary"             # previously fresh, now red
+    monkeypatch.setattr(
+        reg,
+        "_later_round_artifacts",
+        lambda artifact_dir=None: ({stale_head, fresh_red}, {fresh_red}),
+    )
+    ordered = list(reg.load_all())
+    assert ordered[0] == fresh_red, "later-round red must re-check first"
+    assert ordered.index(stale_head) > ordered.index(stale_next), (
+        "a re-pinned stale query must leave the re-pin head tier"
+    )
+    # everything still ordered exactly once
+    assert len(ordered) == len(set(ordered)) == len(reg.REGISTRY)
+
+
 def test_zorder_write_skips_both_dims(spark, sf_dir):
     """Z-order layout: after the Morton-clustered write, each parquet
     file's min/max footer range must be NARROW on BOTH clustered
