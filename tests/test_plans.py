@@ -488,6 +488,24 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
     assert len(ordered) == len(set(ordered)) == len(reg.REGISTRY)
 
 
+def test_bench_headline_names_resolve():
+    """Every bench headline entry must name a registered query — a
+    typo or a renamed registration would otherwise surface only as a
+    KeyError inside the driver's per-round bench run, costing the
+    round its BENCH artifact."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in SPECS]
+    assert not missing, f"bench names unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate entries"
+
+
 def test_zorder_write_skips_both_dims(spark, sf_dir):
     """Z-order layout: after the Morton-clustered write, each parquet
     file's min/max footer range must be NARROW on BOTH clustered
