@@ -166,11 +166,11 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; log() would only monotone-transform the ordering).
 
     The pair space is bounded BEFORE any pairing: document-frequency
-    ranking picks the top-{PMI_VOCAB} vocabulary (one wordcount-shaped
+    ranking picks the top-V (V=40) vocabulary (one wordcount-shaped
     agg, output rows = distinct tokens), the vocabulary broadcasts,
     and only vocabulary tokens survive into the per-document token
     SET — so pair generation is a map-side array expansion bounded at
-    C({PMI_VOCAB},2) per document, independent of document length or
+    C(V,2) per document, independent of document length or
     corpus size. Deliberately NOT a doc_id self-join (the textbook
     formulation): that plan exchanges the (doc, tok∈V) table by
     doc_id twice and sorts both sides; collecting the ≤V-element

@@ -39,26 +39,29 @@ KANON_BUCKET = 100
 KANON_K = 5
 
 
-def snapshot_diff(a: DataFrame, b: DataFrame, key: str = "doc_id") -> DataFrame:
+def snapshot_diff(
+    a: DataFrame, b: DataFrame, key: str = "doc_id", group_col: str = "source"
+) -> DataFrame:
     """Classify every key in either snapshot as added (B only),
-    removed (A only), or common, with the grouping column carried
-    through. One full-outer shuffle join on the content id — at
+    removed (A only), or common, rolled up by ``group_col`` (both
+    frames must carry ``key`` and ``group_col``; everything else is
+    ignored). One full-outer shuffle join on the content id — at
     100 TB both snapshots hash-partition on the same key (bucketed
     snapshots co-locate and skip the exchange entirely), and the
-    per-source rollup is map-side combinable."""
-    an = a.select(F.col(key).alias("a_key"), F.col("source").alias("a_source"))
-    bn = b.select(F.col(key).alias("b_key"), F.col("source").alias("b_source"))
+    per-group rollup is map-side combinable."""
+    an = a.select(F.col(key).alias("a_key"), F.col(group_col).alias("a_grp"))
+    bn = b.select(F.col(key).alias("b_key"), F.col(group_col).alias("b_grp"))
     joined = an.join(bn, an.a_key == bn.b_key, "full_outer")
     return (
         joined.select(
-            F.coalesce("a_source", "b_source").alias("source"),
+            F.coalesce("a_grp", "b_grp").alias(group_col),
             F.when(F.col("a_key").isNull(), 1).otherwise(0).alias("is_added"),
             F.when(F.col("b_key").isNull(), 1).otherwise(0).alias("is_removed"),
             F.when(F.col("a_key").isNotNull() & F.col("b_key").isNotNull(), 1)
             .otherwise(0)
             .alias("is_common"),
         )
-        .groupBy("source")
+        .groupBy(group_col)
         .agg(
             F.sum("is_added").cast("long").alias("n_added"),
             F.sum("is_removed").cast("long").alias("n_removed"),
@@ -90,8 +93,8 @@ def snapshot_diff(a: DataFrame, b: DataFrame, key: str = "doc_id") -> DataFrame:
 )
 def ds_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source added/removed/kept counts between two rule versions
-    of the corpus (v1: length floor {RULE_V1_MIN_CHARS}; v2: floor
-    {RULE_V2_MIN_CHARS} but all zh admitted — non-nested on purpose so
+    of the corpus (v1: length floor 200; v2: floor 300 but all zh
+    admitted — non-nested on purpose so
     every diff class is exercised). The snapshots here derive from one
     scan of the same table; in production they are two stored runs and
     the plan below is unchanged — that generality lives in
@@ -128,8 +131,8 @@ def ds_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity over the released quasi-identifiers (lang, source,
-    {KANON_BUCKET}-char length bucket): per language, the number of
-    equivalence classes, how many fall below K={KANON_K}, how many
+    100-char length bucket): per language, the number of
+    equivalence classes, how many fall below K=5, how many
     documents those expose, and the worst class size. Two chained
     aggregations, both map-side combinable (first keyed by the QI
     tuple, second by language — strictly fewer keys), zero joins; at

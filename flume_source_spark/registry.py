@@ -402,9 +402,13 @@ def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:
     """Fold in driver CORRECTNESS artifacts for rounds > _KNOWN_ROUNDS.
 
     Returns ``(swept, red)``: names with any driver row in a later
-    round, and the subset whose LATEST later-round row failed
-    (hash/row mismatch — ``err: no_oracle`` rows-only rows are swept
-    but never red). Malformed or unreadable artifacts are skipped —
+    round, and the subset whose LATEST later-round row is anything
+    short of a positive hash match — mismatches AND crashed rows
+    (err = traceback, match fields null, the real r04
+    ``ds_pack_attention_spans`` shape) are red; only ``err:
+    no_oracle`` rows-only rows are swept-but-never-red, since a row
+    count is the most evidence they can ever produce. Malformed or
+    unreadable artifacts are skipped —
     this runs inside the driver's own sweep, so it must never raise.
     The hardcoded sets remain the reviewed record for rounds ≤
     _KNOWN_ROUNDS; this function only ADDS newer evidence so the
@@ -436,7 +440,9 @@ def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:
             if row.get("err") == "no_oracle":
                 is_red = False
             else:
-                is_red = row.get("hash_match") is False or row.get("rows_match") is False
+                # anything short of a positive hash match — mismatch,
+                # null fields, or a crash traceback in err — re-checks
+                is_red = row.get("hash_match") is not True
             if name not in latest or rn >= latest[name][0]:
                 latest[name] = (rn, is_red)
     swept = set(latest)

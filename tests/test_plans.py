@@ -450,6 +450,13 @@ def test_later_round_artifact_parsing(tmp_path):
                 "red_q": {"rows_match": True, "hash_match": False, "err": None},
                 "healed_q": {"rows_match": False, "hash_match": False, "err": None},
                 "ro_q": {"rows_match": None, "hash_match": None, "err": "no_oracle"},
+                # the real r04 crash shape: traceback in err, match
+                # fields null — zero evidence must mean red, not green
+                "crashed_q": {
+                    "rows_match": None,
+                    "hash_match": None,
+                    "err": "Traceback (most recent call last): ...",
+                },
                 "weird": "not-a-dict",
             }
         )
@@ -460,8 +467,8 @@ def test_later_round_artifact_parsing(tmp_path):
     )
     (tmp_path / f"CORRECTNESS_r{r + 3:02d}.json").write_text("{truncated")
     swept, red = _later_round_artifacts(str(tmp_path))
-    assert swept == {"green_q", "red_q", "healed_q", "ro_q"}
-    assert red == {"red_q"}
+    assert swept == {"green_q", "red_q", "healed_q", "ro_q", "crashed_q"}
+    assert red == {"red_q", "crashed_q"}
 
 
 def test_later_round_artifact_reorders_sweep(monkeypatch):
