@@ -495,6 +495,24 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
     assert len(ordered) == len(set(ordered)) == len(reg.REGISTRY)
 
 
+def test_sweep_head_tiers_fit_driver_budget():
+    """Reds and never-swept registrations must all sit inside the
+    driver's ~50-row sweep budget — if they don't, this round's new
+    work (or a regression) can't get a driver row at all, and the
+    overflow would be silent until the artifact lands."""
+    import flume_source_spark.registry as reg
+
+    ordered = list(reg.load_all())
+    dyn_swept, dyn_red = reg._later_round_artifacts()
+    ever = reg._STALE_GREEN | reg._FRESH_GREEN | reg._DRIVER_ROWSONLY_R06 | dyn_swept
+    head = set(dyn_red) | {n for n in ordered if n not in ever}
+    positions = [ordered.index(n) for n in head]
+    assert not positions or max(positions) < 50, (
+        f"verify-first tiers overflow the 50-row driver budget: "
+        f"{sorted(head, key=ordered.index)[45:]}"
+    )
+
+
 def test_bench_headline_names_resolve():
     """Every bench headline entry must name a registered query — a
     typo or a renamed registration would otherwise surface only as a
