@@ -1,0 +1,340 @@
+"""Approximation-quality AUDIT operators — measured precision/recall
+for the two approximate families (MinHash-LSH dedup, IVF ANN), as
+first-class hash-checkable queries.
+
+The round-6 "rows-only policy" closed every approximate operator with
+an exact TWIN pinning its machinery cross-engine. These audits are the
+next discipline level: not "does the machinery compute what it says"
+but "how good is the approximation against ground truth, measured
+inside the engine, reproducibly". A 100 TB curation pipeline runs
+exactly this shape before trusting an LSH/ANN config at a new scale:
+
+- ``dedup_lsh_recall_audit`` — on a DETERMINISTIC md5-bucket sample
+  of documents (the ds_deterministic_sample gate: same docs every
+  engine/run/cluster), compute exact-Jaccard truth pairs AND
+  portable-MinHash LSH candidate pairs, and report integer
+  precision/recall. The exact stage is C(s, 2)-bounded by the SAMPLE
+  (a budget constant, not a corpus fraction), which is what makes a
+  recall audit affordable at any corpus size: the full-corpus exact
+  join that the audit grades is precisely the thing you cannot run.
+- ``sim_ann_recall_audit`` — recall@k of the integer-lattice IVF twin
+  (``sim_ann_ivf_exact``) against brute-force exact top-k over the
+  SAME quantized vectors and scoring order. Per-query integer hit
+  counts: the standard recall@k table every ANN deployment publishes.
+  The exact side costs one corpus scan per audit over a Q_MAX-bounded
+  broadcast query panel — linear, run per config change, amortized
+  across the queries it certifies.
+
+Both audits are integer-only outputs hashed against DuckDB oracles —
+the audit itself is oracled, so "LSH recall on this corpus is X" is a
+cross-engine-verified number, not a trust-me metric.
+
+Reference parity note: the reference engine (CephFsSource.java:29-171)
+has no dedup/ANN surface; these belong to the declared [NS] engine
+scope (SURVEY.md §2.2) alongside the operators they audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.pipeline.dedup import shingle_col, spread
+from flume_source_spark.pipeline.similarity import _QWHERE_SQL, _dvec, _query_filter
+from flume_source_spark.pipeline.similarity2 import (
+    _IVFX_CTES,
+    IVFX_TOP_K,
+    sim_ann_ivf_exact,
+)
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall_audit
+# ---------------------------------------------------------------------------
+
+# Portable MinHash: h_i(s) = (a_i·x + b_i) mod p over
+# x = md5int(shingle) mod 2^30 (the house portable token hash —
+# conv(substr(md5,1,8),16,10) on Spark == CAST('0x'||… AS BIGINT) on
+# DuckDB). The production operator (dedup_minhash_lsh) hashes with
+# xxhash64, which only Spark has; the audit's band structure must be
+# reproducible on BOTH engines, so it uses the md5 token hash — the
+# same swap dedup_simhash_exact made for the SimHash family.
+# Closed-form lattice parameters (no RNG): a_i odd-ish and nonzero,
+# b_i arbitrary; products stay in BIGINT (x < 2^30, a < 2^31 → < 2^61).
+AUDIT_P = (1 << 31) - 1
+AUDIT_N_HASHES = 12
+AUDIT_BANDS = 4
+AUDIT_ROWS = 3  # bands × rows = hashes; P(cand|J) = 1-(1-J^3)^4
+_AUDIT_AB = [
+    ((1 + i * 131071) % (AUDIT_P - 1) + 1, (8191 + i * 524287) % AUDIT_P)
+    for i in range(AUDIT_N_HASHES)
+]
+AUDIT_SAMPLE_MOD = 10
+AUDIT_SAMPLE_KEEP = 3  # deterministic 30% document sample
+AUDIT_TAU = 0.5  # truth threshold: exact Jaccard ≥ τ
+
+_SQL_MD5INT_DOC = (
+    f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+_AUDIT_MINS_SQL = ",\n               ".join(
+    f"min((hx * {a} + {b}) % {AUDIT_P}) AS h{i}"
+    for i, (a, b) in enumerate(_AUDIT_AB)
+)
+_AUDIT_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    "SELECT doc_id, {band} AS band, concat_ws('|', {hs}) AS sig FROM sig".format(
+        band=band,
+        hs=", ".join(f"h{band * AUDIT_ROWS + r}" for r in range(AUDIT_ROWS)),
+    )
+    for band in range(AUDIT_BANDS)
+)
+
+_LSH_AUDIT_ORACLE = f"""
+    WITH sample_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE {_SQL_MD5INT_DOC} % {AUDIT_SAMPLE_MOD} < {AUDIT_SAMPLE_KEEP}
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM sample_docs)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {1 << 30} AS hx
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               {_AUDIT_MINS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({_AUDIT_BANDS_SQL}),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    truth AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) t
+        JOIN sz sa ON t.i = sa.doc_id
+        JOIN sz sb ON t.j = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {AUDIT_TAU}
+    ),
+    hit AS (SELECT t.i, t.j FROM truth t JOIN cand c ON t.i = c.i AND t.j = c.j)
+    SELECT CAST((SELECT count(*) FROM sample_docs) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST((SELECT count(*) FROM hit) * 1000000
+                // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+               AS precision_ppm,
+           CAST((SELECT count(*) FROM hit) * 1000000
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+               AS recall_ppm
+"""
+
+
+def _md5int(col):
+    """Portable 32-bit md5 integer (house idiom, never negative)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def lsh_audit_counts(docs: DataFrame, tau: float = AUDIT_TAU) -> DataFrame:
+    """Core audit over a (doc_id, text) frame: exact-Jaccard truth
+    pairs vs portable-MinHash band candidates, one integer summary row
+    (n_docs, n_true, n_cand, n_hit, precision_ppm, recall_ppm)."""
+    sh = docs.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
+    hashed = sh.select("doc_id", (_md5int(F.col("shingle")) % (1 << 30)).alias("hx"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hx") * a + b) % AUDIT_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_AUDIT_AB)
+        ]
+    )
+    stack_args = ", ".join(
+        "{band}, concat_ws('|', {hs})".format(
+            band=band,
+            hs=", ".join(f"h{band * AUDIT_ROWS + r}" for r in range(AUDIT_ROWS)),
+        )
+        for band in range(AUDIT_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack({AUDIT_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("i"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("j"), "shingle"), "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    truth = (
+        inter.join(sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i")
+        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
+        .filter(jac >= tau)
+        .select("i", "j")
+    )
+    hit = truth.join(cand, ["i", "j"])
+    counts = (
+        docs.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return counts.select(
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        (F.col("n_hit") * 1000000 / F.greatest(F.col("n_cand"), F.lit(1)))
+        .cast("long")
+        .alias("precision_ppm"),
+        (F.col("n_hit") * 1000000 / F.greatest(F.col("n_true"), F.lit(1)))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=_LSH_AUDIT_ORACLE,
+    tags=("llm", "dedup", "lsh", "audit"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup quality audit on a deterministic 30% md5-bucket
+    document sample: exact-Jaccard (τ = 0.5) truth pairs vs
+    portable-MinHash band candidates (12 hashes = 4 bands × 3 rows,
+    P(cand|J) = 1−(1−J³)⁴ ≈ 0.99 at the corpus's planted J ≥ 0.88),
+    reported as one integer row — n_docs, n_true, n_cand, n_hit,
+    precision_ppm, recall_ppm.
+
+    100 TB shape: the sample gate is a map-side scan filter; its KEEP
+    rate is the audit budget knob (absolute sample size s = rate·N —
+    drop the rate as N grows to hold s constant), and every stage after
+    the gate is bounded by s, not N: the truth join is the
+    Σ_shingle |docs|² shared-shingle join RESTRICTED to the sample; the
+    candidate join is banded. The audit certifies the production band
+    config (dedup_minhash_lsh) before a full-corpus run — recall here
+    is an unbiased estimate of full-corpus recall because the gate is
+    content-addressed, not partition-correlated."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    sample = d.where(
+        (_md5int(F.col("doc_id").cast("string")) % AUDIT_SAMPLE_MOD)
+        < AUDIT_SAMPLE_KEEP
+    ).select("doc_id", "text")
+    return lsh_audit_counts(sample)
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_audit
+# ---------------------------------------------------------------------------
+
+_ANN_AUDIT_ORACLE = f"""
+    WITH {_IVFX_CTES},
+    ivf_topk AS MATERIALIZED (
+        SELECT qid, cid FROM ranked WHERE rn <= {IVFX_TOP_K}
+    ),
+    exact_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(list_dot_product(
+                   list_transform(q.xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score
+        FROM q0 q JOIN q0 c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM e WHERE {_QWHERE_SQL})
+    ),
+    exact_topk AS MATERIALIZED (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+            FROM exact_scored) WHERE rn <= {IVFX_TOP_K}
+    )
+    SELECT e.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.cid) AS BIGINT) AS hits,
+           CAST(count(i.cid) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM exact_topk e
+    LEFT JOIN ivf_topk i ON e.qid = i.qid AND e.cid = i.cid
+    GROUP BY e.qid
+    ORDER BY e.qid
+"""
+
+
+@query(
+    "sim_ann_recall_audit",
+    oracle=_ANN_AUDIT_ORACLE,
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the integer-lattice IVF twin against brute-force
+    exact top-k over the SAME quantized vectors and (score DESC, cid)
+    order — per query: (qid, n_exact, hits, recall_ppm). The IVF side
+    IS ``sim_ann_ivf_exact``'s registered builder, so the audit grades
+    exactly the machinery the twin pins (nprobe = 4 of nlist = 16).
+
+    100 TB shape: the exact side is ONE corpus scan against a
+    Q_MAX-bounded broadcast query panel (the sim_cosine_topk plan —
+    linear in N, zero corpus shuffle), and it runs once per ANN config
+    change, not per search. recall@k vs nprobe is THE tuning curve for
+    IVF; this query is that curve's one-point evaluator, hash-verified
+    cross-engine."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    q0 = e.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * F.lit(1000)).cast("long")).alias("xq"),
+    )
+    qs = q0.filter(_query_filter()).select(
+        F.col("vec_id").alias("qid"), F.col("xq").alias("qxq")
+    )
+    score = F.aggregate(
+        F.zip_with("qxq", "xq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q0.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("cid"), score.alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    )
+    exact_topk = (
+        scored.withColumn("rn", rn).where(F.col("rn") <= IVFX_TOP_K).select("qid", "cid")
+    )
+    ivf_topk = sim_ann_ivf_exact(spark, sf_dir).select(
+        "qid", "cid", F.lit(1).alias("in_ivf")
+    )
+    return (
+        exact_topk.join(ivf_topk, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("in_ivf").cast("long").alias("hits"),
+            (F.count("in_ivf") * 1000000 / F.count("*")).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

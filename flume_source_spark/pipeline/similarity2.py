@@ -193,8 +193,10 @@ IVFX_TOP_K = 5
 _IVFX_A, _IVFX_C = 69061, 293
 
 
-_IVFX_ORACLE = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# The IVF CTE chain (through `ranked`) is shared with the recall
+# audit (pipeline/audit.py): the audit's oracle must see the SAME
+# candidate generation the twin pins, so the text exists once.
+_IVFX_CTES = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q0 AS MATERIALIZED (
         SELECT vec_id,
                list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS xq
@@ -254,7 +256,10 @@ _IVFX_ORACLE = f"""
         SELECT qid, cid, score,
                row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
         FROM scored
-    )
+    )"""
+
+_IVFX_ORACLE = f"""
+    WITH {_IVFX_CTES}
     SELECT qid, cid, score, CAST(rn AS BIGINT) AS rank
     FROM ranked WHERE rn <= {IVFX_TOP_K} ORDER BY qid, rank
 """
