@@ -150,7 +150,13 @@ def lsh_audit_counts(docs: DataFrame, tau: float = AUDIT_TAU) -> DataFrame:
     """Core audit over a (doc_id, text) frame: exact-Jaccard truth
     pairs vs portable-MinHash band candidates, one integer summary row
     (n_docs, n_true, n_cand, n_hit, precision_ppm, recall_ppm)."""
-    sh = docs.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
+    # persist the exploded shingle frame: it feeds the signature path,
+    # the size table, AND both sides of the truth join — without
+    # persist the (expensive) shingling recomputes 4× (the
+    # dedup_minhash_lsh lesson, dedup.py:268)
+    sh = docs.select(
+        "doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle")
+    ).persist()
     hashed = sh.select("doc_id", (_md5int(F.col("shingle")) % (1 << 30)).alias("hx"))
     sig = hashed.groupBy("doc_id").agg(
         *[
