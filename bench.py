@@ -136,6 +136,19 @@ HEADLINE = [
     # QI-cardinality aggregations)
     "ds_snapshot_diff",
     "ds_k_anonymity_audit",
+    # round-7 session-5 approximation-quality audits, solo-probed
+    # ~1.9 s / ~2.0 s steady (new cost classes: persisted-shingle
+    # exact-truth join on the md5-bucket sample + banded candidate
+    # self-join + count rollup; brute-force broadcast top-k vs IVF
+    # twin with per-query set-intersection)
+    "dedup_lsh_recall_audit",
+    "sim_ann_recall_audit",
+    # round-7 session-6 addition, solo-probed ~3.0 s under a ~1.7×-
+    # contended canary (clean-host ≈1.5-2 s; new cost class: persisted
+    # (doc, token) wordcount fanned to three consumers — panel
+    # TakeOrdered, doc-length rollup, broadcast-panel-pruned scoring
+    # probe — then an 8-key top-K window)
+    "text_bm25_topk",
 ]
 
 
