@@ -148,6 +148,10 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int | None = N
         # Python assignment pass over the corpus
         .localCheckpoint(eager=True)
     )
+    # everything downstream reads the checkpointed ev — release the
+    # corpus cache instead of leaking one persisted frame per call
+    # (bench runs this builder 4×; the leaked blocks survived the run)
+    e.unpersist(blocking=False)
 
     # hot-cluster guard: only members of ≤ MAX_CLUSTER clusters enter
     # the pairwise join. sizes is ≤ nlist rows → broadcast. The same

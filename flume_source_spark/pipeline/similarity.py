@@ -238,10 +238,11 @@ def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
     with SemDeDup (``ds_semdedup``). Deterministic seeds: the nlist
     vectors whose hashed ids sort lowest (uniform for ANY id
     distribution; TakeOrderedAndProject, so executors each retain nlist
-    rows and the driver receives exactly nlist). Per Lloyd round: one
-    broadcast-assign pass + distributed elementwise means (posexplode →
-    partial avg per (cluster, dim)); only the nlist refined centroids
-    return to the driver. Components rounded 6 dp per round so
+    rows and the driver receives exactly nlist). Per Lloyd round: ONE
+    fused assign-and-partial-sum pass (the kernel emits ≤ nlist
+    (cluster, Σvec, n) rows per partition) + a distributed zip_with
+    fold over the partials; only the nlist refined centroids return to
+    the driver. Components rounded 6 dp per round so
     float-sum ordering noise cannot flip boundary assignments, then
     re-normalized so the returned matrix is exactly unit-norm (dot
     consumers like SemDeDup's centroid_sim read it as a cosine).
@@ -256,24 +257,67 @@ def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
     )
     c_mat = np.array([np.asarray(v, dtype=np.float64) for v in cpdf["embedding"]])
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    dim = c_mat.shape[1]
     for _ in range(iters):
-        assigned = assign_nearest(e, c_mat, 1)
+        # FUSED Lloyd round (round-7 latency fix): the assignment pass
+        # also emits per-partition partial sums — (cluster, Σvec, n),
+        # ≤ nlist rows per partition — instead of joining a separate
+        # assignment frame back against the corpus. The old shape
+        # (assign → shuffle-join on vec_id → posexplode → two-stage
+        # agg over N·dim rows) cost two corpus exchanges + sorts per
+        # round; this one costs the single Python pass it already paid
+        # for assignment plus one nlist×partitions-row exchange. The
+        # driver still receives only the ≤ nlist reduced centroids:
+        # the elementwise partial reduce (zip_with fold) is
+        # distributed, NOT a driver concat — at 1000 executors the
+        # partials exchange is nlist×partitions rows, never corpus-
+        # or driver-sized. Assignment ties break exactly like
+        # assign_nearest (argmax = first index at the max = stable
+        # argsort head), so the trained matrix is unchanged in
+        # semantics; only float-sum ORDER differs, which the 6-dp
+        # round below absorbs by design.
+        cm = c_mat  # bind per round for the kernel closure
+
+        def partials_kernel(batches, _c=cm):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cl = np.argmax(m_n @ _c.T, axis=1)
+                sums = np.zeros((_c.shape[0], _c.shape[1]))
+                np.add.at(sums, cl, m)
+                counts = np.bincount(cl, minlength=_c.shape[0])
+                live = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cluster": live.astype("int64"),
+                        "s": [sums[i].tolist() for i in live],
+                        "n": counts[live].astype("int64"),
+                    }
+                )
+
         means = (
-            e.join(assigned, "vec_id")
-            .select("cluster", F.posexplode(_dvec("embedding")).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            e.select("vec_id", "embedding")
+            .mapInPandas(partials_kernel, "cluster long, s array<double>, n long")
             .groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("centroid")
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("sum_vec"),
+                F.sum("n").alias("n"),
             )
             .collect()  # ≤ nlist rows — the only driver transfer per round
         )
         new_c = c_mat.copy()
         for r in means:
-            v = np.asarray(r["centroid"], dtype=np.float64)
+            v = np.asarray(r["sum_vec"], dtype=np.float64) / r["n"]
             n = np.linalg.norm(v)
             if n > 0:
                 new_c[r["cluster"]] = v / n
