@@ -231,11 +231,18 @@ def main() -> None:
                 samples[n].append(run_once(n))
         return samples, canary
 
-    # warmup: JVM + parquet footer cache (q01) and the codegen-heaviest
+    # warmup: JVM + parquet footer cache (q01), the codegen-heaviest
     # expression shape (64-wide zip_with cosine) whose first compile
-    # otherwise dominates its own measurement
+    # otherwise dominates its own measurement, and the Arrow Python
+    # worker pool (one tiny mapInPandas pass) — without the last one
+    # the FIRST Python-kernel entry in HEADLINE order absorbs the
+    # 32-worker spawn cost into its own pass-1 sample (observed as a
+    # 14 s first call vs 4 s steady on ds_semdedup)
     run_once("q01_pricing_summary")
     run_once("sim_cosine_topk")
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     samples, canary = sweep(HEADLINE)
     # 2-decimal entry timings: host contention noise is ≫ 10 ms, so
     # the third decimal carried no information, and at 58 entries its

@@ -105,3 +105,49 @@ def test_bm25_plan_shape(spark, sf_dir):
     # the tf wordcount must reach the panel join pruned, not the raw
     # corpus: the explode feeds an agg (partial_count present)
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_fused_lloyd_round_matches_numpy_reference(spark):
+    """The fused assign-and-partial-sum Lloyd round (similarity.py)
+    must train the SAME centroid matrix as a straightforward numpy
+    k-means with the documented semantics: seeds = nlist lowest
+    xxhash64-ordered ids, assignment = argmax cosine (first index at
+    the max), means over RAW vectors, 6-dp round then re-normalize,
+    empty clusters keep their previous centroid. The 6-dp round is
+    what licenses comparing across float-sum orders."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.similarity import train_spherical_kmeans
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).round(3)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nlist, iters = 5, 2
+    got = train_spherical_kmeans(e, nlist, iters)
+
+    seed_ids = [
+        r.vec_id
+        for r in e.selectExpr("vec_id", "xxhash64(cast(vec_id as string)) h")
+        .orderBy("h", "vec_id")
+        .limit(nlist)
+        .collect()
+    ]
+    c = vecs[seed_ids].astype(np.float64)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    for _ in range(iters):
+        m_n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cl = np.argmax(m_n @ c.T, axis=1)
+        new_c = c.copy()
+        for k in range(nlist):
+            mem = vecs[cl == k]
+            if len(mem):
+                v = mem.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new_c[k] = v / n
+        c = np.round(new_c, 6)
+        norms = np.linalg.norm(c, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        c = c / norms
+    assert np.allclose(got, c, atol=2e-6), np.abs(got - c).max()
