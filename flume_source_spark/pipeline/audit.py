@@ -207,7 +207,7 @@ def lsh_audit_counts(docs: DataFrame, tau: float = AUDIT_TAU) -> DataFrame:
         .crossJoin(cand.agg(F.count("*").cast("long").alias("n_cand")))
         .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
     )
-    return counts.select(
+    out = counts.select(
         "n_docs",
         "n_true",
         "n_cand",
@@ -219,6 +219,14 @@ def lsh_audit_counts(docs: DataFrame, tau: float = AUDIT_TAU) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+    # materialize the 1-row summary eagerly so the sample-sized
+    # shingle cache can be RELEASED here instead of leaking one
+    # persisted frame per call (bench runs this builder 3-4×; the
+    # leaked blocks would survive the whole session — the same leak
+    # class semdedup_decisions fixes via unpersist-after-checkpoint)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
 
 
 @query(

@@ -302,7 +302,7 @@ def train_spherical_kmeans(e: DataFrame, nlist: int = 16, iters: int = 2):
                 )
 
         means = (
-            e.select("vec_id", "embedding")
+            e.select("embedding")
             .mapInPandas(partials_kernel, "cluster long, s array<double>, n long")
             .groupBy("cluster")
             .agg(
@@ -355,11 +355,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully distributed and id-distribution-agnostic: hash-order the ids
     and TakeOrdered the lowest NLIST, so executors each retain NLIST
     rows and only those ≤ NLIST centroid rows ever reach the driver —
-    never the id list of the corpus. Each Lloyd round is one
-    broadcast-assign pass plus an elementwise-mean aggregation
-    (posexplode → partial avg per (cluster, dim)): the shuffle after
-    map-side combine is NLIST×dim rows per input partition, and only
-    the NLIST refined centroids return to the driver per round.
+    never the id list of the corpus. Each Lloyd round is ONE fused
+    assign-and-partial-sum pass (the kernel emits ≤ NLIST
+    (cluster, Σvec, n) rows per partition) followed by a distributed
+    zip_with fold over those partials — no corpus join, no posexplode;
+    only the NLIST refined centroids return to the driver per round.
     Centroid components are rounded (6 dp) after every round so
     float-sum ordering noise cannot flip boundary assignments between
     runs. Training/assignment live in :func:`train_spherical_kmeans` /

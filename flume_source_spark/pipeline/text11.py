@@ -114,6 +114,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     average and a 10k-token max tf still leave 20× slack. idf_pm needs
     2·N < 2^53 trivially. All operands non-negative (df ≤ N), so
     Spark ``div`` ≡ DuckDB ``//`` (house rule, env-limits)."""
+    lazy, tf = _bm25_lazy(spark, sf_dir)
+    # materialize the ≤ panel·K-row result eagerly so the corpus-sized
+    # tf cache can be RELEASED here instead of leaking one persisted
+    # wordcount per builder call (the semdedup_decisions
+    # unpersist-after-checkpoint pattern)
+    out = lazy.localCheckpoint(eager=True)
+    tf.unpersist(blocking=False)
+    return out
+
+
+def _bm25_lazy(spark: SparkSession, sf_dir: str):
+    """The un-checkpointed BM25 plan plus its persisted tf frame —
+    factored out so the plan-shape tests can inspect the REAL join /
+    window plan (the query itself checkpoints, which collapses the
+    executed plan to a Scan ExistingRDD)."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
         F.col("tok") != ""
@@ -147,9 +162,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("qtok").orderBy(F.col("score").desc(), "doc_id")
-    return (
+    lazy = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= BM25_K)
         .select("qtok", "rnk", "doc_id", "tf", "dl", "score")
         .orderBy("qtok", "rnk")
     )
+    return lazy, tf

@@ -19,6 +19,7 @@ ids, unchanged tables symlinked, min-of-3, noop sink.
 """
 import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,13 +37,19 @@ def main():
 
     run(specs, spark, "q01_pricing_summary", BASE)  # warm
 
-    d_docs = make_dir(spark, {"documents": {"doc_id": 100_000_000}})
-    out["text_bm25_topk_1x"] = run(specs, spark, "text_bm25_topk", BASE)
-    out["text_bm25_topk_8x"] = run(specs, spark, "text_bm25_topk", d_docs)
+    d_docs = d_emb = None
+    try:
+        d_docs = make_dir(spark, {"documents": {"doc_id": 100_000_000}})
+        out["text_bm25_topk_1x"] = run(specs, spark, "text_bm25_topk", BASE)
+        out["text_bm25_topk_8x"] = run(specs, spark, "text_bm25_topk", d_docs)
 
-    d_emb = make_dir(spark, {"embeddings": {"vec_id": 100_000_000}})
-    out["ds_semdedup_fused_1x"] = run(specs, spark, "ds_semdedup", BASE)
-    out["ds_semdedup_fused_8x"] = run(specs, spark, "ds_semdedup", d_emb)
+        d_emb = make_dir(spark, {"embeddings": {"vec_id": 100_000_000}})
+        out["ds_semdedup_fused_1x"] = run(specs, spark, "ds_semdedup", BASE)
+        out["ds_semdedup_fused_8x"] = run(specs, spark, "ds_semdedup", d_emb)
+    finally:
+        for d in (d_docs, d_emb):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
 
     print(json.dumps(out))
 

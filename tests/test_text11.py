@@ -88,7 +88,7 @@ def test_bm25_topk_contract(spark, sf_dir):
         assert len(rs) <= BM25_K
         # score non-increasing, doc_id ascending within ties
         for a, b in zip(rs, rs[1:]):
-            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id) or a.score > b.score
+            assert a.score >= b.score
             if a.score == b.score:
                 assert a.doc_id < b.doc_id
         for r in rs:
@@ -98,8 +98,15 @@ def test_bm25_topk_contract(spark, sf_dir):
 def test_bm25_plan_shape(spark, sf_dir):
     """The panel and corpus-scalar joins must broadcast (never a
     corpus-wide shuffle against an 8-row side), and a window over
-    BM25_PANEL keys must exist exactly once."""
-    p = plan(spark, sf_dir, "text_bm25_topk")
+    BM25_PANEL keys must exist exactly once. Pins the LAZY plan —
+    the registered query checkpoints its ≤ panel·K-row result (to
+    release the tf cache), which collapses the executed plan."""
+    from flume_source_spark.pipeline.text11 import _bm25_lazy
+
+    lazy, tf = _bm25_lazy(spark, sf_dir)
+    lazy.collect()
+    p = lazy._jdf.queryExecution().executedPlan().toString()
+    tf.unpersist(blocking=False)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert len(re.findall(r"\bWindow\b", p)) >= 1
     # the tf wordcount must reach the panel join pruned, not the raw
