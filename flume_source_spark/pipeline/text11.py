@@ -169,3 +169,115 @@ def _bm25_lazy(spark: SparkSession, sf_dir: str):
         .orderBy("qtok", "rnk")
     )
     return lazy, tf
+
+
+# Multi-term search: fixed literal query, OR semantics, summed
+# per-term scores — the actual search-engine request shape (the
+# per-term top-K above is the inverted-index primitive it composes).
+BM25_QUERY = ("spark", "merge", "window")
+BM25_SEARCH_K = 10
+
+_BM25_QUERY_SQL = ", ".join(f"('{t}')" for t in BM25_QUERY)
+
+_BM25_SEARCH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               CAST((1000 * (SELECT SUM(dl) FROM dl))
+                    // (SELECT COUNT(*) FROM documents) AS BIGINT) AS avgdl_pm
+    ),
+    q(tok) AS (VALUES {_BM25_QUERY_SQL}),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf
+            WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               ((1000000 * 44 * t.tf * s.avgdl_pm)
+                // (20 * t.tf * s.avgdl_pm + 6 * s.avgdl_pm + 18000 * d.dl))
+               * ((1000 * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1))
+               AS term_score
+        FROM tf t
+        JOIN dfq f ON t.tok = f.tok
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(term_score) AS BIGINT) AS score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, n_terms, score
+    FROM ranked
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_SEARCH_K}
+"""
+
+
+@query(
+    "text_bm25_search", oracle=_BM25_SEARCH_ORACLE, tags=("llm", "text", "retrieval")
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} documents for a fixed multi-term query (OR semantics,
+    summed per-term exact-integer BM25 — see ``text_bm25_topk`` for
+    the arithmetic; with the rational-odds idf the per-term weights
+    differ from log-idf BM25 by a monotone per-term transform, which
+    cannot change single-term rankings and is the documented, exactly
+    cross-engine-checkable trade for multi-term sums).
+
+    Plan shape vs the per-term top-K: the tf wordcount filters to the
+    3 query literals BEFORE any join (pushed into the scan side of the
+    agg — the probe frame is ≤ |query|·N rows), document frequencies
+    for the query terms are a 3-row broadcast, and the per-document
+    rollup is one map-side-combinable sum over ≤ |query| rows per doc.
+    The global top-K is a TakeOrdered (sort-limit), never a full
+    sort. The tf base is NOT persisted here (unlike the top-K twin's
+    three-consumer fan-out): dl and the scored probe both derive from
+    it, but the df table only needs the 3 query terms, so the cheaper
+    move is recomputing the filtered branch — two scans of the raw
+    corpus, zero cached state."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qtf = tf.where(F.col("tok").isin(*BM25_QUERY))
+    dfq = qtf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = (
+        d.agg(F.count("*").alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("l_toks")))
+        .select("n_docs", F.expr("(1000 * l_toks) div n_docs").alias("avgdl_pm"))
+    )
+    scored = (
+        qtf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    "(1000000 * 44 * tf * avgdl_pm) div "
+                    "(20 * tf * avgdl_pm + 6 * avgdl_pm + 18000 * dl)"
+                )
+                * F.expr("(1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)")
+            ).alias("term_score"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("term_score").cast("long").alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        ranked.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_SEARCH_K)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("rnk", "doc_id", "n_terms", "score")
+        .orderBy("rnk")
+    )

@@ -158,3 +158,54 @@ def test_fused_lloyd_round_matches_numpy_reference(spark):
         norms[norms == 0.0] = 1.0
         c = c / norms
     assert np.allclose(got, c, atol=2e-6), np.abs(got - c).max()
+
+
+def test_bm25_search_matches_python_recompute(spark, sf_dir):
+    """Multi-term search: sum of per-term scores over the fixed query,
+    OR semantics, global top-K — recomputed in plain Python."""
+    from flume_source_spark.pipeline.text11 import BM25_QUERY, BM25_SEARCH_K
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    ]
+    tf: Counter = Counter()
+    dl: Counter = Counter()
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        for t in toks:
+            tf[(doc_id, t)] += 1
+        dl[doc_id] += len(toks)
+    n_docs = len(docs)
+    avgdl_pm = (1000 * sum(dl.values())) // n_docs
+    df: Counter = Counter()
+    for (_, t) in tf:
+        if t in BM25_QUERY:
+            df[t] += 1
+    agg: dict = {}
+    for (doc_id, t), f_ in tf.items():
+        if t not in BM25_QUERY:
+            continue
+        d = dl[doc_id]
+        tf_ppm = (1000000 * 44 * f_ * avgdl_pm) // (
+            20 * f_ * avgdl_pm + 6 * avgdl_pm + 18000 * d
+        )
+        idf_pm = (1000 * (2 * n_docs - 2 * df[t] + 1)) // (2 * df[t] + 1)
+        n, s = agg.get(doc_id, (0, 0))
+        agg[doc_id] = (n + 1, s + tf_ppm * idf_pm)
+    order = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:BM25_SEARCH_K]
+    expect = [
+        (rank + 1, doc_id, n, s) for rank, (doc_id, (n, s)) in enumerate(order)
+    ]
+    rows = run("text_bm25_search", spark, sf_dir).collect()
+    got = [(r.rnk, r.doc_id, r.n_terms, r.score) for r in rows]
+    assert got == expect
+
+
+def test_bm25_search_topk_is_take_ordered(spark, sf_dir):
+    """The global top-K must plan as a TakeOrdered (sort-limit), never
+    a full global sort of the per-document rollup."""
+    p = plan(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in p
