@@ -149,6 +149,11 @@ HEADLINE = [
     # TakeOrdered, doc-length rollup, broadcast-panel-pruned scoring
     # probe — then an 8-key top-K window)
     "text_bm25_topk",
+    # round-7 session-6 late addition, solo-probed ~1.2-1.5 s steady
+    # (new cost class: checkpointed per-group histogram partials
+    # rolled up at two grains + cumulative windows over BIN space +
+    # broadcast quantile-panel join — the quantile-sketch workflow)
+    "agg_quantile_hist_exact",
 ]
 
 

@@ -370,3 +370,106 @@ def agg_sketch_intersect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: plain HAVING count(DISTINCT)=total membership test."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return sketch_set_ops(li, "l_returnflag", "l_partkey")
+
+
+# Mergeable-quantile histogram: 5.00-unit bins over floor(value·100)
+# cents; quantile read = smallest bin lower bound whose cumulative
+# count reaches ceil(q·N/100). The bin width is the accuracy dial —
+# the sketch analog's k/eps parameter.
+HIST_BIN_CENTS = 500
+HIST_QS = (50, 90, 99)
+
+_QUANTILE_HIST_ORACLE = f"""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    both_grains AS (
+        SELECT event_type, bin, n FROM hist
+        UNION ALL
+        SELECT 'ALL' AS event_type, bin, CAST(SUM(n) AS BIGINT) AS n
+        FROM hist GROUP BY bin
+    ),
+    cum AS (
+        SELECT event_type, bin, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT)
+                   AS cum_n,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM both_grains
+    ),
+    q(q) AS (VALUES (50), (90), (99))
+    SELECT c.event_type, CAST(q.q AS BIGINT) AS q,
+           CAST(MIN(c.bin) * {HIST_BIN_CENTS} AS BIGINT) AS bin_lo_cents,
+           MIN(c.total) AS n_total
+    FROM cum c JOIN q ON c.cum_n * 100 >= q.q * c.total
+    GROUP BY 1, 2
+    ORDER BY event_type, q
+"""
+
+
+@query(
+    "agg_quantile_hist_exact",
+    oracle=_QUANTILE_HIST_ORACLE,
+    tags=("agg", "quantile", "sketch", "exact-twin"),
+)
+def agg_quantile_hist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of the QUANTILE-sketch merge algebra —
+    completing the sketch-family pins: ``agg_bitmap_distinct`` /
+    ``agg_sketch_merge_exact`` / ``agg_sketch_intersect_exact`` pin
+    distinct-count build/union/intersection; this pins the
+    t-digest/KLL-shaped workflow with the sketch replaced by an exact
+    fixed-bin histogram. Per-group histograms are ONE map-side-
+    combinable aggregate with bounded state (value-domain/bin rows per
+    group — sketch-sized, not data-sized); the corpus-grain histogram
+    is a rollup of the stored per-group partials (checkpointed —
+    neither consumer rescans events), which is lossless exactly
+    because fixed-bin counts merge by addition, the property that lets
+    daily/partition histograms roll up to any grain. The quantile read
+    is the smallest bin lower bound with cum_n ≥ ceil(q·N/100),
+    computed set-based for all grains × quantiles at once: one
+    cumulative window over BIN space (≤ domain/bin rows per grain,
+    never data-sized), a 3-row broadcast of the quantile panel, and a
+    min-bin aggregate. All-integer (cum_n·100 ≥ q·total avoids the
+    ceil division entirely); floor(value·100) is IEEE-identical on
+    both engines, and the non-negative domain keeps Spark ``div`` ≡
+    DuckDB ``//``. At 100 TB: the estimates of a real KLL sketch stay
+    engine-specific (``agg_approx``'s documented note) — what this
+    twin proves cross-engine is the build/merge/read PLAN SHAPE those
+    sketches run in."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"CAST(floor(value * 100) AS BIGINT) div {HIST_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        # the stored partial histograms: both grains read THIS table
+        .localCheckpoint(eager=True)
+    )
+    merged = hist.groupBy("bin").agg(F.sum("n").alias("n")).select(
+        F.lit("ALL").alias("event_type"), "bin", "n"
+    )
+    both = hist.select("event_type", "bin", "n").unionByName(merged)
+    from pyspark.sql import Window as W
+
+    cum = both.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(W.partitionBy("event_type").orderBy("bin")).alias("cum_n"),
+        F.sum("n").over(W.partitionBy("event_type")).alias("total"),
+    )
+    qs = ev.sparkSession.createDataFrame([(q,) for q in HIST_QS], "q long")
+    return (
+        cum.join(F.broadcast(qs), F.col("cum_n") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("event_type", "q")
+        .agg(
+            (F.min("bin") * HIST_BIN_CENTS).cast("long").alias("bin_lo_cents"),
+            F.min("total").cast("long").alias("n_total"),
+        )
+        .orderBy("event_type", "q")
+    )

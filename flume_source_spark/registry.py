@@ -322,14 +322,15 @@ _DRIVER_ROWSONLY_R06 = frozenset(
 # truncated sweep still spans families), then the rest grouped by
 # family, and the 6 rows-only stale queries LAST (their re-pin row is
 # rows-only-signal anyway — oracled evidence first). With ~50 rows of
-# budget and the 13 new round-7 registrations at the queue head,
-# this re-pins ≈37 and leaves ≈36 for round 8 to reach full
-# current-fixture driver evidence (284 registered after the round-7
+# budget and the 14 new round-7 registrations at the queue head,
+# this re-pins ≈36 and leaves ≈37 for round 8 to reach full
+# current-fixture driver evidence (285 registered after the round-7
 # additions: 3 BPE/sketch twins + join_bloom_prefilter +
 # agg_sketch_intersect_exact + ds_domain_mix_rebalance +
 # text_cooccurrence_pmi + ds_snapshot_diff + ds_k_anonymity_audit +
 # the two approximation audits dedup_lsh_recall_audit /
-# sim_ann_recall_audit + text_bm25_topk + text_bm25_search).
+# sim_ann_recall_audit + text_bm25_topk + text_bm25_search +
+# agg_quantile_hist_exact).
 _R07_STALE_REPIN = (
     # one-per-family heads (VERDICT r6 item 1 names the first eight)
     "join_left_outer", "setop_except_all", "subquery_scalar_correlated",

@@ -751,3 +751,52 @@ def test_sketch_intersect_absent_word_guard(spark):
     df = spark.createDataFrame(rows, "g STRING, k LONG")
     got = {r.set_op: r.n_distinct for r in sketch_set_ops(df, "g", "k").collect()}
     assert got == {"union": 3, "intersect": 2}
+
+
+def test_quantile_hist_rollup_reads_partials_not_base(spark, sf_dir):
+    """agg_quantile_hist_exact mirrors the sketch-merge claim for
+    quantiles: the per-group histogram is checkpointed once, and both
+    grains (per-type and merged ALL) plus the cumulative windows read
+    that partial (Scan ExistingRDD) — events is never rescanned."""
+    p = plan(spark, sf_dir, "agg_quantile_hist_exact")
+    assert "Scan ExistingRDD" in p
+    assert "FileScan parquet" not in p and "Scan parquet" not in p
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_quantile_hist_matches_python_recompute(spark, sf_dir):
+    """Third implementation of the histogram quantile read: exact
+    fixed-bin counts and the ceil(q·N/100) rank rule in plain Python
+    over the raw events values."""
+    import math
+    from collections import Counter
+
+    from flume_source_spark.operators.aggregates3 import HIST_BIN_CENTS, HIST_QS
+    from flume_source_spark.tables import load_tables
+
+    rows = (
+        load_tables(spark, sf_dir)["events"].select("event_type", "value").collect()
+    )
+    hists: dict = {}
+    for r in rows:
+        b = int(math.floor(r.value * 100)) // HIST_BIN_CENTS
+        hists.setdefault(r.event_type, Counter())[b] += 1
+        hists.setdefault("ALL", Counter())[b] += 1
+    expect = {}
+    for et, h in hists.items():
+        total = sum(h.values())
+        cum = 0
+        remaining = {q: None for q in HIST_QS}
+        for b in sorted(h):
+            cum += h[b]
+            for q in HIST_QS:
+                if remaining[q] is None and cum * 100 >= q * total:
+                    remaining[q] = b * HIST_BIN_CENTS
+        for q in HIST_QS:
+            expect[(et, q)] = (remaining[q], total)
+    got = {
+        (r.event_type, r.q): (r.bin_lo_cents, r.n_total)
+        for r in SPECS["agg_quantile_hist_exact"].builder(spark, sf_dir).collect()
+    }
+    assert got == expect
