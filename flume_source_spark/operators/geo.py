@@ -225,3 +225,92 @@ def geo_heatmap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (round 7, session 2): the containment primitive
+# (geofencing, region tagging). Ray casting — count edges a rightward
+# horizontal ray crosses; odd = inside — expressed ENTIRELY in integer
+# arithmetic: the usual px < x1 + (py-y1)(x2-x1)/(y2-y1) intersection
+# test is cross-multiplied by (y2-y1) (sign-flipping the inequality
+# when negative), so no division and no floats exist anywhere and both
+# engines agree bit-for-bit even for points exactly on edges (whatever
+# the geometric convention, the ARITHMETIC is identical).
+#
+# Scale: the polygon is a literal — the whole test compiles to one
+# codegen'd projection over the points, ZERO shuffles and zero joins
+# (the edge "loop" is unrolled: E per-edge CASE terms). That is the
+# right 100 TB shape for one-or-few fences; for MANY polygons the
+# standard composition is grid-index the polygon edges (same cells as
+# geo_grid_join), equi-join points→candidate polygons on cell id, then
+# run exactly this unrolled test per candidate pair.
+# ---------------------------------------------------------------------------
+
+# Non-convex hexagon in (x=lon_cd, y=lat_cd) space; the (18000,5000)
+# notch makes parity genuinely matter (a convex polygon never crosses
+# more than twice, hiding miscounts).
+_POLY = [
+    (4000, 2000),
+    (30000, 1000),
+    (33000, 9000),
+    (18000, 5000),
+    (12000, 11000),
+    (6000, 7000),
+]
+_EDGES = list(zip(_POLY, _POLY[1:] + _POLY[:1]))
+
+
+def _crossing_sql(px: str, py: str) -> str:
+    """Unrolled ray-cast crossing count as engine-portable SQL."""
+    terms = []
+    for (x1, y1), (x2, y2) in _EDGES:
+        cmp = "<" if y2 > y1 else ">"
+        terms.append(
+            f"(CASE WHEN ({y1} > {py}) <> ({y2} > {py})"
+            f" AND ({px} - {x1}) * {y2 - y1} {cmp} ({py} - {y1}) * {x2 - x1}"
+            " THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_PIP_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    cr AS (
+        SELECT id, lat_cd, lon_cd,
+               CAST({_crossing_sql("lon_cd", "lat_cd")} AS BIGINT) AS crossings
+        FROM pts
+    )
+    SELECT id, lat_cd, lon_cd, crossings, crossings % 2 = 1 AS inside
+    FROM cr ORDER BY id
+"""
+
+
+@query("geo_point_in_polygon", oracle=_PIP_ORACLE, tags=("geo", "spatial"))
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer ray-cast point-in-polygon against a literal non-convex
+    fence: the edge loop unrolls to one shuffle-free codegen'd
+    projection (cross-multiplied intersection test — no division, no
+    floats, bitwise cross-engine)."""
+    pts = _points(spark, sf_dir)
+    crossings = sum(
+        F.when(
+            ((F.lit(y1) > F.col("lat_cd")) != (F.lit(y2) > F.col("lat_cd")))
+            & (
+                ((F.col("lon_cd") - x1) * (y2 - y1) < (F.col("lat_cd") - y1) * (x2 - x1))
+                if y2 > y1
+                else ((F.col("lon_cd") - x1) * (y2 - y1) > (F.col("lat_cd") - y1) * (x2 - x1))
+            ),
+            1,
+        ).otherwise(0)
+        for (x1, y1), (x2, y2) in _EDGES
+    )
+    return (
+        pts.select(
+            "id",
+            "lat_cd",
+            "lon_cd",
+            crossings.cast("long").alias("crossings"),
+            (crossings % 2 == 1).alias("inside"),
+        )
+        .orderBy("id")
+    )

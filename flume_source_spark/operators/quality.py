@@ -192,3 +192,101 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk)
     )
     return out.withColumn("passed", F.col("violations") == 0).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (round 7, session 2): the quality-filter calibration
+# metric. Every trained quality classifier (fastText-style doc scorers,
+# the text_quality heuristics here) is judged by AUC before its
+# threshold is chosen; at corpus scale the naive definition (compare
+# every positive with every negative — O(P·N) pairs) is intractable,
+# while the rank-sum identity (Mann-Whitney U) needs only ONE pass of
+# rank statistics: AUC = (Σ ranks(pos) − P(P+1)/2) / (P·N), with
+# average ranks on ties. Everything below stays in integers: with
+# per-score-group counts cnt and pos and the running count of
+# strictly-smaller scores cum_less, 2·Σ ranks(pos) =
+# Σ pos·(2·cum_less + cnt + 1) exactly (each tied group's average rank
+# is (2·cum_less + cnt + 1)/2), so
+#   auc_ppm = (2Σranks(pos) − P(P+1)) · 1e6 DIV (2·P·N)
+# is a BIGINT both engines compute bit-identically (numerator ≥ 0 —
+# the minimum rank-sum for P positives is P(P+1)/2 — so trunc-div and
+# floor-div agree; no doubles anywhere).
+#
+# Scale: groupBy(source, score) first — map-side combine collapses
+# 100 TB of rows to |distinct scores| per group BEFORE any window; the
+# cumulative window then runs over distinct scores only (tiny), and
+# the final per-source agg is O(groups). This is the canonical
+# exact-AUC-at-scale plan: no per-pair work, two small shuffles after
+# the combine. Guard: sources with P=0 or N=0 have undefined AUC and
+# are filtered (den > 0) identically in both engines.
+# ---------------------------------------------------------------------------
+
+_ROC_AUC_ORACLE = """
+    WITH g AS (
+        SELECT source, n_chars AS score,
+               count(*) AS cnt,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *,
+               coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+        FROM g
+    ),
+    s AS (
+        SELECT source,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+               CAST(sum(pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS two_rank_sum
+        FROM c GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CAST((two_rank_sum - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM s
+    WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY source
+"""
+
+
+@query("dq_roc_auc_exact", oracle=_ROC_AUC_ORACLE, tags=("quality", "llm", "exact-twin"))
+def dq_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped ROC-AUC via the rank-sum (Mann-Whitney) identity,
+    ties handled by average ranks, all arithmetic in BIGINT ppm —
+    per-source AUC of the n_chars score against the lang='en' label
+    (does length predict English, per source). The calibration gate a
+    quality-classifier pipeline runs before choosing its threshold."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.groupBy("source", F.col("n_chars").alias("score")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = c.groupBy("source").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_less") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("two_rank_sum"),
+    )
+    return (
+        s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST((two_rank_sum - n_pos * (n_pos + 1)) * 1000000"
+                " DIV (2 * n_pos * n_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+        .orderBy("source")
+    )

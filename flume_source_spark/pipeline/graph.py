@@ -491,3 +491,48 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(nodes, edges)
     return pr.select("id", F.round("rank", 6).cast("double").alias("rank")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup (round 7, session 2): down-WEIGHT duplicate clusters
+# instead of dropping members. Several published pipelines keep all
+# near-duplicates but scale each document's sampling weight by
+# 1/cluster_size so every distinct content item contributes one unit
+# of training mass regardless of how many copies crawled in — the
+# gentler alternative to keeper-only dedup when duplicates carry
+# distinct metadata (different sources/timestamps) worth preserving.
+# Weights are exact integer ppm (1e6 DIV size; numerator positive, so
+# Spark trunc-div ≡ DuckDB floor-div), and the invariant
+# Σ weight_ppm over a cluster ≈ 1e6 (exact when size | 1e6) makes the
+# effective-corpus-size column a one-agg audit. Plan: the same LSH→CC
+# machinery as dedup_cluster_cc_lsh (banded, capped, skew-safe) plus
+# one size join — nothing new shuffles.
+# ---------------------------------------------------------------------------
+
+_SOFT_WEIGHTS_ORACLE = _CC_CTE + """
+    SELECT c.doc_id, c.component_id, s.component_size,
+           CAST(1000000 // s.component_size AS BIGINT) AS weight_ppm
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS component_size
+          FROM comp GROUP BY component_id) s USING (component_id)
+    ORDER BY c.doc_id
+"""
+
+
+@query("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE, tags=("llm", "dedup", "weights"))
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size-reciprocal sampling weights over the LSH near-dup
+    components: weight_ppm = 1e6 DIV component_size, so each distinct
+    content cluster contributes ~one unit of training mass. Same
+    banded/capped edge source and CC loop as dedup_cluster_cc_lsh;
+    the recursive-closure oracle pins the weights end-to-end."""
+    clusters = _cc_clusters(spark, sf_dir, dedup_minhash_lsh(spark, sf_dir))
+    return (
+        clusters.select(
+            "doc_id",
+            "component_id",
+            "component_size",
+            F.expr("CAST(1000000 DIV component_size AS BIGINT)").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )

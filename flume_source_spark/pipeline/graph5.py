@@ -1,0 +1,152 @@
+"""Graph wave 5: exact community-quality metrics (modularity).
+
+``graph_modularity_exact`` — Newman modularity of a given node
+partition over a similarity graph: the standard "are these communities
+real?" health metric run after any clustering/dedup stage (are the
+LSH/CC clusters denser than chance? do metadata partitions explain the
+similarity structure?). Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c =
+internal edges of community c, d_c = degree mass of c, m = total
+edges.
+
+Graph + partition choice: the SPATIAL proximity graph from
+operators/geo.py (grid-blocked integer squared-distance pairs — edge
+membership is pure integer arithmetic, so the edge set is bitwise
+cross-engine, unlike the float-cosine near-dup graph) partitioned by
+the customer's nation. Coordinates are key-derived, so nations should
+NOT cluster spatially (Q ≈ 0) — the value is the exactness pin of the
+metric machinery, and a planted-communities unit test covers the
+Q-large case.
+
+Exactness: per community the contribution is emitted as an exact
+BIGINT rational — contrib_num = 4·m·e_c − d_c², over q_den = 4·m² —
+NO division at all, because contrib_num is frequently NEGATIVE and
+Spark's integer DIV truncates toward zero while DuckDB's ``//`` floors
+toward −∞ (the divergence the PCA twin documents); Q itself is
+Σ contrib_num / q_den, recoverable exactly by any consumer.
+
+Scale: edges come from the bounded 3×3 grid equi-join (geo module
+scale notes); community tagging is two joins against the node→nation
+map (broadcast at fixture scale, hash join on node id at 100 TB);
+degrees and internal-edge counts are map-side-combinable aggregates;
+m is ONE bounded driver scalar (the same fixpoint-scalar pattern as
+kcore/pagerank). Nothing is quadratic in nodes or communities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.operators.geo import _COORDS_SQL, _T2, _points, grid_pairs
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# Independent quadratic-pair formulation of the edge set (the same
+# cross-check shape geo_grid_join's oracle uses), then the modularity
+# accounting in exact BIGINT.
+_MODULARITY_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
+    edges AS (
+        SELECT a.id AS i, b.id AS j
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
+            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_T2}
+    ),
+    m AS (SELECT count(*) AS m FROM edges),
+    deg AS (
+        SELECT id, count(*) AS deg
+        FROM (SELECT i AS id FROM edges UNION ALL SELECT j AS id FROM edges)
+        GROUP BY id
+    ),
+    degc AS (
+        SELECT n.community, CAST(sum(d.deg) AS BIGINT) AS degree_sum
+        FROM deg d JOIN nat n ON d.id = n.id
+        GROUP BY n.community
+    ),
+    internal AS (
+        SELECT ni.community, CAST(count(*) AS BIGINT) AS internal_edges
+        FROM edges e
+        JOIN nat ni ON e.i = ni.id
+        JOIN nat nj ON e.j = nj.id
+        WHERE ni.community = nj.community
+        GROUP BY ni.community
+    ),
+    communities AS (SELECT DISTINCT community FROM nat)
+    SELECT c.community,
+           coalesce(i.internal_edges, 0) AS internal_edges,
+           coalesce(d.degree_sum, 0) AS degree_sum,
+           CAST(4 * m.m * coalesce(i.internal_edges, 0)
+                - coalesce(d.degree_sum, 0) * coalesce(d.degree_sum, 0)
+                AS BIGINT) AS contrib_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS q_den
+    FROM communities c
+    CROSS JOIN m
+    LEFT JOIN internal i USING (community)
+    LEFT JOIN degc d USING (community)
+    ORDER BY c.community
+"""
+
+
+def modularity_profile(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Exact per-community modularity accounting over an (i < j) edge
+    frame and an (id, community) membership frame: internal_edges,
+    degree_sum, and the exact rational contribution
+    (4·m·e_c − d_c²) / 4m² as BIGINT num/den columns. Factored from
+    the registry query so planted-community unit tests (cliques →
+    Q near max, random partition → Q ≈ 0) drive the production code."""
+    edges = edges.select("i", "j").localCheckpoint(eager=True)
+    m = edges.count()
+    deg = (
+        edges.select(F.col("i").alias("id"))
+        .unionAll(edges.select(F.col("j").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    degc = (
+        deg.join(membership, "id")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("degree_sum"))
+    )
+    ni = membership.select(F.col("id").alias("i"), F.col("community").alias("ci"))
+    nj = membership.select(F.col("id").alias("j"), F.col("community").alias("cj"))
+    internal = (
+        edges.join(ni, "i")
+        .join(nj, "j")
+        .filter(F.col("ci") == F.col("cj"))
+        .groupBy(F.col("ci").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    return (
+        membership.select("community")
+        .distinct()
+        .join(internal, "community", "left")
+        .join(degc, "community", "left")
+        .select(
+            "community",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).cast("long").alias("internal_edges"),
+            F.coalesce(F.col("degree_sum"), F.lit(0)).cast("long").alias("degree_sum"),
+            (
+                4 * F.lit(m) * F.coalesce(F.col("internal_edges"), F.lit(0))
+                - F.coalesce(F.col("degree_sum"), F.lit(0))
+                * F.coalesce(F.col("degree_sum"), F.lit(0))
+            ).cast("long").alias("contrib_num"),
+            F.lit(4 * m * m).cast("long").alias("q_den"),
+        )
+        .orderBy("community")
+    )
+
+
+@query("graph_modularity_exact", oracle=_MODULARITY_ORACLE, tags=("graph", "quality", "exact-twin"))
+def graph_modularity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the spatial
+    proximity graph, emitted as exact BIGINT rationals per community
+    (no division — see module docstring for the trunc-vs-floor-div
+    trap this sidesteps). Q = Σ contrib_num / q_den."""
+    pts = _points(spark, sf_dir)
+    edges = grid_pairs(pts)
+    nat = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    )
+    return modularity_profile(edges, nat)

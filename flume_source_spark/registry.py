@@ -479,6 +479,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.aggregates  # noqa: F401
     import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.aggregates3  # noqa: F401
+    import flume_source_spark.operators.aggregates4  # noqa: F401
     import flume_source_spark.operators.runtime_filter  # noqa: F401
     import flume_source_spark.operators.windows2  # noqa: F401
     import flume_source_spark.operators.windows3  # noqa: F401
@@ -513,6 +514,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph2  # noqa: F401
     import flume_source_spark.pipeline.graph3  # noqa: F401
     import flume_source_spark.pipeline.graph4  # noqa: F401
+    import flume_source_spark.pipeline.graph5  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.similarity2  # noqa: F401

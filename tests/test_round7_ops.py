@@ -1,0 +1,210 @@
+"""Round-7 session-2 wave tests: properties the oracle hash gate
+can't express — AUC against the naive O(P·N) pairwise definition,
+ray-cast containment against the classic float-division pnpoly,
+Count-Min's over-estimate guarantee, planted-community modularity,
+and soft-dedup weight mass conservation."""
+
+from __future__ import annotations
+
+import duckdb
+
+from flume_source_spark.operators.geo import _EDGES
+from flume_source_spark.pipeline.graph5 import modularity_profile
+from flume_source_spark.registry import load_all
+
+SPECS = load_all()
+
+
+# ---------------------------------------------------------------- AUC
+
+
+def _naive_grouped_auc(df):
+    """O(P·N) pairwise AUC per source straight from the definition —
+    the independent reference the rank-sum identity must reproduce."""
+    out = {}
+    for source, g in df.groupby("source"):
+        pos = sorted(g[g.lang == "en"].n_chars)
+        neg = sorted(g[g.lang != "en"].n_chars)
+        if not pos or not neg:
+            continue
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        out[source] = wins / (len(pos) * len(neg))
+    return out
+
+
+def test_roc_auc_matches_pairwise_definition(spark, sf_dir):
+    docs = duckdb.sql(f"SELECT source, lang, n_chars FROM '{sf_dir}/documents.parquet'").df()
+    expected = _naive_grouped_auc(docs)
+    got = {
+        r.source: (r.n_pos, r.n_neg, r.auc_ppm)
+        for r in SPECS["dq_roc_auc_exact"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for source, (n_pos, n_neg, auc_ppm) in got.items():
+        # auc_ppm is the FLOOR of auc·1e6 (exact integer DIV), so it
+        # must sit within one ppm unit below the float reference.
+        ref = expected[source] * 1_000_000
+        assert ref - 1 <= auc_ppm <= ref + 1e-6, (source, auc_ppm, ref)
+        assert n_pos > 0 and n_neg > 0
+
+
+def test_roc_auc_extremes(spark):
+    """Perfectly separated scores → AUC = 1; inverted → 0; the
+    all-ties degenerate column → exactly 1/2 (average-rank ties)."""
+    rows = (
+        [("sep", "en", 100 + i) for i in range(5)]
+        + [("sep", "de", i) for i in range(5)]
+        + [("inv", "de", 100 + i) for i in range(5)]
+        + [("inv", "en", i) for i in range(5)]
+        + [("tie", "en", 7)] * 4
+        + [("tie", "de", 7)] * 6
+    )
+    df = spark.createDataFrame(rows, "source string, lang string, n_chars int")
+    df.createOrReplaceTempView("_auc_probe")
+    # reuse the registry arithmetic by re-deriving from the probe view
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = df.groupBy("source", F.col("n_chars").alias("score")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    w = Window.partitionBy("source").orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = c.groupBy("source").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_less") + F.col("cnt") + 1)).alias("trs"),
+    )
+    res = {
+        r.source: r.auc_ppm
+        for r in s.select(
+            "source",
+            F.expr("CAST((trs - n_pos*(n_pos+1)) * 1000000 DIV (2*n_pos*n_neg) AS BIGINT)").alias("auc_ppm"),
+        ).collect()
+    }
+    assert res == {"sep": 1_000_000, "inv": 0, "tie": 500_000}
+
+
+# ---------------------------------------------------- point in polygon
+
+
+def _pnpoly_float(px, py):
+    """The classic float-division ray cast (W. Randolph Franklin's
+    formulation) — algebraically independent of the integer
+    cross-multiplied form shipped in operators/geo.py."""
+    inside = False
+    for (x1, y1), (x2, y2) in _EDGES:
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_float_pnpoly(spark, sf_dir):
+    rows = SPECS["geo_point_in_polygon"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen_inside = seen_outside = 0
+    for r in rows:
+        expected = _pnpoly_float(r.lon_cd, r.lat_cd)
+        assert r.inside == expected, (r.id, r.lon_cd, r.lat_cd)
+        seen_inside += r.inside
+        seen_outside += not r.inside
+    assert seen_inside and seen_outside  # fixture exercises both sides
+
+
+def test_point_in_polygon_notch_needs_nonconvexity():
+    """A probe ray through the (18000,5000) notch must cross > 2 edges
+    somewhere — i.e. the fixture polygon is genuinely non-convex and
+    parity (not a 0/2-crossing convex test) is what's being pinned."""
+    probes = [(x, y) for x in range(0, 36000, 500) for y in range(0, 12000, 500)]
+    crossings = []
+    for px, py in probes:
+        c = 0
+        for (x1, y1), (x2, y2) in _EDGES:
+            if (y1 > py) != (y2 > py):
+                lhs = (px - x1) * (y2 - y1)
+                rhs = (py - y1) * (x2 - x1)
+                if (lhs < rhs) if y2 > y1 else (lhs > rhs):
+                    c += 1
+        crossings.append(c)
+    assert max(crossings) >= 3
+
+
+# ----------------------------------------------------------- count-min
+
+
+def test_count_min_overestimates_only(spark, sf_dir):
+    """The CMS contract: est ≥ true for EVERY key (counters only gain
+    from collisions), and at least one key is estimated exactly."""
+    rows = SPECS["agg_count_min_exact"].builder(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_cnt == r.true_cnt + r.overestimate for r in rows)
+    assert any(r.overestimate == 0 for r in rows)
+    # total mass per hash row equals the input row count — the sketch
+    # is a partition of the stream, which is what makes it mergeable
+    total = sum(r.true_cnt for r in rows)
+    assert total > 0
+
+
+# ---------------------------------------------------------- modularity
+
+
+def _two_cliques(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+    return spark.createDataFrame(edges, "i long, j long")
+
+
+def test_modularity_planted_communities(spark):
+    """Two disjoint triangles: the matching partition scores the exact
+    textbook Q = 1/2 (contrib 36/144 per community); a partition that
+    splits the cliques scores strictly lower."""
+    edges = _two_cliques(spark)
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, community long"
+    )
+    prof = {r.community: r for r in modularity_profile(edges, perfect).collect()}
+    assert prof[0].internal_edges == 3 and prof[0].degree_sum == 6
+    assert prof[0].contrib_num == 4 * 6 * 3 - 36 == 36
+    assert prof[0].q_den == 144
+    q_perfect = sum(r.contrib_num for r in prof.values()) / 144
+    assert q_perfect == 0.5
+
+    mixed = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 0), (6, 1)], "id long, community long"
+    )
+    q_mixed = sum(r.contrib_num for r in modularity_profile(edges, mixed).collect()) / 144
+    assert q_mixed < q_perfect
+
+
+def test_modularity_whole_graph_is_zero(spark):
+    """Everything in one community ⇒ Q = 0 exactly (e_c = m and
+    d_c = 2m make the contribution vanish) — the standard sanity
+    identity for the accounting."""
+    edges = _two_cliques(spark)
+    one = spark.createDataFrame([(i, 0) for i in range(1, 7)], "id long, community long")
+    rows = modularity_profile(edges, one).collect()
+    assert len(rows) == 1
+    assert rows[0].contrib_num == 0
+
+
+# --------------------------------------------------- soft dedup weights
+
+
+def test_soft_weights_conserve_cluster_mass(spark, sf_dir):
+    rows = SPECS["dedup_soft_weights"].builder(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.component_id, []).append(r)
+    for cid, members in by_cluster.items():
+        size = members[0].component_size
+        assert len(members) == size
+        w = members[0].weight_ppm
+        assert all(m.weight_ppm == w for m in members)
+        # Σ weight over the cluster is 1e6 up to the floor remainder
+        assert 1_000_000 - size < size * w <= 1_000_000
+        if size == 1:
+            assert w == 1_000_000
+    # fixture must exercise a real multi-doc cluster
+    assert any(m[0].component_size > 1 for m in by_cluster.values())
