@@ -150,3 +150,50 @@ def graph_modularity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("long").alias("community"),
     )
     return modularity_profile(edges, nat)
+
+
+# ---------------------------------------------------------------------------
+# Conductance — the complementary community-quality metric: how leaky
+# is each community's boundary? φ_c = cut_c / min(vol_c, 2m − vol_c).
+# It derives ENTIRELY from the modularity profile's columns — every
+# edge endpoint incident to c is either one of 2·e_c internal
+# endpoints or one cut endpoint, so cut_c = d_c − 2·e_c — which means
+# the metric costs ZERO additional joins or scans: one projection over
+# graph_modularity_exact's output. Emitted as exact BIGINT num/den
+# (phi_num = cut_c, phi_den = min(vol, 2m − vol)) for the same
+# division-free cross-engine reason as modularity; m is recovered from
+# q_den = 4m² without a second edge count.
+# ---------------------------------------------------------------------------
+
+_CONDUCTANCE_ORACLE = f"""
+    WITH prof AS ({_MODULARITY_ORACLE.replace("ORDER BY c.community", "")})
+    SELECT community,
+           CAST(degree_sum - 2 * internal_edges AS BIGINT) AS cut_edges,
+           degree_sum AS volume,
+           CAST(degree_sum - 2 * internal_edges AS BIGINT) AS phi_num,
+           CAST(least(degree_sum,
+                      CAST(sqrt(q_den) AS BIGINT) - degree_sum) AS BIGINT) AS phi_den
+    FROM prof
+    ORDER BY community
+"""
+
+
+@query("graph_conductance_exact", oracle=_CONDUCTANCE_ORACLE, tags=("graph", "quality", "exact-twin"))
+def graph_conductance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance over the spatial proximity graph,
+    derived from the modularity profile with zero extra joins:
+    cut_c = d_c − 2·e_c, φ_c = phi_num/phi_den exact BIGINT rationals
+    (2m recovered as sqrt(q_den) — exact, q_den = 4m² is a perfect
+    square by construction)."""
+    prof = graph_modularity_exact(spark, sf_dir)
+    cut = (F.col("degree_sum") - 2 * F.col("internal_edges")).cast("long")
+    two_m = F.expr("CAST(sqrt(q_den) AS BIGINT)")
+    return prof.select(
+        "community",
+        cut.alias("cut_edges"),
+        F.col("degree_sum").alias("volume"),
+        cut.alias("phi_num"),
+        F.least(F.col("degree_sum"), (two_m - F.col("degree_sum")).cast("long"))
+        .cast("long")
+        .alias("phi_den"),
+    ).orderBy("community")

@@ -208,3 +208,71 @@ def test_soft_weights_conserve_cluster_mass(spark, sf_dir):
             assert w == 1_000_000
     # fixture must exercise a real multi-doc cluster
     assert any(m[0].component_size > 1 for m in by_cluster.values())
+
+
+# --------------------------------------------------------- conductance
+
+
+def test_conductance_planted(spark):
+    """Two disjoint triangles, matching partition ⇒ zero cut
+    everywhere; a split partition must surface nonzero boundary."""
+    from flume_source_spark.pipeline.graph5 import modularity_profile
+
+    def conduct(profile):
+        rows = profile.collect()
+        two_m = int(sum(r.degree_sum for r in rows))
+        return {
+            r.community: (r.degree_sum - 2 * r.internal_edges, r.degree_sum, two_m)
+            for r in rows
+        }
+
+    edges = _two_cliques(spark)
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, community long"
+    )
+    cuts = conduct(modularity_profile(edges, perfect))
+    assert all(cut == 0 for cut, _, _ in cuts.values())
+
+    mixed = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 0), (6, 1)], "id long, community long"
+    )
+    mixed_cuts = conduct(modularity_profile(edges, mixed))
+    assert any(cut > 0 for cut, _, _ in mixed_cuts.values())
+
+
+def test_conductance_cut_identity(spark, sf_dir):
+    """Σ_c cut_c counts every cross-community edge from both sides —
+    so it must be even, and volumes must sum to 2m (handshake)."""
+    rows = SPECS["graph_conductance_exact"].builder(spark, sf_dir).collect()
+    total_cut = sum(r.cut_edges for r in rows)
+    assert total_cut % 2 == 0
+    assert all(r.cut_edges >= 0 for r in rows)
+    assert all(r.phi_den >= 0 for r in rows)
+    # volume handshake: Σ d_c = 2m must be even
+    assert sum(r.volume for r in rows) % 2 == 0
+
+
+# ----------------------------------------------------------- plan pins
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_in_polygon_is_shuffle_free(spark, sf_dir):
+    """The unrolled fence test must compile to a pure projection: the
+    ONLY exchange allowed is the display sort's range partitioning —
+    no hash exchange, no join of any kind."""
+    p = _plan(spark, sf_dir, "geo_point_in_polygon")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+    assert "*(" in p  # whole-stage codegen engaged
+
+
+def test_count_min_probe_join_broadcasts(spark, sf_dir):
+    """The D×W cell table must broadcast to the probe join — the
+    corpus-sized side never shuffles for the lookup."""
+    p = _plan(spark, sf_dir, "agg_count_min_exact")
+    assert "BroadcastHashJoin" in p
