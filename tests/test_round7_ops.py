@@ -276,3 +276,46 @@ def test_count_min_probe_join_broadcasts(spark, sf_dir):
     corpus-sized side never shuffles for the lookup."""
     p = _plan(spark, sf_dir, "agg_count_min_exact")
     assert "BroadcastHashJoin" in p
+
+
+# ------------------------------------------------------------ knn graph
+
+
+def test_knn_graph_matches_numpy_bruteforce(spark, sf_dir):
+    """Every node's ranked neighbor list equals the numpy brute-force
+    ranking within its label block (ties broken by neighbor id) — the
+    third-implementation pin for the k-NN graph builder."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.similarity3 import _KNN_K
+    from flume_source_spark.tables import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "label", "embedding")
+        .toPandas()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    labels = {r.vec_id: r.label for r in emb.itertuples()}
+    expected = {}
+    for i, vi in vecs.items():
+        cands = []
+        for j, vj in vecs.items():
+            if j == i or labels[j] != labels[i]:
+                continue
+            sim = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+            cands.append((-sim, j))
+        cands.sort()
+        expected[i] = [j for _, j in cands[:_KNN_K]]
+
+    got = {}
+    for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect():
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    assert set(got) == set(expected)
+    for i, rows in got.items():
+        rows.sort()
+        assert [n for _, n, _ in rows] == expected[i], (i, rows, expected[i])
+        # ranks are 1..k dense and similarities non-increasing
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+        sims = [s for _, _, s in rows]
+        assert sims == sorted(sims, reverse=True)
