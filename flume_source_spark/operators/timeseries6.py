@@ -1,0 +1,129 @@
+"""Time-series wave 6: exact Holt double-exponential smoothing.
+
+``ts_holt_exact`` — level+trend exponential smoothing (Holt's linear
+method, the workhorse short-horizon forecaster) over the daily
+event-count series, computed EXACTLY in scaled integers so the driver
+can hash it cross-engine. The per-series recurrence
+    l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+runs in units of 1e-6 with α = 3/10, β = 2/10 as integer rationals;
+every division-by-10 is made EXACT before it happens by subtracting
+the positive remainder — ``(a − ((a % 10 + 10) % 10)) DIV 10`` — so
+Spark's truncating DIV and DuckDB's flooring ``//`` agree even though
+the trend term goes NEGATIVE on down-slopes (the trunc-vs-floor trap
+the PCA/modularity twins document, solved here by never dividing a
+non-multiple).
+
+Execution shape — the one that matters at 100 TB:
+1. Daily aggregation: groupBy(event_type, day) count — map-side
+   combinable, collapses any corpus to |series| × |days| rows.
+2. The recurrence is inherently sequential IN t but embarrassingly
+   parallel ACROSS series — the canonical ``applyInPandas`` use: one
+   Arrow batch per series, a T-step Python-int loop inside (T = days,
+   bounded; arbitrary-precision ints, so the kernel is exact, not
+   float). A million series parallelize over executors; no driver
+   loop, no cross-series shuffle beyond the one groupBy.
+The DuckDB oracle is an independent formulation: a recursive CTE
+stepping t → t+1 with the identical exact-division arithmetic.
+
+Init (pinned convention): l_1 = y_1·1e6, b_1 = 0. Forecast column is
+the one-step-ahead ŷ_{t+1} = l_t + b_t.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_S = 1_000_000  # fixed-point scale
+_A_NUM, _B_NUM, _DEN = 3, 2, 10  # α = 3/10, β = 2/10
+
+
+def _fdiv10_sql(a: str) -> str:
+    """Exact division by 10 after stripping the positive remainder —
+    identical under truncating and flooring integer division."""
+    return f"(({a}) - ((({a}) % 10 + 10) % 10)) // 10"
+
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+        FROM daily
+    ),
+    rec AS (
+        SELECT event_type, t, y,
+               y * {_S} AS l,
+               CAST(0 AS BIGINT) AS b
+        FROM idx WHERE t = 1
+        UNION ALL
+        SELECT i.event_type, i.t, i.y,
+               {_fdiv10_sql(f"{_A_NUM} * i.y * {_S} + {_DEN - _A_NUM} * (r.l + r.b)")} AS l,
+               {_fdiv10_sql(
+                   f"{_B_NUM} * ({_fdiv10_sql(f'{_A_NUM} * i.y * {_S} + {_DEN - _A_NUM} * (r.l + r.b)')} - r.l)"
+                   f" + {_DEN - _B_NUM} * r.b"
+               )} AS b
+        FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+    )
+    SELECT event_type, t, y,
+           CAST(l AS BIGINT) AS level_s,
+           CAST(b AS BIGINT) AS trend_s,
+           CAST(l + b AS BIGINT) AS forecast_s
+    FROM rec
+    ORDER BY event_type, t
+"""
+
+
+def _holt_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-series exact Holt recurrence in arbitrary-precision Python
+    ints (one Arrow batch per series; T bounded by the day range)."""
+    pdf = pdf.sort_values("t")
+    out = []
+    l = b = 0
+    for i, (t, y) in enumerate(zip(pdf["t"], pdf["y"])):
+        t, y = int(t), int(y)
+        if i == 0:
+            l, b = y * _S, 0
+        else:
+            l_new = (_A_NUM * y * _S + (_DEN - _A_NUM) * (l + b)) // _DEN
+            b = (_B_NUM * (l_new - l) + (_DEN - _B_NUM) * b) // _DEN
+            l = l_new
+        out.append((pdf["event_type"].iloc[0], t, y, l, b, l + b))
+    return pd.DataFrame(
+        out, columns=["event_type", "t", "y", "level_s", "trend_s", "forecast_s"]
+    )
+
+
+@query("ts_holt_exact", oracle=_HOLT_ORACLE, tags=("timeseries", "forecast", "exact-twin"))
+def ts_holt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing over daily event counts, exact in
+    scaled integers: sequential in t inside an applyInPandas kernel,
+    parallel across series — hash-pinned against a recursive-CTE
+    oracle running the identical remainder-stripped arithmetic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    from pyspark.sql import Window
+
+    idx = daily.withColumn(
+        "t",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).cast("long"),
+    ).select("event_type", "t", "y")
+    return (
+        idx.groupBy("event_type")
+        .applyInPandas(
+            _holt_kernel,
+            schema="event_type string, t long, y long, level_s long, trend_s long, forecast_s long",
+        )
+        .orderBy("event_type", "t")
+    )

@@ -488,6 +488,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries3  # noqa: F401
     import flume_source_spark.operators.timeseries4  # noqa: F401
     import flume_source_spark.operators.timeseries5  # noqa: F401
+    import flume_source_spark.operators.timeseries6  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -523,6 +524,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.audit  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401
     import flume_source_spark.pipeline.embstats2  # noqa: F401
+    import flume_source_spark.pipeline.embstats3  # noqa: F401
     import flume_source_spark.pipeline.text  # noqa: F401
     import flume_source_spark.pipeline.text2  # noqa: F401
     import flume_source_spark.pipeline.text3  # noqa: F401

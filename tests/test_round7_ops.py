@@ -319,3 +319,71 @@ def test_knn_graph_matches_numpy_bruteforce(spark, sf_dir):
         assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
         sims = [s for _, _, s in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+# ------------------------------------------------------------ holt exact
+
+
+def test_holt_exact_tracks_float_reference(spark, sf_dir):
+    """The scaled-integer recurrence loses < 1e-6 per step to the
+    exact floor-division, so over the ~30-day series it must sit
+    within 1e-4 of the classic float Holt recursion — and the
+    one-step forecast must equal level + trend exactly."""
+    rows = SPECS["ts_holt_exact"].builder(spark, sf_dir).collect()
+    assert rows
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.t)
+        l = b = 0.0
+        for i, r in enumerate(rs):
+            if i == 0:
+                l, b = float(r.y), 0.0
+            else:
+                l_new = 0.3 * r.y + 0.7 * (l + b)
+                b = 0.2 * (l_new - l) + 0.8 * b
+                l = l_new
+            assert abs(r.level_s / 1e6 - l) < 1e-4 * max(1.0, abs(l)), (et, r.t)
+            assert abs(r.trend_s / 1e6 - b) < 1e-4 * max(1.0, abs(b) + 1)
+            assert r.forecast_s == r.level_s + r.trend_s
+        # ranks dense 1..T
+        assert [r.t for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_holt_kernel_planted_trend():
+    """A perfectly linear series y_t = 10t converges to trend ≈ 10:
+    Holt with any α, β reproduces an exact linear trend (the method's
+    defining fixed point); negative-trend series go negative —
+    exercising the signed exact-division path."""
+    import pandas as pd
+
+    from flume_source_spark.operators.timeseries6 import _holt_kernel
+
+    up = pd.DataFrame(
+        {"event_type": ["x"] * 30, "t": range(1, 31), "y": [10 * t for t in range(1, 31)]}
+    )
+    out = _holt_kernel(up)
+    assert abs(out.iloc[-1]["trend_s"] / 1e6 - 10.0) < 0.5
+    down = pd.DataFrame(
+        {"event_type": ["x"] * 30, "t": range(1, 31), "y": [1000 - 30 * t for t in range(1, 31)]}
+    )
+    out_d = _holt_kernel(down)
+    assert out_d.iloc[-1]["trend_s"] < 0  # signed path exercised
+
+
+# --------------------------------------------------------- prefix energy
+
+
+def test_prefix_energy_monotone_and_complete(spark, sf_dir):
+    """Retained energy is non-decreasing in prefix length, and the
+    full-dimension prefix (64 = the fixture dim) retains exactly
+    100% (num == den bitwise → ratio exactly 1.0 → 1e6 ppm)."""
+    rows = {r.prefix_len: r for r in SPECS["emb_prefix_energy"].builder(spark, sf_dir).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    avgs = [rows[p].avg_retained_ppm for p in (8, 16, 32, 64)]
+    assert avgs == sorted(avgs)
+    assert rows[64].avg_retained_ppm == 1_000_000
+    assert rows[64].min_retained_ppm == 1_000_000
+    assert rows[64].n_ge_90pct == rows[64].n
+    assert all(0 <= rows[p].min_retained_ppm <= 1_000_000 for p in rows)
