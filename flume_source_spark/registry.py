@@ -517,6 +517,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph4  # noqa: F401
     import flume_source_spark.pipeline.graph5  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
+    import flume_source_spark.pipeline.entity2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.similarity2  # noqa: F401
     import flume_source_spark.pipeline.similarity3  # noqa: F401

@@ -387,3 +387,38 @@ def test_prefix_energy_monotone_and_complete(spark, sf_dir):
     assert rows[64].min_retained_ppm == 1_000_000
     assert rows[64].n_ge_90pct == rows[64].n
     assert all(0 <= rows[p].min_retained_ppm <= 1_000_000 for p in rows)
+
+
+# ------------------------------------------------------- FS linkage
+
+
+def test_fs_linkage_score_consistency(spark, sf_dir):
+    """Scores are the exact sum of the field weights, classes respect
+    the thresholds, and both classes occur on the fixture (the
+    scoring machinery, not just zero-propagation, is exercised)."""
+    from flume_source_spark.pipeline.entity2 import _MATCH_T, _REVIEW_T
+
+    rows = SPECS["entity_fs_linkage_scores"].builder(spark, sf_dir).collect()
+    assert rows
+    classes = set()
+    for r in rows:
+        assert r.score == r.w_name + r.w_type + r.w_size
+        assert r.score >= _REVIEW_T
+        assert r.link_class == ("match" if r.score >= _MATCH_T else "possible")
+        assert r.i < r.j  # canonical orientation, each pair once
+        classes.add(r.link_class)
+    assert classes == {"match", "possible"}
+
+
+def test_fs_linkage_identical_records_hit_max_score():
+    """Two identical records must score the sum of all agreement
+    weights (44) — the Fellegi-Sunter upper bound — by construction
+    of the weight literals."""
+    from flume_source_spark.pipeline.entity2 import _W_NAME, _W_SIZE, _W_TYPE, _MATCH_T
+
+    max_score = _W_NAME[0] + _W_TYPE[0] + _W_SIZE[0]
+    assert max_score == 44
+    assert max_score >= _MATCH_T
+    # and total disagreement must fall below review
+    min_score = _W_NAME[1] + _W_TYPE[1] + _W_SIZE[1]
+    assert min_score < 0
