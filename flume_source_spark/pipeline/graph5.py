@@ -197,3 +197,96 @@ def graph_conductance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("phi_den"),
     ).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation, one synchronous round — the community-detection
+# step the quality metrics above exist to evaluate: every node adopts
+# the most frequent community among its neighbors (deterministic ties:
+# highest vote count, then LOWEST community id; isolated nodes keep
+# their label). One LPA round is a pure join+agg+argmax — exactly the
+# per-round shape of the kcore peel and pagerank twins — so it is
+# driver-hashable, and its effect is MEASURABLE: the planted test runs
+# modularity_profile before and after a round on a noisy planted
+# partition and asserts Q does not decrease.
+#
+# Scale: expand edges to directed form (2m rows), join membership on
+# the neighbor endpoint (hash join on node id), count votes per
+# (node, label) with map-side combine, one row_number argmax window
+# per node. Iterating = repeating this plan on the updated membership
+# (localCheckpoint per round, the kcore pattern).
+# ---------------------------------------------------------------------------
+
+_LPA_ORACLE = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
+    edges AS (
+        SELECT a.id AS i, b.id AS j
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
+            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_T2}
+    ),
+    directed AS (SELECT i AS v, j AS u FROM edges UNION ALL SELECT j AS v, i AS u FROM edges),
+    votes AS (
+        SELECT d.v, n.community AS cand, CAST(count(*) AS BIGINT) AS votes
+        FROM directed d JOIN nat n ON d.u = n.id
+        GROUP BY d.v, n.community
+    ),
+    best AS (
+        SELECT v, cand, votes,
+               row_number() OVER (PARTITION BY v ORDER BY votes DESC, cand) AS rn
+        FROM votes
+    )
+    SELECT n.id, n.community AS old_community,
+           coalesce(b.cand, n.community) AS new_community,
+           coalesce(b.votes, 0) AS votes,
+           coalesce(b.cand, n.community) <> n.community AS changed
+    FROM nat n LEFT JOIN best b ON b.v = n.id AND b.rn = 1
+    ORDER BY n.id
+"""
+
+
+def lpa_round(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round over an (i < j) edge
+    frame and an (id, community) membership frame. Deterministic:
+    most neighbor votes, ties to the lowest community id; nodes with
+    no neighbors keep their label. Factored for planted-topology
+    tests and for iterating (feed new_community back in)."""
+    from pyspark.sql import Window
+
+    directed = edges.select(F.col("i").alias("v"), F.col("j").alias("u")).unionAll(
+        edges.select(F.col("j").alias("v"), F.col("i").alias("u"))
+    )
+    nbr = membership.select(F.col("id").alias("u"), F.col("community").alias("cand"))
+    votes = directed.join(nbr, "u").groupBy("v", "cand").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("votes").desc(), F.col("cand"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        membership.join(best, membership.id == best.v, "left")
+        .select(
+            "id",
+            F.col("community").alias("old_community"),
+            F.coalesce(F.col("cand"), F.col("community")).alias("new_community"),
+            F.coalesce(F.col("votes"), F.lit(0)).cast("long").alias("votes"),
+            (F.coalesce(F.col("cand"), F.col("community")) != F.col("community")).alias("changed"),
+        )
+        .orderBy("id")
+    )
+
+
+@query("graph_label_propagation_round", oracle=_LPA_ORACLE, tags=("graph", "community", "exact-twin"))
+def graph_label_propagation_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic LPA round over the spatial proximity graph,
+    seeded with the nation partition: per node the plurality neighbor
+    community (ties to lowest id), vote count, and a changed flag —
+    the community-detection step whose outcome graph_modularity_exact
+    and graph_conductance_exact evaluate."""
+    pts = _points(spark, sf_dir)
+    edges = grid_pairs(pts)
+    nat = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    )
+    return lpa_round(edges.select("i", "j"), nat)

@@ -422,3 +422,48 @@ def test_fs_linkage_identical_records_hit_max_score():
     # and total disagreement must fall below review
     min_score = _W_NAME[1] + _W_TYPE[1] + _W_SIZE[1]
     assert min_score < 0
+
+
+# ------------------------------------------------------------ LPA round
+
+
+def test_lpa_round_repairs_planted_mislabel_and_raises_q(spark):
+    """Two K4 cliques, one node mislabeled: a single LPA round flips
+    it back (plurality of its 3 in-clique neighbors) and exact
+    modularity strictly increases; a clean partition is a fixed
+    point (no changes)."""
+    from flume_source_spark.pipeline.graph5 import lpa_round
+
+    k4a = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    k4b = [(i, j) for i in range(5, 9) for j in range(i + 1, 9)]
+    edges = spark.createDataFrame(k4a + k4b, "i long, j long")
+    noisy = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1)],
+        "id long, community long",
+    )
+    out = {r.id: r for r in lpa_round(edges, noisy).collect()}
+    assert out[4].new_community == 0 and out[4].changed
+    assert all(not out[i].changed for i in (1, 2, 3, 5, 6, 7, 8))
+
+    def q(membership_rows):
+        m = spark.createDataFrame(membership_rows, "id long, community long")
+        rows = modularity_profile(edges, m).collect()
+        return sum(r.contrib_num for r in rows) / rows[0].q_den
+
+    fixed = [(i, out[i].new_community) for i in range(1, 9)]
+    assert q(fixed) > q([(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1)])
+
+    clean = spark.createDataFrame(fixed, "id long, community long")
+    again = lpa_round(edges, clean).collect()
+    assert all(not r.changed for r in again)
+
+
+def test_lpa_isolated_node_keeps_label(spark):
+    """A node with no edges must keep its community (the LEFT join +
+    coalesce path), with zero votes."""
+    from flume_source_spark.pipeline.graph5 import lpa_round
+
+    edges = spark.createDataFrame([(1, 2)], "i long, j long")
+    m = spark.createDataFrame([(1, 0), (2, 0), (99, 7)], "id long, community long")
+    rows = {r.id: r for r in lpa_round(edges, m).collect()}
+    assert rows[99].new_community == 7 and rows[99].votes == 0 and not rows[99].changed
