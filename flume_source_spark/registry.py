@@ -500,6 +500,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.sqlapi3  # noqa: F401
     import flume_source_spark.operators.sqlapi4  # noqa: F401
     import flume_source_spark.operators.scalars2  # noqa: F401
+    import flume_source_spark.operators.scalars3  # noqa: F401
     import flume_source_spark.operators.variant  # noqa: F401
     import flume_source_spark.pipeline.dataset  # noqa: F401
     import flume_source_spark.pipeline.dataset2  # noqa: F401

@@ -467,3 +467,60 @@ def test_lpa_isolated_node_keeps_label(spark):
     m = spark.createDataFrame([(1, 0), (2, 0), (99, 7)], "id long, community long")
     rows = {r.id: r for r in lpa_round(edges, m).collect()}
     assert rows[99].new_community == 7 and rows[99].votes == 0 and not rows[99].changed
+
+
+# --------------------------------------------------------------- ip ops
+
+
+def test_ip_ops_planted_addresses(spark):
+    """Drive the derivation with planted u32 values covering the
+    branches the key-derived fixture rarely hits: a CGNAT address, a
+    10/8 private address, a public class-C, and the broadcast
+    address (octet edge 255)."""
+    from flume_source_spark.operators.scalars3 import scalar_ip_ops  # noqa: F401
+
+    cases = {
+        "10.1.2.3": ((10 << 24) + (1 << 16) + (2 << 8) + 3, True, False, "A"),
+        "100.64.0.1": ((100 << 24) + (64 << 16) + 1, False, True, "A"),
+        "100.128.0.1": ((100 << 24) + (128 << 16) + 1, False, False, "A"),
+        "203.0.113.7": ((203 << 24) + (113 << 8) + 7, False, False, "C"),
+        "255.255.255.255": (4294967295, False, False, "E"),
+        "172.16.0.1": ((172 << 24) + (16 << 16) + 1, True, False, "B"),
+        "172.32.0.1": ((172 << 24) + (32 << 16) + 1, False, False, "B"),
+        "192.168.9.9": ((192 << 24) + (168 << 16) + (9 << 8) + 9, True, False, "C"),
+    }
+    rows = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "dotted_exp string, ip_u32 long"
+    )
+    df = rows.selectExpr(
+        "dotted_exp",
+        "ip_u32",
+        "ip_u32 DIV 16777216 AS o1",
+        "(ip_u32 DIV 65536) % 256 AS o2",
+        "(ip_u32 DIV 256) % 256 AS o3",
+        "ip_u32 % 256 AS o4",
+    ).selectExpr(
+        "dotted_exp",
+        "concat_ws('.', o1, o2, o3, o4) AS dotted",
+        "(o1 = 10) OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168) AS is_private",
+        "ip_u32 DIV 4194304 = 401 AS in_cgnat",
+        "CASE WHEN o1 < 128 THEN 'A' WHEN o1 < 192 THEN 'B' WHEN o1 < 224 THEN 'C' WHEN o1 < 240 THEN 'D' ELSE 'E' END AS ip_class",
+    )
+    for r in df.collect():
+        exp = cases[r.dotted_exp]
+        assert r.dotted == r.dotted_exp, (r.dotted, r.dotted_exp)
+        assert r.is_private == exp[1], r.dotted_exp
+        assert r.in_cgnat == exp[2], r.dotted_exp
+        assert r.ip_class == exp[3], r.dotted_exp
+
+
+def test_ip_ops_fixture_roundtrip(spark, sf_dir):
+    """Octets recompose to the u32 and the dotted quad parses back —
+    the derivation is self-consistent on the fixture frame."""
+    rows = SPECS["scalar_ip_ops"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ip_u32 == (r.o1 << 24) + (r.o2 << 16) + (r.o3 << 8) + r.o4
+        assert r.dotted == f"{r.o1}.{r.o2}.{r.o3}.{r.o4}"
+        assert r.subnet16 == r.ip_u32 >> 16
+        assert 0 <= r.o1 <= 255 and 0 <= r.o4 <= 255
