@@ -154,11 +154,12 @@ HEADLINE = [
     # rolled up at two grains + cumulative windows over BIN space +
     # broadcast quantile-panel join — the quantile-sketch workflow)
     "agg_quantile_hist_exact",
-    # round-7 session-7 additions, solo-probed ~0.75 s / ~0.96 s
+    # round-7 session-7 additions, solo-probed ~0.75 s / ~1.6 s
     # (new cost classes: rank-statistic reduction — distinct-score
     # map-side collapse, cumulative window + final agg on GROUP space;
-    # grid-pair edge materialization + two membership joins + exact
-    # BIGINT community accounting on ≤25 keys)
+    # 500 cd proximity pair join (~205k edges at sf0.1 — the radius
+    # where the key-derived lattice first yields a non-empty graph)
+    # + two membership joins + exact BIGINT community accounting)
     "dq_roc_auc_exact",
     "graph_modularity_exact",
 ]

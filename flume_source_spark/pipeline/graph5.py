@@ -37,7 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flume_source_spark.operators.geo import _COORDS_SQL, _T2, _points, grid_pairs
+from flume_source_spark.operators.geo import _COORDS_SQL, _points, grid_pairs
+
+# The geo module's default RADIUS (100 cd) yields an EMPTY pair set on
+# the key-derived fixture (geo_grid_join's driver rows are 0-row
+# greens) — fine for pinning the join machinery, zero-signal for
+# community accounting. The graph family therefore uses its own
+# radius. 500 cd is the measured sweet spot on the lattice-structured
+# key-derived coordinates (distances are quantized, so edge counts
+# jump in steps): 101 edges at sf0.001, ~1.4k at sf0.01 (mean degree
+# ~1.9, LPA moves ~1.4k nodes in round 1), ~205k at sf0.1 — vs ZERO
+# everywhere below 500 and 2.3× the sf0.1 pair work at 800.
+_GRAPH_RADIUS = 500
+_GR2 = _GRAPH_RADIUS * _GRAPH_RADIUS
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
@@ -51,7 +63,7 @@ _MODULARITY_ORACLE = f"""
         SELECT a.id AS i, b.id AS j
         FROM pts a JOIN pts b ON a.id < b.id
         WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
-            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_T2}
+            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
     ),
     m AS (SELECT count(*) AS m FROM edges),
     deg AS (
@@ -144,7 +156,7 @@ def graph_modularity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no division — see module docstring for the trunc-vs-floor-div
     trap this sidesteps). Q = Σ contrib_num / q_den."""
     pts = _points(spark, sf_dir)
-    edges = grid_pairs(pts)
+    edges = grid_pairs(pts, _GRAPH_RADIUS)
     nat = load_tables(spark, sf_dir)["customer"].select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").cast("long").alias("community"),
@@ -224,7 +236,7 @@ _LPA_ORACLE = f"""
         SELECT a.id AS i, b.id AS j
         FROM pts a JOIN pts b ON a.id < b.id
         WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
-            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_T2}
+            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
     ),
     directed AS (SELECT i AS v, j AS u FROM edges UNION ALL SELECT j AS v, i AS u FROM edges),
     votes AS (
@@ -284,9 +296,96 @@ def graph_label_propagation_round(spark: SparkSession, sf_dir: str) -> DataFrame
     the community-detection step whose outcome graph_modularity_exact
     and graph_conductance_exact evaluate."""
     pts = _points(spark, sf_dir)
-    edges = grid_pairs(pts)
+    edges = grid_pairs(pts, _GRAPH_RADIUS)
     nat = load_tables(spark, sf_dir)["customer"].select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").cast("long").alias("community"),
     )
     return lpa_round(edges.select("i", "j"), nat)
+
+
+# ---------------------------------------------------------------------------
+# LPA convergence profile — the multi-round companion: run R=4
+# synchronous rounds from the nation seed and emit per-round
+# (n_changed, n_communities). This is the operational signal an LPA
+# deployment watches (has propagation stabilized? are communities
+# collapsing?) and the iterative-convergence shape made hashable the
+# same way graph_kcore's peel profile was: the oracle unrolls the
+# rounds as MATERIALIZED CTEs; the Spark side localCheckpoints the
+# membership between rounds so the lineage stays flat.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_profile_oracle() -> str:
+    head = f"""
+    WITH pts AS ({_COORDS_SQL}),
+    nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
+    edges AS (
+        SELECT a.id AS i, b.id AS j
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
+            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
+    ),
+    directed AS MATERIALIZED (SELECT i AS v, j AS u FROM edges UNION ALL SELECT j AS v, i AS u FROM edges),
+    m0 AS MATERIALIZED (SELECT id, community FROM nat)"""
+    parts = [head]
+    stats = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""
+    v{r} AS (
+        SELECT d.v, m.community AS cand, count(*) AS votes
+        FROM directed d JOIN m{p} m ON d.u = m.id
+        GROUP BY d.v, m.community
+    ),
+    b{r} AS (
+        SELECT v, cand FROM (
+            SELECT v, cand, row_number() OVER (PARTITION BY v ORDER BY votes DESC, cand) AS rn
+            FROM v{r}) WHERE rn = 1
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT m.id, coalesce(b.cand, m.community) AS community,
+               coalesce(b.cand, m.community) <> m.community AS changed
+        FROM m{p} m LEFT JOIN b{r} b ON b.v = m.id
+    )""")
+        stats.append(
+            f"SELECT {r} AS round,"
+            f" CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,"
+            f" CAST(count(DISTINCT community) AS BIGINT) AS n_communities FROM m{r}"
+        )
+    return ",".join(parts).replace(",\n    WITH", "\n    WITH") + "\n" + "\nUNION ALL\n".join(stats) + "\nORDER BY round"
+
+
+_LPA_PROFILE_ORACLE = _lpa_profile_oracle()
+
+
+@query(
+    "graph_lpa_convergence",
+    oracle=_LPA_PROFILE_ORACLE,
+    tags=("graph", "community", "iterative", "exact-twin"),
+)
+def graph_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four synchronous LPA rounds from the nation seed: per-round
+    changed-node count and surviving-community count — the
+    convergence profile, unrolled in the oracle exactly like the
+    kcore peel profile. Membership is localCheckpointed per round so
+    the iterative lineage stays flat (the kcore/pagerank pattern)."""
+    pts = _points(spark, sf_dir)
+    edges = grid_pairs(pts, _GRAPH_RADIUS).select("i", "j").localCheckpoint(eager=True)
+    membership = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    )
+    stats = None
+    for r in range(1, _LPA_ROUNDS + 1):
+        out = lpa_round(edges, membership).localCheckpoint(eager=True)
+        s = out.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("long").alias("n_changed"),
+            F.countDistinct("new_community").cast("long").alias("n_communities"),
+        )
+        stats = s if stats is None else stats.unionAll(s)
+        membership = out.select("id", F.col("new_community").alias("community"))
+    return stats.orderBy("round")

@@ -524,3 +524,20 @@ def test_ip_ops_fixture_roundtrip(spark, sf_dir):
         assert r.dotted == f"{r.o1}.{r.o2}.{r.o3}.{r.o4}"
         assert r.subnet16 == r.ip_u32 >> 16
         assert 0 <= r.o1 <= 255 and 0 <= r.o4 <= 255
+
+
+def test_community_graph_has_signal(spark, sf_dir):
+    """Regression pin for the zero-edge trap: the geo module's default
+    100 cd radius yields an EMPTY pair set on the key-derived fixture
+    (geo_grid_join's 0-row driver greens), which would make every
+    community metric zero-signal. The graph family's 800 cd radius
+    must produce a non-empty graph (m > 0 via q_den = 4m²) with real
+    internal edges and a first LPA round that actually moves nodes."""
+    rows = SPECS["graph_modularity_exact"].builder(spark, sf_dir).collect()
+    assert max(r.q_den for r in rows) > 0  # m > 0
+    assert sum(r.internal_edges for r in rows) > 0
+    prof = {r.round: r for r in SPECS["graph_lpa_convergence"].builder(spark, sf_dir).collect()}
+    assert prof[1].n_changed > 0
+    # synchronous LPA need not decrease monotonically, but it must not
+    # be the all-zero profile
+    assert sum(r.n_changed for r in prof.values()) > 0
