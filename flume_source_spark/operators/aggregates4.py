@@ -25,9 +25,11 @@ Shape (the part that must survive 100 TB):
   ⌈ln 1/δ⌉. The over-estimate NON-NEGATIVITY is asserted in-query
   (overestimate column) and property-tested.
 
-W is deliberately small (64) against 100 distinct suppkeys so the
-fixture actually exercises collisions: several keys over-estimate,
-and the oracle hash-pins the exact collision pattern.
+W is deliberately small (64) against the suppkey space so the
+fixture exercises collisions — tier-dependent: sf0.001 has 10 keys
+(no collisions — the exact path), sf0.01 has 100 keys (49
+over-estimate — the mixed regime the oracle hash-pins), sf0.1 has
+1000 keys (every key collides — the saturated regime).
 """
 
 from __future__ import annotations

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flume_source_spark.operators.geo import _COORDS_SQL, _points, grid_pairs
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
 
 # The geo module's default RADIUS (100 cd) yields an EMPTY pair set on
 # the key-derived fixture (geo_grid_join's driver rows are 0-row
@@ -50,22 +52,27 @@ from flume_source_spark.operators.geo import _COORDS_SQL, _points, grid_pairs
 # everywhere below 500 and 2.3× the sf0.1 pair work at 800.
 _GRAPH_RADIUS = 500
 _GR2 = _GRAPH_RADIUS * _GRAPH_RADIUS
-from flume_source_spark.registry import query
-from flume_source_spark.tables import load_tables
 
-# Independent quadratic-pair formulation of the edge set (the same
-# cross-check shape geo_grid_join's oracle uses), then the modularity
-# accounting in exact BIGINT.
-_MODULARITY_ORACLE = f"""
-    WITH pts AS ({_COORDS_SQL}),
+# The pts/nat/edges proximity-graph block shared by every oracle in
+# this module — ONE definition so a radius or membership change cannot
+# desynchronize the three queries that pin against the same graph
+# (review finding: this block was previously pasted verbatim three
+# times, ~130 lines apart).
+_GRAPH_CTE = f"""pts AS ({_COORDS_SQL}),
     nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
     edges AS (
         SELECT a.id AS i, b.id AS j
         FROM pts a JOIN pts b ON a.id < b.id
         WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
             + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
-    ),
-    m AS (SELECT count(*) AS m FROM edges),
+    )"""
+
+# Independent quadratic-pair formulation of the edge set (the same
+# cross-check shape geo_grid_join's oracle uses), then the modularity
+# accounting in exact BIGINT.
+# The m/degree/internal-edge accounting shared by the modularity and
+# conductance oracles (one definition, two SELECT heads).
+_PROFILE_CTES = """m AS (SELECT count(*) AS m FROM edges),
     deg AS (
         SELECT id, count(*) AS deg
         FROM (SELECT i AS id FROM edges UNION ALL SELECT j AS id FROM edges)
@@ -84,7 +91,11 @@ _MODULARITY_ORACLE = f"""
         WHERE ni.community = nj.community
         GROUP BY ni.community
     ),
-    communities AS (SELECT DISTINCT community FROM nat)
+    communities AS (SELECT DISTINCT community FROM nat)"""
+
+_MODULARITY_ORACLE = f"""
+    WITH {_GRAPH_CTE},
+    {_PROFILE_CTES}
     SELECT c.community,
            coalesce(i.internal_edges, 0) AS internal_edges,
            coalesce(d.degree_sum, 0) AS degree_sum,
@@ -107,6 +118,13 @@ def modularity_profile(edges: DataFrame, membership: DataFrame) -> DataFrame:
     (4·m·e_c − d_c²) / 4m² as BIGINT num/den columns. Factored from
     the registry query so planted-community unit tests (cliques →
     Q near max, random partition → Q ≈ 0) drive the production code."""
+    return _community_profile(edges, membership)[0]
+
+
+def _community_profile(edges: DataFrame, membership: DataFrame):
+    """Shared body for modularity/conductance: returns (profile_df,
+    m) so consumers needing 2m get the EXACT Python int, not a float
+    roundtrip through q_den."""
     edges = edges.select("i", "j").localCheckpoint(eager=True)
     m = edges.count()
     deg = (
@@ -146,7 +164,7 @@ def modularity_profile(edges: DataFrame, membership: DataFrame) -> DataFrame:
             F.lit(4 * m * m).cast("long").alias("q_den"),
         )
         .orderBy("community")
-    )
+    ), m
 
 
 @query("graph_modularity_exact", oracle=_MODULARITY_ORACLE, tags=("graph", "quality", "exact-twin"))
@@ -167,48 +185,64 @@ def graph_modularity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Conductance — the complementary community-quality metric: how leaky
 # is each community's boundary? φ_c = cut_c / min(vol_c, 2m − vol_c).
-# It derives ENTIRELY from the modularity profile's columns — every
-# edge endpoint incident to c is either one of 2·e_c internal
-# endpoints or one cut endpoint, so cut_c = d_c − 2·e_c — which means
-# the metric costs ZERO additional joins or scans: one projection over
-# graph_modularity_exact's output. Emitted as exact BIGINT num/den
-# (phi_num = cut_c, phi_den = min(vol, 2m − vol)) for the same
-# division-free cross-engine reason as modularity; m is recovered from
-# q_den = 4m² without a second edge count.
+# It derives from the shared community profile — every edge endpoint
+# incident to c is either one of 2·e_c internal endpoints or one cut
+# endpoint, so cut_c = d_c − 2·e_c — so it costs no joins or scans
+# beyond the profile itself. Emitted as exact BIGINT num/den (phi_num
+# = cut_c, phi_den = min(vol, 2m − vol)) for the same division-free
+# cross-engine reason as modularity; 2m is carried as the profile's
+# exact integer edge count (not sqrt(q_den) — see conductance_profile).
 # ---------------------------------------------------------------------------
 
 _CONDUCTANCE_ORACLE = f"""
-    WITH prof AS ({_MODULARITY_ORACLE.replace("ORDER BY c.community", "")})
-    SELECT community,
-           CAST(degree_sum - 2 * internal_edges AS BIGINT) AS cut_edges,
-           degree_sum AS volume,
-           CAST(degree_sum - 2 * internal_edges AS BIGINT) AS phi_num,
-           CAST(least(degree_sum,
-                      CAST(sqrt(q_den) AS BIGINT) - degree_sum) AS BIGINT) AS phi_den
-    FROM prof
-    ORDER BY community
+    WITH {_GRAPH_CTE},
+    {_PROFILE_CTES}
+    SELECT c.community,
+           CAST(coalesce(d.degree_sum, 0) - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS cut_edges,
+           coalesce(d.degree_sum, 0) AS volume,
+           CAST(coalesce(d.degree_sum, 0) - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS phi_num,
+           CAST(least(coalesce(d.degree_sum, 0),
+                      2 * m.m - coalesce(d.degree_sum, 0)) AS BIGINT) AS phi_den
+    FROM communities c
+    CROSS JOIN m
+    LEFT JOIN internal i USING (community)
+    LEFT JOIN degc d USING (community)
+    ORDER BY c.community
 """
 
 
-@query("graph_conductance_exact", oracle=_CONDUCTANCE_ORACLE, tags=("graph", "quality", "exact-twin"))
-def graph_conductance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-community conductance over the spatial proximity graph,
-    derived from the modularity profile with zero extra joins:
-    cut_c = d_c − 2·e_c, φ_c = phi_num/phi_den exact BIGINT rationals
-    (2m recovered as sqrt(q_den) — exact, q_den = 4m² is a perfect
-    square by construction)."""
-    prof = graph_modularity_exact(spark, sf_dir)
+def conductance_profile(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-community conductance from the factored profile: cut_c =
+    d_c − 2·e_c, φ_c = phi_num/phi_den with 2m carried as an EXACT
+    Python-int literal from the profile's own edge count — never
+    recovered via float sqrt(q_den), which would silently break the
+    exact-BIGINT contract once 4m² exceeds 2⁵³ (m ≳ 4.7·10⁷ edges,
+    within this module's own density² projections)."""
+    prof, m = _community_profile(edges, membership)
     cut = (F.col("degree_sum") - 2 * F.col("internal_edges")).cast("long")
-    two_m = F.expr("CAST(sqrt(q_den) AS BIGINT)")
     return prof.select(
         "community",
         cut.alias("cut_edges"),
         F.col("degree_sum").alias("volume"),
         cut.alias("phi_num"),
-        F.least(F.col("degree_sum"), (two_m - F.col("degree_sum")).cast("long"))
+        F.least(F.col("degree_sum"), (F.lit(2 * m) - F.col("degree_sum")).cast("long"))
         .cast("long")
         .alias("phi_den"),
     ).orderBy("community")
+
+
+@query("graph_conductance_exact", oracle=_CONDUCTANCE_ORACLE, tags=("graph", "quality", "exact-twin"))
+def graph_conductance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance over the spatial proximity graph —
+    cut/volume/φ as exact BIGINT rationals, 2m exact (see
+    conductance_profile)."""
+    pts = _points(spark, sf_dir)
+    edges = grid_pairs(pts, _GRAPH_RADIUS)
+    nat = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    )
+    return conductance_profile(edges, nat)
 
 
 # ---------------------------------------------------------------------------
@@ -230,14 +264,7 @@ def graph_conductance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LPA_ORACLE = f"""
-    WITH pts AS ({_COORDS_SQL}),
-    nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
-    edges AS (
-        SELECT a.id AS i, b.id AS j
-        FROM pts a JOIN pts b ON a.id < b.id
-        WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
-            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
-    ),
+    WITH {_GRAPH_CTE},
     directed AS (SELECT i AS v, j AS u FROM edges UNION ALL SELECT j AS v, i AS u FROM edges),
     votes AS (
         SELECT d.v, n.community AS cand, CAST(count(*) AS BIGINT) AS votes
@@ -320,14 +347,7 @@ _LPA_ROUNDS = 4
 
 def _lpa_profile_oracle() -> str:
     head = f"""
-    WITH pts AS ({_COORDS_SQL}),
-    nat AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community FROM customer),
-    edges AS (
-        SELECT a.id AS i, b.id AS j
-        FROM pts a JOIN pts b ON a.id < b.id
-        WHERE (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
-            + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) <= {_GR2}
-    ),
+    WITH {_GRAPH_CTE},
     directed AS MATERIALIZED (SELECT i AS v, j AS u FROM edges UNION ALL SELECT j AS v, i AS u FROM edges),
     m0 AS MATERIALIZED (SELECT id, community FROM nat)"""
     parts = [head]

@@ -140,7 +140,11 @@ def test_count_min_overestimates_only(spark, sf_dir):
     assert rows
     assert all(r.overestimate >= 0 for r in rows)
     assert all(r.est_cnt == r.true_cnt + r.overestimate for r in rows)
-    assert any(r.overestimate == 0 for r in rows)
+    # with far more keys than the 256 cells every key collides (sf0.1
+    # has 1000 suppkeys and zero exact estimates), so only assert an
+    # exact key where the pigeonhole allows one
+    if len(rows) <= 256:
+        assert any(r.overestimate == 0 for r in rows)
     # total mass per hash row equals the input row count — the sketch
     # is a partition of the stream, which is what makes it mergeable
     total = sum(r.true_cnt for r in rows)
@@ -530,8 +534,9 @@ def test_community_graph_has_signal(spark, sf_dir):
     """Regression pin for the zero-edge trap: the geo module's default
     100 cd radius yields an EMPTY pair set on the key-derived fixture
     (geo_grid_join's 0-row driver greens), which would make every
-    community metric zero-signal. The graph family's 800 cd radius
-    must produce a non-empty graph (m > 0 via q_den = 4m²) with real
+    community metric zero-signal. The graph family's own radius
+    (graph5._GRAPH_RADIUS, 500 cd — see the constant's comment for the
+    measured lattice steps) must produce a non-empty graph (m > 0 via q_den = 4m²) with real
     internal edges and a first LPA round that actually moves nodes."""
     rows = SPECS["graph_modularity_exact"].builder(spark, sf_dir).collect()
     assert max(r.q_den for r in rows) > 0  # m > 0
