@@ -1,0 +1,137 @@
+"""Live test for the sharded Misra-Gries streaming heavy-hitter
+summary: bounded state, the MG superset/undercount guarantees, state
+carry across micro-batches, and a python-reference replay pin."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flume_source_spark.streaming.heavy_hitters import (
+    MG_K,
+    N_SHARDS,
+    mg_heavy_hitters_stream,
+    mg_reference,
+)
+
+T0 = datetime(2025, 1, 1, 0, 0, 0)
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _write(d, name, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [T0 + timedelta(seconds=r[0]) for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def test_mg_stream_guarantees_and_reference_pin(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    # batch 1: user 7 is hot (12 of 20 events); batch 2 keeps 7 hot and
+    # floods distinct cold users to force MG decrements
+    eid = iter(range(1, 10_000))
+    b1 = [(next(eid), 7) for _ in range(12)] + [(next(eid), u) for u in range(100, 108)]
+    b2 = [(next(eid), 7) for _ in range(10)] + [(next(eid), u) for u in range(200, 230)]
+    _write(d, "b1", b1)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        mg_heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_hh")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = spark.sql("SELECT * FROM mg_hh").collect()
+        _write(d, "b2", b2)
+        q.processAllAvailable()
+        allrows = spark.sql("SELECT * FROM mg_hh").collect()
+    finally:
+        q.stop()
+
+    # final emission per shard = the rows carrying that shard's max total
+    final_total = {}
+    for r in allrows:
+        final_total[r.shard] = max(final_total.get(r.shard, 0), r.shard_total)
+    final = {}
+    for r in allrows:
+        if r.shard_total == final_total[r.shard]:
+            final.setdefault(r.shard, {})[r.user_id] = r.lower_bound
+
+    # shard assignment + true counts, computed the same way the op does
+    items = b1 + b2
+    shard_of = {
+        r.user_id: r.shard
+        for r in spark.createDataFrame([(u,) for _, u in items], "user_id long")
+        .select("user_id", F.pmod(F.xxhash64("user_id"), F.lit(N_SHARDS)).cast("long").alias("shard"))
+        .distinct()
+        .collect()
+    }
+    true_counts: dict = {}
+    for _, u in items:
+        true_counts[u] = true_counts.get(u, 0) + 1
+
+    hot_shard = shard_of[7]
+    assert final_total[hot_shard] == sum(1 for _, u in items if shard_of[u] == hot_shard)
+
+    for shard, summary in final.items():
+        # bounded state
+        assert len(summary) <= MG_K
+        thresh = final_total[shard] / (MG_K + 1)
+        for u, lb in summary.items():
+            # undercount only, bounded by total/(K+1)
+            assert lb <= true_counts[u]
+            assert true_counts[u] - lb <= thresh + 1e-9
+        # superset: every true heavy hitter of this shard is tracked
+        for u, c in true_counts.items():
+            if shard_of[u] == shard and c > thresh:
+                assert u in summary, (shard, u, c, thresh, summary)
+
+    # user 7 is a true heavy hitter and its bound grew across batches
+    assert 7 in final[hot_shard]
+    mid_bound = max(
+        (r.lower_bound for r in mid if r.shard == hot_shard and r.user_id == 7), default=0
+    )
+    assert final[hot_shard][7] >= mid_bound
+    assert final[hot_shard][7] >= true_counts[7] - final_total[hot_shard] / (MG_K + 1)
+
+    # python-reference replay: per shard, batch1 then batch2, each in
+    # (ts, event_id) order == event_id order here
+    for shard, summary in final.items():
+        seq = [u for batch in (b1, b2) for _, u in sorted(batch) if shard_of[u] == shard]
+        assert mg_reference(seq) == summary, shard
+
+
+def test_mg_reference_textbook_guarantee():
+    """Property check on the kernel itself: for a skewed sequence the
+    summary holds every item with count > n/(K+1) and never
+    over-counts."""
+    seq = [1] * 50 + list(range(100, 160)) + [1] * 30 + [2] * 25
+    summary = mg_reference(seq)
+    n = len(seq)
+    assert len(summary) <= MG_K
+    true = {u: seq.count(u) for u in set(seq)}
+    for u, c in true.items():
+        if c > n / (MG_K + 1):
+            assert u in summary
+    for u, lb in summary.items():
+        assert lb <= true[u]
+        assert true[u] - lb <= n / (MG_K + 1)
