@@ -290,3 +290,72 @@ def dq_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit (round 7, session 2): the classic
+# synthetic-data / fraud / unit-mixup detector — natural multiplicative
+# quantities follow P(d) = log10(1 + 1/d); uniform-ish synthetic
+# amounts (like this fixture's order totals) visibly don't, and the
+# per-digit deviation column quantifies it. All cross-row arithmetic is
+# integer: observed_ppm = count·1e6 DIV total, expected_ppm are pinned
+# integer literals of log10(1+1/d)·1e6, deviation = |obs − exp|. The
+# leading digit comes from the BIGINT cent value rendered as a string
+# (floor(x·100) is the same IEEE double op both engines run — no
+# locale/format divergence a float-to-string cast could introduce).
+# Scale: one scan, map-side combine onto ≤ 9 digit keys.
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+_BENFORD_CASE = "CASE leading_digit " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS leading_digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT leading_digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    total AS (SELECT sum(n) AS t FROM counts)
+    SELECT leading_digit, n,
+           CAST(n * 1000000 // total.t AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST(abs(n * 1000000 // total.t - ({_BENFORD_CASE})) AS BIGINT) AS deviation_ppm
+    FROM counts CROSS JOIN total
+    ORDER BY leading_digit
+"""
+
+
+@query("dq_benford_digits", oracle=_BENFORD_ORACLE, tags=("quality", "audit"))
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs the Benford
+    expectation, per-digit deviation in integer ppm — one scan,
+    nine-key combine; large deviations flag synthetic/corrupted
+    amount columns before they poison downstream stats."""
+    o = load_tables(spark, sf_dir)["orders"]
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).alias("leading_digit")
+    )
+    counts = digits.groupBy("leading_digit").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    bexpr = F.expr(_BENFORD_CASE)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "leading_digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("observed_ppm"),
+            bexpr.cast("long").alias("benford_ppm"),
+            F.abs(F.expr("n * 1000000 DIV t") - bexpr).cast("long").alias("deviation_ppm"),
+        )
+        .orderBy("leading_digit")
+    )

@@ -546,3 +546,25 @@ def test_community_graph_has_signal(spark, sf_dir):
     # synchronous LPA need not decrease monotonically, but it must not
     # be the all-zero profile
     assert sum(r.n_changed for r in prof.values()) > 0
+
+
+# --------------------------------------------------------------- benford
+
+
+def test_benford_expected_ppm_and_coverage(spark, sf_dir):
+    """The pinned expectation literals are floor(log10(1+1/d)·1e6),
+    observed ppm sums to ~1e6 across digits, and the uniform-ish
+    synthetic totals deviate from Benford exactly where they should
+    (digits 5-9 underrepresented vs the 1/d law has them at ~30%)."""
+    import math
+
+    from flume_source_spark.operators.quality import _BENFORD_PPM
+
+    for d, p in _BENFORD_PPM.items():
+        assert p == math.floor(math.log10(1 + 1 / d) * 1_000_000)
+    rows = {r.leading_digit: r for r in SPECS["dq_benford_digits"].builder(spark, sf_dir).collect()}
+    assert set(rows) <= {str(d) for d in range(1, 10)}
+    total_ppm = sum(r.observed_ppm for r in rows.values())
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+    for r in rows.values():
+        assert r.deviation_ppm == abs(r.observed_ppm - r.benford_ppm)
