@@ -140,3 +140,65 @@ def sql_declared_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases (round 7, session 2): referencing a SELECT
+# alias later in the SAME select list — the Spark 4 ergonomics feature
+# that removes the subquery-per-derivation-step ladder every pricing
+# calculation used to need. The chain below is the TPC-H discount
+# cascade written as one SELECT: gross → discounted → taxed → margin,
+# each step reading the previous alias (exact integer cents, so the
+# chain is also hash-oracle-safe). DuckDB supports the same alias
+# reuse, making the oracle a literal transcription — QUALIFY, the
+# other candidate from this SQL-surface generation, does NOT parse in
+# Spark 4.1 (probed) and is therefore explicitly out of the claimed
+# surface. Scale: pure projection + one 25-key combine; the lateral
+# aliases are inlined by the analyzer (no extra plan nodes).
+# ---------------------------------------------------------------------------
+
+_LCA_SQL = """
+    SELECT l_suppkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_cents,
+           gross_cents - CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS discounted_cents,
+           discounted_cents
+             + CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)
+               AS taxed_cents,
+           taxed_cents - gross_cents AS delta_cents
+    FROM lineitem
+"""
+
+_LCA_ORACLE = f"""
+    WITH per_line AS ({_LCA_SQL})
+    SELECT l_suppkey,
+           CAST(sum(gross_cents) AS BIGINT) AS sum_gross,
+           CAST(sum(discounted_cents) AS BIGINT) AS sum_discounted,
+           CAST(sum(taxed_cents) AS BIGINT) AS sum_taxed,
+           CAST(sum(delta_cents) AS BIGINT) AS sum_delta
+    FROM per_line
+    WHERE l_suppkey % 10 = 0
+    GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+@query("sql_lateral_column_alias", oracle=_LCA_ORACLE, tags=("sql", "surface"))
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing cascade as ONE select via lateral column aliases
+    (each derived column reads the previous alias), rolled up per
+    supplier in exact integer cents — identical text runs on both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH per_line AS ({_LCA_SQL})
+        SELECT l_suppkey,
+               CAST(sum(gross_cents) AS BIGINT) AS sum_gross,
+               CAST(sum(discounted_cents) AS BIGINT) AS sum_discounted,
+               CAST(sum(taxed_cents) AS BIGINT) AS sum_taxed,
+               CAST(sum(delta_cents) AS BIGINT) AS sum_delta
+        FROM per_line
+        WHERE l_suppkey % 10 = 0
+        GROUP BY l_suppkey ORDER BY l_suppkey
+        """
+    )
