@@ -339,6 +339,8 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation, per-digit deviation in integer ppm — one scan,
     nine-key combine; large deviations flag synthetic/corrupted
     amount columns before they poison downstream stats."""
+    from pyspark.sql import Window
+
     o = load_tables(spark, sf_dir)["orders"]
     digits = o.select(
         F.substring(
@@ -346,10 +348,13 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("leading_digit")
     )
     counts = digits.groupBy("leading_digit").agg(F.count("*").cast("long").alias("n"))
-    total = counts.agg(F.sum("n").alias("t"))
+    # total via an unpartitioned window over the ≤9-row counts frame —
+    # NOT a second aggregate branch off `counts`, which would plan the
+    # orders scan+combine twice (review finding vs the "one scan" claim)
+    counts = counts.withColumn("t", F.sum("n").over(Window.partitionBy()))
     bexpr = F.expr(_BENFORD_CASE)
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts
         .select(
             "leading_digit",
             "n",

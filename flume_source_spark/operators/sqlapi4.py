@@ -189,16 +189,7 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier in exact integer cents — identical text runs on both
     engines."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH per_line AS ({_LCA_SQL})
-        SELECT l_suppkey,
-               CAST(sum(gross_cents) AS BIGINT) AS sum_gross,
-               CAST(sum(discounted_cents) AS BIGINT) AS sum_discounted,
-               CAST(sum(taxed_cents) AS BIGINT) AS sum_taxed,
-               CAST(sum(delta_cents) AS BIGINT) AS sum_delta
-        FROM per_line
-        WHERE l_suppkey % 10 = 0
-        GROUP BY l_suppkey ORDER BY l_suppkey
-        """
-    )
+    # the oracle string IS the query — identical-text parity is
+    # structural, not maintained by hand (review finding: the body
+    # was a verbatim copy of _LCA_ORACLE)
+    return spark.sql(_LCA_ORACLE)

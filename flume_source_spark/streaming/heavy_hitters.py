@@ -81,9 +81,19 @@ def mg_heavy_hitters_stream(events: DataFrame, k: int = MG_K, n_shards: int = N_
             keys, counts = list(keys), list(counts)
         else:
             keys, counts, total = [], [], 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for item in pdf["user_id"].astype("int64"):
+        # Arrow delivers the group's batch as MULTIPLE chunks (split at
+        # maxRecordsPerBatch, chunk order following nondeterministic
+        # post-shuffle row order) — sorting per chunk would make the
+        # summary order-dependent across runs; materialize the whole
+        # batch and sort ONCE so the documented (ts, event_id) order
+        # is batch-global. Batch size per shard is bounded by the
+        # trigger, so the concat is the already-admitted batch, not
+        # unbounded state.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for item in batch["user_id"].astype("int64"):
                 mg_update(keys, counts, int(item), k)
                 total += 1
         state.update((keys, counts, total))
