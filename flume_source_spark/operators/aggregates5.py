@@ -1,0 +1,91 @@
+"""Aggregation wave 5: exact high-moment power sums.
+
+``agg_moment_sums_exact`` — the foundation of distribution-shape
+monitoring (skewness/kurtosis drift, the DQ signal after mean/stddev):
+per-group Σx, Σx², Σx³, Σx⁴ over integer cents, EXACT. Float power
+sums are the classic silent-error aggregate (catastrophic cancellation
+when the 4th moment is derived from them), and their cross-row
+accumulation order makes them unhashable across engines; this twin
+keeps every accumulator in bounded-precision DECIMAL so the sums are
+bit-exact and order-free.
+
+Precision budget (the PCA-twin-style headroom bound, stated not
+assumed): cents x < 10⁸ (fixture max ≈ 1.05×10⁷) ⇒ x is DECIMAL(8,0),
+and Spark's multiply widening gives x² : D(17), x³ : D(26), x⁴ :
+D(35) — exact at every step; the D(38) sum then holds ≥ 10³ headroom
+over x⁴'s ≈ 1.2×10²⁸ fixture bound, i.e. exact through ~10¹⁰ rows per
+group. Beyond that (true 100 TB groups) the same plan shape holds but
+the accumulator must widen: per-partition partials re-accumulated in
+arbitrary precision (a two-level rollup like agg_sketch_merge_exact)
+— the bound is the documented contract, not a surprise.
+
+Output: the four sums as VARCHAR (DuckDB's HUGEINT and Spark's
+DECIMAL(38,0) serialize to the same digit string; hashing the string
+sidesteps the dtype-kind mismatch the oracle harness rejects), plus n
+and the exact integer mean. Skewness/kurtosis themselves are
+DERIVED-downstream floats and deliberately not emitted — dividing
+huge exact integers into doubles is where engines diverge; the sums
+are the portable artifact.
+
+Scale: one scan, map-side-combinable sums onto |groups| keys — the
+same cost as any grouped sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_MOMENT_ORACLE = """
+    WITH x AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(c) AS HUGEINT) AS VARCHAR) AS s1,
+           CAST(CAST(sum(c * c) AS HUGEINT) AS VARCHAR) AS s2,
+           CAST(CAST(sum(c * c * c) AS HUGEINT) AS VARCHAR) AS s3,
+           CAST(CAST(sum(c * c * c * c) AS HUGEINT) AS VARCHAR) AS s4,
+           CAST(sum(c) // count(*) AS BIGINT) AS mean_cents
+    FROM x GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("agg_moment_sums_exact", oracle=_MOMENT_ORACLE, tags=("agg", "quality", "exact-twin"))
+def agg_moment_sums_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group power sums Σx..Σx⁴ over price cents in
+    bounded-precision DECIMAL (widths chosen so every multiply and the
+    final sum stay exact — see module docstring for the headroom
+    bound), serialized as digit strings for cross-engine hashing."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = F.round(F.col("l_extendedprice") * 100).cast("decimal(8,0)")
+    x = li.select("l_returnflag", c.alias("c"))
+    c1 = F.col("c")
+    c2 = (c1 * c1)  # decimal(17,0)
+    c3 = (c2 * c1)  # decimal(26,0)
+    c4 = (c3 * c1)  # decimal(35,0)
+    return (
+        x.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(c1).cast("decimal(38,0)").alias("s1d"),
+            F.sum(c2).cast("decimal(38,0)").alias("s2d"),
+            F.sum(c3).cast("decimal(38,0)").alias("s3d"),
+            F.sum(c4).cast("decimal(38,0)").alias("s4d"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("s1d").cast("string").alias("s1"),
+            F.col("s2d").cast("string").alias("s2"),
+            F.col("s3d").cast("string").alias("s3"),
+            F.col("s4d").cast("string").alias("s4"),
+            F.expr("CAST(CAST(s1d AS BIGINT) DIV n AS BIGINT)").alias("mean_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

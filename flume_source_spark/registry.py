@@ -480,6 +480,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.aggregates2  # noqa: F401
     import flume_source_spark.operators.aggregates3  # noqa: F401
     import flume_source_spark.operators.aggregates4  # noqa: F401
+    import flume_source_spark.operators.aggregates5  # noqa: F401
     import flume_source_spark.operators.runtime_filter  # noqa: F401
     import flume_source_spark.operators.windows2  # noqa: F401
     import flume_source_spark.operators.windows3  # noqa: F401

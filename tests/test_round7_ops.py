@@ -567,3 +567,40 @@ def test_benford_expected_ppm_and_coverage(spark, sf_dir):
     assert 1_000_000 - 9 <= total_ppm <= 1_000_000
     for r in rows.values():
         assert r.deviation_ppm == abs(r.observed_ppm - r.benford_ppm)
+
+
+# ----------------------------------------------------------- moment sums
+
+
+def test_moment_sums_match_python_bigints(spark, sf_dir):
+    """The decimal-accumulated power sums equal arbitrary-precision
+    Python integer sums over the same cents — the third
+    implementation, and the proof the DECIMAL widths never rounded."""
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    expected = {}
+    for flag, g in pdf.groupby("l_returnflag"):
+        cs = [int(v) for v in g["c"]]
+        expected[flag] = (
+            len(cs),
+            sum(cs),
+            sum(v * v for v in cs),
+            sum(v ** 3 for v in cs),
+            sum(v ** 4 for v in cs),
+        )
+    rows = SPECS["agg_moment_sums_exact"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, s1, s2, s3, s4 = expected[r.l_returnflag]
+        assert r.n == n
+        assert int(r.s1) == s1 and int(r.s2) == s2
+        assert int(r.s3) == s3 and int(r.s4) == s4
+        assert r.mean_cents == s1 // n
+        # skewness/kurtosis derived downstream stay finite & sane
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        assert var > 0
