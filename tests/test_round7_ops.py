@@ -287,10 +287,14 @@ def test_count_min_probe_join_broadcasts(spark, sf_dir):
 def test_knn_graph_matches_numpy_bruteforce(spark, sf_dir):
     """Every node's ranked neighbor list equals the numpy brute-force
     ranking within its label block (ties broken by neighbor id) — the
-    third-implementation pin for the k-NN graph builder."""
+    third-implementation pin for the label-blocked ORACLE path (the
+    registered query moved to capped IVF blocks in round 8; this test
+    keeps pinning the shared normalize/pair/rank machinery against a
+    trusted external block key)."""
     import numpy as np
 
-    from flume_source_spark.pipeline.similarity3 import _KNN_K
+    from flume_source_spark.pipeline.similarity import _dvec
+    from flume_source_spark.pipeline.similarity3 import _KNN_K, knn_graph
     from flume_source_spark.tables import load_tables
 
     emb = (
@@ -311,8 +315,11 @@ def test_knn_graph_matches_numpy_bruteforce(spark, sf_dir):
         cands.sort()
         expected[i] = [j for _, j in cands[:_KNN_K]]
 
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _dvec("embedding").alias("v0")
+    )
     got = {}
-    for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect():
+    for r in knn_graph(e).collect():
         got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
     assert set(got) == set(expected)
     for i, rows in got.items():
@@ -322,6 +329,81 @@ def test_knn_graph_matches_numpy_bruteforce(spark, sf_dir):
         assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
         sims = [s for _, _, s in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_graph_blocked_matches_numpy_and_is_capped(spark, sf_dir):
+    """The REGISTERED capped-IVF k-NN graph equals a full numpy
+    replication — lattice-centroid assignment (integer L2 argmin,
+    ties to the lower cell id), deterministic sub-split at
+    KNN_BLOCK_CAP, within-block brute-force ranking — and every
+    block's size obeys the hard cap (the r7 scale-killer fix:
+    pair work must be ≤ N·cap regardless of cell skew)."""
+    import numpy as np
+
+    from flume_source_spark.pipeline.similarity2 import _IVFX_A, _IVFX_C
+    from flume_source_spark.pipeline.similarity3 import (
+        _KNN_K,
+        KNN_BLOCK_CAP,
+        KNN_NLIST,
+    )
+    from flume_source_spark.tables import load_tables
+
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    # replicate the integer-lattice assignment
+    cent = {
+        j: np.array(
+            [((j * _IVFX_A + d * _IVFX_C) % 2001) - 1000 for d in range(64)],
+            dtype=np.int64,
+        )
+        for j in range(KNN_NLIST)
+    }
+    assign = {}
+    for i, v in vecs.items():
+        xq = np.floor(v * 1000).astype(np.int64)
+        na = int(xq @ xq)
+        best = min(
+            (na + int(c @ c) - 2 * int(xq @ c), j) for j, c in cent.items()
+        )
+        assign[i] = best[1]
+    # deterministic sub-split: row_number within cell ordered by vec_id
+    blocks, overflow = {}, {}
+    for j in set(assign.values()):
+        members = sorted(i for i, cj in assign.items() if cj == j)
+        overflow[j] = int(len(members) > KNN_BLOCK_CAP)
+        for rn, i in enumerate(members):
+            blocks[i] = (j, rn // KNN_BLOCK_CAP)
+    expected = {}
+    for i, vi in vecs.items():
+        ni = vi / np.linalg.norm(vi)
+        cands = []
+        for j, vj in vecs.items():
+            if j == i or blocks[j] != blocks[i]:
+                continue
+            sim = float(ni @ (vj / np.linalg.norm(vj)))
+            cands.append((-sim, j))
+        cands.sort()
+        expected[i] = [j for _, j in cands[:_KNN_K]]
+
+    got = {}
+    for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect():
+        assert r.cell == assign[r.vec_id]
+        assert r.overflow == overflow[assign[r.vec_id]]
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    expected_nonempty = {i: js for i, js in expected.items() if js}
+    assert set(got) == set(expected_nonempty)
+    for i, rows in got.items():
+        rows.sort()
+        assert [n for _, n in rows] == expected_nonempty[i], (i, rows)
+    # the hard cap actually held
+    from collections import Counter
+
+    sizes = Counter(blocks.values())
+    assert max(sizes.values()) <= KNN_BLOCK_CAP
 
 
 # ------------------------------------------------------------ holt exact
