@@ -157,15 +157,11 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
-@query("geo_nearest_neighbor", oracle=_NN_ORACLE, tags=("geo", "join"))
-def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius-bounded nearest neighbor per point: min-distance partner
-    within RADIUS (tie → smallest id), from the grid-blocked pair set.
-    Points with no neighbor in range are absent (their NN is outside
-    the blocking horizon — an unbounded-NN query needs expanding-ring
-    search instead; this is the bounded variant used for 'is there a
-    station/store/duplicate within X' pipelines)."""
-    pairs = grid_pairs(_points(spark, sf_dir))
+def nn_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Per-point nearest neighbor from an (i < j, d2) pair frame:
+    symmetrize, then one mergeable max_by aggregate (tie → smallest
+    id). Factored so the non-empty 500 cd path is unit-testable
+    against brute force independent of the registered radius."""
     both = pairs.union(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "d2")
     )
@@ -175,6 +171,23 @@ def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("j", key).alias("nn_id"), F.min("d2").alias("d2"))
         .orderBy("i")
     )
+
+
+@query("geo_nearest_neighbor", oracle=_NN_ORACLE, tags=("geo", "join"))
+def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest neighbor per point: min-distance partner
+    within RADIUS (tie → smallest id), from the grid-blocked pair set.
+    Points with no neighbor in range are absent (their NN is outside
+    the blocking horizon — an unbounded-NN query needs expanding-ring
+    search instead; this is the bounded variant used for 'is there a
+    station/store/duplicate within X' pipelines). NOTE: at the 100 cd
+    registered radius the sf0.001/sf0.01 result is EMPTY on the
+    key-derived lattice (like geo_grid_join's was pre-round-8); the
+    machinery's non-empty behavior is unit-pinned at 500 cd against
+    brute force (test_geo_nearest_neighbor_nonempty_at_500), and the
+    shared grid_pairs path carries non-empty driver evidence via
+    geo_grid_join."""
+    return nn_from_pairs(grid_pairs(_points(spark, sf_dir)))
 
 
 _HEATMAP_ORACLE = f"""

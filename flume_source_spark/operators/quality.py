@@ -212,6 +212,16 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the minimum rank-sum for P positives is P(P+1)/2 — so trunc-div and
 # floor-div agree; no doubles anywhere).
 #
+# Precision (ADVICE r7): two_rank_sum grows ~n² per source and its
+# ×1e6 ppm numerator crossed int64 at roughly 2M rows/source — Spark
+# (non-ANSI) would wrap silently while DuckDB raises, a silent
+# cross-engine divergence at exactly the scale the operator claims.
+# The rank-sum accumulator and the numerator therefore run in
+# 128-bit-class arithmetic on BOTH engines — DECIMAL(38,0) on Spark,
+# HUGEINT on DuckDB (the aggregates5 bounded-precision pattern):
+# exact to ~10³⁸, i.e. ~10¹⁶ rows per source, far past any corpus.
+# Only the final ≤1e6 auc_ppm is cast back to BIGINT for output.
+#
 # Scale: groupBy(source, score) first — map-side combine collapses
 # 100 TB of rows to |distinct scores| per group BEFORE any window; the
 # cumulative window then runs over distinct scores only (tiny), and
@@ -238,12 +248,12 @@ _ROC_AUC_ORACLE = """
         SELECT source,
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-               CAST(sum(pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS two_rank_sum
+               sum(CAST(pos AS HUGEINT) * (2 * cum_less + cnt + 1)) AS two_rank_sum
         FROM c GROUP BY source
     )
     SELECT source, n_pos, n_neg,
-           CAST((two_rank_sum - n_pos * (n_pos + 1)) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST((two_rank_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+                // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_ppm
     FROM s
     WHERE n_pos > 0 AND n_neg > 0
     ORDER BY source
@@ -273,9 +283,10 @@ def dq_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.groupBy("source").agg(
         F.sum("pos").cast("long").alias("n_pos"),
         (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
-        F.sum(F.col("pos") * (2 * F.col("cum_less") + F.col("cnt") + 1))
-        .cast("long")
-        .alias("two_rank_sum"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).alias("two_rank_sum"),
     )
     return (
         s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
@@ -284,8 +295,9 @@ def dq_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             "n_neg",
             F.expr(
-                "CAST((two_rank_sum - n_pos * (n_pos + 1)) * 1000000"
-                " DIV (2 * n_pos * n_neg) AS BIGINT)"
+                "CAST(FLOOR((two_rank_sum - CAST(n_pos AS DECIMAL(38,0))"
+                " * (n_pos + 1)) * 1000000"
+                " / (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)) AS BIGINT)"
             ).alias("auc_ppm"),
         )
         .orderBy("source")

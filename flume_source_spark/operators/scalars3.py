@@ -16,6 +16,19 @@ block. The fixture has no address column, so addresses are
 key-derived (Knuth multiplicative hash of user_id, the geo-coordinate
 precedent), giving full octet coverage deterministically.
 
+Totality (ADVICE r7): the naive ``(user_id * 2654435761) % 2^32``
+overflows int64 once user_id exceeds ~3.47e9 — Spark (non-ANSI)
+wraps silently while DuckDB raises, a silent cross-engine divergence
+— and truncated ``%`` goes negative for negative ids. The derivation
+is therefore (1) reduced to a POSITIVE residue first
+(((id % 2^32) + 2^32) % 2^32 — both engines' % are truncated, so the
+double-mod is the portable pmod), then (2) multiplied via a 16-bit
+split: with a = ah·2^16 + al,
+  (a·K) mod 2^32 = (((ah·K) mod 2^16)·2^16 + al·K) mod 2^32,
+and every intermediate is < 1.8e14 ≪ 2^63. The result is bit-equal
+to the naive form wherever the naive form is defined, and total —
+exact for EVERY BIGINT user_id on both engines.
+
 Scale: pure row-map inside WholeStageCodegen over the distinct-user
 frame; the only exchange is the distinct itself.
 """
@@ -28,13 +41,20 @@ from pyspark.sql import functions as F
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
 
-_IP_ORACLE = """
-    WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events),
-    ip AS (
+# portable pmod + 16-bit-split modular multiply — total for every
+# BIGINT id, bit-equal to (id * K) % 2^32 where that form is defined
+_IP_DERIVE_SQL = """
         SELECT user_id,
-               (user_id * 2654435761) % 4294967296 AS ip_u32
-        FROM u
-    ),
+               ((((a // 65536) * 2654435761) % 65536) * 65536
+                + (a % 65536) * 2654435761) % 4294967296 AS ip_u32
+        FROM (SELECT user_id,
+                     ((user_id % 4294967296) + 4294967296) % 4294967296 AS a
+              FROM u)
+"""
+
+_IP_ORACLE = f"""
+    WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events),
+    ip AS ({_IP_DERIVE_SQL}),
     o AS (
         SELECT user_id, ip_u32,
                ip_u32 // 16777216 AS o1,
@@ -63,10 +83,22 @@ _IP_ORACLE = """
 def scalar_ip_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPv4 toolkit on u32 integers: octets, dotted quad, /16 subnet,
     RFC-1918 classification, and 100.64.0.0/10 (CGNAT) containment —
-    all exact divide/modulo arithmetic, no INET type needed."""
+    all exact divide/modulo arithmetic, no INET type needed. The u32
+    derivation is TOTAL (positive-residue reduction + 16-bit-split
+    modular multiply — see module docstring): no int64 overflow or
+    negative octets for any BIGINT user_id, on either engine."""
     ev = load_tables(spark, sf_dir)["events"]
     u = ev.select(F.col("user_id").cast("long").alias("user_id")).distinct()
-    ip = u.withColumn("ip_u32", (F.col("user_id") * 2654435761) % 4294967296)
+    ip = u.withColumn(
+        "a", F.expr("((user_id % 4294967296) + 4294967296) % 4294967296")
+    ).withColumn(
+        "ip_u32",
+        F.expr(
+            "(((a DIV 65536) * 2654435761) % 65536) * 65536"
+            " + (a % 65536) * 2654435761"
+        )
+        % 4294967296,
+    ).drop("a")
     o = (
         ip.withColumn("o1", F.expr("ip_u32 DIV 16777216"))
         .withColumn("o2", F.expr("(ip_u32 DIV 65536) % 256"))

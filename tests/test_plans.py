@@ -365,6 +365,24 @@ def test_incremental_lsh_no_cartesian_broadcast_verify(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_knn_graph_blocked_plan_is_bounded(spark, sf_dir):
+    """sim_knn_graph's round-8 scale contract in the physical plan:
+    the centroid panel joins as a BROADCAST (nlist rows — the corpus
+    never shuffles for assignment), and the within-block pair stage is
+    a hash/sort EQUI-join on (cell, sub-block) — no CartesianProduct,
+    no BroadcastNestedLoopJoin anywhere (the label-block r7 shape was
+    also an equi-join; what changed is the KEY is now capped, which
+    the numpy block test pins — this test pins the join strategy)."""
+    p = plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # some side broadcasts (at fixture scale AQE broadcasts the smaller
+    # pair side; the nlist centroid panel broadcasts inside the
+    # checkpoint-materializing job) and the pair stage is an equi-join
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_registry_green_sets_are_consistent():
     """The driver-green frozensets must only name queries that exist
     (a typo would silently demote a query into the wrong sweep block)
@@ -497,8 +515,13 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
     and newly swept queries fall to the back."""
     import flume_source_spark.registry as reg
 
-    stale_head = reg._R07_STALE_REPIN[0]          # join_left_outer
-    stale_next = reg._R07_STALE_REPIN[1]          # still-stale neighbor
+    # pick the scenario fixtures from the LIVE stale tier (entries the
+    # hardcoded record still lists as stale) — hardcoding repin-order
+    # heads broke the moment r07's sweep re-pinned them (they moved to
+    # the fresh tier, where relative order proves nothing)
+    live_stale = [n for n in reg._R07_STALE_REPIN if n in reg._STALE_GREEN]
+    assert len(live_stale) >= 2, "scenario needs two still-stale queries"
+    stale_head, stale_next = live_stale[0], live_stale[1]
     fresh_red = "q01_pricing_summary"             # previously fresh, now red
     monkeypatch.setattr(
         reg,

@@ -237,6 +237,34 @@ def test_geo_grid_join_has_matches(spark, sf_dir):
     assert grid_pairs(_points(spark, sf_dir), radius=100).count() == 0
 
 
+def test_geo_nearest_neighbor_nonempty_at_500(spark, sf_dir):
+    """The NN aggregation on a NON-EMPTY pair set (500 cd — the radius
+    whose pair machinery carries driver evidence via geo_grid_join)
+    must match python brute force: min-d2 partner, ties to the
+    smallest id. The registered 100 cd NN query is empty below sf0.1
+    (documented in its docstring); this pins the non-empty behavior."""
+    from flume_source_spark.operators.geo import _points, grid_pairs, nn_from_pairs
+
+    pts = {r.id: (r.lat_cd, r.lon_cd) for r in _points(spark, sf_dir).collect()}
+    got = {
+        r.i: (r.nn_id, r.d2)
+        for r in nn_from_pairs(grid_pairs(_points(spark, sf_dir), radius=500)).collect()
+    }
+    assert got, "500 cd must have matches at every fixture SF"
+    expected = {}
+    for i, (la, lo) in pts.items():
+        best = None
+        for j, (lb, lob) in pts.items():
+            if j == i:
+                continue
+            d2 = (la - lb) ** 2 + (lo - lob) ** 2
+            if d2 <= 500 * 500 and (best is None or (d2, j) < best):
+                best = (d2, j)
+        if best is not None:
+            expected[i] = (best[1], best[0])
+    assert got == expected
+
+
 def test_geo_grid_recall_matches_bruteforce(spark):
     """Grid blocking is exact (not approximate): on a synthetic point
     set with pairs straddling cell borders, the blocked pair set must
