@@ -24,6 +24,17 @@ Spark's integer DIV truncates toward zero while DuckDB's ``//`` floors
 toward −∞ (the divergence the PCA twin documents); Q itself is
 Σ contrib_num / q_den, recoverable exactly by any consumer.
 
+Exactness BOUND (the aggregates5 documented-contract discipline):
+q_den = 4m² and the contrib_num terms (4·m·e_c, d_c² ≤ 4m²) cross
+int64 once m exceeds ~1.5×10⁹ edges PER MODULARITY RUN — past that,
+Spark (non-ANSI) wraps silently while DuckDB raises, so the twins
+would diverge silently. At 100 TB, run the metric per partition/shard
+(modularity is defined per graph; sharded graphs get per-shard Q) or
+widen the two rational columns to DECIMAL digit strings (the
+agg_moment_sums_exact serialization pattern) — the bound is the
+documented contract of the BIGINT output schema, not a surprise.
+Conductance's cut/vol columns are ≤ 2m — linear, no such bound.
+
 Scale: edges come from the bounded 3×3 grid equi-join (geo module
 scale notes); community tagging is two joins against the node→nation
 map (broadcast at fixture scale, hash join on node id at 100 TB);

@@ -67,6 +67,32 @@ KNN_NLIST = 16
 # cells mostly un-split (500 vectors / 16 cells ≈ 31) while any larger
 # corpus splits deterministically instead of going quadratic.
 KNN_BLOCK_CAP = 64
+# Adaptive-nlist ceiling for the production entry point: past this the
+# centroid panel stops being a cheap broadcast and the N·nlist·dim
+# assignment stage dominates — at that corpus size a FLAT coarse
+# quantizer is the wrong tool (hierarchical/two-level IVF or
+# NN-descent takes over); the clamp makes the flat path degrade into
+# documented overflow flags instead of runaway assignment cost.
+KNN_NLIST_MAX = 4096
+
+
+def _default_knn_nlist(n: int) -> int:
+    """Adaptive cell count for the production path: ⌈√N⌉ clamped to
+    [KNN_NLIST, KNN_NLIST_MAX] — the flat-IVF sweet spot, giving
+    O(N·√N·dim) assignment + O(N·cap) pair work. NOTE the deliberate
+    divergence from semdedup's ⌈N/(cap/2)⌉ term: semdedup's cap is a
+    degenerate-cluster GUARD it must stay under, so nlist chases the
+    cap; here the cap IS the block size and the sub-split enforces it
+    unconditionally, so nlist only tunes how often cells split
+    (overflow rate) — pushing nlist linear in N to avoid splits would
+    make the assignment stage quadratic, a worse trade than a flagged
+    split. Mean cell size is √N: above N ≈ cap² (~4k vectors at
+    cap = 64) splits are EXPECTED and flagged — the documented recall
+    knob of a flat quantizer at scale."""
+    import math
+
+    by_sqrt = math.isqrt(max(n, 1) - 1) + 1  # ⌈√N⌉
+    return max(KNN_NLIST, min(KNN_NLIST_MAX, by_sqrt))
 
 _KNN_ORACLE = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -162,6 +188,7 @@ def knn_graph_blocked(
     k: int = _KNN_K,
     nlist: int = KNN_NLIST,
     cap: int = KNN_BLOCK_CAP,
+    sampled_centroids: bool = False,
 ) -> DataFrame:
     """Capped-IVF-block top-k neighbor lists over a ``(vec_id, v0)``
     frame — the PRODUCTION path: integer-lattice coarse quantizer
@@ -180,16 +207,38 @@ def knn_graph_blocked(
         F.transform("v0", lambda x: x / norm).alias("nv"),
         F.transform("v0", lambda x: F.floor(x * F.lit(1000)).cast("long")).alias("xq"),
     ).withColumn("na", sq)
-    jcol = F.col("j")
-    cent = spark.range(nlist).select(
-        F.col("id").cast("long").alias("j"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda d: ((jcol * _IVFX_A + d.cast("long") * _IVFX_C) % 2001 - 1000).cast(
-                "long"
-            ),
-        ).alias("carr"),
-    )
+    if sampled_centroids:
+        # geometry-ADAPTIVE cells for the production/quality paths:
+        # centroids are nlist actual (quantized) data points, chosen
+        # by md5(vec_id) order — deterministic, content-addressed, one
+        # bounded limit; cells then track the data distribution
+        # instead of an arbitrary lattice. The REGISTERED query keeps
+        # the closed-form lattice (sampled centroids need a LIMIT the
+        # oracle can't share bit-for-bit through the same plan).
+        cent = (
+            base.select(
+                "vec_id", "xq", F.md5(F.col("vec_id").cast("string")).alias("h")
+            )
+            .orderBy("h", "vec_id")
+            .limit(nlist)
+            .select(
+                (F.row_number().over(W.orderBy("h", "vec_id")) - 1)
+                .cast("long")
+                .alias("j"),
+                F.col("xq").alias("carr"),
+            )
+        )
+    else:
+        jcol = F.col("j")
+        cent = spark.range(nlist).select(
+            F.col("id").cast("long").alias("j"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    (jcol * _IVFX_A + d.cast("long") * _IVFX_C) % 2001 - 1000
+                ).cast("long"),
+            ).alias("carr"),
+        )
     cent = cent.withColumn(
         "nc",
         F.aggregate(
@@ -256,6 +305,132 @@ def knn_graph_blocked(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFrame:
+    """One NN-descent refinement round — the cross-block quality
+    repair the capped-block builder defers (blocks bound pair WORK;
+    descent recovers neighbors a block boundary hid). Candidates per
+    node are its current neighbors, its REVERSE neighbors, and its
+    neighbors' neighbors — ≤ k² + 2k per node, so the round is
+    O(N·k²) with three equi-joins and one top-k window: bounded,
+    shuffle-on-key, nothing quadratic (Dong/Moses/Li NN-descent, the
+    standard k-NN-graph refinement loop, one unrolled step).
+
+    Inputs: ``e`` = (vec_id, v0 raw double vector), ``edges`` =
+    (vec_id|i, neighbor_id|j)-shaped current graph (any extra columns
+    ignored). Output matches knn_graph_blocked's core columns
+    (vec_id, rank, neighbor_id, cos_sim). MONOTONE by construction:
+    the candidate set contains the current neighbors, so no node's
+    rank-r similarity can decrease — pinned by test, with measured
+    recall-vs-exact improvement on the fixture."""
+    from pyspark.sql import Window as W
+
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    cols = edges.columns
+    fwd = edges.select(
+        F.col(cols[0] if "vec_id" not in cols else "vec_id").alias("i"),
+        F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
+    )
+    rev = fwd.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    both = fwd.union(rev)
+    nn2 = (
+        both.alias("a")
+        .join(both.alias("b"), F.col("a.j") == F.col("b.i"))
+        .select(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+    )
+    cand = (
+        both.union(nn2).where(F.col("i") != F.col("j")).distinct()
+    )
+    scored = (
+        cand.join(nv.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva")), "i")
+        .join(nv.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb")), "j")
+        .select("i", "j", _dot(F.col("nva"), F.col("nvb")).alias("sim"))
+    )
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("i").alias("vec_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("j").alias("neighbor_id"),
+            F.round("sim", 4).cast("double").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def knn_graph_auto(spark: SparkSession, e: DataFrame, k: int = _KNN_K) -> DataFrame:
+    """Production entry point: capped-IVF k-NN graph with the
+    ADAPTIVE √N cell count (one bounded count() to size the lattice —
+    the semdedup adaptive-nlist discipline). The REGISTERED query pins
+    the machinery at fixed nlist = 16 for oracle hashability; callers
+    building a real graph should come through here so cell count
+    tracks the corpus, cells track the data (sampled centroids), and
+    ``overflow`` stays informative."""
+    return knn_graph_blocked(
+        spark, e, k=k, nlist=_default_knn_nlist(e.count()), sampled_centroids=True
+    )
+
+
+def knn_graph_refined(
+    spark: SparkSession, e: DataFrame, k: int = _KNN_K, rounds: int = 1
+) -> DataFrame:
+    """Quality entry point: two-view bootstrap + NN-descent rounds.
+
+    A block-partitioned k-NN graph is BLOCK-CLOSED — every neighbor,
+    reverse neighbor, and neighbor-of-neighbor lives in the same
+    block, so descent over the IVF view alone can never cross a cell
+    boundary (measured: zero recall gain — the reason this function
+    exists). The fix is the NN-descent random init, expressed as a
+    SECOND view: a content-independent hash blocking (pmod(xxhash64),
+    blocks sized to the same cap) whose top-k edges are random-ish
+    bridges across IVF cells. Union the two edge sets and each
+    descent round can hop geometry → bridge → geometry, converging
+    toward the true graph (Dong et al.'s loop; rounds=1 is usually
+    the big step).
+
+    Cost: the random view is the same bounded machinery (pair work
+    ≤ N·cap, one shuffle on the hash key); each round is O(N·k²)
+    equi-joins. Still nothing quadratic, still no corpus cross join.
+    MONOTONE vs the IVF view by construction (candidates ⊇ its
+    edges); recall improvement is pinned by test on the fixture."""
+    from pyspark.sql import Window as W
+
+    n = e.count()
+    base = knn_graph_blocked(
+        spark, e, k=k, nlist=_default_knn_nlist(n), sampled_centroids=True
+    )
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    nblocks = max(1, -(-n // KNN_BLOCK_CAP))
+    rb = nv.withColumn("rb", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)))
+    a = rb.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "rb")
+    b = rb.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb"), "rb")
+    rand_pairs = (
+        a.join(b, "rb")
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j", _dot(F.col("nva"), F.col("nvb")).alias("sim"))
+    )
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j"))
+    rand_topk = (
+        rand_pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("i", "j")
+    )
+    edges = base.select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    ).union(rand_topk)
+    out = knn_descent_round(e, edges, k=k)
+    for _ in range(rounds - 1):
+        out = knn_descent_round(
+            e,
+            out.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")),
+            k=k,
+        )
+    return out
 
 
 @query("sim_knn_graph", oracle=_KNN_ORACLE, tags=("llm", "similarity", "graph"))

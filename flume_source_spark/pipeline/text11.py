@@ -112,8 +112,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer headroom: 1e6·44·tf·avgdl_pm < 2^63 needs tf·avgdl_pm <
     2.1e11; with avgdl_pm = 1000·(mean tokens/doc), a 10k-token
     average and a 10k-token max tf still leave 20× slack. idf_pm needs
-    2·N < 2^53 trivially. All operands non-negative (df ≤ N), so
-    Spark ``div`` ≡ DuckDB ``//`` (house rule, env-limits)."""
+    2·N < 2^53 trivially. The PRODUCT score = tf_ppm·idf_pm is also
+    bounded: tf_ppm ≤ 44e6/20 = 2.2e6 always, so score < 2^63 needs
+    idf_pm < 4.2e12, i.e. df ≥ N/4.2e9 — satisfied by ANY term with
+    document frequency above one-in-4-billion docs, and the panel is
+    the TOP-df terms by construction, so the product cannot overflow
+    for any panel a top-df selection can produce. All operands
+    non-negative (df ≤ N), so Spark ``div`` ≡ DuckDB ``//`` (house
+    rule, env-limits)."""
     lazy, tf = _bm25_lazy(spark, sf_dir)
     # materialize the ≤ panel·K-row result eagerly so the corpus-sized
     # tf cache can be RELEASED here instead of leaking one persisted
