@@ -368,6 +368,10 @@ def main() -> None:
         ((n, v) for n, v in spread.items() if v >= SPREAD_FLOOR or n in movers),
         key=lambda kv: (kv[0] not in movers, -kv[1]),
     )
+    # spread_n_over_floor keeps its pre-r8 meaning (entries at/above
+    # the floor) so the field stays comparable across round artifacts;
+    # the mover-union above only affects RETENTION ordering
+    n_over_floor = sum(1 for v in spread.values() if v >= SPREAD_FLOOR)
     contract = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -377,7 +381,7 @@ def main() -> None:
         # a canary ≫ its own min flags that pass as contended
         "canary_q06_per_pass": canary,
         "spread_floor": SPREAD_FLOOR,
-        "spread_n_over_floor": len(over),
+        "spread_n_over_floor": n_over_floor,
         "n_movers_gt20pct": len(movers),
         "spread": {},
     }

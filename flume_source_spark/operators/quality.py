@@ -294,10 +294,16 @@ def dq_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_pos",
             "n_neg",
+            # div, NOT FLOOR(a/b): Spark resolves DECIMAL(38,0)/
+            # DECIMAL(38,0) to DECIMAL(38,6) and HALF_UP-rounds the
+            # quotient BEFORE floor (measured: 247999999/2000000
+            # floors to 124, not 123), while integral `div` on
+            # decimals truncates the EXACT quotient — and the
+            # numerator is non-negative, so trunc ≡ floor ≡ DuckDB //
             F.expr(
-                "CAST(FLOOR((two_rank_sum - CAST(n_pos AS DECIMAL(38,0))"
+                "CAST((two_rank_sum - CAST(n_pos AS DECIMAL(38,0))"
                 " * (n_pos + 1)) * 1000000"
-                " / (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)) AS BIGINT)"
+                " div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"
             ).alias("auc_ppm"),
         )
         .orderBy("source")

@@ -25,9 +25,12 @@ is therefore (1) reduced to a POSITIVE residue first
 double-mod is the portable pmod), then (2) multiplied via a 16-bit
 split: with a = ah·2^16 + al,
   (a·K) mod 2^32 = (((ah·K) mod 2^16)·2^16 + al·K) mod 2^32,
-and every intermediate is < 1.8e14 ≪ 2^63. The result is bit-equal
-to the naive form wherever the naive form is defined, and total —
-exact for EVERY BIGINT user_id on both engines.
+and every intermediate is < 1.8e14 ≪ 2^63. For NON-NEGATIVE ids below
+2^32·K (every id the naive form handled without wrap or sign issues —
+the fixture range) the result is bit-equal to the naive form; for
+negative ids the derivations deliberately differ (the naive truncated
+% yields negative residues and negative octets — the defect), and the
+new form is total — exact for EVERY BIGINT user_id on both engines.
 
 Scale: pure row-map inside WholeStageCodegen over the distinct-user
 frame; the only exchange is the distinct itself.

@@ -82,11 +82,10 @@ def _default_nlist(n: int) -> int:
     the ceiling wins and overflow returns — at that scale a single
     flat k-means is the wrong tool; shard or cluster hierarchically
     (the paper's web-scale runs do), then apply this per shard."""
-    import math
+    from flume_source_spark.pipeline.similarity import ceil_sqrt
 
-    by_sqrt = math.isqrt(max(n, 1) - 1) + 1  # ⌈√N⌉
     by_cap = -(-n // (MAX_CLUSTER // 2))  # ⌈N / (MAX_CLUSTER/2)⌉
-    return max(SEM_NLIST, min(SEM_NLIST_MAX, max(by_sqrt, by_cap)))
+    return max(SEM_NLIST, min(SEM_NLIST_MAX, max(ceil_sqrt(n), by_cap)))
 
 
 def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int | None = None, iters: int = SEM_ITERS) -> DataFrame:

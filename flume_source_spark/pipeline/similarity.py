@@ -67,6 +67,14 @@ HYPERPLANES = [
 ]
 
 
+def ceil_sqrt(n: int) -> int:
+    """⌈√n⌉ for n ≥ 1 (n ≤ 0 → 1): the shared adaptive-nlist term —
+    semdedup's cluster count and the k-NN graph's cell count both
+    track √N through this one definition (review finding: the isqrt
+    idiom was previously duplicated per module)."""
+    return math.isqrt(max(n, 1) - 1) + 1
+
+
 def _dvec(col):
     return F.transform(col, lambda x: x.cast("double"))
 

@@ -89,10 +89,9 @@ def _default_knn_nlist(n: int) -> int:
     split. Mean cell size is √N: above N ≈ cap² (~4k vectors at
     cap = 64) splits are EXPECTED and flagged — the documented recall
     knob of a flat quantizer at scale."""
-    import math
+    from flume_source_spark.pipeline.similarity import ceil_sqrt
 
-    by_sqrt = math.isqrt(max(n, 1) - 1) + 1  # ⌈√N⌉
-    return max(KNN_NLIST, min(KNN_NLIST_MAX, by_sqrt))
+    return max(KNN_NLIST, min(KNN_NLIST_MAX, ceil_sqrt(n)))
 
 _KNN_ORACLE = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -323,7 +322,15 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     (vec_id, rank, neighbor_id, cos_sim). MONOTONE by construction:
     the candidate set contains the current neighbors, so no node's
     rank-r similarity can decrease — pinned by test, with measured
-    recall-vs-exact improvement on the fixture."""
+    recall-vs-exact improvement on the fixture.
+
+    Bound accounting: reverse edges are CAPPED at k per node (Dong et
+    al.'s reverse sample — a hub listed by many nodes would otherwise
+    put an unbounded row count on the nn2 self-join's build side and
+    make the round hub-quadratic). With the cap, each node holds ≤ 2k
+    rows in the direction-union, so candidates are ≤ 4k² + 2k per
+    node and the nn2 join output is globally ≤ 4·N·k² regardless of
+    degree skew."""
     from pyspark.sql import Window as W
 
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
@@ -334,6 +341,12 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
         F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
     )
     rev = fwd.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    w_rev = W.partitionBy("i").orderBy("j")
+    rev = (
+        rev.withColumn("rn", F.row_number().over(w_rev))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
     both = fwd.union(rev)
     nn2 = (
         both.alias("a")

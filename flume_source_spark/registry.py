@@ -380,14 +380,16 @@ _R07_STALE_REPIN = (
 # the 50-row round-7 sweep = the 30 round-7 registrations (sketch
 # twins, BM25, audits, community analytics, FS linkage, Holt, bloom
 # prefilter, BPE exact twins, ...) + 20 stale re-pins (family heads).
-# 50 hash-green, 0 rows-only, 0 red. THREE deliberate exclusions —
-# each query is re-SHAPED in round 8 (VERDICT r7 items 3-5), so its
-# r07 green pins superseded semantics and it re-enters the
-# verify-first block (the graph_kcore r05 precedent):
+# 50 hash-green, 0 rows-only, 0 red. TWO deliberate exclusions from
+# this set — each query is re-SHAPED in round 8 (VERDICT r7 items
+# 3-4), so its r07 green pins superseded semantics and it re-enters
+# the verify-first block (the graph_kcore r05 precedent):
 # - sim_knn_graph: candidate blocks move from unbounded label blocks
 #   to capped IVF cells (VERDICT r7 "What's wrong" #2),
 # - dedup_lsh_recall_audit: registered default moves from the fixed
 #   30% sample RATE to the fixed-SIZE budget (VERDICT r7 item 4).
+# The round's THIRD re-shape, geo_grid_join (item 5), had no r07 row;
+# its exclusion lives in the _DRIVER_GREEN_R04 comment above.
 _DRIVER_GREEN_R07 = frozenset(
     {
         "agg_count_min_exact", "agg_grouping_sets", "agg_moment_sums_exact",
