@@ -58,6 +58,31 @@ def test_lsh_audit_zero_denominators_guarded(spark):
     assert row.precision_ppm == (0 if row.n_cand == 0 else row.precision_ppm)
 
 
+def test_budget_sample_holds_absolute_size(spark):
+    """The round-8 fixed-SIZE gate: as the corpus grows 16×, the
+    sample must stay near the BUDGET (modulus self-scales), not grow
+    with the corpus — the property that makes the audit affordable at
+    any N. md5 bucketing is uniform-ish, so a [½·budget, 2·budget]
+    band is a safe determinism-friendly assertion; also pins the
+    n ≤ budget corner (modulus clamps to 1 → everything passes) and
+    determinism (same frame → same sample)."""
+    from flume_source_spark.pipeline.audit import AUDIT_SAMPLE_BUDGET, budget_sample
+
+    def corpus(n):
+        return _docs(spark, [(i, f"doc {i} text") for i in range(n)])
+
+    small = budget_sample(corpus(600)).count()
+    large = budget_sample(corpus(9600)).count()
+    assert AUDIT_SAMPLE_BUDGET / 2 <= small <= 2 * AUDIT_SAMPLE_BUDGET, small
+    assert AUDIT_SAMPLE_BUDGET / 2 <= large <= 2 * AUDIT_SAMPLE_BUDGET, large
+    # tiny corpus: modulus clamps to 1, every doc passes
+    assert budget_sample(corpus(40)).count() == 40
+    # deterministic: the gate is content-addressed, not random
+    a = {r.doc_id for r in budget_sample(corpus(600)).collect()}
+    b = {r.doc_id for r in budget_sample(corpus(600)).collect()}
+    assert a == b
+
+
 def test_lsh_audit_band_config():
     assert AUDIT_BANDS * AUDIT_ROWS == 12  # bands × rows = hash count
 
