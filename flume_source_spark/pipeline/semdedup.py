@@ -41,6 +41,7 @@ from flume_source_spark.pipeline.dedup import spread
 from flume_source_spark.pipeline.similarity import (
     _dvec,
     assign_nearest,
+    ceil_sqrt,
     train_spherical_kmeans,
 )
 from flume_source_spark.registry import query
@@ -82,8 +83,6 @@ def _default_nlist(n: int) -> int:
     the ceiling wins and overflow returns — at that scale a single
     flat k-means is the wrong tool; shard or cluster hierarchically
     (the paper's web-scale runs do), then apply this per shard."""
-    from flume_source_spark.pipeline.similarity import ceil_sqrt
-
     by_cap = -(-n // (MAX_CLUSTER // 2))  # ⌈N / (MAX_CLUSTER/2)⌉
     return max(SEM_NLIST, min(SEM_NLIST_MAX, max(ceil_sqrt(n), by_cap)))
 

