@@ -432,6 +432,18 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # CORRECTNESS_r{N}.json lands AFTER the builder's last commit, so a
 # hardcoded-only scheme always starts the next round one artifact
 # stale (the r5→r6 and r6→r7 verdicts both flagged exactly this).
+#
+# ROUND-9 NOTE: when CORRECTNESS_r08.json lands, the dynamic pickup
+# re-tiers automatically (and tests/test_plans.py's consistency test
+# now derives through the same path, so it stays green). The manual
+# hygiene step is: fold r08's keys into a hardcoded _DRIVER_GREEN_R08
+# and bump _KNOWN_ROUNDS to 8. Expected r08 coverage: the 3 round-8
+# re-shapes (geo_grid_join, sim_knn_graph, dedup_lsh_recall_audit) +
+# the 47 oracled stale re-pins — leaving exactly the 6 rows-only
+# stale queries (agg_approx, agg_sketch_mergeable, dedup_simhash,
+# sample_and_introspect, scalar_hash_spark, sim_ann_lsh; all with
+# exact twins or impossibility notes per the rows-only policy) as the
+# only pre-regeneration driver evidence; they lead round 9's tier 2.
 _KNOWN_ROUNDS = 7
 
 
