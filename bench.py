@@ -332,14 +332,16 @@ def main() -> None:
         if best is None:
             return {}
         _, q = best
+        # a prior short key maps to a current full name ONLY if it
+        # prefixes exactly one current name — prior keys were unique
+        # within the PRIOR round's name set, so a later admission
+        # sharing the prefix (e.g. x_v2 beside x) would otherwise
+        # inherit the other query's timing and fake/mask a mover
         out = {}
-        for full in full_names:
-            if full in q:
-                out[full] = q[full]
-            else:
-                hits = [k for k in q if full.startswith(k)]
-                if len(hits) == 1:
-                    out[full] = q[hits[0]]
+        for k, v in q.items():
+            matches = [f for f in full_names if f.startswith(k)]
+            if len(matches) == 1:
+                out[matches[0]] = v
         return out
 
     spread = {n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()}

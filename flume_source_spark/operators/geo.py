@@ -78,14 +78,20 @@ _PAIRS_ORACLE = f"""
     ORDER BY i, j
 """
 
-_NN_ORACLE = f"""
+def _nn_oracle(radius: int) -> str:
+    """The NN oracle text at an arbitrary radius — parameterized so a
+    local cross-engine test can exercise the NON-EMPTY path at 500 cd
+    (the registered 100 cd query compares empty sets below sf0.1, so
+    without this the oracle side of the NN aggregation would be
+    validated by nothing — the geo_grid_join zero-signal lesson)."""
+    return f"""
     WITH pts AS ({_COORDS_SQL}),
     pairs AS (
         SELECT a.id AS i, b.id AS j,
                (a.lat_cd - b.lat_cd) * (a.lat_cd - b.lat_cd)
              + (a.lon_cd - b.lon_cd) * (a.lon_cd - b.lon_cd) AS d2
         FROM pts a JOIN pts b ON a.id <> b.id),
-    inr AS (SELECT * FROM pairs WHERE d2 <= {_T2}),
+    inr AS (SELECT * FROM pairs WHERE d2 <= {radius * radius}),
     r AS (SELECT i, j, d2,
                  row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
           FROM inr)
@@ -93,6 +99,9 @@ _NN_ORACLE = f"""
     FROM r WHERE rn = 1
     ORDER BY i
 """
+
+
+_NN_ORACLE = _nn_oracle(RADIUS)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -200,8 +200,12 @@ def knn_graph_blocked(
     pattern — repeated builder calls in one session would otherwise
     each leak a persisted assignment frame)."""
     lazy, blocks = _knn_blocked_lazy(spark, e, k, nlist, cap, sampled_centroids)
-    out = lazy.localCheckpoint(eager=True)
-    blocks.unpersist(blocking=False)
+    try:
+        out = lazy.localCheckpoint(eager=True)
+    finally:
+        # release even when the checkpoint job fails mid-flight — a
+        # retrying session would otherwise accumulate leaked caches
+        blocks.unpersist(blocking=False)
     return out
 
 
@@ -408,16 +412,20 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     )
 
 
-def knn_graph_auto(spark: SparkSession, e: DataFrame, k: int = _KNN_K) -> DataFrame:
+def knn_graph_auto(
+    spark: SparkSession, e: DataFrame, k: int = _KNN_K, n: int | None = None
+) -> DataFrame:
     """Production entry point: capped-IVF k-NN graph with the
     ADAPTIVE √N cell count (one bounded count() to size the lattice —
-    the semdedup adaptive-nlist discipline). The REGISTERED query pins
-    the machinery at fixed nlist = 16 for oracle hashability; callers
-    building a real graph should come through here so cell count
-    tracks the corpus, cells track the data (sampled centroids), and
-    ``overflow`` stays informative."""
+    the semdedup adaptive-nlist discipline; pass ``n`` if the caller
+    already counted). The REGISTERED query pins the machinery at
+    fixed nlist = 16 for oracle hashability; callers building a real
+    graph should come through here so cell count tracks the corpus,
+    cells track the data (sampled centroids), and ``overflow`` stays
+    informative."""
+    n = e.count() if n is None else n
     return knn_graph_blocked(
-        spark, e, k=k, nlist=_default_knn_nlist(e.count()), sampled_centroids=True
+        spark, e, k=k, nlist=_default_knn_nlist(n), sampled_centroids=True
     )
 
 
@@ -445,10 +453,16 @@ def knn_graph_refined(
     edges); recall improvement is pinned by test on the fixture."""
     from pyspark.sql import Window as W
 
+    if rounds < 1:
+        raise ValueError(
+            "rounds must be >= 1 (the un-refined base view IS "
+            "knn_graph_auto — call that for a rounds=0 ablation)"
+        )
     n = e.count()
-    base = knn_graph_blocked(
-        spark, e, k=k, nlist=_default_knn_nlist(n), sampled_centroids=True
-    )
+    # the base view IS knn_graph_auto's graph — ONE construction site,
+    # so a tuning change there cannot silently diverge from the view
+    # this function refines (n passed through to avoid a re-count)
+    base = knn_graph_auto(spark, e, k=k, n=n)
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
     nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
     nblocks = max(1, -(-n // KNN_BLOCK_CAP))

@@ -4,9 +4,10 @@ copies land in the same cells AND the same random hash blocks, the
 adversarial replication). Claims under test: knn_graph_auto inherits
 the capped-block linearity (the registered twin measured 1.5x), and
 knn_graph_refined's two-view + hub-capped descent round stays
-near-linear — the reverse cap bounds the candidate self-join at
-4*N*k^2 regardless of degree skew, so 8x corpus => ~8x bounded work
-on 32 cores => low single-digit wall ratio.
+near-linear — deduped edges + the reverse cap bound the candidate
+self-join at N*(f+k)^2 regardless of degree skew (f = forward edges
+per node; 2k for the two-view union => <= 9*N*k^2), so 8x corpus =>
+~8x bounded work on 32 cores => low single-digit wall ratio.
 
 Protocol: scripts/scale_probe_r5..r8 — min-of-3, noop sink, solo.
 """

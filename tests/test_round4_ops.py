@@ -265,6 +265,26 @@ def test_geo_nearest_neighbor_nonempty_at_500(spark, sf_dir):
     assert got == expected
 
 
+def test_geo_nearest_neighbor_oracle_agrees_at_500(spark, duck, sf_dir):
+    """Cross-ENGINE pin of the NN aggregation on non-empty data: the
+    registered 100 cd query hash-greens on EMPTY sets below sf0.1, so
+    Spark's max_by-on-struct tiebreak vs DuckDB's row_number ordering
+    was otherwise compared by nothing — this runs both engines at
+    500 cd through the house compare."""
+    from flume_source_spark.operators.geo import (
+        _nn_oracle,
+        _points,
+        grid_pairs,
+        nn_from_pairs,
+    )
+    from flume_source_spark.oracle import compare
+
+    sdf = nn_from_pairs(grid_pairs(_points(spark, sf_dir), radius=500))
+    res = compare("geo_nn_500", sdf, duck, _nn_oracle(500))
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_geo_grid_recall_matches_bruteforce(spark):
     """Grid blocking is exact (not approximate): on a synthetic point
     set with pairs straddling cell borders, the blocked pair set must
