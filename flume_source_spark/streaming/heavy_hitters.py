@@ -67,6 +67,38 @@ def mg_reference(items, k: int = MG_K):
     return dict(zip(keys, counts))
 
 
+def mg_merge(a: dict, b: dict, k: int = MG_K) -> dict:
+    """Merge two MG summaries (Agarwal et al., "Mergeable Summaries",
+    PODS'12): add counters keywise; if more than k keys survive,
+    subtract the (k+1)-th largest count from every counter and drop
+    the non-positive ones. The result is a valid MG summary of the
+    concatenated input: ≤ k counters, undercount-only, per-key error
+    ≤ (n_a + n_b)/(k+1), and every true heavy hitter above that
+    threshold survives — which is what makes the SHARDED operator
+    composable: shard summaries roll up to a global summary without
+    ever revisiting the stream (property-pinned in tests)."""
+    m = dict(a)
+    for key, c in b.items():
+        m[key] = m.get(key, 0) + c
+    if len(m) > k:
+        kth = sorted(m.values(), reverse=True)[k]  # (k+1)-th largest
+        m = {key: c - kth for key, c in m.items() if c - kth > 0}
+    return m
+
+
+def mg_rollup(summaries, k: int = MG_K) -> dict:
+    """Fold shard summaries into one global MG summary. Shard count
+    scales with executors (bounded — N_SHARDS here), so this is a
+    bounded driver-side fold over ≤ shards·k counters, the standard
+    final step of a sharded frequent-items pipeline. Per-key error of
+    the result is ≤ Σ n_shard/(k+1) = n_total/(k+1) — the same bound
+    an unsharded MG over the whole stream would carry."""
+    out: dict = {}
+    for s in summaries:
+        out = mg_merge(out, s, k)
+    return out
+
+
 def mg_heavy_hitters_stream(events: DataFrame, k: int = MG_K, n_shards: int = N_SHARDS) -> DataFrame:
     """Sharded streaming Misra-Gries over ``user_id``: each shard
     keeps ≤ k (key, lower_bound) counters across micro-batches and

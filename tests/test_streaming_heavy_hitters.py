@@ -179,6 +179,90 @@ def test_mg_single_shard_deterministic_replay(spark, tmp_path):
     assert h[0] == h[1]
 
 
+def test_mg_merge_is_a_valid_summary_of_the_concatenation():
+    """The Agarwal-et-al merge bound, property-checked: for split
+    points across adversarial streams (hot keys, distinct floods,
+    interleavings), fold(per-part MG) must be ≤ K counters,
+    undercount-only with error ≤ n_total/(K+1), and a SUPERSET of the
+    true heavy hitters above that threshold — the composability the
+    sharded operator's docstring claims."""
+    from flume_source_spark.streaming.heavy_hitters import mg_merge, mg_rollup
+
+    streams = [
+        [1] * 50 + list(range(100, 160)) + [1] * 30 + [2] * 25,
+        [7] * 40 + [8] * 30 + list(range(200, 290)) + [7] * 10,
+        list(range(300, 420)),                      # all-distinct flood
+        [9] * 5 + [10] * 5 + [9] * 5 + [10] * 5,    # small, balanced
+    ]
+    for seq in streams:
+        n = len(seq)
+        true = {u: seq.count(u) for u in set(seq)}
+        for n_parts in (2, 3, 5):
+            # contiguous split into n_parts
+            bounds = [round(i * n / n_parts) for i in range(n_parts + 1)]
+            parts = [seq[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
+            merged = mg_rollup([mg_reference(p) for p in parts])
+            assert len(merged) <= MG_K
+            thresh = n / (MG_K + 1)
+            for u, lb in merged.items():
+                assert lb <= true[u], (u, lb, true[u])
+                assert true[u] - lb <= thresh + 1e-9, (u, lb, true[u], thresh)
+            for u, c in true.items():
+                if c > thresh:
+                    assert u in merged, (u, c, thresh, merged)
+    # merge of the live operator's shard summaries = the global view
+    shard_sums = [{1: 5, 2: 3}, {1: 2, 9: 4}, {}]
+    g = mg_rollup(shard_sums)
+    assert g[1] == 7 and len(g) <= MG_K
+    # order-insensitivity of the fold RESULT's guarantees (not values:
+    # MG is order-dependent by nature) — both orders stay valid bounds
+    g2 = mg_rollup(list(reversed(shard_sums)))
+    assert set(g2) <= {1, 2, 9} and g2[1] <= 7
+
+
+def test_mg_stream_shard_rollup_bounds_hold(spark, tmp_path):
+    """End-to-end composability: roll the LIVE sharded stream's final
+    per-shard summaries into one global summary and check the MG
+    bounds against the true global counts — the 100 TB read path
+    (shards on executors, one bounded driver-side fold)."""
+    from flume_source_spark.streaming.heavy_hitters import mg_rollup
+
+    eid = iter(range(1, 10_000))
+    b1 = [(next(eid), 7) for _ in range(15)] + [(next(eid), u) for u in range(400, 420)]
+    d = str(tmp_path / "ev_rollup")
+    _write(d, "b1", b1)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    q = (
+        mg_heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_rollup_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM mg_rollup_t").collect()
+    finally:
+        q.stop()
+    final_total = {}
+    for r in rows:
+        final_total[r.shard] = max(final_total.get(r.shard, 0), r.shard_total)
+    shard_sums: dict = {}
+    for r in rows:
+        if r.shard_total == final_total[r.shard]:
+            shard_sums.setdefault(r.shard, {})[r.user_id] = r.lower_bound
+    g = mg_rollup(list(shard_sums.values()))
+    n = sum(final_total.values())
+    true = {}
+    for _, u in b1:
+        true[u] = true.get(u, 0) + 1
+    assert len(g) <= MG_K
+    thresh = n / (MG_K + 1)
+    for u, lb in g.items():
+        assert lb <= true[u]
+    assert 7 in g and g[7] >= true[7] - thresh
+
+
 def test_mg_reference_textbook_guarantee():
     """Property check on the kernel itself: for a skewed sequence the
     summary holds every item with count > n/(K+1) and never
