@@ -483,6 +483,23 @@ def test_knn_refined_is_monotone_and_improves_recall(spark, sf_dir):
     assert rf > rb, (rb, rf)
 
 
+def test_knn_graph_partitioning_independent(spark, sf_dir):
+    """The capped-block graph must be identical under different
+    shuffle-partition counts (the house windows-family determinism
+    pin): every ordering in the pipeline — assignment argmin,
+    cell sub-split row_number, pair ranking — is a TOTAL order, so
+    partitioning must not leak into results."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = [tuple(r) for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = [tuple(r) for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
+
+
 def test_knn_adaptive_nlist_and_auto_path(spark, sf_dir):
     """The production √N-adaptive cell count: formula values at the
     corners (floor, √N tracking, ceiling clamp), and knn_graph_auto
