@@ -186,7 +186,7 @@ def test_mg_merge_is_a_valid_summary_of_the_concatenation():
     undercount-only with error ≤ n_total/(K+1), and a SUPERSET of the
     true heavy hitters above that threshold — the composability the
     sharded operator's docstring claims."""
-    from flume_source_spark.streaming.heavy_hitters import mg_merge, mg_rollup
+    from flume_source_spark.streaming.heavy_hitters import mg_rollup
 
     streams = [
         [1] * 50 + list(range(100, 160)) + [1] * 30 + [2] * 25,
@@ -215,9 +215,28 @@ def test_mg_merge_is_a_valid_summary_of_the_concatenation():
     g = mg_rollup(shard_sums)
     assert g[1] == 7 and len(g) <= MG_K
     # order-insensitivity of the fold RESULT's guarantees (not values:
-    # MG is order-dependent by nature) — both orders stay valid bounds
-    g2 = mg_rollup(list(reversed(shard_sums)))
-    assert set(g2) <= {1, 2, 9} and g2[1] <= 7
+    # MG is order-dependent by nature) — use summaries whose union
+    # EXCEEDS k keys so both fold orders actually exercise the
+    # subtract-(k+1)th decrement branch, then check both stay valid
+    # bounds of the same underlying stream
+    big = [
+        {1: 20, 2: 6, 3: 6},
+        {4: 6, 5: 6, 6: 6},
+        {7: 6, 8: 6, 9: 6, 1: 10},
+        {10: 6, 11: 6, 12: 6},
+    ]
+    true_big = {}
+    for s in big:
+        for u, c in s.items():
+            true_big[u] = true_big.get(u, 0) + c
+    n_big = sum(true_big.values())
+    for fold in (mg_rollup(big), mg_rollup(list(reversed(big)))):
+        assert len(fold) <= MG_K
+        for u, lb in fold.items():
+            assert lb <= true_big[u]
+            assert true_big[u] - lb <= n_big / (MG_K + 1) + 1e-9
+        # the one true heavy hitter survives either fold order
+        assert 1 in fold
 
 
 def test_mg_stream_shard_rollup_bounds_hold(spark, tmp_path):
@@ -259,7 +278,13 @@ def test_mg_stream_shard_rollup_bounds_hold(spark, tmp_path):
     assert len(g) <= MG_K
     thresh = n / (MG_K + 1)
     for u, lb in g.items():
+        # undercount-only AND error within the merged bound
         assert lb <= true[u]
+        assert true[u] - lb <= thresh + 1e-9, (u, lb, true[u], thresh)
+    # superset: EVERY true global heavy hitter survives the rollup
+    for u, c in true.items():
+        if c > thresh:
+            assert u in g, (u, c, thresh, g)
     assert 7 in g and g[7] >= true[7] - thresh
 
 
