@@ -336,6 +336,38 @@ def _knn_blocked_lazy(
     return out, blocks
 
 
+def knn_cell_profile(
+    spark: SparkSession,
+    e: DataFrame,
+    nlist: int = KNN_NLIST,
+    cap: int = KNN_BLOCK_CAP,
+    sampled_centroids: bool = False,
+) -> DataFrame:
+    """Per-cell population histogram — the operational check for cell
+    skew (the ``lsh_bucket_profile`` counterpart): one row per cell
+    with its size, sub-block count, and overflow flag. Run before
+    trusting a (nlist, cap) config at a new scale: pair work is
+    Σ_cell (sub-blocks × ≤ cap²) and the overflow fraction is the
+    recall-loss signal that says grow nlist (SCALE.md part-8 cap
+    sweep: 94% overflow at cap 32 halved recall; ≤ 3% at the tuned
+    config). Bounded output (≤ nlist rows), blocks cache released."""
+    _, blocks = _knn_blocked_lazy(spark, e, _KNN_K, nlist, cap, sampled_centroids)
+    try:
+        out = (
+            blocks.groupBy("j")
+            .agg(
+                F.count("*").alias("cell_size"),
+                F.countDistinct("blk").alias("n_blocks"),
+                F.max("overflow").alias("overflow"),
+            )
+            .orderBy("j")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        blocks.unpersist(blocking=False)
+    return out
+
+
 def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFrame:
     """One NN-descent refinement round — the cross-block quality
     repair the capped-block builder defers (blocks bound pair WORK;

@@ -483,6 +483,36 @@ def test_knn_refined_is_monotone_and_improves_recall(spark, sf_dir):
     assert rf > rb, (rb, rf)
 
 
+def test_knn_cell_profile_accounts_for_every_vector(spark, sf_dir):
+    """The operational histogram must balance: cell sizes sum to N,
+    sub-block counts equal ⌈size/cap⌉, and the overflow flag is
+    exactly (size > cap) — checked at the registered config AND at a
+    deliberately tiny cap that forces overflow everywhere (the
+    cap-sweep shape that says 'grow nlist')."""
+    import math
+
+    from flume_source_spark.pipeline.similarity import _dvec
+    from flume_source_spark.pipeline.similarity3 import (
+        KNN_BLOCK_CAP,
+        knn_cell_profile,
+    )
+    from flume_source_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+    n = e.count()
+    for cap in (KNN_BLOCK_CAP, 8):
+        prof = knn_cell_profile(spark, e, cap=cap).collect()
+        assert sum(r.cell_size for r in prof) == n
+        for r in prof:
+            assert r.n_blocks == math.ceil(r.cell_size / cap), (cap, r)
+            assert r.overflow == int(r.cell_size > cap), (cap, r)
+    # tiny cap must flag overflow somewhere on this fixture
+    prof8 = knn_cell_profile(spark, e, cap=8).collect()
+    assert any(r.overflow for r in prof8)
+
+
 def test_knn_graph_partitioning_independent(spark, sf_dir):
     """The capped-block graph must be identical under different
     shuffle-partition counts (the house windows-family determinism
