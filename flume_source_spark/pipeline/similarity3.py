@@ -146,6 +146,52 @@ _KNN_ORACLE = f"""
     ORDER BY vec_id, rank
 """
 
+# One NN-descent round over the registered graph, as a DuckDB oracle:
+# the _KNN_ORACLE chain through `ranked` (the capped-block top-k), then
+# forward edges → md5-capped reverse sample → neighbors-of-neighbors →
+# dedup → rerank. Every step is deterministic (total orders, the
+# portable md5 reverse key), so the descent MACHINERY is cross-engine
+# checkable — pinned by a local compare test now, and the ready-made
+# oracle for a round-9 registration (registry ROUND-9 NOTE).
+_KNN_DESCENT_ORACLE = (
+    _KNN_ORACLE.rsplit("SELECT i AS vec_id", 1)[0]
+    + f""",
+    knn AS MATERIALIZED (SELECT i, nj AS j FROM ranked WHERE rnk <= {_KNN_K}),
+    fwd AS (SELECT DISTINCT i, j FROM knn),
+    rev0 AS (SELECT j AS i, i AS j FROM fwd),
+    revc AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (
+                       PARTITION BY i ORDER BY
+                       CAST('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 8)
+                            AS BIGINT), j) AS rn
+            FROM rev0)
+        WHERE rn <= {_KNN_K}),
+    dirs AS MATERIALIZED (
+        SELECT i, j FROM fwd UNION ALL SELECT i, j FROM revc),
+    nn2 AS (SELECT a.i AS i, b.j AS j
+            FROM dirs a JOIN dirs b ON a.j = b.i),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM dirs UNION ALL SELECT i, j FROM nn2)
+        WHERE i <> j),
+    dscored AS (
+        SELECT c.i, c.j, list_dot_product(na.nv, nb.nv) AS sim
+        FROM cand c
+        JOIN en na ON na.vec_id = c.i
+        JOIN en nb ON nb.vec_id = c.j),
+    dranked AS (
+        SELECT i, j, sim,
+               row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rnk
+        FROM dscored)
+    SELECT i AS vec_id, CAST(rnk AS BIGINT) AS rank, j AS neighbor_id,
+           CAST(round(sim, 4) AS DOUBLE) AS cos_sim
+    FROM dranked WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rank
+"""
+)
+
 
 def knn_graph(e: DataFrame, k: int = _KNN_K) -> DataFrame:
     """Label-blocked top-k neighbor lists over a ``(vec_id, label,
@@ -392,9 +438,13 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     of the cap slots), then reverse edges are CAPPED at k per node
     (Dong et al.'s reverse SAMPLE — a hub listed by many nodes would
     otherwise put an unbounded row count on the nn2 self-join's probe
-    side and make the round hub-quadratic); the sample key is a hash
-    of the neighbor id, deterministic but unbiased (ordering by raw
-    id would systematically starve high-id nodes of reverse slots).
+    side and make the round hub-quadratic); the sample key is the
+    PORTABLE md5 hash of the neighbor id (the house cross-engine
+    idiom — xxhash64 would be faster but exists only in Spark, and
+    the whole round is deterministic/SQL-expressible with md5, which
+    is what lets the descent machinery carry its own DuckDB oracle),
+    deterministic but unbiased (ordering by raw id would
+    systematically starve high-id nodes of reverse slots).
     With f = the caller's max forward edges per node (k for a plain
     graph, 2k for knn_graph_refined's two-view union), each node
     holds ≤ f + k direction-union rows, candidates are
@@ -410,7 +460,10 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
         F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
     ).distinct()
     rev = fwd.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    w_rev = W.partitionBy("i").orderBy(F.xxhash64("j"), "j")
+    rev_key = F.conv(F.substring(F.md5(F.col("j").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w_rev = W.partitionBy("i").orderBy(rev_key, "j")
     rev = (
         rev.withColumn("rn", F.row_number().over(w_rev))
         .where(F.col("rn") <= k)

@@ -483,6 +483,33 @@ def test_knn_refined_is_monotone_and_improves_recall(spark, sf_dir):
     assert rf > rb, (rb, rf)
 
 
+def test_knn_descent_round_matches_duckdb_oracle(spark, duck, sf_dir):
+    """Cross-ENGINE pin of the descent machinery: one NN-descent
+    round over the REGISTERED capped-block graph (lattice centroids,
+    portable md5 reverse-sample key — every step deterministic) must
+    hash-match the DuckDB formulation through the house compare. This
+    is the round-9 registration candidate's oracle, validated early."""
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.pipeline.similarity import _dvec
+    from flume_source_spark.pipeline.similarity3 import (
+        _KNN_DESCENT_ORACLE,
+        knn_descent_round,
+    )
+    from flume_source_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+    from pyspark.sql import functions as F
+
+    base = SPECS["sim_knn_graph"].builder(spark, sf_dir).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    res = compare("knn_descent_round", knn_descent_round(e, base), duck, _KNN_DESCENT_ORACLE)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_knn_cell_profile_accounts_for_every_vector(spark, sf_dir):
     """The operational histogram must balance: cell sizes sum to N,
     sub-block counts equal ⌈size/cap⌉, and the overflow flag is
