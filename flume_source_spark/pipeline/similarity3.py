@@ -146,6 +146,20 @@ _KNN_ORACLE = f"""
     ORDER BY vec_id, rank
 """
 
+# The cell profile over the registered config, as a DuckDB oracle:
+# the assignment/blocks chain + one grouped aggregate — validated by a
+# local compare test now, ready for a round-9 registration.
+_KNN_PROFILE_ORACLE = (
+    _KNN_ORACLE.rsplit("    pairs AS (", 1)[0].rstrip().rstrip(",")
+    + f"""
+    SELECT j AS cell,
+           CAST(count(*) AS BIGINT) AS cell_size,
+           CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+           CAST(max(overflow) AS BIGINT) AS overflow
+    FROM blocks GROUP BY j ORDER BY j
+"""
+)
+
 # One NN-descent round over the registered graph, as a DuckDB oracle:
 # the _KNN_ORACLE chain through `ranked` (the capped-block top-k), then
 # forward edges → md5-capped reverse sample → neighbors-of-neighbors →

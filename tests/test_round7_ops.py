@@ -510,6 +510,32 @@ def test_knn_descent_round_matches_duckdb_oracle(spark, duck, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_knn_cell_profile_matches_duckdb_oracle(spark, duck, sf_dir):
+    """Cross-ENGINE pin of the cell profile at the registered config
+    (lattice centroids — deterministic): sizes, sub-block counts, and
+    overflow flags must hash-match the DuckDB formulation. The other
+    validated round-9 registration candidate."""
+    from pyspark.sql import functions as F
+
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.pipeline.similarity import _dvec
+    from flume_source_spark.pipeline.similarity3 import (
+        _KNN_PROFILE_ORACLE,
+        knn_cell_profile,
+    )
+    from flume_source_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+    sdf = knn_cell_profile(spark, e).select(
+        F.col("j").alias("cell"), "cell_size", "n_blocks", "overflow"
+    )
+    res = compare("knn_cell_profile", sdf, duck, _KNN_PROFILE_ORACLE)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_knn_cell_profile_accounts_for_every_vector(spark, sf_dir):
     """The operational histogram must balance: cell sizes sum to N,
     sub-block counts equal ⌈size/cap⌉, and the overflow flag is
