@@ -444,6 +444,18 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # sample_and_introspect, scalar_hash_spark, sim_ann_lsh; all with
 # exact twins or impossibility notes per the rows-only policy) as the
 # only pre-regeneration driver evidence; they lead round 9's tier 2.
+# With the re-pin done, round 9 has ~40 free sweep slots for NEW
+# registrations again. Pre-built, tested, registration-ready
+# candidates from round 8 (all deterministic with the lattice
+# quantizer, hence SQL-oracle-able):
+# - knn_cell_profile (pipeline/similarity3.py) — per-cell
+#   size/sub-block/overflow histogram; integers, ≤ nlist rows;
+# - one unrolled NN-descent round over the registered knn graph
+#   (knn_descent_round on lattice blocks is a pure window/join chain
+#   — expressible as a MATERIALIZED-CTE oracle, the BPE-unroll
+#   pattern);
+# - mg_rollup of deterministic single-shard MG summaries (the replay
+#   twin is already cross-run hash-identical in live tests).
 _KNOWN_ROUNDS = 7
 
 
