@@ -20,16 +20,26 @@ wall (SCALE.md part-7 addendum). The bounded design:
    constants, exact integer L2 argmin, deterministic cross-engine),
 2. HARD-CAP each cell at ``KNN_BLOCK_CAP`` members by deterministic
    sub-splitting: row_number within the cell (ordered by vec_id) →
-   sub-block ⌊(rn−1)/cap⌋ — every block is ≤ cap rows by
-   construction (the semdedup MAX_CLUSTER / dedup MAX_BUCKET cap
-   discipline, applied as a split rather than a drop so every vector
-   still receives a neighbor list),
+   sub-block min(⌊(rn−1)/cap⌋, ⌊(size−2)/cap⌋) — the min() FOLDS a
+   remainder singleton into the previous sub-block (round-9 re-shape,
+   ADVICE r8 medium item: a plain ⌊(rn−1)/cap⌋ split leaves a size-1
+   trailing sub-block whenever size ≡ 1 (mod cap), and a 1-member
+   block generates no pairs, silently dropping that vector from the
+   graph). Post-fold every sub-block of a size ≥ 2 cell has 2..cap+1
+   members, so per-node pair work is ≤ cap and every such vector
+   receives a neighbor list,
 3. all-pairs + top-k INSIDE each (cell, sub-block) only; rows whose
    cell exceeded the cap carry ``overflow = 1`` — the flag that says
    "this neighbor list searched a capped slice of the cell" (the
    recall knob: production grows nlist ~ √N like semdedup so cells
    stay near the cap and overflow stays rare; the REGISTERED query
-   pins the machinery at fixed nlist = 16).
+   pins the machinery at fixed nlist = 16),
+4. a SINGLETON CELL (exactly one member) has no within-cell neighbor
+   at all — those vectors emit one SENTINEL row (rank = 0,
+   neighbor_id/cos_sim NULL) instead of vanishing: every input
+   vector is present in the output by construction, and a consumer
+   can distinguish "isolated at quantizer resolution" (rank 0) from
+   "has neighbors" (ranks 1..k).
 
 Pair work is ≤ N·cap — LINEAR in N with a constant cap — versus the
 label-blocked N²/|labels|. The label-blocked formulation survives as
@@ -124,12 +134,16 @@ _KNN_ORACLE = f"""
         FROM norms n, cent c),
     assign AS MATERIALIZED (SELECT vec_id, nv, j FROM dist WHERE rn = 1),
     blocks AS MATERIALIZED (
-        SELECT vec_id, nv, j,
-               (row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1)
-                   // {KNN_BLOCK_CAP} AS blk,
-               CASE WHEN count(*) OVER (PARTITION BY j) > {KNN_BLOCK_CAP}
-                    THEN 1 ELSE 0 END AS overflow
-        FROM assign),
+        SELECT vec_id, nv, j, cnt,
+               CASE WHEN cnt >= 2
+                    THEN least((rn - 1) // {KNN_BLOCK_CAP},
+                               (cnt - 2) // {KNN_BLOCK_CAP})
+                    ELSE 0 END AS blk,
+               CASE WHEN cnt > {KNN_BLOCK_CAP} THEN 1 ELSE 0 END AS overflow
+        FROM (SELECT vec_id, nv, j,
+                     row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn,
+                     count(*) OVER (PARTITION BY j) AS cnt
+              FROM assign)),
     pairs AS (
         SELECT a.vec_id AS i, b.vec_id AS nj, a.j AS cell, a.overflow,
                list_dot_product(a.nv, b.nv) AS sim
@@ -138,11 +152,18 @@ _KNN_ORACLE = f"""
     ranked AS (
         SELECT i, nj, cell, overflow, sim,
                row_number() OVER (PARTITION BY i ORDER BY sim DESC, nj) AS rnk
-        FROM pairs)
+        FROM pairs),
+    singles AS (
+        SELECT vec_id, CAST(0 AS BIGINT) AS rank,
+               CAST(NULL AS BIGINT) AS neighbor_id,
+               CAST(j AS BIGINT) AS cell, CAST(overflow AS BIGINT) AS overflow,
+               CAST(NULL AS DOUBLE) AS cos_sim
+        FROM blocks WHERE cnt = 1)
     SELECT i AS vec_id, CAST(rnk AS BIGINT) AS rank, nj AS neighbor_id,
            CAST(cell AS BIGINT) AS cell, CAST(overflow AS BIGINT) AS overflow,
            CAST(round(sim, 4) AS DOUBLE) AS cos_sim
     FROM ranked WHERE rnk <= {_KNN_K}
+    UNION ALL SELECT * FROM singles
     ORDER BY vec_id, rank
 """
 
@@ -251,9 +272,12 @@ def knn_graph_blocked(
     """Capped-IVF-block top-k neighbor lists over a ``(vec_id, v0)``
     frame — the PRODUCTION path: integer-lattice coarse quantizer
     (shared with sim_ann_ivf_exact), deterministic sub-split of cells
-    above ``cap``, all-pairs + rank inside each bounded block. Pair
-    work ≤ N·(cap−1); the ``overflow`` column flags nodes whose cell
-    was split (production keeps it rare by growing nlist ~ √N).
+    above ``cap`` with the remainder-singleton fold, all-pairs + rank
+    inside each bounded block. Pair work ≤ N·cap (post-fold block
+    size ≤ cap+1); the ``overflow`` column flags nodes whose cell was
+    split (production keeps it rare by growing nlist ~ √N). Every
+    input vector appears in the output: singleton-CELL vectors emit a
+    rank-0 sentinel row (NULL neighbor/sim) instead of vanishing.
 
     The N·k-row result is materialized eagerly and the corpus-sized
     blocks cache released (the text11/audit unpersist-after-checkpoint
@@ -356,10 +380,28 @@ def _knn_blocked_lazy(
         "vec_id",
         "nv",
         "j",
-        F.expr(f"div(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1, {cap})")
+        F.row_number().over(W.partitionBy("j").orderBy("vec_id")).alias("rn"),
+        F.count("*").over(W.partitionBy("j")).alias("cnt"),
+    ).select(
+        "vec_id",
+        "nv",
+        "j",
+        "cnt",
+        # remainder-singleton FOLD: min((rn-1) div cap, (cnt-2) div cap)
+        # merges a trailing 1-member sub-block into its predecessor so
+        # no vector silently loses its neighbor list (module docstring
+        # step 2); singleton CELLS (cnt = 1) keep blk 0 and are emitted
+        # as rank-0 sentinel rows downstream.
+        F.when(
+            F.col("cnt") >= 2,
+            F.least(
+                F.expr(f"div(rn - 1, {cap})"), F.expr(f"div(cnt - 2, {cap})")
+            ),
+        )
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("blk"),
-        (F.count("*").over(W.partitionBy("j")) > cap).cast("long").alias("overflow"),
+        (F.col("cnt") > cap).cast("long").alias("overflow"),
     )
     # both sides of the pair join read this frame — persist and
     # materialize the cache BEFORE the join job so the assignment
@@ -380,7 +422,7 @@ def _knn_blocked_lazy(
         )
     )
     w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("nj"))
-    out = (
+    topk = (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
@@ -391,8 +433,18 @@ def _knn_blocked_lazy(
             "overflow",
             F.round("sim", 4).cast("double").alias("cos_sim"),
         )
-        .orderBy("vec_id", "rank")
     )
+    # singleton-cell sentinels: rank 0, NULL neighbor — the vector is
+    # isolated at quantizer resolution but still PRESENT in the graph
+    singles = blocks.where(F.col("cnt") == 1).select(
+        "vec_id",
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.col("j").cast("long").alias("cell"),
+        "overflow",
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    out = topk.unionByName(singles).orderBy("vec_id", "rank")
     return out, blocks
 
 
@@ -414,13 +466,13 @@ def knn_cell_profile(
     _, blocks = _knn_blocked_lazy(spark, e, _KNN_K, nlist, cap, sampled_centroids)
     try:
         out = (
-            blocks.groupBy("j")
+            blocks.groupBy(F.col("j").alias("cell"))
             .agg(
                 F.count("*").alias("cell_size"),
                 F.countDistinct("blk").alias("n_blocks"),
                 F.max("overflow").alias("overflow"),
             )
-            .orderBy("j")
+            .orderBy("cell")
             .localCheckpoint(eager=True)
         )
     finally:
@@ -469,10 +521,17 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
     nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
     cols = edges.columns
-    fwd = edges.select(
-        F.col(cols[0] if "vec_id" not in cols else "vec_id").alias("i"),
-        F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
-    ).distinct()
+    fwd = (
+        edges.select(
+            F.col(cols[0] if "vec_id" not in cols else "vec_id").alias("i"),
+            F.col(cols[1] if "neighbor_id" not in cols else "neighbor_id").alias("j"),
+        )
+        # drop rank-0 singleton-cell sentinels (NULL neighbor): they
+        # mark isolated nodes, not edges — descent re-ranks whatever
+        # candidates the joins produce for them
+        .where(F.col("j").isNotNull())
+        .distinct()
+    )
     rev = fwd.select(F.col("j").alias("i"), F.col("i").alias("j"))
     rev_key = F.conv(F.substring(F.md5(F.col("j").cast("string")), 1, 8), 16, 10).cast(
         "long"
@@ -545,11 +604,15 @@ def knn_graph_refined(
     toward the true graph (Dong et al.'s loop; rounds=1 is usually
     the big step).
 
-    Cost: the random view is the same bounded machinery (pair work
-    ≤ N·cap, one shuffle on the hash key); each round is O(N·k²)
-    equi-joins. Still nothing quadratic, still no corpus cross join.
-    MONOTONE vs the IVF view by construction (candidates ⊇ its
-    edges); recall improvement is pinned by test on the fixture."""
+    Cost: the random view is the same bounded machinery — the hash
+    blocks get the SAME row_number sub-split + remainder fold the IVF
+    cells get (ADVICE r8: hash-block sizes are cap only in
+    expectation; the sub-split makes the ≤ N·cap pair-work bound HARD
+    here too, not just expected), one shuffle on the hash key; each
+    round is O(N·k²) equi-joins. Still nothing quadratic, still no
+    corpus cross join. MONOTONE vs the IVF view by construction
+    (candidates ⊇ its edges); recall improvement is pinned by test on
+    the fixture."""
     from pyspark.sql import Window as W
 
     if rounds < 1:
@@ -566,10 +629,31 @@ def knn_graph_refined(
     nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
     nblocks = max(1, -(-n // KNN_BLOCK_CAP))
     rb = nv.withColumn("rb", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)))
-    a = rb.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "rb")
-    b = rb.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb"), "rb")
+    rb = rb.select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.row_number().over(W.partitionBy("rb").orderBy("vec_id")).alias("rn"),
+        F.count("*").over(W.partitionBy("rb")).alias("cnt"),
+    ).select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.when(
+            F.col("cnt") >= 2,
+            F.least(
+                F.expr(f"div(rn - 1, {KNN_BLOCK_CAP})"),
+                F.expr(f"div(cnt - 2, {KNN_BLOCK_CAP})"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rblk"),
+    )
+    a = rb.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "rb", "rblk")
+    b = rb.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb"), "rb", "rblk")
     rand_pairs = (
-        a.join(b, "rb")
+        a.join(b, ["rb", "rblk"])
         .where(F.col("i") != F.col("j"))
         .select("i", "j", _dot(F.col("nva"), F.col("nvb")).alias("sim"))
     )
@@ -598,8 +682,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's ranked neighbor list — the all-points companion to
     sim_cosine_topk and the bootstrap input for graph-based ANN.
     Blocks are the integer-lattice IVF cells hard-capped at
-    KNN_BLOCK_CAP by deterministic sub-split; ``overflow`` flags
-    nodes whose cell was split. Pair work ≤ N·cap — linear in N."""
+    KNN_BLOCK_CAP by deterministic sub-split with the
+    remainder-singleton fold; ``overflow`` flags nodes whose cell was
+    split, and singleton-cell vectors emit a rank-0 sentinel row so
+    EVERY vector is present. Pair work ≤ N·cap — linear in N."""
     e = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _dvec("embedding").alias("v0")
     )

@@ -396,14 +396,14 @@ _DRIVER_GREEN_R07 = frozenset(
         "agg_quantile_hist_exact", "agg_sketch_intersect_exact",
         "agg_sketch_merge_exact", "bucketed_colocated_join",
         "dedup_minhash_lsh", "dedup_soft_weights",
-        "dq_benford_digits", "dq_roc_auc_exact", "ds_domain_mix_rebalance",
+        "dq_benford_digits", "ds_domain_mix_rebalance",
         "ds_k_anonymity_audit", "ds_snapshot_diff", "ds_split_deterministic",
         "emb_prefix_energy", "entity_fs_linkage_scores", "filter_predicates",
         "geo_point_in_polygon", "graph_conductance_exact",
         "graph_label_propagation_round", "graph_lpa_convergence",
         "graph_modularity_exact", "join_bloom_prefilter", "join_left_anti",
         "join_left_outer", "join_left_semi", "merge_upsert_emulation",
-        "scalar_datetime", "scalar_ip_ops", "scd2_interval_versions",
+        "scalar_datetime", "scd2_interval_versions",
         "setop_except_all", "sim_ann_recall_audit", "sim_cosine_topk",
         "skew_salted_aggregation", "sort_multi_key",
         "sql_lateral_column_alias", "subquery_scalar_correlated",
@@ -412,10 +412,50 @@ _DRIVER_GREEN_R07 = frozenset(
         "ts_gap_fill", "ts_holt_exact", "unpivot_stack", "window_ranking",
     }
 )
+# TWO deliberate exclusions from the r07 set above (ADVICE r8, third
+# item — the r8 policy's own verify-first rule applied to arithmetic
+# re-implementations): dq_roc_auc_exact's rank-sum/ppm numerator was
+# re-derived through DECIMAL(38,0)/HUGEINT with integral div, and
+# scalar_ip_ops' u32 derivation was totalized (positive residue +
+# 16-bit-split modular multiply) — both in round 8, AFTER their r07
+# sweep row. Fixture-scale bit-equality was argued in review comments
+# but never driver-re-verified, so they re-enter the verify-first
+# block here exactly like the three acknowledged r8 re-shapes.
+
+# Queries with a hash-green row in the driver's CORRECTNESS_r08.json:
+# the 50-row round-8 sweep = the 3 round-8 re-shapes (geo_grid_join
+# at 500 cd, budget-mode dedup_lsh_recall_audit, capped-IVF
+# sim_knn_graph) + the 47 oracled stale re-pins. 50 hash-green,
+# 0 rows-only, 0 red. ONE deliberate exclusion: sim_knn_graph is
+# re-SHAPED again in round 9 (ADVICE r8 medium item — remainder
+# singleton sub-blocks folded so no vector is silently dropped from
+# the graph), so its r08 green pins superseded semantics and it
+# re-enters the verify-first block (the graph_kcore r05 precedent).
+_DRIVER_GREEN_R08 = frozenset(
+    {
+        "agg_collect", "agg_cube", "agg_percentile_exact", "agg_pivot",
+        "agg_rollup", "agg_stats", "dedup_cluster_cc", "dedup_exact",
+        "dedup_lsh_recall_audit", "dedup_ngram_jaccard", "ds_pack_sequences",
+        "ds_stratified_sample", "explode_outer_nulls", "geo_grid_join",
+        "join_asof", "join_broadcast_hint", "join_cross", "join_full_outer",
+        "join_range_nonequi", "join_right_outer", "scalar_array_hof",
+        "scalar_conditional", "scalar_hash", "scalar_json",
+        "scalar_json_tools", "scalar_map_ops", "scalar_math",
+        "scalar_months_between_bround", "scalar_string", "scalar_struct_map",
+        "scalar_try_safety", "setop_drop_duplicates", "setop_intersect",
+        "setop_intersect_all", "setop_union_all", "setop_union_by_name",
+        "setop_union_distinct", "sim_embedding_neardup",
+        "subquery_exists_correlated", "subquery_having",
+        "subquery_in_uncorrelated", "subquery_not_exists_antijoin",
+        "subquery_scalar_uncorrelated", "ts_funnel", "ts_retention_cohorts",
+        "ts_rolling_anomaly", "window_analytic", "window_frames",
+        "window_topk_per_group",
+    }
+)
 
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
-    | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07
+    | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
 )
 
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
@@ -433,30 +473,18 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # hardcoded-only scheme always starts the next round one artifact
 # stale (the r5→r6 and r6→r7 verdicts both flagged exactly this).
 #
-# ROUND-9 NOTE: when CORRECTNESS_r08.json lands, the dynamic pickup
-# re-tiers automatically (and tests/test_plans.py's consistency test
-# now derives through the same path, so it stays green). The manual
-# hygiene step is: fold r08's keys into a hardcoded _DRIVER_GREEN_R08
-# and bump _KNOWN_ROUNDS to 8. Expected r08 coverage: the 3 round-8
-# re-shapes (geo_grid_join, sim_knn_graph, dedup_lsh_recall_audit) +
-# the 47 oracled stale re-pins — leaving exactly the 6 rows-only
-# stale queries (agg_approx, agg_sketch_mergeable, dedup_simhash,
-# sample_and_introspect, scalar_hash_spark, sim_ann_lsh; all with
-# exact twins or impossibility notes per the rows-only policy) as the
-# only pre-regeneration driver evidence; they lead round 9's tier 2.
-# With the re-pin done, round 9 has ~40 free sweep slots for NEW
-# registrations again. Pre-built, tested, registration-ready
-# candidates from round 8 (all deterministic with the lattice
-# quantizer, hence SQL-oracle-able):
-# - knn_cell_profile (pipeline/similarity3.py) — per-cell
-#   size/sub-block/overflow histogram; integers, ≤ nlist rows;
-# - one unrolled NN-descent round over the registered knn graph
-#   (knn_descent_round on lattice blocks is a pure window/join chain
-#   — expressible as a MATERIALIZED-CTE oracle, the BPE-unroll
-#   pattern);
-# - mg_rollup of deterministic single-shard MG summaries (the replay
-#   twin is already cross-run hash-identical in live tests).
-_KNOWN_ROUNDS = 7
+# ROUND-10 NOTE: when CORRECTNESS_r09.json lands, the dynamic pickup
+# re-tiers automatically. The manual hygiene step is: fold r09's keys
+# into a hardcoded _DRIVER_GREEN_R09 and bump _KNOWN_ROUNDS to 9.
+# Expected r09 sweep head: the re-shaped sim_knn_graph (singleton
+# fold) + the two verify-first arithmetic re-implementations
+# (dq_roc_auc_exact, scalar_ip_ops) + the round-9 registrations,
+# then the 6 rows-only stale queries (agg_approx,
+# agg_sketch_mergeable, dedup_simhash, sample_and_introspect,
+# scalar_hash_spark, sim_ann_lsh) re-pinned with current-fixture
+# no_oracle rows — after which NO pre-regeneration driver evidence
+# remains anywhere in the registry.
+_KNOWN_ROUNDS = 8
 
 
 def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:

@@ -420,6 +420,7 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R05,
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
+        _DRIVER_GREEN_R08,
         _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
         _R07_STALE_REPIN,
@@ -438,18 +439,25 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R05,
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
+        _DRIVER_GREEN_R08,
         _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert not (_STALE_GREEN & _FRESH_GREEN)
-    # r06's and r07's sweeps must have LEFT the stale/verify tiers
+    # r06/r07/r08 sweeps must have LEFT the stale/verify tiers
     assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R07 <= _FRESH_GREEN
-    # the round-8 re-shaped queries must NOT carry stale green credit:
-    # their r07/r04 rows pinned superseded semantics
-    for reshaped in ("sim_knn_graph", "dedup_lsh_recall_audit", "geo_grid_join"):
+    assert _DRIVER_GREEN_R08 <= _FRESH_GREEN
+    # the round-8 re-shapes dedup_lsh_recall_audit / geo_grid_join now
+    # carry their fresh r08 rows; the round-9 re-shape (sim_knn_graph
+    # singleton fold) and the two verify-first arithmetic
+    # re-implementations must NOT carry green credit for superseded
+    # semantics (ADVICE r8 items 1 and 3)
+    for reshaped in ("sim_knn_graph", "dq_roc_auc_exact", "scalar_ip_ops"):
         assert reshaped not in _FRESH_GREEN, reshaped
+    assert "dedup_lsh_recall_audit" in _DRIVER_GREEN_R08
+    assert "geo_grid_join" in _DRIVER_GREEN_R08
 
     # mirror load_all()'s own evidence derivation (shared code path)
     dyn_swept, dyn_red = _later_round_artifacts()

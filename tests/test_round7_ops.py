@@ -335,9 +335,12 @@ def test_knn_graph_blocked_matches_numpy_and_is_capped(spark, sf_dir):
     """The REGISTERED capped-IVF k-NN graph equals a full numpy
     replication — lattice-centroid assignment (integer L2 argmin,
     ties to the lower cell id), deterministic sub-split at
-    KNN_BLOCK_CAP, within-block brute-force ranking — and every
-    block's size obeys the hard cap (the r7 scale-killer fix:
-    pair work must be ≤ N·cap regardless of cell skew)."""
+    KNN_BLOCK_CAP with the remainder-singleton FOLD, within-block
+    brute-force ranking, rank-0 sentinels for singleton cells — and
+    every block's size obeys the hard cap+1 post-fold bound (the r7
+    scale-killer fix: pair work must be ≤ N·cap regardless of cell
+    skew) while EVERY vector appears in the output (the r9 re-shape:
+    no silently dropped nodes)."""
     import numpy as np
 
     from flume_source_spark.pipeline.similarity2 import _IVFX_A, _IVFX_C
@@ -370,13 +373,20 @@ def test_knn_graph_blocked_matches_numpy_and_is_capped(spark, sf_dir):
             (na + int(c @ c) - 2 * int(xq @ c), j) for j, c in cent.items()
         )
         assign[i] = best[1]
-    # deterministic sub-split: row_number within cell ordered by vec_id
-    blocks, overflow = {}, {}
+    # deterministic sub-split (remainder-singleton fold): row_number
+    # within cell ordered by vec_id, trailing 1-member block merged
+    blocks, overflow, singleton_cell = {}, {}, set()
     for j in set(assign.values()):
         members = sorted(i for i, cj in assign.items() if cj == j)
-        overflow[j] = int(len(members) > KNN_BLOCK_CAP)
-        for rn, i in enumerate(members):
-            blocks[i] = (j, rn // KNN_BLOCK_CAP)
+        m = len(members)
+        overflow[j] = int(m > KNN_BLOCK_CAP)
+        if m == 1:
+            singleton_cell.add(members[0])
+        for rn, i in enumerate(members, start=1):
+            blk = 0 if m < 2 else min(
+                (rn - 1) // KNN_BLOCK_CAP, (m - 2) // KNN_BLOCK_CAP
+            )
+            blocks[i] = (j, blk)
     expected = {}
     for i, vi in vecs.items():
         ni = vi / np.linalg.norm(vi)
@@ -388,22 +398,30 @@ def test_knn_graph_blocked_matches_numpy_and_is_capped(spark, sf_dir):
             cands.append((-sim, j))
         cands.sort()
         expected[i] = [j for _, j in cands[:_KNN_K]]
+    # the fold guarantees non-singleton cells never strand a vector
+    assert all(js for i, js in expected.items() if i not in singleton_cell)
 
-    got = {}
+    got, sentinels = {}, set()
     for r in SPECS["sim_knn_graph"].builder(spark, sf_dir).collect():
         assert r.cell == assign[r.vec_id]
         assert r.overflow == overflow[assign[r.vec_id]]
+        if r.rank == 0:
+            assert r.neighbor_id is None and r.cos_sim is None
+            sentinels.add(r.vec_id)
+            continue
         got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
-    expected_nonempty = {i: js for i, js in expected.items() if js}
-    assert set(got) == set(expected_nonempty)
+    # EVERY vector is present: real lists for non-singleton cells,
+    # rank-0 sentinels for singleton cells
+    assert sentinels == singleton_cell
+    assert set(got) == set(vecs) - singleton_cell
     for i, rows in got.items():
         rows.sort()
-        assert [n for _, n in rows] == expected_nonempty[i], (i, rows)
-    # the hard cap actually held
+        assert [n for _, n in rows] == expected[i], (i, rows)
+    # the post-fold hard cap actually held
     from collections import Counter
 
     sizes = Counter(blocks.values())
-    assert max(sizes.values()) <= KNN_BLOCK_CAP
+    assert max(sizes.values()) <= KNN_BLOCK_CAP + 1
 
 
 def test_knn_refined_is_monotone_and_improves_recall(spark, sf_dir):
@@ -439,6 +457,8 @@ def test_knn_refined_is_monotone_and_improves_recall(spark, sf_dir):
     def tops(rows):
         out = {}
         for r in rows:
+            if r.rank == 0:  # singleton-cell sentinel — no edge
+                continue
             out.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
         for v in out.values():
             v.sort()
@@ -528,8 +548,10 @@ def test_knn_cell_profile_matches_duckdb_oracle(spark, duck, sf_dir):
     e = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _dvec("embedding").alias("v0")
     )
-    sdf = knn_cell_profile(spark, e).select(
-        F.col("j").alias("cell"), "cell_size", "n_blocks", "overflow"
+    sdf = knn_cell_profile(spark, e)
+    assert sdf.columns == ["cell", "cell_size", "n_blocks", "overflow"], (
+        "builder must be registration-ready against its own oracle "
+        "(ADVICE r8: no test-side rename)"
     )
     res = compare("knn_cell_profile", sdf, duck, _KNN_PROFILE_ORACLE)
     assert res.ok, res.detail
@@ -538,12 +560,12 @@ def test_knn_cell_profile_matches_duckdb_oracle(spark, duck, sf_dir):
 
 def test_knn_cell_profile_accounts_for_every_vector(spark, sf_dir):
     """The operational histogram must balance: cell sizes sum to N,
-    sub-block counts equal ⌈size/cap⌉, and the overflow flag is
+    sub-block counts follow the remainder-singleton fold
+    (1 for size ≤ 1, else ⌊(size−2)/cap⌋+1 — a trailing 1-member
+    block merges into its predecessor), and the overflow flag is
     exactly (size > cap) — checked at the registered config AND at a
     deliberately tiny cap that forces overflow everywhere (the
     cap-sweep shape that says 'grow nlist')."""
-    import math
-
     from flume_source_spark.pipeline.similarity import _dvec
     from flume_source_spark.pipeline.similarity3 import (
         KNN_BLOCK_CAP,
@@ -559,7 +581,8 @@ def test_knn_cell_profile_accounts_for_every_vector(spark, sf_dir):
         prof = knn_cell_profile(spark, e, cap=cap).collect()
         assert sum(r.cell_size for r in prof) == n
         for r in prof:
-            assert r.n_blocks == math.ceil(r.cell_size / cap), (cap, r)
+            want = 1 if r.cell_size <= 1 else (r.cell_size - 2) // cap + 1
+            assert r.n_blocks == want, (cap, r)
             assert r.overflow == int(r.cell_size > cap), (cap, r)
     # tiny cap must flag overflow somewhere on this fixture
     prof8 = knn_cell_profile(spark, e, cap=8).collect()
