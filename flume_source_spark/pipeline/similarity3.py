@@ -186,8 +186,7 @@ _KNN_PROFILE_ORACLE = (
 # forward edges → md5-capped reverse sample → neighbors-of-neighbors →
 # dedup → rerank. Every step is deterministic (total orders, the
 # portable md5 reverse key), so the descent MACHINERY is cross-engine
-# checkable — pinned by a local compare test now, and the ready-made
-# oracle for a round-9 registration (registry ROUND-9 NOTE).
+# checkable — the oracle behind the registered sim_knn_descent_round.
 _KNN_DESCENT_ORACLE = (
     _KNN_ORACLE.rsplit("SELECT i AS vec_id", 1)[0]
     + f""",
@@ -224,6 +223,160 @@ _KNN_DESCENT_ORACLE = (
            CAST(round(sim, 4) AS DOUBLE) AS cos_sim
     FROM dranked WHERE rnk <= {_KNN_K}
     ORDER BY vec_id, rank
+"""
+)
+
+# The SECOND descent unroll: round 1's top-k becomes the next round's
+# graph and the identical candidate machinery repeats — the BPE-unroll
+# pattern (each registered round is one more deterministic CTE layer,
+# so convergence of the iterative algorithm is driver-hashable round
+# by round, not just asserted).
+_KNN_DESCENT2_ORACLE = (
+    _KNN_DESCENT_ORACLE.rsplit("SELECT i AS vec_id", 1)[0]
+    + f""",
+    knn2 AS MATERIALIZED (
+        SELECT i, j FROM dranked WHERE rnk <= {_KNN_K}),
+    fwd2 AS (SELECT DISTINCT i, j FROM knn2),
+    rev02 AS (SELECT j AS i, i AS j FROM fwd2),
+    revc2 AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (
+                       PARTITION BY i ORDER BY
+                       CAST('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 8)
+                            AS BIGINT), j) AS rn
+            FROM rev02)
+        WHERE rn <= {_KNN_K}),
+    dirs2 AS MATERIALIZED (
+        SELECT i, j FROM fwd2 UNION ALL SELECT i, j FROM revc2),
+    nn22 AS (SELECT a.i AS i, b.j AS j
+             FROM dirs2 a JOIN dirs2 b ON a.j = b.i),
+    cand2 AS MATERIALIZED (
+        SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM dirs2 UNION ALL SELECT i, j FROM nn22)
+        WHERE i <> j),
+    dscored2 AS (
+        SELECT c.i, c.j, list_dot_product(na.nv, nb.nv) AS sim
+        FROM cand2 c
+        JOIN en na ON na.vec_id = c.i
+        JOIN en nb ON nb.vec_id = c.j),
+    dranked2 AS (
+        SELECT i, j, sim,
+               row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rnk
+        FROM dscored2)
+    SELECT i AS vec_id, CAST(rnk AS BIGINT) AS rank, j AS neighbor_id,
+           CAST(round(sim, 4) AS DOUBLE) AS cos_sim
+    FROM dranked2 WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rank
+"""
+)
+
+# Audit sample budget: the md5 gate keeps ~this many query nodes at ANY
+# corpus size (the dedup_lsh_recall_audit fixed-SIZE discipline) — the
+# exact brute-force side is budget × N dots, linear in N with a fixed
+# constant, never N².
+KNN_AUDIT_BUDGET = 150
+
+# recall@k audit of the two-view + one-descent-round ladder vs exact
+# brute force, all in PINNED cross-engine form: lattice IVF base view
+# (the registered sim_knn_graph), an md5-hash random view with the
+# same sub-split fold (portable stand-in for production's xxhash64),
+# one descent round over the edge union, exact top-k for an md5
+# budget-gated node sample, ppm hit rates for base vs refined. The
+# per-node recall of the refined graph is ≥ the base view's BY
+# CONSTRUCTION (descent candidates ⊇ base edges, and any candidate
+# out-ranking a true-top-k base edge is itself in the true top-k),
+# so refined_recall_ppm ≥ base_recall_ppm is a theorem this audit's
+# hash pins numerically.
+_KNN_REFINED_AUDIT_ORACLE = (
+    _KNN_ORACLE.rsplit("SELECT i AS vec_id", 1)[0]
+    + f""",
+    knnb AS MATERIALIZED (SELECT i, nj AS j FROM ranked WHERE rnk <= {_KNN_K}),
+    nn AS (SELECT count(*) AS n FROM en),
+    rbp AS (
+        SELECT vec_id, nv,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                    AS BIGINT)
+                   % greatest((SELECT (n + {KNN_BLOCK_CAP} - 1)
+                               // {KNN_BLOCK_CAP} FROM nn), 1) AS rb
+        FROM en),
+    rblk AS (
+        SELECT vec_id, nv, rb,
+               CASE WHEN cnt >= 2
+                    THEN least((rn - 1) // {KNN_BLOCK_CAP},
+                               (cnt - 2) // {KNN_BLOCK_CAP})
+                    ELSE 0 END AS blk
+        FROM (SELECT vec_id, nv, rb,
+                     row_number() OVER (PARTITION BY rb ORDER BY vec_id) AS rn,
+                     count(*) OVER (PARTITION BY rb) AS cnt
+              FROM rbp)),
+    rpairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_dot_product(a.nv, b.nv) AS sim
+        FROM rblk a JOIN rblk b
+          ON a.rb = b.rb AND a.blk = b.blk AND a.vec_id <> b.vec_id),
+    rtopk AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+            FROM rpairs)
+        WHERE rn <= {_KNN_K}),
+    fwd AS (SELECT DISTINCT i, j FROM (
+        SELECT i, j FROM knnb UNION ALL SELECT i, j FROM rtopk)),
+    rev0 AS (SELECT j AS i, i AS j FROM fwd),
+    revc AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (
+                       PARTITION BY i ORDER BY
+                       CAST('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 8)
+                            AS BIGINT), j) AS rn
+            FROM rev0)
+        WHERE rn <= {_KNN_K}),
+    dirs AS MATERIALIZED (
+        SELECT i, j FROM fwd UNION ALL SELECT i, j FROM revc),
+    nn2 AS (SELECT a.i AS i, b.j AS j
+            FROM dirs a JOIN dirs b ON a.j = b.i),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM dirs UNION ALL SELECT i, j FROM nn2)
+        WHERE i <> j),
+    dscored AS (
+        SELECT c.i, c.j, list_dot_product(na.nv, nb.nv) AS sim
+        FROM cand c
+        JOIN en na ON na.vec_id = c.i
+        JOIN en nb ON nb.vec_id = c.j),
+    refined AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rnk
+            FROM dscored)
+        WHERE rnk <= {_KNN_K}),
+    sq AS MATERIALIZED (
+        SELECT vec_id, nv FROM en
+        WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                   AS BIGINT)
+              % greatest((SELECT n FROM nn) // {KNN_AUDIT_BUDGET}, 1) = 0),
+    ex_topk AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT s.vec_id AS i, c.vec_id AS j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.nv, c.nv) DESC, c.vec_id)
+                       AS rn
+            FROM sq s JOIN en c ON c.vec_id <> s.vec_id)
+        WHERE rn <= {_KNN_K})
+    SELECT CAST((SELECT count(*) FROM sq) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(b.j) AS BIGINT) AS base_hits,
+           CAST(count(r.j) AS BIGINT) AS refined_hits,
+           CAST(count(b.j) * 1000000 // count(*) AS BIGINT)
+               AS base_recall_ppm,
+           CAST(count(r.j) * 1000000 // count(*) AS BIGINT)
+               AS refined_recall_ppm
+    FROM ex_topk e
+    LEFT JOIN knnb b ON b.i = e.i AND b.j = e.j
+    LEFT JOIN refined r ON r.i = e.i AND r.j = e.j
 """
 )
 
@@ -690,3 +843,174 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec("embedding").alias("v0")
     )
     return knn_graph_blocked(spark, e)
+
+
+def _emb_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+
+
+@query(
+    "sim_knn_cell_profile",
+    oracle=_KNN_PROFILE_ORACLE,
+    tags=("llm", "similarity", "audit"),
+)
+def sim_knn_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population histogram of the registered k-NN graph's
+    IVF blocking (size, sub-block count post-fold, overflow flag) —
+    the operational skew check to run before trusting a (nlist, cap)
+    config at a new scale. Bounded output: ≤ nlist rows."""
+    return knn_cell_profile(spark, _emb_v0(spark, sf_dir))
+
+
+@query(
+    "sim_knn_descent_round",
+    oracle=_KNN_DESCENT_ORACLE,
+    tags=("llm", "similarity", "graph"),
+)
+def sim_knn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round over the registered capped-IVF
+    k-NN graph (Dong et al.'s loop, one deterministic unroll): forward
+    edges + md5-capped reverse sample + neighbors-of-neighbors,
+    re-ranked. O(N·k²) equi-join work — the cross-block quality repair
+    the capped blocks defer."""
+    e = _emb_v0(spark, sf_dir)
+    base = knn_graph_blocked(spark, e).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    return knn_descent_round(e, base)
+
+
+@query(
+    "sim_knn_descent_round2",
+    oracle=_KNN_DESCENT2_ORACLE,
+    tags=("llm", "similarity", "graph"),
+)
+def sim_knn_descent_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND NN-descent unroll: round 1's top-k is the input
+    graph for an identical round — pinning that the iterative loop's
+    per-round machinery composes (the BPE-unroll registration
+    pattern). Each round stays O(N·k²)."""
+    e = _emb_v0(spark, sf_dir)
+    base = knn_graph_blocked(spark, e).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    r1 = knn_descent_round(e, base)
+    return knn_descent_round(
+        e, r1.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j"))
+    )
+
+
+@query(
+    "sim_knn_refined_recall_audit",
+    oracle=_KNN_REFINED_AUDIT_ORACLE,
+    tags=("llm", "similarity", "graph", "audit"),
+)
+def sim_knn_refined_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the two-view + one-descent-round k-NN ladder vs
+    exact brute force, as ONE integer row — (n_sampled, n_exact,
+    base_hits, refined_hits, base_recall_ppm, refined_recall_ppm).
+    The quality claim of the knn_graph_refined ladder (SCALE.md
+    part 8: recall roughly doubles over the blocked base) becomes
+    driver-HASHABLE here: the audited variant swaps production's
+    xxhash64 random view for the portable md5 hash (same sub-split
+    fold, same cap) so every stage is cross-engine deterministic.
+    refined_recall_ppm ≥ base_recall_ppm by construction — descent
+    candidates contain the base edges, and any candidate that
+    out-ranks a true-top-k edge is itself in the true top-k.
+
+    100 TB shape: the exact side is budget-gated (md5 modulus keeps
+    ~KNN_AUDIT_BUDGET query nodes at any N, the
+    dedup_lsh_recall_audit discipline) × one corpus scan against the
+    broadcast sample — linear in N; the two views and the descent
+    round are the production ladder's own bounded plans."""
+    from pyspark.sql import Window as W
+
+    e = _emb_v0(spark, sf_dir)
+    n = e.count()
+    base = knn_graph_blocked(spark, e)
+    bedges = base.where(F.col("neighbor_id").isNotNull()).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    md5i = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    nblocks = max(1, -(-n // KNN_BLOCK_CAP))
+    rb = nv.select("vec_id", "nv", (md5i % F.lit(nblocks)).alias("rb"))
+    rb = rb.select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.row_number().over(W.partitionBy("rb").orderBy("vec_id")).alias("rn"),
+        F.count("*").over(W.partitionBy("rb")).alias("cnt"),
+    ).select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.when(
+            F.col("cnt") >= 2,
+            F.least(
+                F.expr(f"div(rn - 1, {KNN_BLOCK_CAP})"),
+                F.expr(f"div(cnt - 2, {KNN_BLOCK_CAP})"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rblk"),
+    )
+    a = rb.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "rb", "rblk")
+    b = rb.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb"), "rb", "rblk")
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j"))
+    rtopk = (
+        a.join(b, ["rb", "rblk"])
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j", _dot(F.col("nva"), F.col("nvb")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("i", "j")
+    )
+    refined = knn_descent_round(e, bedges.union(rtopk)).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    m = max(n // KNN_AUDIT_BUDGET, 1)
+    sq = nv.where(md5i % F.lit(m) == 0).select(
+        F.col("vec_id").alias("qi"), F.col("nv").alias("qnv")
+    )
+    n_sampled = sq.count()  # bounded: ~KNN_AUDIT_BUDGET rows
+    ex_topk = (
+        nv.crossJoin(F.broadcast(sq))
+        .where(F.col("vec_id") != F.col("qi"))
+        .select(
+            F.col("qi").alias("i"),
+            F.col("vec_id").alias("j"),
+            _dot(F.col("qnv"), F.col("nv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("i", "j")
+    )
+    return (
+        ex_topk.join(bedges.withColumn("bhit", F.lit(1)), ["i", "j"], "left")
+        .join(refined.withColumn("rhit", F.lit(1)), ["i", "j"], "left")
+        .agg(
+            F.lit(n_sampled).cast("long").alias("n_sampled"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("bhit").cast("long").alias("base_hits"),
+            F.count("rhit").cast("long").alias("refined_hits"),
+        )
+        .select(
+            "n_sampled",
+            "n_exact",
+            "base_hits",
+            "refined_hits",
+            F.expr("CAST(base_hits * 1000000 div n_exact AS BIGINT)").alias(
+                "base_recall_ppm"
+            ),
+            F.expr("CAST(refined_hits * 1000000 div n_exact AS BIGINT)").alias(
+                "refined_recall_ppm"
+            ),
+        )
+    )

@@ -632,6 +632,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.streaming.batch_equiv2  # noqa: F401
+    import flume_source_spark.streaming.heavy_hitters  # noqa: F401
     import flume_source_spark.streaming.timetravel  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
     import flume_source_spark.sources.formats  # noqa: F401

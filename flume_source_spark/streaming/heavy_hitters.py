@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flume_source_spark.registry import query
+
 MG_K = 8  # counters per shard
 N_SHARDS = 4
 
@@ -147,4 +149,202 @@ def mg_heavy_hitters_stream(events: DataFrame, k: int = MG_K, n_shards: int = N_
         stateStructType="keys array<long>, counts array<long>, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch EXACT TWINS of the sharded-MG pipeline (round 9). The streaming
+# operator above is rows-only by construction (update-mode output across
+# micro-batches); these twins pin the identical per-shard fold and the
+# PODS'12 rollup as hash-green registered queries: the SAME mg_reference /
+# mg_rollup python kernels run distributed (one applyInPandas group per
+# shard, a bounded ≤ shards·k driver fold for the rollup) against a DuckDB
+# recursive-CTE oracle that re-derives every MG step independently (the
+# ts_holt_exact sequential-kernel precedent). The twin shard key is the
+# PORTABLE md5 hash (house cross-engine idiom) where the streaming path
+# uses xxhash64 — documented divergence: the stream keeps the faster
+# Spark-native hash, the twin needs an oracle both engines can compute.
+
+def _mg_step_sql(pairs: str, item: str, k: int) -> str:
+    """One Misra-Gries step over a STRUCT(k,c)[] state list in DuckDB
+    SQL — the list-lambda mirror of :func:`mg_update`."""
+    return f"""CASE
+        WHEN len(list_filter({pairs}, p -> p.k = {item})) > 0
+        THEN list_transform({pairs}, p -> CASE WHEN p.k = {item}
+             THEN struct_pack(k := p.k, c := p.c + 1) ELSE p END)
+        WHEN len({pairs}) < {k}
+        THEN list_append({pairs}, struct_pack(k := {item}, c := CAST(1 AS BIGINT)))
+        ELSE list_filter(list_transform({pairs},
+                 p -> struct_pack(k := p.k, c := p.c - 1)), p -> p.c > 0)
+    END"""
+
+
+def _mg_merge_sql(a: str, b: str, k: int) -> str:
+    """The Agarwal et al. PODS'12 merge over two STRUCT(k,c)[] lists —
+    keywise counter sum, then subtract the (k+1)-th largest count and
+    drop non-positives when more than k keys survive (the list-lambda
+    mirror of :func:`mg_merge`; ``combined`` is inlined thrice because
+    the fold runs inside a recursive CTE where no LATERAL alias is
+    available)."""
+    combined = f"""list_transform(
+        list_distinct(list_concat(
+            list_transform({a}, p -> p.k), list_transform({b}, p -> p.k))),
+        kk -> struct_pack(k := kk,
+            c := CAST(coalesce((list_filter({a}, p -> p.k = kk))[1].c, 0)
+               + coalesce((list_filter({b}, p -> p.k = kk))[1].c, 0) AS BIGINT)))"""
+    kth = f"list_sort(list_transform({combined}, p -> p.c), 'DESC')[{k + 1}]"
+    return f"""CASE WHEN len({combined}) > {k}
+        THEN list_filter(list_transform({combined},
+                 p -> struct_pack(k := p.k, c := p.c - {kth})), p -> p.c > 0)
+        ELSE {combined}
+    END"""
+
+
+# md5-derived shard id, identical syntax on both engines
+_MG_SHARD_DUCK = (
+    "(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    f" % {N_SHARDS})"
+)
+
+_MG_ORACLE_PREFIX = f"""
+    WITH RECURSIVE ev AS MATERIALIZED (
+        SELECT shard, item,
+               row_number() OVER (PARTITION BY shard ORDER BY ts, event_id)
+                   AS t
+        FROM (SELECT {_MG_SHARD_DUCK} AS shard,
+                     CAST(user_id AS BIGINT) AS item, ts, event_id
+              FROM events)),
+    tot AS (SELECT shard, CAST(count(*) AS BIGINT) AS shard_total
+            FROM ev GROUP BY shard),
+    rec AS (
+        SELECT shard, CAST(0 AS BIGINT) AS t,
+               CAST([] AS STRUCT(k BIGINT, c BIGINT)[]) AS pairs
+        FROM (SELECT DISTINCT shard FROM ev)
+        UNION ALL
+        SELECT r.shard, e.t, {_mg_step_sql("r.pairs", "e.item", MG_K)} AS pairs
+        FROM rec r JOIN ev e ON e.shard = r.shard AND e.t = r.t + 1),
+    fin AS (
+        SELECT shard, pairs
+        FROM (SELECT shard, pairs,
+                     row_number() OVER (PARTITION BY shard ORDER BY t DESC)
+                         AS rn
+              FROM rec)
+        WHERE rn = 1)
+"""
+
+_MG_SHARDS_ORACLE = (
+    _MG_ORACLE_PREFIX
+    + """,
+    ex AS (SELECT shard, unnest(pairs) AS p FROM fin)
+    SELECT e.shard, (e.p).k AS user_id, (e.p).c AS lower_bound,
+           t.shard_total
+    FROM ex e JOIN tot t ON e.shard = t.shard
+    ORDER BY e.shard, user_id
+"""
+)
+
+_MG_ROLLUP_ORACLE = (
+    _MG_ORACLE_PREFIX
+    + f""",
+    shards AS (SELECT shard, pairs,
+                      row_number() OVER (ORDER BY shard) AS si
+               FROM fin),
+    roll AS (
+        SELECT CAST(0 AS BIGINT) AS si,
+               CAST([] AS STRUCT(k BIGINT, c BIGINT)[]) AS acc
+        UNION ALL
+        SELECT s.si, {_mg_merge_sql("r.acc", "s.pairs", MG_K)} AS acc
+        FROM roll r JOIN shards s ON s.si = r.si + 1),
+    gfin AS (SELECT acc FROM roll ORDER BY si DESC LIMIT 1),
+    gex AS (SELECT unnest(acc) AS p FROM gfin),
+    gtot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev)
+    SELECT (g.p).k AS user_id, (g.p).c AS lower_bound, t.n_total
+    FROM gex g, gtot t
+    ORDER BY user_id
+"""
+)
+
+
+def _mg_twin_sharded(spark, sf_dir: str) -> DataFrame:
+    """Per-shard MG summaries as a BATCH frame: md5-sharded events,
+    one applyInPandas group per shard running the exact
+    :func:`mg_reference` fold over the (ts, event_id)-ordered items.
+    Work: one shuffle on the shard key; per-shard state is K counters
+    regardless of distinct keys — the same bound the streaming
+    operator carries."""
+    import pandas as pd
+
+    from flume_source_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % N_SHARDS
+    )
+    k = MG_K
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        summ = mg_reference([int(u) for u in pdf["user_id"]], k)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(summ),
+                "user_id": list(summ.keys()),
+                "lower_bound": list(summ.values()),
+                "shard_total": [len(pdf)] * len(summ),
+            }
+        )
+
+    return (
+        ev.withColumn("shard", shard)
+        .groupBy("shard")
+        .applyInPandas(
+            kernel,
+            schema="shard long, user_id long, lower_bound long, shard_total long",
+        )
+    )
+
+
+@query(
+    "mg_shard_summaries_exact",
+    oracle=_MG_SHARDS_ORACLE,
+    tags=("streaming", "sketch", "exact-twin"),
+)
+def mg_shard_summaries_exact(spark, sf_dir: str) -> DataFrame:
+    """Sharded Misra-Gries summaries, batch exact twin (K=8 counters,
+    4 md5 shards): each shard's (key, lower_bound) counter set after
+    folding its (ts, event_id)-ordered items — hash-pinned against a
+    DuckDB recursive-CTE replay of every MG step. Pins the streaming
+    operator's per-shard fold semantics with driver-hashable
+    evidence (the MG stream itself is rows-only by construction)."""
+    return _mg_twin_sharded(spark, sf_dir).orderBy("shard", "user_id")
+
+
+@query(
+    "mg_rollup_exact",
+    oracle=_MG_ROLLUP_ORACLE,
+    tags=("streaming", "sketch", "exact-twin"),
+)
+def mg_rollup_exact(spark, sf_dir: str) -> DataFrame:
+    """Global rollup of the shard summaries via the PODS'12 mergeable
+    fold (shard-ascending order): ≤ shards·k counters reach the
+    driver — a bounded collect by topology, the standard final step
+    of any sharded frequent-items pipeline — and the merged summary
+    carries the same n_total/(K+1) error bound an unsharded MG would.
+    Hash-pinned against the DuckDB recursive merge fold."""
+    rows = _mg_twin_sharded(spark, sf_dir).collect()
+    by_shard: dict[int, dict[int, int]] = {}
+    n_total = 0
+    seen = set()
+    for r in rows:
+        by_shard.setdefault(r.shard, {})[r.user_id] = r.lower_bound
+        if r.shard not in seen:
+            seen.add(r.shard)
+            n_total += r.shard_total
+    merged = mg_rollup([by_shard[s] for s in sorted(by_shard)], MG_K)
+    out = [(int(u), int(c), int(n_total)) for u, c in merged.items()]
+    return spark.createDataFrame(
+        sorted(out), "user_id long, lower_bound long, n_total long"
     )
