@@ -382,3 +382,157 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# PR curve + calibration bins (round 9): the threshold-tuning pair that
+# follows dq_roc_auc_exact in a quality-classifier workflow. Same data
+# convention (score = n_chars, label = lang='en', grouped by source);
+# all cross-row arithmetic integer ppm via integral div (non-negative
+# numerators, so trunc ≡ floor ≡ DuckDB //). Overflow bound: every
+# numerator is count·1e6 ≤ N·1e6 — int64-safe through N ≈ 9.2e12 docs
+# (far past a 100 TB corpus), documented per the round-8 discipline.
+# ---------------------------------------------------------------------------
+
+_PR_CURVE_ORACLE = """
+    WITH g AS (
+        SELECT source, n_chars AS score,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, score,
+               sum(pos) OVER (PARTITION BY source ORDER BY score DESC) AS tp,
+               sum(cnt) OVER (PARTITION BY source ORDER BY score DESC) AS pp,
+               sum(pos) OVER (PARTITION BY source) AS n_pos
+        FROM g
+    )
+    SELECT source, CAST(score AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(n_pos - tp AS BIGINT) AS fn,
+           CAST(tp * 1000000 // pp AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm
+    FROM c
+    WHERE n_pos > 0
+    ORDER BY source, threshold
+"""
+
+
+@query("dq_pr_curve_exact", oracle=_PR_CURVE_ORACLE, tags=("quality", "llm", "exact-twin"))
+def dq_pr_curve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall curve: one row per (source, distinct
+    score threshold) for the rule "predict positive when score ≥ t" —
+    tp/fp/fn counts and integer-ppm precision/recall. The operating-
+    point chooser that follows the AUC gate: AUC says whether the
+    score ranks, this says where to cut it.
+
+    Scale: output is bounded by DISTINCT (source, score) pairs — the
+    same collapse dq_roc_auc_exact uses (map-side combine onto score
+    keys, never a row per document); the running sums are one window
+    pass per source over that collapsed frame."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    g = d.groupBy("source", F.col("n_chars").alias("score")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    wdesc = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    c = g.select(
+        "source",
+        "score",
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum("cnt").over(wdesc).alias("pp"),
+        F.sum("pos").over(wall).alias("n_pos"),
+    )
+    return (
+        c.filter(F.col("n_pos") > 0)
+        .select(
+            "source",
+            F.col("score").cast("long").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+            F.expr("CAST(tp * 1000000 div pp AS BIGINT)").alias("precision_ppm"),
+            F.expr("CAST(tp * 1000000 div n_pos AS BIGINT)").alias("recall_ppm"),
+        )
+        .orderBy("source", "threshold")
+    )
+
+
+_CALIBRATION_ORACLE = """
+    WITH b AS (
+        SELECT source, lang, n_chars AS score,
+               CAST(ntile(10) OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        FROM documents
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(min(score) AS BIGINT) AS score_min,
+           CAST(max(score) AS BIGINT) AS score_max,
+           CAST(sum(score) // count(*) AS BIGINT) AS score_mean_floor
+    FROM b GROUP BY source, bin
+    ORDER BY source, bin
+"""
+
+
+@query("dq_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("quality", "llm"))
+def dq_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram input: per source, documents fall into 10
+    score-ordered ntile bins (total (score, doc_id) order → the bin
+    assignment is deterministic and identical cross-engine); each bin
+    reports its size, positive count/rate (ppm), and score envelope.
+    A calibrated score has pos_rate_ppm monotone in bin — the visual
+    check quality-filter thresholds get eyeballed with; this is its
+    exact tabular form.
+
+    Scale: ntile is one window pass per source (sort-based, no
+    row-per-row python); output is sources × 10 rows. Overflow: the
+    score sum is ≤ N·max(n_chars) — document-length sums at 100 TB
+    fit int64 through ~9e18 total chars, the corpus itself."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    b = d.select(
+        "source",
+        "lang",
+        F.col("n_chars").alias("score"),
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("score").cast("long").alias("score_min"),
+            F.max("score").cast("long").alias("score_max"),
+            F.sum("score").alias("score_sum"),
+        )
+        .select(
+            "source",
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("pos_rate_ppm"),
+            "score_min",
+            "score_max",
+            F.expr("CAST(score_sum div n AS BIGINT)").alias("score_mean_floor"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -127,3 +127,122 @@ def ts_holt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 9): the standard non-parametric
+# monotone-trend detector over a daily series — S = Σ_{i<j}
+# sign(y_j − y_i), Kendall's tau = S / (n(n−1)/2), and the exact
+# tie-corrected variance numerator 18·Var(S) = n(n−1)(2n+5) −
+# Σ_t t(t−1)(2t+5) (Mann 1945 / Kendall 1975; published formula). All
+# integer: S is a sign sum, tau is sign-split ppm (|S|·1e6 div pairs,
+# negated back — integral div on NON-NEGATIVE operands only, so Spark
+# trunc ≡ DuckDB floor; a signed numerator would silently diverge
+# between the engines' div conventions, the round-8 lesson).
+#
+# Scale: the day-pair self-join is per-series O(d²) with d bounded by
+# the CALENDAR (days in range), not by N — 10 years is d ≈ 3.6k,
+# ~6.7M sign pairs per series, map-side-combinable to one row. The
+# daily collapse itself is the usual one-shuffle groupBy.
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ),
+    n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, y)
+        GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN s.s_stat >= 0
+                     THEN s.s_stat * 1000000 // (n.n_days * (n.n_days - 1) // 2)
+                     ELSE -((-s.s_stat) * 1000000 // (n.n_days * (n.n_days - 1) // 2))
+                END AS BIGINT) AS tau_ppm,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var18
+    FROM n
+    JOIN s ON n.event_type = s.event_type
+    JOIN ties ON n.event_type = ties.event_type
+    WHERE n.n_days >= 2
+    ORDER BY n.event_type
+"""
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=_MANN_KENDALL_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event_type over daily
+    counts: exact integer S statistic, day-pair count, sign-split
+    Kendall tau in ppm, and the tie-corrected 18·Var(S) — the
+    drift-monitoring companion to ts_cusum_changepoint (is this
+    series trending at all, before asking where it broke)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    ).persist()
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    s = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("event_type")
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")).alias("s_stat"))
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie_term"))
+    )
+    out = (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").alias("n_pairs"),
+            F.expr(
+                "CAST(CASE WHEN s_stat >= 0"
+                " THEN s_stat * 1000000 div (n_days * (n_days - 1) div 2)"
+                " ELSE -((-s_stat) * 1000000 div (n_days * (n_days - 1) div 2))"
+                " END AS BIGINT)"
+            ).alias("tau_ppm"),
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist(blocking=False)
+    return out

@@ -241,9 +241,12 @@ def ds_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
             F.count_if("passes_q").alias("n_quality_pass"),
-            ((F.count_if("passes_q") * 10000) / F.count("*")).cast("long").alias(
-                "quality_permyriad"
-            ),
+            # integral div, NOT double division + cast (round-9 audit):
+            # matches the oracle's floor `//` even when the quotient
+            # lands within one ulp of an integer; non-negative operands
+            F.expr(
+                "CAST(count_if(passes_q) * 10000 div count(*) AS BIGINT)"
+            ).alias("quality_permyriad"),
             F.count_if("is_dup").alias("n_exact_dup"),
             F.sum(F.when(F.col("passes_q") & ~F.col("is_dup"), F.col("n_tokens"))).alias(
                 "curated_tokens"

@@ -75,9 +75,15 @@ def common_neighbors(edges: DataFrame) -> DataFrame:
         .join(deg.withColumnRenamed("node", "j").withColumnRenamed("deg", "deg_j"), "j")
         .select(
             "i", "j", "cn", "deg_i", "deg_j",
-            ((F.col("cn") * 10000) / (F.col("deg_i") + F.col("deg_j") - F.col("cn")))
-            .cast("long")
-            .alias("jaccard_permyriad"),
+            # integral div, NOT double division + cast (round-9 audit,
+            # VERDICT r8 item 7): a double quotient rounds to nearest
+            # BEFORE the long cast, so a true value of k−ε can round
+            # up to k and diverge from the oracle's floor `//`; both
+            # operands are non-negative so div ≡ floor ≡ DuckDB //.
+            # Bound: cn·10000 ≤ N·1e4 — int64-safe through N ≈ 9e14.
+            F.expr(
+                "CAST(cn * 10000 div (deg_i + deg_j - cn) AS BIGINT)"
+            ).alias("jaccard_permyriad"),
         )
         .orderBy("i", "j")
     )

@@ -157,14 +157,23 @@ _DRIVER_GREEN_R04 = frozenset(
         "sql_declared_functions", "udtf_table_partition",
         "streaming_chained_windows_batch", "text_bpe_pair_stats",
         "agg_equidepth_histogram", "window_distinct_count_emulation",
-        "dq_drift_psi", "ds_batch_plan", "ds_curation_report",
+        "dq_drift_psi", "ds_batch_plan",
         "emb_dim_variance_prune", "ts_outlier_mad", "ts_event_pattern_regex",
         "ts_transition_matrix", "ts_peak_detection", "agg_weighted_median",
         "graph_assortativity", "agg_bitmap_distinct", "window_pareto_abc",
-        "ts_acf", "ts_interp_linear", "graph_common_neighbors",
+        "ts_acf", "ts_interp_linear",
         "agg_mode_deterministic", "agg_listagg",
     }
 )
+# TWO round-9 exclusions from the r04 set above (the ADVICE r8
+# verify-first rule for arithmetic re-implementations, applied by the
+# round-9 accumulator audit — VERDICT r8 item 7): ds_curation_report's
+# quality_permyriad and graph_common_neighbors' jaccard_permyriad were
+# re-derived from double-division-plus-cast to integral `div` (a
+# double quotient rounds to nearest before the long cast, so a true
+# k−ε can round up to k and diverge from the oracle's floor). Fixture
+# outputs are bit-identical (both re-pass their oracles locally), but
+# the queries re-enter the verify-first block for fresh driver rows.
 
 # Queries with a row in the driver's CORRECTNESS_r05.json: the 50-row
 # round-5 sweep covered the head of _R05_VERIFY_FIRST — 44 hash-green
@@ -628,6 +637,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text9  # noqa: F401
     import flume_source_spark.pipeline.text10  # noqa: F401
     import flume_source_spark.pipeline.text11  # noqa: F401
+    import flume_source_spark.pipeline.text12  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
