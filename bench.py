@@ -165,6 +165,23 @@ HEADLINE = [
     # + two membership joins + exact BIGINT community accounting)
     "dq_roc_auc_exact",
     "graph_modularity_exact",
+    # round-9 admissions, solo + 8x probed (scripts/scale_probe_r9.py):
+    # NN-descent refinement round over the registered k-NN graph —
+    # candidate-expansion equi-joins + rerank (solo 3.98 s, 8x 1.76x)
+    "sim_knn_descent_round",
+    # the k-NN ladder's quality audit: two bounded views + descent +
+    # budget-gated exact side (solo 6.34 s, 8x 1.44x — the exact side
+    # is ~150 sampled nodes x N dots, modulus self-scales)
+    "sim_knn_refined_recall_audit",
+    # sequential per-shard MG fold via applyInPandas — the python-
+    # kernel-per-group cost class (solo 0.88 s, 8x 1.75x)
+    "mg_shard_summaries_exact",
+    # calendar-bounded day-pair self-join + tie rollup (solo 0.57 s,
+    # 8x 1.14x — daily collapse absorbs row growth map-side)
+    "ts_mann_kendall",
+    # shingle first-occurrence join (posting lists grow with dup
+    # factor: 8x replicated text measured 2.55x — adversarial shape)
+    "text_novelty_curve",
 ]
 
 
