@@ -153,3 +153,74 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge triangle-support / k-truss membership (round 9): the edge-level
+# companion to graph_triangle_count (vertex census) and graph_kcore
+# (vertex peel) — support(i,j) = |N(i) ∩ N(j)| is the quantity k-truss
+# peeling iterates on (Cohen 2008), and the single exact-support pass
+# IS the truss algorithm's unrolled first round (the graph_kcore /
+# BPE-unroll registration pattern: the iterative loop's per-round
+# machinery is what gets hash-pinned). in_3truss flags edges that
+# survive the first 3-truss peel (support ≥ 1: every 3-truss edge
+# closes at least one triangle).
+#
+# Scale: one wedge equi-join per edge endpoint pair — Σ_v deg(v)²
+# candidate wedges, the same bound graph_triangle_count carries; the
+# left join-back restores zero-support edges without a second scan of
+# anything wider than the edge list. Nothing quadratic in |V|.
+# ---------------------------------------------------------------------------
+
+_EDGE_SUPPORT_ORACLE = f"""
+    WITH {_EDGE_CTE},
+    bidir AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
+    supp AS (
+        SELECT e.i, e.j, CAST(count(*) AS BIGINT) AS support
+        FROM edges e
+        JOIN bidir a ON a.i = e.i
+        JOIN bidir b ON b.i = e.j AND b.j = a.j
+        GROUP BY e.i, e.j)
+    SELECT e.i, e.j,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+           coalesce(s.support, 0) >= 1 AS in_3truss
+    FROM edges e LEFT JOIN supp s ON e.i = s.i AND e.j = s.j
+    ORDER BY e.i, e.j
+"""
+
+
+@query(
+    "graph_edge_support_exact",
+    oracle=_EDGE_SUPPORT_ORACLE,
+    tags=("llm", "graph", "truss"),
+)
+def graph_edge_support_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-edge triangle support over the embedding-similarity
+    graph + first-round 3-truss membership (support ≥ 1) — the edge
+    strength signal near-dup cluster QA reads: a bridge edge with
+    zero support joins two otherwise-unrelated duplicate groups and
+    is the first candidate to cut before transitive closure."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    edges = similarity_edges(spark, sf_dir).select("i", "j")
+    bidir = edges.union(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    a = bidir.select(F.col("i").alias("ea"), F.col("j").alias("w"))
+    b = bidir.select(F.col("i").alias("eb"), F.col("j").alias("w"))
+    supp = (
+        edges.join(a, F.col("i") == F.col("ea"))
+        .join(b, (F.col("j") == F.col("eb")) & (a["w"] == b["w"]))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        edges.join(supp, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            (F.coalesce("support", F.lit(0)) >= 1).alias("in_3truss"),
+        )
+        .orderBy("i", "j")
+    )

@@ -902,6 +902,21 @@ def sim_knn_descent_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_knn_graph_auto", tags=("llm", "similarity", "graph"))
+def sim_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION k-NN graph entry point: √N-adaptive nlist +
+    md5-sampled DATA-POINT centroids (cells track the distribution
+    instead of the fixed lattice). Rows-only BY CONSTRUCTION: the
+    centroid sample needs a LIMIT whose row choice DuckDB cannot
+    share bit-for-bit through the same plan (documented at
+    knn_graph_blocked), so no SQL oracle exists — its exact twin is
+    the registered ``sim_knn_graph`` (identical block/sub-split/rank
+    machinery on the closed-form lattice, hash-green), plus the numpy
+    replication and the auto == explicit-nlist equality test
+    (test_knn_adaptive_nlist_and_auto_path)."""
+    return knn_graph_auto(spark, _emb_v0(spark, sf_dir))
+
+
 @query(
     "sim_knn_refined_recall_audit",
     oracle=_KNN_REFINED_AUDIT_ORACLE,
