@@ -485,14 +485,24 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # ROUND-10 NOTE: when CORRECTNESS_r09.json lands, the dynamic pickup
 # re-tiers automatically. The manual hygiene step is: fold r09's keys
 # into a hardcoded _DRIVER_GREEN_R09 and bump _KNOWN_ROUNDS to 9.
-# Expected r09 sweep head: the re-shaped sim_knn_graph (singleton
-# fold) + the two verify-first arithmetic re-implementations
-# (dq_roc_auc_exact, scalar_ip_ops) + the round-9 registrations,
-# then the 6 rows-only stale queries (agg_approx,
-# agg_sketch_mergeable, dedup_simhash, sample_and_introspect,
-# scalar_hash_spark, sim_ann_lsh) re-pinned with current-fixture
-# no_oracle rows — after which NO pre-regeneration driver evidence
-# remains anywhere in the registry.
+# Expected r09 sweep head (23 slots, all locally verified green at
+# sf0.01 before registration):
+#   - 16 oracled tier-1 entries: the re-shaped sim_knn_graph
+#     (singleton fold), the four verify-first arithmetic
+#     re-implementations (dq_roc_auc_exact, scalar_ip_ops,
+#     ds_curation_report, graph_common_neighbors), and the 11 new
+#     oracled registrations (sim_knn_cell_profile,
+#     sim_knn_descent_round, sim_knn_descent_round2,
+#     sim_knn_refined_recall_audit, mg_shard_summaries_exact,
+#     mg_rollup_exact, dq_pr_curve_exact, dq_calibration_bins,
+#     ts_mann_kendall, text_novelty_curve, graph_edge_support_exact);
+#   - 1 rows-only new registration (sim_knn_graph_auto — production
+#     path; exact twin is sim_knn_graph per the rows-only policy);
+#   - the 6 rows-only stale queries (agg_approx, agg_sketch_mergeable,
+#     dedup_simhash, sample_and_introspect, scalar_hash_spark,
+#     sim_ann_lsh) re-pinned with current-fixture no_oracle rows —
+#     after which NO pre-regeneration driver evidence remains
+#     anywhere in the registry.
 _KNOWN_ROUNDS = 8
 
 

@@ -868,3 +868,47 @@ def test_quantile_hist_matches_python_recompute(spark, sf_dir):
         for r in SPECS["agg_quantile_hist_exact"].builder(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_knn_descent_round_plan_is_equi_join_only(spark, sf_dir):
+    """The registered NN-descent round must execute as equi-joins +
+    windows: no CartesianProduct, no BroadcastNestedLoopJoin beyond
+    the base graph's deliberate broadcast-centroid cross (the
+    knn_graph_blocked plan contract) — descent's candidate expansion
+    (fwd ∪ reverse-capped ∪ neighbors-of-neighbors) is what keeps the
+    round O(N·k²), and the plan must show it stayed joins-on-keys."""
+    p = plan(spark, sf_dir, "sim_knn_descent_round")
+    assert "CartesianProduct" not in p
+    # only the bounded broadcast-centroid cross from the base graph
+    assert p.count("BroadcastNestedLoopJoin") == p.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_mg_twin_plan_single_shuffle_per_side(spark, sf_dir):
+    """The MG shard twin is ONE shuffle on the shard key into an
+    applyInPandas python kernel — no joins, no second exchange of the
+    event rows."""
+    p = plan(spark, sf_dir, "mg_shard_summaries_exact")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in p, node
+
+
+def test_novelty_curve_plan_no_pairwise(spark, sf_dir):
+    """Novelty is two grouped aggregates + one equi-join on shingle —
+    never a doc×doc stage."""
+    p = plan(spark, sf_dir, "text_novelty_curve")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mann_kendall_daily_collapse_before_pairing(spark, sf_dir):
+    """The day-pair join must read the DAILY aggregate on both sides
+    (calendar-bounded), not raw events: the plan joins two aggregated
+    subtrees, and the pair condition is the non-equi d1 < d2 under an
+    event_type equi-key (sort-merge/shuffled-hash on event_type)."""
+    p = plan(spark, sf_dir, "ts_mann_kendall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
