@@ -917,6 +917,21 @@ def sim_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_auto(spark, _emb_v0(spark, sf_dir))
 
 
+@query("sim_knn_graph_refined", tags=("llm", "similarity", "graph"))
+def sim_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY k-NN graph entry point: the two-view bootstrap
+    (adaptive IVF + xxhash64 random view, both hard-capped) + one
+    NN-descent round. Rows-only BY CONSTRUCTION: the production path
+    composes the sampled-centroid base (no bit-sharable SQL plan, see
+    sim_knn_graph_auto) with Spark-only xxhash64 blocking — its
+    hash-green counterpart is ``sim_knn_refined_recall_audit``, the
+    SAME ladder on portable primitives (lattice base + md5 random
+    view + identical descent machinery), plus the monotonicity +
+    recall-improvement tests
+    (test_knn_refined_is_monotone_and_improves_recall)."""
+    return knn_graph_refined(spark, _emb_v0(spark, sf_dir))
+
+
 @query(
     "sim_knn_refined_recall_audit",
     oracle=_KNN_REFINED_AUDIT_ORACLE,

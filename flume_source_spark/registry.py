@@ -496,8 +496,10 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 #     sim_knn_refined_recall_audit, mg_shard_summaries_exact,
 #     mg_rollup_exact, dq_pr_curve_exact, dq_calibration_bins,
 #     ts_mann_kendall, text_novelty_curve, graph_edge_support_exact);
-#   - 1 rows-only new registration (sim_knn_graph_auto — production
-#     path; exact twin is sim_knn_graph per the rows-only policy);
+#   - 2 rows-only new registrations (sim_knn_graph_auto and
+#     sim_knn_graph_refined — the production/quality paths; twins are
+#     sim_knn_graph and sim_knn_refined_recall_audit per the
+#     rows-only policy);
 #   - the 6 rows-only stale queries (agg_approx, agg_sketch_mergeable,
 #     dedup_simhash, sample_and_introspect, scalar_hash_spark,
 #     sim_ann_lsh) re-pinned with current-fixture no_oracle rows —
