@@ -224,3 +224,77 @@ def graph_edge_support_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 2-hop neighborhood function (round 9, session 2): per node,
+# |{u : dist(v,u) <= 1}| and |{u : dist(v,u) <= 2}| over the shared
+# similarity graph — the N(1)/N(2) points of the neighborhood function
+# (Palmer et al., "ANF", KDD'02). The ratio reach2/reach1 is the
+# expansion health number for transitive dedup: near 1 means the graph
+# is a union of closed cliques (safe to collapse), large means chained
+# near-duplication that a single LSH pass under-merges.
+#
+# This exact form is the verification twin. At 100 TB the production
+# path for deeper radii is HyperBall (Boldi & Vigna, WSDM'11): one
+# HLL register set per node, |E| sketch-union rows per round, never a
+# distinct over materialized 2-hop pairs. The exact distinct here is
+# the same wedge join graph_common_neighbors already carries
+# (Sigma deg(v)^2 candidates, hub-cappable from the middle position),
+# so it shares that operator's scale bound and needs no new machinery.
+# ---------------------------------------------------------------------------
+
+_REACH_ORACLE = f"""
+    WITH {_EDGE_CTE},
+    bidir AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
+    two_hop AS (
+        SELECT a.i AS v, b.j AS u FROM bidir a JOIN bidir b ON a.j = b.i
+        WHERE b.j <> a.i
+        UNION
+        SELECT i AS v, j AS u FROM bidir
+    ),
+    r2 AS (SELECT v, CAST(count(*) AS BIGINT) AS reach2 FROM two_hop GROUP BY v),
+    r1 AS (SELECT i AS v, CAST(count(*) AS BIGINT) AS reach1 FROM bidir GROUP BY i)
+    SELECT r1.v, r1.reach1, r2.reach2,
+           CAST(r2.reach2 * 10000 // r1.reach1 AS BIGINT) AS expansion_permyriad
+    FROM r1 JOIN r2 ON r1.v = r2.v
+    ORDER BY r1.v
+"""
+
+
+@query("graph_two_hop_reach", oracle=_REACH_ORACLE, tags=("llm", "graph", "stats"))
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact <=1-hop and <=2-hop reachable-set sizes per node, plus the
+    integer-permyriad expansion ratio. The UNION (set, not bag) is the
+    distinct that makes this the neighborhood function rather than a
+    path count; self is excluded from the wedge leg and absent from
+    bidir, so reach counts exclude the node itself in both engines."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    edges = similarity_edges(spark, sf_dir).select("i", "j")
+    bidir = edges.union(edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    a = bidir.select(F.col("i").alias("v"), F.col("j").alias("mid"))
+    b = bidir.select(F.col("i").alias("mid"), F.col("j").alias("u"))
+    two_hop = (
+        a.join(b, "mid")
+        .filter(F.col("u") != F.col("v"))
+        .select("v", "u")
+        .union(bidir.select(F.col("i").alias("v"), F.col("j").alias("u")))
+        .distinct()
+    )
+    r2 = two_hop.groupBy("v").agg(F.count("*").cast("long").alias("reach2"))
+    r1 = bidir.groupBy(F.col("i").alias("v")).agg(
+        F.count("*").cast("long").alias("reach1")
+    )
+    return (
+        r1.join(r2, "v")
+        .select(
+            "v",
+            "reach1",
+            "reach2",
+            F.expr("CAST(reach2 * 10000 div reach1 AS BIGINT)").alias(
+                "expansion_permyriad"
+            ),
+        )
+        .orderBy("v")
+    )
