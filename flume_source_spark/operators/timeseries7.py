@@ -1,0 +1,184 @@
+"""Time-series wave 7: banded dynamic time warping, exact.
+
+``ts_dtw_band`` — Sakoe-Chiba banded DTW distance between every
+user's hour-of-day activity profile and the corpus reference profile.
+DTW is the standard shape-distance for behavioral series (two users
+with the same daily rhythm shifted by an hour are DTW-close but
+Euclidean-far); the band (radius r = 2 here) is what makes it a
+production operator rather than a quadratic toy: per series the DP
+touches n·(2r+1) cells instead of n², and a warp of more than r
+positions is disallowed by construction — the standard speed/sanity
+constraint (Sakoe & Chiba 1978, the banding every production DTW
+library defaults to).
+
+Semantics, pinned exactly:
+  x_u[p] = count of user u's events in hour-of-day p (p = 1..24,
+           dense, zero-filled),
+  y[p]   = (total corpus events in hour p) DIV n_users — the floor
+           "average user" profile, kept integer so every DP cell is
+           an exact BIGINT,
+  cost(i, j) = |x_u[i] − y[j]|,
+  dp[i][j] = cost + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1]) over
+             the |i − j| ≤ 2 band (outside = +INF, INF = 1<<40 —
+             additive headroom: ≤ 24 adds of ≤ 2·INF stay far under
+             2^63), answer = dp[24][24].
+
+Execution shape at 100 TB:
+1. One map-side-combinable groupBy collapses any event volume to
+   ≤ n_users·24 rows.
+2. The reference profile is a 24-row aggregate collected to the
+   driver and closed over by the kernel — the bounded-collect
+   discipline the centroid operators use (≤ 24 rows + 1 scalar).
+3. The DP is sequential in i but embarrassingly parallel across
+   users: one Arrow batch per user via ``applyInPandas``, a
+   24×5-cell exact-integer loop inside. A hundred million users
+   parallelize over executors; no cross-user shuffle beyond the one
+   groupBy on the natural key.
+
+The DuckDB oracle is an independent formulation: the band row is
+pivoted to five offset columns (j = i−2 .. i+2) and a recursive CTE
+steps i → i+1, resolving the intra-row dependency (dp[i][j−1]) by
+expanding the lower-offset expression inline — five chained least()
+terms, the textbook recurrence unrolled across the band.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_N = 24  # series length: hour-of-day positions 1..24
+_INF = 1 << 40
+
+# Recursive-step expressions: cur[o] = cost[o] + least(prev[o+1],
+# prev[o], cur[o−1]). prev[o+1] is dp[i−1][j] (the band recenters by
+# one per row), prev[o] is dp[i−1][j−1], cur[o−1] is dp[i][j−1]; the
+# cur[o−1] reference is expanded textually (recursive CTEs cannot
+# lateral-reference sibling aliases portably).
+_M2 = "c.cm2 + least(r.m1, r.m2)"
+_M1 = f"c.cm1 + least(r.z0, r.m1, {_M2})"
+_Z0 = f"c.c0 + least(r.p1, r.z0, {_M1})"
+_P1 = f"c.cp1 + least(r.p2, r.p1, {_Z0})"
+_P2 = f"c.cp2 + least(r.p2, {_P1})"
+
+_DTW_ORACLE = f"""
+    WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+    hours AS (SELECT CAST(unnest(generate_series(1, {_N})) AS BIGINT) AS pos),
+    hc AS (
+        SELECT user_id,
+               CAST(hour(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    xs AS (
+        SELECT u.user_id, h.pos, coalesce(c.c, 0) AS x
+        FROM users u CROSS JOIN hours h
+        LEFT JOIN hc c ON c.user_id = u.user_id AND c.pos = h.pos
+    ),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+    ys AS (
+        SELECT pos, CAST(sum(x) // (SELECT n FROM nu) AS BIGINT) AS y
+        FROM xs GROUP BY pos
+    ),
+    cb AS (
+        SELECT x.user_id, x.pos AS i,
+               coalesce(max(CASE WHEN y.pos = x.pos - 2 THEN abs(x.x - y.y) END), {_INF}) AS cm2,
+               coalesce(max(CASE WHEN y.pos = x.pos - 1 THEN abs(x.x - y.y) END), {_INF}) AS cm1,
+               coalesce(max(CASE WHEN y.pos = x.pos     THEN abs(x.x - y.y) END), {_INF}) AS c0,
+               coalesce(max(CASE WHEN y.pos = x.pos + 1 THEN abs(x.x - y.y) END), {_INF}) AS cp1,
+               coalesce(max(CASE WHEN y.pos = x.pos + 2 THEN abs(x.x - y.y) END), {_INF}) AS cp2
+        FROM xs x JOIN ys y ON y.pos BETWEEN x.pos - 2 AND x.pos + 2
+        GROUP BY 1, 2
+    ),
+    rec AS (
+        SELECT user_id, i,
+               CAST({_INF} AS BIGINT) AS m2,
+               CAST({_INF} AS BIGINT) AS m1,
+               c0 AS z0,
+               c0 + cp1 AS p1,
+               c0 + cp1 + cp2 AS p2
+        FROM cb WHERE i = 1
+        UNION ALL
+        SELECT c.user_id, c.i,
+               {_M2} AS m2,
+               {_M1} AS m1,
+               {_Z0} AS z0,
+               {_P1} AS p1,
+               {_P2} AS p2
+        FROM rec r JOIN cb c ON c.user_id = r.user_id AND c.i = r.i + 1
+    ),
+    tot AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS n_events FROM xs GROUP BY user_id)
+    SELECT r.user_id, t.n_events, CAST(r.z0 AS BIGINT) AS dtw_cost
+    FROM rec r JOIN tot t ON t.user_id = r.user_id
+    WHERE r.i = {_N}
+    ORDER BY r.user_id
+"""
+
+
+def _dtw_band_cost(x: list[int], y: list[int], r: int = 2) -> int:
+    """Exact banded DTW in python ints — the kernel's inner DP. Same
+    cell order as the oracle (row-major, left-to-right in the band)."""
+    n = len(x)
+    prev = [_INF] * n  # dp[i-1][j-1] indexed by j-1
+    for i in range(1, n + 1):
+        cur = [_INF] * n
+        for j in range(max(1, i - r), min(n, i + r) + 1):
+            c = abs(x[i - 1] - y[j - 1])
+            if i == 1 and j == 1:
+                cur[j - 1] = c
+                continue
+            best = _INF * 4
+            if i > 1 and abs(i - 1 - j) <= r:
+                best = min(best, prev[j - 1])  # dp[i-1][j]
+            if i > 1 and j > 1 and abs(i - j) <= r + 1:
+                best = min(best, prev[j - 2])  # dp[i-1][j-1]
+            if j > 1 and abs(i - (j - 1)) <= r:
+                best = min(best, cur[j - 2])  # dp[i][j-1]
+            cur[j - 1] = c + best
+        prev = cur
+    return prev[n - 1]
+
+
+@query("ts_dtw_band", oracle=_DTW_ORACLE, tags=("timeseries", "similarity", "exact-twin"))
+def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (r=2) DTW distance from each user's hour-of-day profile
+    to the integer "average user" reference profile — the behavioral
+    outlier score (bot/scraper rhythms warp far from the reference even
+    when their volumes look normal). Exact BIGINT DP per user inside
+    one applyInPandas pass; hash-pinned against a recursive-CTE oracle
+    replaying the identical band recurrence."""
+    ev = load_tables(spark, sf_dir)["events"]
+    counts = ev.groupBy(
+        "user_id", (F.hour("ts") + 1).cast("long").alias("pos")
+    ).agg(F.count("*").cast("long").alias("c"))
+
+    # Reference profile: two bounded collects (≤ 24 rows + 1 scalar).
+    totals = {
+        int(row["pos"]): int(row["t"])
+        for row in counts.groupBy("pos").agg(F.sum("c").alias("t")).collect()
+    }
+    n_users = counts.select("user_id").distinct().count()
+    y = [totals.get(p, 0) // n_users for p in range(1, _N + 1)]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = [0] * _N
+        for pos, c in zip(pdf["pos"], pdf["c"]):
+            x[int(pos) - 1] = int(c)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [sum(x)],
+                "dtw_cost": [_dtw_band_cost(x, y)],
+            }
+        )
+
+    return (
+        counts.groupBy("user_id")
+        .applyInPandas(kernel, schema="user_id long, n_events long, dtw_cost long")
+        .orderBy("user_id")
+    )

@@ -262,16 +262,10 @@ _REACH_ORACLE = f"""
 """
 
 
-@query("graph_two_hop_reach", oracle=_REACH_ORACLE, tags=("llm", "graph", "stats"))
-def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact <=1-hop and <=2-hop reachable-set sizes per node, plus the
-    integer-permyriad expansion ratio. The UNION (set, not bag) is the
-    distinct that makes this the neighborhood function rather than a
-    path count; self is excluded from the wedge leg and absent from
-    bidir, so reach counts exclude the node itself in both engines."""
-    from flume_source_spark.pipeline.graph2 import similarity_edges
-
-    edges = similarity_edges(spark, sf_dir).select("i", "j")
+def two_hop_reach(edges: DataFrame) -> DataFrame:
+    """Core exact N(1)/N(2) computation over an (i < j) edge frame —
+    factored from the registry query so planted-topology tests (stars,
+    cliques, paths) drive the exact production wedge-join path."""
     bidir = edges.union(edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
     a = bidir.select(F.col("i").alias("v"), F.col("j").alias("mid"))
     b = bidir.select(F.col("i").alias("mid"), F.col("j").alias("u"))
@@ -298,3 +292,15 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("v")
     )
+
+
+@query("graph_two_hop_reach", oracle=_REACH_ORACLE, tags=("llm", "graph", "stats"))
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact <=1-hop and <=2-hop reachable-set sizes per node, plus the
+    integer-permyriad expansion ratio. The UNION (set, not bag) is the
+    distinct that makes this the neighborhood function rather than a
+    path count; self is excluded from the wedge leg and absent from
+    bidir, so reach counts exclude the node itself in both engines."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    return two_hop_reach(similarity_edges(spark, sf_dir).select("i", "j"))

@@ -505,6 +505,9 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 #     sim_ann_lsh) re-pinned with current-fixture no_oracle rows —
 #     after which NO pre-regeneration driver evidence remains
 #     anywhere in the registry.
+# Session 2 adds 4 more oracled tier-1 entries (all verified at
+# sf0.001 + sf0.01 before registration): dq_ks_two_sample_exact,
+# dq_chi2_drift_2x2, graph_two_hop_reach, ts_dtw_band.
 _KNOWN_ROUNDS = 8
 
 
@@ -600,6 +603,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries4  # noqa: F401
     import flume_source_spark.operators.timeseries5  # noqa: F401
     import flume_source_spark.operators.timeseries6  # noqa: F401
+    import flume_source_spark.operators.timeseries7  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
