@@ -182,6 +182,13 @@ HEADLINE = [
     # shingle first-occurrence join (posting lists grow with dup
     # factor: 8x replicated text measured 2.55x — adversarial shape)
     "text_novelty_curve",
+    # round-9 session-2 admission (scripts/scale_probe_r9b.py): the
+    # vectorized-DP-kernel cost class — hash-blocked applyInPandas
+    # running an exact int64 band DP across all users in a block +
+    # one 25-row rollup collect for the reference profile (solo
+    # 2.2 s, 8x users 0.72x — the bigger shuffle escapes AQE's
+    # single-partition coalesce and parallelizes the kernel)
+    "ts_dtw_band",
 ]
 
 

@@ -5,8 +5,11 @@ min-of-3, noop sink, run SOLO on an idle host).
 
 1. ts_dtw_band at 1x/8x events with user_id AND event_id shifted —
    8x distinct users, identical per-user series shape: the
-   adversarial shape for the applyInPandas DP stage (8x groups, 8x
-   kernel invocations) — claim LINEAR in users.
+   adversarial shape for the applyInPandas DP stage. The first
+   (per-user-group) draft measured 5.48 s solo / 3.63x here — 1500
+   serial sub-ms kernel calls behind AQE's tiny-shuffle coalesce;
+   the admitted hash-blocked vectorized kernel re-measured 2.21 s /
+   0.72x (more users -> more parallel blocks). SCALE.md part 9b.
 2. dq_ks_two_sample_exact at 1x/8x documents (doc_id shifted, text/
    n_chars UNCHANGED) — 8x rows collapse onto the SAME distinct
    (source, n_chars) keys: the grouped frame and both window passes

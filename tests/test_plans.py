@@ -912,3 +912,38 @@ def test_mann_kendall_daily_collapse_before_pairing(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_mann_kendall")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dtw_band_plan_single_kernel_no_joins(spark, sf_dir):
+    """ts_dtw_band is two grouped aggregates feeding ONE applyInPandas
+    kernel — the reference profile rides in the closure (bounded
+    collect at build time), so the executed plan has no join of any
+    kind and exactly one python-kernel node."""
+    p = plan(spark, sf_dir, "ts_dtw_band")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, node
+
+
+def test_ks_and_chi2_plans_are_joinless_window_aggs(spark, sf_dir):
+    """The KS statistic is a map-side-combinable groupBy onto distinct
+    (source, length) keys plus window passes; the 2x2 chi-square is an
+    ntile window plus a 4-counter fold — neither may introduce a join
+    or a pairwise stage."""
+    for name in ("dq_ks_two_sample_exact", "dq_chi2_drift_2x2"):
+        p = plan(spark, sf_dir, name)
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in p, (name, node)
+        assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_two_hop_reach_plan_equi_join_only(spark, sf_dir):
+    """The neighborhood function's candidate stage is the wedge
+    equi-join on the middle vertex (the graph_common_neighbors bound)
+    — never a cartesian/nested-loop pair stage."""
+    p = plan(spark, sf_dir, "graph_two_hop_reach")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -142,3 +142,34 @@ def test_two_hop_reach_on_planted_topologies(spark):
         3: (2, 3),
         4: (1, 2),
     }
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+def test_dtw_block_kernel_matches_per_user_reference(u, data):
+    """The vectorized block kernel (one numpy DP across all users in a
+    hash block) must agree row-for-row with the per-user python DP —
+    the blocking is a pure execution detail."""
+    import numpy as np
+
+    xm = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(min_value=0, max_value=99), min_size=24, max_size=24),
+                min_size=u,
+                max_size=u,
+            )
+        ),
+        dtype=np.int64,
+    )
+    y = np.array(
+        data.draw(st.lists(st.integers(min_value=0, max_value=99), min_size=24, max_size=24)),
+        dtype=np.int64,
+    )
+    from flume_source_spark.operators.timeseries7 import _dtw_band_block
+
+    got = _dtw_band_block(xm, y)
+    assert got.tolist() == [_dtw_band_cost(list(row), list(y)) for row in xm]
