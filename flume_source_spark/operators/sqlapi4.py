@@ -193,3 +193,32 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structural, not maintained by hand (review finding: the body
     # was a verbatim copy of _LCA_ORACLE)
     return spark.sql(_LCA_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ALL (round 9, session 2): the companion of the registered
+# GROUP BY ALL — both engines sort by every select-list column left to
+# right, which on an aggregate whose group keys lead the select list
+# is a deterministic total order without naming a single column.
+# Probed: parses and executes on Spark 4.1 (unlike QUALIFY/TABLESAMPLE
+# -after-VALUES, the documented non-claims). Identical text runs on
+# both engines, so parity is structural. Scale: one combine + one sort
+# over |sources|×|langs| rows.
+# ---------------------------------------------------------------------------
+
+_OBA_ORACLE = """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_OBA_ORACLE, tags=("sql", "surface"))
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL in one statement — the full
+    keyword-only aggregate idiom, same text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_OBA_ORACLE)

@@ -223,3 +223,92 @@ def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kernel, schema="user_id long, n_events long, dtw_cost long")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (round 9, session 2): for every conversion
+# (purchase), find the same user's most recent preceding touch event
+# (click/view) and attribute the conversion to it when the touch falls
+# inside the 7-day lookback. The standard marketing/behavior join —
+# and the canonical "carry the last non-null over an ordered stream"
+# window shape (last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING
+# .. 1 PRECEDING), which none of the other ts queries exercise.
+#
+# Determinism: the per-user order is (event timestamp, event_id) — a
+# total order. Timestamps are compared at MICROSECOND precision on
+# both engines (Spark reads the fixture nanos truncated to micros,
+# tables.py; the oracle applies the same CAST). Lags are exact BIGINT
+# microseconds (unix_micros / epoch_us), never a date_diff whose
+# boundary-crossing semantics could diverge.
+#
+# Scale: one window pass per user partition — the engine's bread-and-
+# butter sessionization shape (sort within user, single carry); no
+# join, no python. The three carried columns share one window frame,
+# so Catalyst evaluates them in a single Window operator.
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000
+
+_ATTR_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS) OVER w AS aid,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w AS atype,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN epoch_us(CAST(ts AS TIMESTAMP))
+                          END IGNORE NULLS) OVER w AS aus
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN us - aus <= {_ATTR_LOOKBACK_US} THEN aid END AS attr_event_id,
+           CASE WHEN us - aus <= {_ATTR_LOOKBACK_US} THEN atype END AS attr_type,
+           CASE WHEN us - aus <= {_ATTR_LOOKBACK_US} THEN us - aus END AS lag_us
+    FROM o
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+"""
+
+
+@query("ts_attribution_last_touch", oracle=_ATTR_ORACLE, tags=("timeseries", "llm"))
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent strictly-preceding click/view within a 7-day
+    lookback (NULL attribution columns otherwise — unattributed
+    conversions stay visible). One ignore-nulls carry window per user;
+    lags are exact BIGINT microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w).alias("aid"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("atype"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True).over(w).alias("aus"),
+    )
+    within = F.col("us") - F.col("aus") <= F.lit(_ATTR_LOOKBACK_US)
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(within, F.col("aid")).alias("attr_event_id"),
+            F.when(within, F.col("atype")).alias("attr_type"),
+            F.when(within, F.col("us") - F.col("aus")).alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -144,3 +144,143 @@ def entity_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking recall audit (round 9, session 2): how many TRUE matches
+# does the sorted-neighborhood W=8 window actually keep? The
+# dedup_lsh_recall_audit / sim_ann_recall_audit pattern applied to
+# entity resolution: on a budget-gated md5 sample (mod self-scales
+# with N — cost is the budget, never a corpus fraction), score EVERY
+# same-brand sample pair exhaustively with the production weights;
+# pairs at score ≥ MATCH_T are ground truth, and a truth pair is
+# "captured" when its GLOBAL rank distance in the production sort
+# order is ≤ W. recall_ppm is the number ER QA watches when choosing
+# W (or adding a second sort pass): at the fixtures it reads 43-100%
+# — the window demonstrably misses distant-rank true matches, which
+# is exactly the signal this audit exists to surface.
+#
+# Exactness: integer weights, integer rank distances, ppm by integral
+# div — one hashed row. Scale: sample² pairs are bounded by the
+# budget (~200 records → ≤ ~800 same-brand pairs at any N); the only
+# full-corpus work is the rank window the production query already
+# runs.
+# ---------------------------------------------------------------------------
+
+_ER_AUDIT_BUDGET = 200
+
+_ER_AUDIT_ORACLE = f"""
+    WITH smod AS (
+        SELECT greatest(count(*) // {_ER_AUDIT_BUDGET}, 1) AS m FROM part
+    ),
+    ranked AS (
+        SELECT p_partkey, p_brand, p_name, p_type, p_size,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_name, p_partkey) AS BIGINT) AS rnk
+        FROM part
+    ),
+    sample AS MATERIALIZED (
+        SELECT * FROM ranked
+        WHERE CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+              % (SELECT m FROM smod) = 0
+    ),
+    pairs AS (
+        SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                    THEN {_W_NAME[0]} ELSE {_W_NAME[1]} END
+             + CASE WHEN a.p_type = b.p_type
+                    THEN {_W_TYPE[0]} ELSE {_W_TYPE[1]} END
+             + CASE WHEN abs(a.p_size - b.p_size) <= 1
+                    THEN {_W_SIZE[0]} ELSE {_W_SIZE[1]} END AS score,
+               abs(a.rnk - b.rnk) AS rd
+        FROM sample a JOIN sample b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT CAST((SELECT count(*) FROM sample) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN score >= {_MATCH_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_matches,
+           CAST(sum(CASE WHEN score >= {_MATCH_T} AND rd <= {_WINDOW}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
+           CAST(CASE WHEN sum(CASE WHEN score >= {_MATCH_T} THEN 1 ELSE 0 END) > 0
+                THEN sum(CASE WHEN score >= {_MATCH_T} AND rd <= {_WINDOW}
+                              THEN 1 ELSE 0 END) * 1000000
+                     // sum(CASE WHEN score >= {_MATCH_T} THEN 1 ELSE 0 END)
+                END AS BIGINT) AS recall_ppm
+    FROM pairs
+"""
+
+
+@query(
+    "entity_blocking_recall_audit",
+    oracle=_ER_AUDIT_ORACLE,
+    tags=("llm", "entity", "audit"),
+)
+def entity_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood recall audit: exhaustive Fellegi-Sunter
+    scoring over same-brand pairs of a budget-gated md5 sample; truth
+    = score ≥ MATCH_T, captured = global rank distance ≤ W. One
+    integer-ppm row — the W-tuning signal."""
+    p = load_tables(spark, sf_dir)["part"]
+    n = p.count()  # one scalar — sizes the self-scaling sample modulus
+    m = max(n // _ER_AUDIT_BUDGET, 1)
+    from pyspark.sql import Window
+
+    ranked = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        "p_type",
+        "p_size",
+        F.row_number()
+        .over(Window.partitionBy("p_brand").orderBy("p_name", "p_partkey"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    md5int = F.expr(
+        "CAST(conv(substr(md5(CAST(p_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    sample = ranked.filter(md5int % m == 0).localCheckpoint(eager=True)
+    a = sample.select(
+        F.col("p_partkey").alias("ik"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("na"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+        F.col("rnk").alias("ra"),
+    )
+    b = sample.select(
+        F.col("p_partkey").alias("jk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("nb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+        F.col("rnk").alias("rb"),
+    )
+    pairs = a.join(b, "brand").filter(F.col("ik") < F.col("jk"))
+    score = (
+        F.when(F.levenshtein("na", "nb") <= 3, F.lit(_W_NAME[0])).otherwise(_W_NAME[1])
+        + F.when(F.col("ta") == F.col("tb"), F.lit(_W_TYPE[0])).otherwise(_W_TYPE[1])
+        + F.when(F.abs(F.col("sa") - F.col("sb")) <= 1, F.lit(_W_SIZE[0])).otherwise(
+            _W_SIZE[1]
+        )
+    )
+    scored = pairs.select(
+        score.alias("score"), F.abs(F.col("ra") - F.col("rb")).alias("rd")
+    )
+    is_true = F.when(F.col("score") >= _MATCH_T, 1).otherwise(0)
+    is_cap = F.when(
+        (F.col("score") >= _MATCH_T) & (F.col("rd") <= _WINDOW), 1
+    ).otherwise(0)
+    return scored.agg(
+        F.lit(sample.count()).cast("long").alias("n_sampled"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(is_true).cast("long").alias("n_true_matches"),
+        F.sum(is_cap).cast("long").alias("n_captured"),
+        F.expr(
+            f"CAST(CASE WHEN sum(CASE WHEN score >= {_MATCH_T} THEN 1 ELSE 0 END) > 0"
+            f" THEN sum(CASE WHEN score >= {_MATCH_T} AND rd <= {_WINDOW}"
+            f"              THEN 1 ELSE 0 END) * 1000000"
+            f"      div sum(CASE WHEN score >= {_MATCH_T} THEN 1 ELSE 0 END)"
+            f" END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

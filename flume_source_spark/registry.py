@@ -505,9 +505,11 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 #     sim_ann_lsh) re-pinned with current-fixture no_oracle rows —
 #     after which NO pre-regeneration driver evidence remains
 #     anywhere in the registry.
-# Session 2 adds 4 more oracled tier-1 entries (all verified at
-# sf0.001 + sf0.01 before registration): dq_ks_two_sample_exact,
-# dq_chi2_drift_2x2, graph_two_hop_reach, ts_dtw_band.
+# Session 2 adds 7 more oracled tier-1 entries (all verified at
+# sf0.001 + sf0.01 before registration; the four analysis ops also
+# at sf0.1): dq_ks_two_sample_exact, dq_chi2_drift_2x2,
+# graph_two_hop_reach, ts_dtw_band, ts_attribution_last_touch,
+# sql_order_by_all, entity_blocking_recall_audit.
 _KNOWN_ROUNDS = 8
 
 

@@ -173,3 +173,37 @@ def test_dtw_block_kernel_matches_per_user_reference(u, data):
 
     got = _dtw_band_block(xm, y)
     assert got.tolist() == [_dtw_band_cost(list(row), list(y)) for row in xm]
+
+
+def test_attribution_matches_python_recompute(spark, sf_dir):
+    """Last-touch attribution recomputed in pure python from the
+    fixture: per user, events sorted by (micro-ts, event_id); each
+    purchase credits the latest strictly-preceding click/view within
+    the 7-day lookback."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    got = {
+        r["event_id"]: (r["attr_event_id"], r["attr_type"], r["lag_us"])
+        for r in SPECS["ts_attribution_last_touch"].builder(spark, sf_dir).collect()
+    }
+    from flume_source_spark.operators.timeseries7 import _ATTR_LOOKBACK_US
+
+    by_user: dict[int, list] = {}
+    for u, e, t, us in rows:
+        by_user.setdefault(u, []).append((us, e, t))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        last = None
+        for us, e, t in evs:
+            if t == "purchase":
+                if last is not None and us - last[0] <= _ATTR_LOOKBACK_US:
+                    expect[e] = (last[1], last[2], us - last[0])
+                else:
+                    expect[e] = (None, None, None)
+            if t in ("click", "view"):
+                last = (us, e, t)
+    assert got == expect
