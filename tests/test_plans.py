@@ -947,3 +947,26 @@ def test_two_hop_reach_plan_equi_join_only(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_attribution_plan_single_window_no_join(spark, sf_dir):
+    """Last-touch attribution is ONE window operator per user
+    partition (the three ignore-nulls carries share a frame) — no
+    join, no python kernel."""
+    p = plan(spark, sf_dir, "ts_attribution_last_touch")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "FlatMapGroupsInPandas"):
+        assert node not in p, node
+    assert p.count("Window") >= 1
+
+
+def test_er_audit_plan_sample_bounded(spark, sf_dir):
+    """The blocking-recall audit's pair stage joins two copies of the
+    budget-gated sample (~200 rows) on the brand equi-key — never a
+    cartesian/nested-loop, and the sample side is small enough that
+    the join broadcasts."""
+    p = plan(spark, sf_dir, "entity_blocking_recall_audit")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
