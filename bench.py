@@ -189,6 +189,17 @@ HEADLINE = [
     # 2.2 s, 8x users 0.72x — the bigger shuffle escapes AQE's
     # single-partition coalesce and parallelizes the kernel)
     "ts_dtw_band",
+    # round-9 session-3: NO admissions (scripts/scale_probe_r9c.py,
+    # SCALE.md part 9c). All six new queries were solo + 8x probed
+    # and every cost class is already represented in HEADLINE:
+    # dq_cohens_kappa 0.88x / dq_gini_impurity 1.22x (4-counter
+    # map-side folds — the dq_chi2 precedent), ts_spearman_corr 1.0x
+    # (rank windows over the collapsed daily frame — dq_roc_auc's
+    # class), ts_theil_sen 0.90x (calendar-bounded day-pair join —
+    # ts_mann_kendall's class), graph_local_clustering 8.67x /
+    # graph_bfs_layers 4.92x (output-bound under cosine-identical
+    # 64x-edge replication — the triangle-census caveat class, NOT
+    # admitted for the same reason as graph_two_hop_reach).
 ]
 
 

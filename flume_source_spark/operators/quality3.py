@@ -1,0 +1,208 @@
+"""Data-quality statistics, wave 3 (round 9, session 3):
+``dq_cohens_kappa`` — exact inter-rater agreement between two binary
+quality gates, and ``dq_gini_impurity`` — exact label-balance
+impurity per source, both over the documents table.
+
+Why these two: a training-data pipeline runs MANY quality gates
+(heuristics, classifiers, human audits). Kappa answers "do two gates
+agree beyond chance?" — the standard check before replacing an
+expensive gate with a cheap proxy. Gini impurity is the log-free
+class-balance audit (entropy needs ln, which is float; Gini is a pure
+rational), the per-slice counterpart of ds_domain_mix_rebalance's
+global mixture view. Reference parity: the reference engine ships no
+statistics surface (it is a Flume file source, CephFsSource.java:29-171);
+this family is [NS] engine surface mandated by BASELINE.json's north
+star.
+
+House arithmetic rules (the round-8 dq_roc_auc_exact discipline):
+counts stay BIGINT; cross products are widened to
+DECIMAL(38,0)/HUGEINT BEFORE multiplying; every published ratio is an
+integer ppm via integral `div` on NON-NEGATIVE numerators — signed
+results are sign-split (CASE on the sign, negate after the div), so
+Spark's truncate-toward-zero `div` and DuckDB's floor `//` can never
+diverge. No doubles anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa, exact.
+#
+# Raters over documents: A = (lang = 'en'), B = (n_chars >= 300 — the
+# fixture median is 305, so the gate splits near 50/50 and the
+# contingency table is non-degenerate at every SF). Per source:
+#
+#          | B=1  B=0          po = (a+d)/T
+#   A=1    |  a    b           pe = ((a+b)(a+c) + (c+d)(b+d)) / T^2
+#   A=0    |  c    d           kappa = (po - pe) / (1 - pe)
+#
+# Clearing denominators: kappa = (T*(a+d) - pe_num) / (T^2 - pe_num)
+# with pe_num = (a+b)(a+c) + (c+d)(b+d). The numerator is SIGNED
+# (negative = systematic disagreement), so the ppm is sign-split; the
+# denominator is > 0 unless one rater is constant (pe = 1), which is
+# filtered identically on both engines.
+#
+# Exactness/overflow: pe_num <= T^2 and |num| <= T^2; num*1e6 is
+# formed in DECIMAL(38,0)/HUGEINT, exact while T^2*1e6 < 1e38, i.e.
+# T < ~3e15 documents per source — unbounded in practice.
+#
+# Scale: one map-side-combinable groupBy onto 4 counters per source;
+# output is one row per source.
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+    WITH t AS (
+        SELECT source,
+               sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN lang = 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS b,
+               sum(CASE WHEN lang <> 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN lang <> 'en' AND n_chars < 300 THEN 1 ELSE 0 END) AS d
+        FROM documents GROUP BY source
+    ),
+    k AS (
+        SELECT source, a, b, c, d,
+               a + b + c + d AS tt,
+               CAST(a + b AS HUGEINT) * (a + c)
+                 + CAST(c + d AS HUGEINT) * (b + d) AS pe_num
+        FROM t
+    )
+    SELECT source,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(CASE WHEN CAST(tt AS HUGEINT) * (a + d) >= pe_num
+                     THEN (CAST(tt AS HUGEINT) * (a + d) - pe_num) * 1000000
+                          // (CAST(tt AS HUGEINT) * tt - pe_num)
+                     ELSE -((pe_num - CAST(tt AS HUGEINT) * (a + d)) * 1000000
+                          // (CAST(tt AS HUGEINT) * tt - pe_num))
+                END AS BIGINT) AS kappa_ppm
+    FROM k
+    WHERE CAST(tt AS HUGEINT) * tt > pe_num
+    ORDER BY source
+"""
+
+
+def cohens_kappa(docs: DataFrame, group_col: str, a_pred, b_pred) -> DataFrame:
+    """Core exact-kappa fold over a documents-like frame: ``a_pred`` /
+    ``b_pred`` are boolean Columns (the two raters); one row per
+    ``group_col`` with the contingency counts and the sign-split
+    kappa_ppm. Factored from the registry query so planted-agreement
+    model tests (identical raters -> 1e6, inverted raters -> negative)
+    drive the exact production arithmetic."""
+    t = docs.groupBy(group_col).agg(
+        F.sum(F.when(a_pred & b_pred, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(a_pred & ~b_pred, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~a_pred & b_pred, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~a_pred & ~b_pred, 1).otherwise(0)).alias("d"),
+    )
+    k = t.withColumn("tt", F.col("a") + F.col("b") + F.col("c") + F.col("d")).withColumn(
+        "pe_num",
+        F.expr(
+            "CAST(a + b AS DECIMAL(38,0)) * (a + c)"
+            " + CAST(c + d AS DECIMAL(38,0)) * (b + d)"
+        ),
+    )
+    return (
+        k.filter(F.expr("CAST(tt AS DECIMAL(38,0)) * tt > pe_num"))
+        .select(
+            group_col,
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            F.expr(
+                "CAST(CASE WHEN CAST(tt AS DECIMAL(38,0)) * (a + d) >= pe_num"
+                " THEN (CAST(tt AS DECIMAL(38,0)) * (a + d) - pe_num) * 1000000"
+                "      div (CAST(tt AS DECIMAL(38,0)) * tt - pe_num)"
+                " ELSE -((pe_num - CAST(tt AS DECIMAL(38,0)) * (a + d)) * 1000000"
+                "      div (CAST(tt AS DECIMAL(38,0)) * tt - pe_num))"
+                " END AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@query("dq_cohens_kappa", oracle=_KAPPA_ORACLE, tags=("quality", "llm", "exact-twin"))
+def dq_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Cohen's kappa per source between the language gate
+    (lang = 'en') and the length gate (n_chars >= 300): contingency
+    counts plus chance-corrected agreement in sign-split integer ppm.
+    The gate-replacement audit: kappa near 0 means the cheap gate adds
+    information; kappa near 1e6 means it is redundant."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return cohens_kappa(
+        d, "source", F.col("lang") == "en", F.col("n_chars") >= 300
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity, exact.
+#
+# Per source over the lang label: gini = 1 - sum_i p_i^2
+#                                      = (T^2 - sum_i c_i^2) / T^2.
+# Non-negative by Cauchy-Schwarz, so a single unsigned integral div
+# suffices. c_i^2 is widened to HUGEINT/DECIMAL(38,0) before summing;
+# exact while T^2*1e6 < 1e38 (same unbounded-in-practice bound as
+# kappa above). Scale: one groupBy onto distinct (source, lang) —
+# map-side combinable — then one fold per source; one output row per
+# source.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source,
+               sum(c) AS total,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               sum(CAST(c AS HUGEINT) * c) AS ssq
+        FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS total,
+           n_langs,
+           CAST((CAST(total AS HUGEINT) * total - ssq) * 1000000
+                // (CAST(total AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+    FROM t
+    ORDER BY source
+"""
+
+
+def gini_impurity(df: DataFrame, group_col: str, label_col: str) -> DataFrame:
+    """Core exact-Gini fold: per ``group_col``, the label count, total,
+    and impurity (1 - sum p^2) in integer ppm. Factored for model
+    tests (pure group -> 0, two equal labels -> 500000)."""
+    c = df.groupBy(group_col, label_col).agg(F.count("*").cast("long").alias("c"))
+    t = c.groupBy(group_col).agg(
+        F.sum("c").alias("total"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ssq"),
+    )
+    return t.select(
+        group_col,
+        F.col("total").cast("long").alias("total"),
+        "n_langs",
+        F.expr(
+            "CAST((CAST(total AS DECIMAL(38,0)) * total - ssq) * 1000000"
+            " div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("gini_ppm"),
+    ).orderBy(group_col)
+
+
+@query("dq_gini_impurity", oracle=_GINI_ORACLE, tags=("quality", "llm", "exact-twin"))
+def dq_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini impurity of the language mix per source — the
+    log-free class-balance audit (entropy would need float ln). 0 ppm
+    = single-language source; (1 - 1/k)*1e6 = uniform over k
+    languages. Feed to ds_domain_mix_rebalance when a source drifts
+    toward monoculture."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return gini_impurity(d, "source", "lang")

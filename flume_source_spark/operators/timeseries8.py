@@ -1,0 +1,287 @@
+"""Batch time-series wave 8 (round 9, session 3): rank statistics.
+
+``ts_spearman_corr`` — exact Spearman rank correlation between daily
+event VOLUME (count) and daily event VALUE (cent sum) per event_type,
+with average-rank tie handling, and ``ts_theil_sen`` — the robust
+Theil-Sen trend slope (exact median of pairwise day slopes) per
+event_type.
+
+Together with ts_mann_kendall (timeseries6.py) these complete the
+non-parametric trend/association kit: Mann-Kendall asks "is the
+series trending?", Theil-Sen asks "at what rate?" (the estimator
+Mann-Kendall's own literature pairs it with — Sen 1968), and Spearman
+asks "do two series move together?" without assuming linearity.
+Reference parity: the reference engine ships no statistics surface
+(Flume file source, CephFsSource.java:29-171); this is [NS] engine
+surface under BASELINE.json's north star.
+
+House arithmetic (the round-8/round-9 discipline): daily series stay
+BIGINT (counts; value scaled to cents via round(value*100), the
+ts_ohlc_bars convention); cross terms widen to DECIMAL(38,0)/HUGEINT
+before multiplying; ratios are integer ppm via integral `div` on
+NON-NEGATIVE numerators, sign-split where the statistic is signed.
+Ranks avoid float averaging by the doubled-rank identity: for a tie
+group of size t starting at rank R, 2*avg_rank = 2*R + t - 1 —
+integer, engine-agnostic (rank() + per-value count are both ANSI).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation, exact (Pearson on doubled average ranks).
+#
+# Per event_type, the daily series x = count(*), y = sum(cents). With
+# doubled average ranks r, s (see module docstring), Pearson's terms
+#   num  = n*sum(rs) - sum(r)*sum(s)
+#   den1 = n*sum(r^2) - sum(r)^2,  den2 = n*sum(s^2) - sum(s)^2
+# give rho = num / sqrt(den1*den2). sqrt is float, so the published
+# statistic is the SIGNED SQUARE in ppm: rho_sq_ppm = sign(num) *
+# (num^2 * 1e6) div (den1*den2) — exact, and monotone in |rho| so
+# thresholding works the same. num/den1/den2 are also emitted raw.
+#
+# Exactness/overflow: ranks <= 2n so |num| <= 4n^4 and den_i <= 4n^4;
+# num^2*1e6 stays inside DECIMAL(38,0) while n <= ~7000 points per
+# series (19 years of daily data). Past that, aggregate weekly first.
+# Degenerate (constant) series have den = 0 and are filtered
+# identically on both engines.
+#
+# Scale: one groupBy onto (event_type, day) — map-side combinable —
+# two rank-window passes over the collapsed daily frame (30-3650 rows
+# per series, NOT per event), one fold per event_type. Output: one row
+# per event_type.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                 + count(*) OVER (PARTITION BY event_type, x) - 1 AS r,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                 + count(*) OVER (PARTITION BY event_type, y) - 1 AS s
+        FROM daily
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(r) AS sr, sum(s) AS ss,
+               sum(CAST(r AS HUGEINT) * r) AS srr,
+               sum(CAST(s AS HUGEINT) * s) AS sss,
+               sum(CAST(r AS HUGEINT) * s) AS srs
+        FROM ranked GROUP BY event_type
+    ),
+    terms AS (
+        SELECT event_type, n_days,
+               n_days * srs - CAST(sr AS HUGEINT) * ss AS num,
+               n_days * srr - CAST(sr AS HUGEINT) * sr AS den1,
+               n_days * sss - CAST(ss AS HUGEINT) * ss AS den2
+        FROM agg
+    )
+    SELECT event_type, n_days,
+           CAST(num AS BIGINT) AS num,
+           CAST(den1 AS BIGINT) AS den1,
+           CAST(den2 AS BIGINT) AS den2,
+           CAST(CASE WHEN num >= 0
+                     THEN num * num * 1000000 // (den1 * den2)
+                     ELSE -(num * num * 1000000 // (den1 * den2))
+                END AS BIGINT) AS rho_sq_ppm
+    FROM terms
+    WHERE den1 > 0 AND den2 > 0
+    ORDER BY event_type
+"""
+
+
+def spearman_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exact-Spearman fold over a ``(key, d, x, y)`` daily frame
+    (x, y BIGINT). Factored from the registry query so monotone /
+    anti-monotone / tied model tests drive the production arithmetic.
+    Returns one row per key: n_days, raw Pearson-on-ranks terms, and
+    the signed-square rho in ppm."""
+    wx = Window.partitionBy(key).orderBy("x")
+    wy = Window.partitionBy(key).orderBy("y")
+    ranked = daily.select(
+        key,
+        (2 * F.rank().over(wx) + F.count("*").over(Window.partitionBy(key, "x")) - 1)
+        .cast("long")
+        .alias("r"),
+        (2 * F.rank().over(wy) + F.count("*").over(Window.partitionBy(key, "y")) - 1)
+        .cast("long")
+        .alias("s"),
+    )
+    agg = ranked.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("r").alias("sr"),
+        F.sum("s").alias("ss"),
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * r")).alias("srr"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("sss"),
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * s")).alias("srs"),
+    )
+    terms = agg.select(
+        key,
+        "n_days",
+        F.expr("n_days * srs - CAST(sr AS DECIMAL(38,0)) * ss").alias("num"),
+        F.expr("n_days * srr - CAST(sr AS DECIMAL(38,0)) * sr").alias("den1"),
+        F.expr("n_days * sss - CAST(ss AS DECIMAL(38,0)) * ss").alias("den2"),
+    )
+    return (
+        terms.filter((F.col("den1") > 0) & (F.col("den2") > 0))
+        .select(
+            key,
+            "n_days",
+            F.col("num").cast("long").alias("num"),
+            F.col("den1").cast("long").alias("den1"),
+            F.col("den2").cast("long").alias("den2"),
+            F.expr(
+                "CAST(CASE WHEN num >= 0"
+                " THEN num * num * 1000000 div (den1 * den2)"
+                " ELSE -(num * num * 1000000 div (den1 * den2))"
+                " END AS BIGINT)"
+            ).alias("rho_sq_ppm"),
+        )
+        .orderBy(key)
+    )
+
+
+@query(
+    "ts_spearman_corr",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation per event_type between daily
+    volume (event count) and daily value (cent sum): does traffic
+    predict revenue, rank-for-rank? Signed-square rho in ppm plus the
+    raw integer Pearson-on-ranks terms for downstream tests."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"),
+    )
+    return spearman_daily(daily, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen slope, exact (lower median of pairwise slopes).
+#
+# Per event_type over the daily count series: every day pair i < j
+# contributes slope (y_j - y_i) / (d_j - d_i); the estimator is the
+# median. Slopes are published in integer MICRO-counts/day via the
+# sign-split integral div; the median is the LOWER median (element at
+# position (n_pairs+1) div 2 of the ascending slope order) — a pure
+# selection, no averaging, so it is exact and engine-agnostic even
+# for even pair counts.
+#
+# Scale: the day-pair join is per-series O(d^2) with d bounded by the
+# CALENDAR, exactly the ts_mann_kendall envelope (10 years -> ~6.7M
+# pairs per series, one shuffle + one window pass). The daily collapse
+# is the usual map-side-combinable groupBy. Output: one row per
+# event_type.
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CASE WHEN b.y - a.y >= 0
+                    THEN (b.y - a.y) * 1000000 // (b.d - a.d)
+                    ELSE -((a.y - b.y) * 1000000 // (b.d - a.d))
+               END AS slope_u
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, slope_u,
+               row_number() OVER (PARTITION BY event_type ORDER BY slope_u) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes
+    ),
+    med AS (
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(slope_u AS BIGINT) AS slope_med_u
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ),
+    ext AS (
+        SELECT event_type,
+               CAST(min(slope_u) AS BIGINT) AS slope_min_u,
+               CAST(max(slope_u) AS BIGINT) AS slope_max_u
+        FROM slopes GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_pairs, m.slope_med_u, e.slope_min_u, e.slope_max_u
+    FROM med m JOIN ext e ON m.event_type = e.event_type
+    ORDER BY m.event_type
+"""
+
+
+def theil_sen_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exact Theil-Sen fold over a ``(key, d, y)`` daily frame
+    (d DATE, y BIGINT): per key, the pair count, the lower-median
+    pairwise slope in micro-units/day, and the slope extremes.
+    Factored so planted-linear-trend model tests (y = c*t -> median
+    slope exactly c*1e6) drive the production arithmetic."""
+    a = daily.select(key, F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col(key).alias("k2"), F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, (F.col(key) == F.col("k2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            key,
+            F.expr(
+                "CASE WHEN y2 - y1 >= 0"
+                " THEN (y2 - y1) * 1000000 div datediff(d2, d1)"
+                " ELSE -((y1 - y2) * 1000000 div datediff(d2, d1))"
+                " END"
+            )
+            .cast("long")
+            .alias("slope_u"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy("slope_u")
+    ranked = slopes.select(
+        key,
+        "slope_u",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(key)).alias("n_pairs"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2")).select(
+        key,
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_u").alias("slope_med_u"),
+    )
+    ext = slopes.groupBy(key).agg(
+        F.min("slope_u").alias("slope_min_u"), F.max("slope_u").alias("slope_max_u")
+    )
+    return med.join(ext, key).orderBy(key)
+
+
+@query(
+    "ts_theil_sen",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type over daily counts: the
+    exact lower-median pairwise slope in micro-counts/day, with pair
+    count and slope extremes. The rate companion to ts_mann_kendall's
+    is-it-trending verdict — robust to ~29% outlier days where an OLS
+    slope (agg_regression_family) is not."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return theil_sen_daily(daily, "event_type")

@@ -38,7 +38,11 @@ from flume_source_spark.tables import load_tables
 # (O(N²) work in the label blocks). Same IEEE ops in the same order on
 # both engines (element ÷ sqrt(self-dot), then the left-fold dot), so
 # edge membership stays bitwise-identical cross-engine.
-_EDGE_CTE = """
+def edge_cte(threshold: float = 0.35) -> str:
+    """The DuckDB edge-set CTE at a given cosine radius — the oracle
+    twin of :func:`similarity_edges`. 0.35 is the shared graph-query
+    radius; 0.2 is the denser analysis radius (pipeline/graph6.py)."""
+    return f"""
     e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     e AS (SELECT vec_id, label,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
@@ -46,9 +50,12 @@ _EDGE_CTE = """
     edges AS (
         SELECT a.vec_id AS i, b.vec_id AS j, a.label
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) >= 0.35
+        WHERE list_dot_product(a.v, b.v) >= {threshold}
     )
 """
+
+
+_EDGE_CTE = edge_cte(0.35)
 
 _TRIANGLE_ORACLE = f"""
     WITH {_EDGE_CTE},
@@ -75,7 +82,7 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
-def similarity_edges_from(e: DataFrame) -> DataFrame:
+def similarity_edges_from(e: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Label-blocked cosine ≥ 0.35 pair join over a ``(vec_id, label,
     v0)`` frame (v0 = double vector) — factored from
     :func:`similarity_edges` so planted-topology model tests (hub
@@ -95,19 +102,24 @@ def similarity_edges_from(e: DataFrame) -> DataFrame:
     b = e.select(F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("v").alias("vb"))
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") < F.col("j")))
-        .filter(_dot(F.col("va"), F.col("vb")) >= 0.35)
+        .filter(_dot(F.col("va"), F.col("vb")) >= threshold)
         .select("i", "j", "label")
     )
 
 
-def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
     """The shared graph-query edge set over the embeddings table —
     the Spark twin of ``_EDGE_CTE``. Used by graph_triangle_count,
-    graph_kcore, and graph_common_neighbors (pipeline/graph3.py)."""
+    graph_kcore, and graph_common_neighbors (pipeline/graph3.py).
+    ``threshold`` defaults to the shared 0.35 radius; node-local
+    statistics (pipeline/graph6.py) pass the documented denser 0.2
+    analysis radius."""
     e = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", "label", _dvec("embedding").alias("v0")
     )
-    return similarity_edges_from(e)
+    return similarity_edges_from(e, threshold)
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:

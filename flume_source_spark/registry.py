@@ -510,6 +510,12 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # at sf0.1): dq_ks_two_sample_exact, dq_chi2_drift_2x2,
 # graph_two_hop_reach, ts_dtw_band, ts_attribution_last_touch,
 # sql_order_by_all, entity_blocking_recall_audit.
+# Session 3 adds 6 more oracled tier-1 entries (each verified at
+# sf0.001 + sf0.01 before registration): dq_cohens_kappa,
+# dq_gini_impurity, ts_spearman_corr, ts_theil_sen,
+# graph_local_clustering, graph_bfs_layers (the last two on the
+# documented 0.2 analysis radius of the shared edge builder —
+# non-empty evidence by construction, the geo_grid_join lesson).
 _KNOWN_ROUNDS = 8
 
 
@@ -606,6 +612,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries5  # noqa: F401
     import flume_source_spark.operators.timeseries6  # noqa: F401
     import flume_source_spark.operators.timeseries7  # noqa: F401
+    import flume_source_spark.operators.timeseries8  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -613,6 +620,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.sqlapi  # noqa: F401
     import flume_source_spark.operators.quality  # noqa: F401
     import flume_source_spark.operators.quality2  # noqa: F401
+    import flume_source_spark.operators.quality3  # noqa: F401
     import flume_source_spark.operators.geo  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
     import flume_source_spark.operators.sqlapi3  # noqa: F401
@@ -635,6 +643,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph3  # noqa: F401
     import flume_source_spark.pipeline.graph4  # noqa: F401
     import flume_source_spark.pipeline.graph5  # noqa: F401
+    import flume_source_spark.pipeline.graph6  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.entity2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401

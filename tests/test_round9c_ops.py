@@ -1,0 +1,308 @@
+"""Round-9 session-3 operator properties beyond the oracle hash:
+planted-agreement kappa, closed-form Gini, rank-statistic references
+via Fraction arithmetic, planted-trend Theil-Sen, and planted-topology
+clustering/BFS."""
+
+from __future__ import annotations
+
+import datetime as dt
+from flume_source_spark.operators.quality3 import cohens_kappa, gini_impurity
+from flume_source_spark.operators.timeseries8 import spearman_daily, theil_sen_daily
+from flume_source_spark.pipeline.graph6 import bfs_layers, local_clustering
+
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity
+# ---------------------------------------------------------------------------
+
+
+def test_gini_pure_group_is_zero_and_uniform_is_closed_form(spark):
+    rows = (
+        [("pure", "en")] * 7
+        + [("half", "en")] * 6
+        + [("half", "de")] * 6
+        + [("quarters", l) for l in ("en", "de", "fr", "zh") for _ in range(3)]
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r["source"]: r.asDict() for r in gini_impurity(df, "source", "lang").collect()}
+    assert out["pure"]["gini_ppm"] == 0 and out["pure"]["n_langs"] == 1
+    assert out["half"]["gini_ppm"] == 500_000
+    assert out["quarters"]["gini_ppm"] == 750_000
+    assert out["quarters"]["total"] == 12
+
+
+def test_gini_matches_fraction_reference_on_seeded_cases(spark):
+    """30 seeded random label histograms through the production fold in
+    ONE Spark job, each checked against an exact Fraction recompute."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(30):
+        counts = [rng.randint(1, 40) for _ in range(rng.randint(1, 6))]
+        total = sum(counts)
+        exp = (total * total - sum(c * c for c in counts)) * PPM // (total * total)
+        cases.append((counts, exp))
+    rows = []
+    for gi, (counts, _exp) in enumerate(cases):
+        for li, c in enumerate(counts):
+            rows.extend((f"g{gi:03d}", f"l{li}") for _ in range(c))
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["source"]: r["gini_ppm"] for r in gini_impurity(df, "source", "lang").collect()}
+    for gi, (counts, exp) in enumerate(cases):
+        assert got[f"g{gi:03d}"] == exp, (gi, counts, exp, got[f"g{gi:03d}"])
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def _kappa_ppm_reference(a, b, c, d):
+    t = a + b + c + d
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    den = t * t - pe_num
+    if den <= 0:
+        return None
+    num = t * (a + d) - pe_num
+    # sign-split integral div (trunc toward zero on |num|)
+    mag = (abs(num) * PPM) // den
+    return mag if num >= 0 else -mag
+
+
+def test_kappa_identical_raters_is_one_and_inverted_is_negative(spark):
+    rows = [("s", i, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, flag long")
+    same = cohens_kappa(
+        df, "source", F.col("flag") == 1, F.col("flag") == 1
+    ).collect()
+    assert same[0]["kappa_ppm"] == PPM
+    inv = cohens_kappa(
+        df, "source", F.col("flag") == 1, F.col("flag") == 0
+    ).collect()
+    assert inv[0]["kappa_ppm"] == -PPM
+
+
+def test_kappa_matches_closed_form_on_planted_cells(spark):
+    cells = [(9, 3, 2, 11), (1, 7, 8, 2), (5, 5, 5, 5), (12, 0, 0, 1), (0, 6, 7, 0)]
+    rows = []
+    for gi, (a, b, c, d) in enumerate(cells):
+        g = f"g{gi}"
+        rows += [(g, 1, 1)] * a + [(g, 1, 0)] * b + [(g, 0, 1)] * c + [(g, 0, 0)] * d
+    df = spark.createDataFrame(rows, "source string, ra long, rb long")
+    got = {
+        r["source"]: r["kappa_ppm"]
+        for r in cohens_kappa(df, "source", F.col("ra") == 1, F.col("rb") == 1).collect()
+    }
+    for gi, (a, b, c, d) in enumerate(cells):
+        exp = _kappa_ppm_reference(a, b, c, d)
+        assert got[f"g{gi}"] == exp, (gi, (a, b, c, d), exp, got.get(f"g{gi}"))
+    # (5,5,5,5) is chance-level agreement: kappa exactly 0
+    assert got["g2"] == 0
+
+
+def test_kappa_degenerate_cases(spark):
+    # ONE constant rater: kappa is DEFINED and exactly 0 (po = pe) —
+    # a = 5, b = 5 -> pe_num = 50 < T^2 = 100, num = T*(a+d) - pe = 0.
+    one = spark.createDataFrame(
+        [("s", 1, i % 2) for i in range(10)], "source string, ra long, rb long"
+    )
+    out = cohens_kappa(one, "source", F.col("ra") == 1, F.col("rb") == 1).collect()
+    assert len(out) == 1 and out[0]["kappa_ppm"] == 0
+    # BOTH raters constant: pe = 1, kappa undefined -> filtered.
+    both = spark.createDataFrame(
+        [("s", 1, 1) for _ in range(10)], "source string, ra long, rb long"
+    )
+    out = cohens_kappa(both, "source", F.col("ra") == 1, F.col("rb") == 1).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Spearman (doubled-average-rank identity + signed-square ppm)
+# ---------------------------------------------------------------------------
+
+
+def _spearman_terms_reference(xs, ys):
+    def dranks(vals):
+        out = []
+        svals = sorted(vals)
+        for v in vals:
+            rank = svals.index(v) + 1  # min rank of the tie group
+            t = svals.count(v)
+            out.append(2 * rank + t - 1)
+        return out
+
+    r, s = dranks(xs), dranks(ys)
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(r, s)) - sum(r) * sum(s)
+    den1 = n * sum(a * a for a in r) - sum(r) ** 2
+    den2 = n * sum(b * b for b in s) - sum(s) ** 2
+    if den1 <= 0 or den2 <= 0:
+        return None
+    mag = (num * num * PPM) // (den1 * den2)
+    return (num, den1, den2, mag if num >= 0 else -mag)
+
+
+def test_spearman_monotone_antimonotone_and_tied(spark):
+    base = dt.date(2024, 1, 1)
+    series = {
+        "mono": [(i, 10 * i) for i in range(12)],
+        "anti": [(i, -3 * i) for i in range(12)],
+        "tied": [(i % 4, (i * 7) % 5) for i in range(16)],
+    }
+    rows = [
+        (k, base + dt.timedelta(days=j), x, y)
+        for k, pts in series.items()
+        for j, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, d date, x long, y long")
+    got = {r["event_type"]: r.asDict() for r in spearman_daily(df, "event_type").collect()}
+    assert got["mono"]["rho_sq_ppm"] == PPM
+    assert got["anti"]["rho_sq_ppm"] == -PPM
+    xs = [p[0] for p in series["tied"]]
+    ys = [p[1] for p in series["tied"]]
+    num, den1, den2, ppm = _spearman_terms_reference(xs, ys)
+    assert (got["tied"]["num"], got["tied"]["den1"], got["tied"]["den2"]) == (num, den1, den2)
+    assert got["tied"]["rho_sq_ppm"] == ppm
+
+
+def test_spearman_reference_cases_on_spark(spark):
+    """30 seeded random tie-heavy short series through the production
+    fold in ONE Spark job, each checked against the exact integer
+    Pearson-on-doubled-ranks reference (degenerate cases filtered)."""
+    import random
+
+    rng = random.Random(1234)
+    cases = []
+    for _ in range(30):
+        n = rng.randint(3, 12)
+        pairs = [(rng.randint(0, 6), rng.randint(0, 6)) for _ in range(n)]
+        ref = _spearman_terms_reference([p[0] for p in pairs], [p[1] for p in pairs])
+        cases.append((pairs, ref))
+    base = dt.date(2024, 1, 1)
+    rows = []
+    keyed = []
+    for gi, (pairs, ref) in enumerate(cases):
+        k = f"g{gi:03d}"
+        keyed.append((k, ref))
+        rows += [
+            (k, base + dt.timedelta(days=j), x, y) for j, (x, y) in enumerate(pairs)
+        ]
+    df = spark.createDataFrame(rows, "event_type string, d date, x long, y long")
+    got = {r["event_type"]: r.asDict() for r in spearman_daily(df, "event_type").collect()}
+    for k, ref in keyed:
+        if ref is None:
+            assert k not in got  # degenerate constant series filtered
+        else:
+            num, den1, den2, ppm = ref
+            assert (got[k]["num"], got[k]["den1"], got[k]["den2"], got[k]["rho_sq_ppm"]) == (
+                num, den1, den2, ppm,
+            ), (k, ref, got[k])
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_recovers_planted_linear_trend(spark):
+    base = dt.date(2024, 3, 1)
+    rows = [("lin", base + dt.timedelta(days=i), 7 * i + 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    out = theil_sen_daily(df, "event_type").collect()[0]
+    assert out["slope_med_u"] == 7 * PPM
+    assert out["slope_min_u"] == 7 * PPM and out["slope_max_u"] == 7 * PPM
+    assert out["n_pairs"] == 45
+
+
+def test_theil_sen_is_robust_to_an_outlier_day(spark):
+    base = dt.date(2024, 3, 1)
+    ys = [5 * i for i in range(11)]
+    ys[4] = 10_000  # one corrupted day
+    rows = [("r", base + dt.timedelta(days=i), ys[i]) for i in range(11)]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    out = theil_sen_daily(df, "event_type").collect()[0]
+    # 10 of 55 pairs touch the outlier; the median slope is untouched
+    assert out["slope_med_u"] == 5 * PPM
+    assert out["slope_max_u"] > 5 * PPM  # the outlier shows in the extreme
+
+
+def test_theil_sen_lower_median_on_even_pair_count(spark):
+    base = dt.date(2024, 3, 1)
+    # 4 points -> 6 pairs (even): slopes sorted, median = position 3
+    ys = [0, 1, 10, 11]
+    rows = [("e", base + dt.timedelta(days=i), ys[i]) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    slopes = sorted(
+        ((ys[j] - ys[i]) * PPM) // (j - i)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    out = theil_sen_daily(df, "event_type").collect()[0]
+    assert out["n_pairs"] == 6
+    assert out["slope_med_u"] == slopes[(6 + 1) // 2 - 1]
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_lcc_triangle_is_one_and_star_hub_is_zero(spark):
+    edges = spark.createDataFrame(
+        # triangle 1-2-3 plus star hub 10 with leaves 11,12,13
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13)],
+        "i long, j long",
+    )
+    got = {r["node"]: r.asDict() for r in local_clustering(edges).collect()}
+    for n in (1, 2, 3):
+        assert got[n]["deg"] == 2 and got[n]["tri"] == 1 and got[n]["lcc_ppm"] == PPM
+    assert got[10]["deg"] == 3 and got[10]["tri"] == 0 and got[10]["lcc_ppm"] == 0
+    assert 11 not in got  # degree-1 leaves excluded by contract
+
+
+def test_lcc_paw_graph_partial_coefficient(spark):
+    # triangle 1-2-3 with a pendant 4 on node 1: deg(1)=3, tri(1)=1,
+    # lcc(1) = 2*1/(3*2) = 1/3
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "i long, j long"
+    )
+    got = {r["node"]: r.asDict() for r in local_clustering(edges).collect()}
+    assert got[1]["lcc_ppm"] == (2 * PPM) // 6
+    assert got[2]["lcc_ppm"] == PPM and got[3]["lcc_ppm"] == PPM
+
+
+# ---------------------------------------------------------------------------
+# BFS layers
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_chain_layers_and_hop_cap(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (3, 4, 0), (4, 5, 0)], "i long, j long, label int"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_layers(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 is 4 hops out: absent
+
+
+def test_bfs_cycle_takes_min_hop_and_labels_are_independent(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (3, 4, 0), (1, 4, 0), (7, 8, 1)],
+        "i long, j long, label int",
+    )
+    rows = bfs_layers(edges).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["node"]] = r["hop"]
+    assert by_label[0] == {1: 0, 2: 1, 4: 1, 3: 2}  # min-hop around the square
+    assert by_label[1] == {7: 0, 8: 1}
+
+
+def test_bfs_root_is_min_non_isolated_node(spark):
+    edges = spark.createDataFrame([(42, 99, 3)], "i long, j long, label int")
+    got = {(r["label"], r["node"]): r["hop"] for r in bfs_layers(edges).collect()}
+    assert got == {(3, 42): 0, (3, 99): 1}
