@@ -162,3 +162,78 @@ def ds_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-key skew audit (round 9, session 3). Before writing a corpus
+# as K shards (or bucketing a join) on a proposed key, measure how the
+# key actually balances: per shard, the row count and its signed
+# deviation from the ideal total/K in permyriad. At 100 TB a 10% hot
+# shard is a straggler executor on every downstream stage, so this is
+# the go/no-go a partitioning decision reads — the write-side
+# companion to skew_salted_aggregation (which REPAIRS skew after this
+# audit finds it).
+#
+# Key under audit: the house portable md5 hash of doc_id mod K=32
+# (the hash a content-addressed shard layout would use). Deviation is
+# sign-split integral div (Spark trunc == DuckDB floor on the
+# non-negative magnitude); n_docs*K*10000 fits BIGINT to ~2.8e13 rows
+# per shard. Scale: one map-side-combinable groupBy onto K keys plus
+# a broadcast-able 1-row total.
+# ---------------------------------------------------------------------------
+
+_SHARD_K = 32
+
+_SHARD_SKEW_ORACLE = f"""
+    WITH s AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_SHARD_K} AS shard
+        FROM documents
+    ),
+    c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY shard),
+    t AS (SELECT sum(n_docs) AS total FROM c)
+    SELECT c.shard, c.n_docs,
+           CAST(CASE WHEN c.n_docs * {_SHARD_K} >= t.total
+                     THEN (c.n_docs * {_SHARD_K} - t.total) * 10000 // t.total
+                     ELSE -((t.total - c.n_docs * {_SHARD_K}) * 10000 // t.total)
+                END AS BIGINT) AS dev_permyriad
+    FROM c, t ORDER BY c.shard
+"""
+
+
+def shard_skew_from(shards: DataFrame, k: int = _SHARD_K) -> DataFrame:
+    """Core skew fold over a one-column ``shard`` frame: per-shard
+    count + signed permyriad deviation from the ideal total/k.
+    Factored so planted-balance model tests (uniform -> all 0,
+    one hot shard -> positive dev there, negative elsewhere) drive
+    the production arithmetic."""
+    c = shards.groupBy("shard").agg(F.count("*").cast("long").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "n_docs",
+            F.expr(
+                f"CAST(CASE WHEN n_docs * {k} >= total"
+                f" THEN (n_docs * {k} - total) * 10000 div total"
+                f" ELSE -((total - n_docs * {k}) * 10000 div total)"
+                f" END AS BIGINT)"
+            ).alias("dev_permyriad"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query("ds_shard_skew_audit", oracle=_SHARD_SKEW_ORACLE, tags=("llm", "dataset", "audit"))
+def ds_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance of the md5(doc_id) mod 32 layout: row count
+    and signed permyriad deviation from the ideal total/32. Read
+    max |dev| before committing a shard layout; feed hot keys to the
+    salting levers if it exceeds the straggler budget."""
+    d = load_tables(spark, sf_dir)["documents"]
+    shard = F.expr(
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_SHARD_K}"
+    )
+    return shard_skew_from(d.select(shard.alias("shard")))

@@ -77,3 +77,92 @@ def emb_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-cosine histogram on a budget sample (round 9, session 3):
+# the embedding-space health check. A healthy embedding space puts
+# random-pair cosines in a band near 0; mass piling up near 1 means
+# the space has COLLAPSED (all vectors alike — downstream dedup/ANN
+# quality silently dies), mass near -1 means antipodal training
+# artifacts. This is the test run BEFORE trusting any cosine
+# threshold (the 0.35 dedup radius, the 0.2 analysis radius).
+#
+# Budget gate (the dedup_lsh_recall_audit / entity_blocking discipline,
+# pipeline/audit.py:76): sample = vec_id where md5int(vec_id) % m == 0
+# with m = greatest(1, N div 96) — ~96 vectors (<=4,560 pairs) at ANY
+# corpus size, so the audit cost is the budget, not a corpus fraction.
+# The md5 token hash is the house portable hash (identical integers on
+# both engines); N is one bounded count on each side.
+#
+# Exactness: the pair cosine is a per-ROW double computed in identical
+# IEEE order on both engines (normalize once, left-fold dot — the
+# graph2 edge-membership precedent), binned by floor(cos*20) into
+# 0.05-wide buckets; all cross-row math is integer counts.
+# ---------------------------------------------------------------------------
+
+_COS_HIST_BUDGET = 96
+
+_COS_HIST_ORACLE = f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT greatest(1, count(*) // {_COS_HIST_BUDGET}) AS m FROM e0),
+    s AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+        FROM e0, m
+        WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % m.m = 0
+    ),
+    p AS (
+        SELECT CAST(floor(list_dot_product(a.v, b.v) * 20) AS BIGINT) AS bin
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT bin,
+           CAST(bin * 500 AS BIGINT) AS lo_permyriad,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY bin ORDER BY bin
+"""
+
+
+def cosine_hist_from(e: DataFrame, budget: int = _COS_HIST_BUDGET) -> DataFrame:
+    """Core histogram over a ``(vec_id, v0)`` frame (v0 = double
+    vector): md5-budget-gate the rows, normalize once, bin every
+    sampled pair's cosine by floor(cos*20). Factored from the registry
+    query so planted-geometry model tests (identical vectors -> one
+    bin at 20, orthogonal -> bin 0, antipodal -> bin -20) drive the
+    production gate + join."""
+    n = e.count()  # one bounded driver scalar, mirrors the oracle's count(*)
+    m = max(1, n // budget)
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    s = (
+        e.filter(h % m == 0)
+        .select("vec_id", F.transform("v0", lambda x: x / norm).alias("v"))
+    )
+    a = s.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("i") < F.col("j")).select(
+        F.floor(_dot(F.col("va"), F.col("vb")) * 20).cast("long").alias("bin")
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("bin", (F.col("bin") * 500).cast("long").alias("lo_permyriad"), "n_pairs")
+        .orderBy("bin")
+    )
+
+
+@query("emb_cosine_hist", oracle=_COS_HIST_ORACLE, tags=("llm", "embedding", "audit"))
+def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a budget md5 sample (~96 vectors
+    -> <=4,560 pairs at any N): 0.05-wide bins with the lower edge in
+    permyriad. The collapse detector — run before trusting any cosine
+    threshold. The sampled pair join is tiny by construction (both
+    sides budget-bounded), so the only corpus-sized work is the scan
+    feeding the hash gate."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v0")
+    )
+    return cosine_hist_from(e)

@@ -536,3 +536,60 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Component-size histogram (round 9, session 3): the dedup-pipeline
+# health summary over the exact transitive clusters. A healthy
+# near-dup corpus decomposes into many small components (pairs,
+# triples); one giant component means the pair threshold is too loose
+# and transitive closure is about to merge unrelated content (the
+# false-merge catastrophe the keeper policy cannot undo). This is the
+# FIRST number a dedup review reads, before any per-cluster drill-in.
+#
+# Derivative of the same closure dedup_cluster_cc pins: one extra
+# map-side-combinable groupBy on component_size (at most sqrt(2N)
+# distinct sizes). The oracle reuses _CC_CTE verbatim, so the
+# histogram is pinned against the identical independently-formulated
+# closure.
+# ---------------------------------------------------------------------------
+
+_CC_SIZE_HIST_ORACLE = _CC_CTE + """
+    , sizes AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT component_size,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(component_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY component_size ORDER BY component_size
+"""
+
+
+@query("graph_cc_size_hist", oracle=_CC_SIZE_HIST_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_cc_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of transitive dedup-cluster sizes over the exact
+    Jaccard >= 0.5 pair graph: component_size, how many components
+    have that size, and the documents they hold. Singleton-dominated
+    = healthy; a fat tail = the threshold is merging unrelated
+    content transitively.
+
+    Registered over the EXACT pair graph so the oracle pins the whole
+    chain; at 100 TB run the same two-line rollup over
+    ``dedup_cluster_cc_lsh`` (the banded+capped production closure) —
+    the histogram itself is one map-side-combinable groupBy either
+    way."""
+    comp = dedup_cluster_cc(spark, sf_dir)
+    return (
+        comp.filter(F.col("is_keeper"))
+        .groupBy("component_size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("component_size")
+    )

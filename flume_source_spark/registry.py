@@ -510,12 +510,15 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # at sf0.1): dq_ks_two_sample_exact, dq_chi2_drift_2x2,
 # graph_two_hop_reach, ts_dtw_band, ts_attribution_last_touch,
 # sql_order_by_all, entity_blocking_recall_audit.
-# Session 3 adds 6 more oracled tier-1 entries (each verified at
-# sf0.001 + sf0.01 before registration): dq_cohens_kappa,
+# Session 3 adds 9 more oracled tier-1 entries (each verified at
+# sf0.001 + sf0.01 + sf0.1 before registration): dq_cohens_kappa,
 # dq_gini_impurity, ts_spearman_corr, ts_theil_sen,
 # graph_local_clustering, graph_bfs_layers (the last two on the
 # documented 0.2 analysis radius of the shared edge builder —
-# non-empty evidence by construction, the geo_grid_join lesson).
+# non-empty evidence by construction, the geo_grid_join lesson),
+# emb_cosine_hist (budget-gated collapse detector),
+# ds_shard_skew_audit (K=32 layout balance), and graph_cc_size_hist
+# (cluster-size histogram over the exact closure).
 _KNOWN_ROUNDS = 8
 
 

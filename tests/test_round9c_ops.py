@@ -306,3 +306,84 @@ def test_bfs_root_is_min_non_isolated_node(spark):
     edges = spark.createDataFrame([(42, 99, 3)], "i long, j long, label int")
     got = {(r["label"], r["node"]): r["hop"] for r in bfs_layers(edges).collect()}
     assert got == {(3, 42): 0, (3, 99): 1}
+
+
+# ---------------------------------------------------------------------------
+# Cosine histogram (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v0 array<double>",
+    )
+
+
+def test_cosine_hist_planted_geometries(spark):
+    from flume_source_spark.pipeline.embstats3 import cosine_hist_from
+
+    # identical vectors: every pair cosine == 1.0 -> one bin at 20
+    same = _emb_frame(spark, [[3.0, 4.0]] * 5)
+    got = {r["bin"]: r["n_pairs"] for r in cosine_hist_from(same, budget=100).collect()}
+    assert got == {20: 10}
+    # orthogonal basis: every pair cosine == 0.0 -> one bin at 0
+    ortho = _emb_frame(spark, [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    got = {r["bin"]: r["n_pairs"] for r in cosine_hist_from(ortho, budget=100).collect()}
+    assert got == {0: 6}
+    # antipodal pair: cosine == -1.0 -> floor(-20.0) = bin -20
+    anti = _emb_frame(spark, [[1.0, 2.0], [-1.0, -2.0]])
+    out = cosine_hist_from(anti, budget=100).collect()
+    assert [(r["bin"], r["lo_permyriad"], r["n_pairs"]) for r in out] == [(-20, -10000, 1)]
+
+
+def test_cosine_hist_budget_gate_bounds_the_sample(spark):
+    from flume_source_spark.pipeline.embstats3 import cosine_hist_from
+
+    # 200 identical vectors, budget 10 -> modulus 20 keeps ~10; the
+    # pair count must be far below C(200,2) = 19900 (budget-bounded).
+    big = _emb_frame(spark, [[1.0, 1.0]] * 200)
+    n_pairs = sum(r["n_pairs"] for r in cosine_hist_from(big, budget=10).collect())
+    assert 1 <= n_pairs <= 200  # C(~20,2)=190 worst case, not 19900
+
+
+# ---------------------------------------------------------------------------
+# Shard skew audit (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_skew_uniform_is_zero_and_hot_shard_signs(spark):
+    from flume_source_spark.pipeline.dataset8 import shard_skew_from
+
+    uniform = spark.createDataFrame(
+        [(s,) for s in range(4) for _ in range(10)], "shard long"
+    )
+    out = shard_skew_from(uniform, k=4).collect()
+    assert all(r["dev_permyriad"] == 0 and r["n_docs"] == 10 for r in out)
+
+    hot = spark.createDataFrame(
+        [(0,)] * 20 + [(s,) for s in (1, 2, 3) for _ in range(4)], "shard long"
+    )
+    got = {r["shard"]: r["dev_permyriad"] for r in shard_skew_from(hot, k=4).collect()}
+    # total=32: shard0 dev = (80-32)*1e4//32 = 15000; others = -(32-16)*1e4//32 = -5000
+    assert got == {0: 15000, 1: -5000, 2: -5000, 3: -5000}
+
+
+# ---------------------------------------------------------------------------
+# CC size histogram (batch 2): conservation invariants on the fixture
+# ---------------------------------------------------------------------------
+
+
+def test_cc_size_hist_conserves_documents(spark, sf_dir):
+    from flume_source_spark.pipeline.graph import graph_cc_size_hist
+    from flume_source_spark.tables import load_tables
+
+    hist = graph_cc_size_hist(spark, sf_dir).collect()
+    n_docs_total = load_tables(spark, sf_dir)["documents"].count()
+    # every document is in exactly one component (closure seeds all)
+    assert sum(r["n_docs"] for r in hist) == n_docs_total
+    for r in hist:
+        assert r["n_docs"] == r["component_size"] * r["n_components"]
+    # the fixture corpus is singleton-dominated (healthy threshold)
+    by_size = {r["component_size"]: r["n_components"] for r in hist}
+    assert by_size.get(1, 0) > sum(v for k, v in by_size.items() if k > 1)
