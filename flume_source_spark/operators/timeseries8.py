@@ -285,3 +285,174 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     return theil_sen_daily(daily, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap CI for the daily-count median (round 9,
+# session 3). Point estimates without uncertainty get over-trusted;
+# the bootstrap is the standard answer, but naive bootstrap is
+# RNG-driven and can never hash-match across engines. This one is
+# fully deterministic: resample index r(b, i) = md5int(key:b:i) mod n
+# (the house portable md5 hash), medians are LOWER medians (pure
+# selection at position (n+1) div 2 — no averaging), and the CI ends
+# are themselves lower-percentile selections over the B bootstrap
+# medians. Every value is a BIGINT daily count; nothing is random,
+# nothing is float, so the driver hash pins the whole procedure.
+#
+# Scale: everything after the daily collapse is bounded by the
+# CALENDAR times B — n*B resample rows per series (30 days x 40
+# resamples = 1,200 rows at the fixtures; 10 years x 40 = 146k), one
+# join against the n-row indexed daily frame, two window selections.
+# The corpus-sized work is the one map-side-combinable daily groupBy.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 40  # resamples; 5%/95% lower selections land at ranks 2 / 38
+_BOOT_LO_RANK = max(1, (BOOT_B * 5) // 100)
+_BOOT_HI_RANK = max(1, (BOOT_B * 95) // 100)
+
+_BOOTSTRAP_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY y, d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    grid AS (
+        SELECT DISTINCT i.event_type, i.n, b.b, s.i
+        FROM idx i,
+             (SELECT unnest(generate_series(1, {BOOT_B})) AS b) b,
+             (SELECT unnest(generate_series(1, 4000)) AS i) s
+        WHERE s.i <= i.n
+    ),
+    resample AS (
+        SELECT g.event_type, g.b,
+               (CAST('0x' || substr(md5(g.event_type || ':' ||
+                      CAST(g.b AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)), 1, 8)
+                 AS BIGINT) % g.n) + 1 AS r
+        FROM grid g
+    ),
+    picked AS (
+        SELECT r.event_type, r.b, i.y
+        FROM resample r
+        JOIN idx i ON i.event_type = r.event_type AND i.rn = r.r
+    ),
+    med AS (
+        SELECT event_type, b, y AS med
+        FROM (
+            SELECT event_type, b, y,
+                   row_number() OVER (PARTITION BY event_type, b ORDER BY y) AS mrn,
+                   count(*) OVER (PARTITION BY event_type, b) AS mn
+            FROM picked
+        ) WHERE mrn = (mn + 1) // 2
+    ),
+    ci AS (
+        SELECT event_type,
+               min(CASE WHEN crn = {_BOOT_LO_RANK} THEN med END) AS ci_lo,
+               min(CASE WHEN crn = {_BOOT_HI_RANK} THEN med END) AS ci_hi
+        FROM (
+            SELECT event_type, med,
+                   row_number() OVER (PARTITION BY event_type ORDER BY med) AS crn
+            FROM med
+        ) GROUP BY event_type
+    ),
+    point AS (
+        SELECT event_type, n, y AS med_point FROM idx WHERE rn = (n + 1) // 2
+    )
+    SELECT p.event_type,
+           CAST(p.n AS BIGINT) AS n_days,
+           CAST({BOOT_B} AS BIGINT) AS n_boot,
+           CAST(p.med_point AS BIGINT) AS med_point,
+           CAST(c.ci_lo AS BIGINT) AS ci_lo,
+           CAST(c.ci_hi AS BIGINT) AS ci_hi
+    FROM point p JOIN ci c ON p.event_type = c.event_type
+    ORDER BY p.event_type
+"""
+
+
+def bootstrap_ci_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core deterministic-bootstrap fold over a ``(key, d, y)`` daily
+    frame: lower-median point estimate plus md5-resampled 5%/95%
+    lower-selection CI over BOOT_B resamples. Factored so planted
+    tests (constant series -> ci_lo == ci_hi == point; CI brackets
+    the point; shifting values shifts all three) drive the production
+    resample arithmetic."""
+    w = Window.partitionBy(key).orderBy("y", "d")
+    idx = daily.select(
+        key,
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(key)).alias("n"),
+    ).localCheckpoint(eager=True)
+    grid = (
+        idx.select(key, "n")
+        .distinct()
+        .select(key, "n", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
+        .select(key, "n", "b", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+    )
+    md5i = F.expr(
+        f"CAST(conv(substr(md5(concat({key}, ':', CAST(b AS STRING), ':',"
+        f" CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    resample = grid.select(key, "b", ((md5i % F.col("n")) + 1).alias("r"))
+    picked = resample.join(
+        idx.select(key, F.col("rn").alias("r"), "y"), [key, "r"]
+    ).select(key, "b", "y")
+    wm = Window.partitionBy(key, "b").orderBy("y")
+    med = (
+        picked.select(
+            key,
+            "b",
+            "y",
+            F.row_number().over(wm).alias("mrn"),
+            F.count("*").over(Window.partitionBy(key, "b")).alias("mn"),
+        )
+        .filter(F.col("mrn") == F.expr("(mn + 1) div 2"))
+        .select(key, F.col("y").alias("med"))
+    )
+    wc = Window.partitionBy(key).orderBy("med")
+    ci = (
+        med.select(key, "med", F.row_number().over(wc).alias("crn"))
+        .groupBy(key)
+        .agg(
+            F.min(F.when(F.col("crn") == _BOOT_LO_RANK, F.col("med"))).alias("ci_lo"),
+            F.min(F.when(F.col("crn") == _BOOT_HI_RANK, F.col("med"))).alias("ci_hi"),
+        )
+    )
+    point = idx.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        key, F.col("n").cast("long").alias("n_days"), F.col("y").alias("med_point")
+    )
+    return (
+        point.join(ci, key)
+        .select(
+            key,
+            "n_days",
+            F.lit(BOOT_B).cast("long").alias("n_boot"),
+            F.col("med_point").cast("long").alias("med_point"),
+            F.col("ci_lo").cast("long").alias("ci_lo"),
+            F.col("ci_hi").cast("long").alias("ci_hi"),
+        )
+        .orderBy(key)
+    )
+
+
+@query(
+    "ts_bootstrap_ci_median",
+    oracle=_BOOTSTRAP_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_bootstrap_ci_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap 90% CI for the daily-count median per
+    event_type: md5-indexed resamples (no RNG), lower-median and
+    lower-percentile selections only (no averaging), all BIGINT — the
+    uncertainty companion to every point statistic in the ts family,
+    and fully driver-hashable because nothing in it is random."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return bootstrap_ci_daily(daily, "event_type")

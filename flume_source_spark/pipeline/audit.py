@@ -390,3 +390,182 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_calibration (round 9, session 3)
+#
+# The recall audit above asks "did the bands FIND the true pairs?";
+# this one asks "is the MinHash ESTIMATE itself honest?" — per sampled
+# pair sharing >= 1 shingle, compare the 12-hash agreement estimate
+# (matching mins / 12, in ppm) against the exact shingle Jaccard, then
+# publish the calibration curve: per exact-Jaccard decile, pair count,
+# mean exact, mean estimate, and mean |error| (all integral-div ppm).
+# This is the number that tunes N_HASHES: if MAE at the decision
+# boundary (~tau) exceeds the band design's tolerance, 12 hashes are
+# too few; if it is tiny, hashes can be cut.
+#
+# Fully hash-oracled because the audit family's PORTABLE md5 MinHash
+# (h_i = (a_i * md5int(shingle) + b_i) mod p) is bit-identical on both
+# engines — unlike the xxhash64 production signature, whose estimate
+# cannot be recomputed in DuckDB. Same budget gate, so the pair work
+# is O(budget^2) at any corpus size.
+# ---------------------------------------------------------------------------
+
+_CAL_MATCHES_SQL = " + ".join(
+    f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(AUDIT_N_HASHES)
+)
+
+_MINHASH_CAL_ORACLE = f"""
+    WITH smod AS (
+        SELECT greatest((count(*) * {AUDIT_SAMPLE_KEEP})
+                        // {AUDIT_SAMPLE_BUDGET}, 1) AS m
+        FROM documents
+    ),
+    sample_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE {_SQL_MD5INT_DOC} % (SELECT m FROM smod) < {AUDIT_SAMPLE_KEEP}
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM sample_docs)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {1 << 30} AS hx
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               {_AUDIT_MINS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.i, p.j,
+               p.c * 1000000 // (sa.n + sb.n - p.c) AS jaccard_ppm,
+               ({_CAL_MATCHES_SQL}) * 1000000 // {AUDIT_N_HASHES} AS est_ppm
+        FROM pairs p
+        JOIN sz sa ON p.i = sa.doc_id
+        JOIN sz sb ON p.j = sb.doc_id
+        JOIN sig x ON p.i = x.doc_id
+        JOIN sig y ON p.j = y.doc_id
+    )
+    SELECT CAST(jaccard_ppm // 100000 AS BIGINT) AS bin,
+           CAST((jaccard_ppm // 100000) * 100000 AS BIGINT) AS lo_ppm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jaccard_ppm) // count(*) AS BIGINT) AS avg_exact_ppm,
+           CAST(sum(est_ppm) // count(*) AS BIGINT) AS avg_est_ppm,
+           CAST(sum(CASE WHEN est_ppm >= jaccard_ppm
+                         THEN est_ppm - jaccard_ppm
+                         ELSE jaccard_ppm - est_ppm END) // count(*) AS BIGINT)
+               AS mae_ppm
+    FROM scored GROUP BY 1, 2 ORDER BY bin
+"""
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """Core calibration over a (doc_id, text) frame: per exact-Jaccard
+    decile of the shingle-sharing pairs, the mean portable-MinHash
+    estimate and mean absolute error in ppm. Factored so planted tests
+    (identical docs -> bin 10 with est 1e6 / mae 0) drive the exact
+    production signature + pair arithmetic."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle")
+    ).persist()
+    hashed = sh.select("doc_id", (_md5int(F.col("shingle")) % (1 << 30)).alias("hx"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hx") * a + b) % AUDIT_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_AUDIT_AB)
+        ]
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("i"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("j"), "shingle"), "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    matches = " + ".join(
+        f"CASE WHEN xh{i} = yh{i} THEN 1 ELSE 0 END" for i in range(AUDIT_N_HASHES)
+    )
+    scored = (
+        pairs.join(sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i")
+        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
+        .join(
+            sig.select(
+                F.col("doc_id").alias("i"),
+                *[F.col(f"h{k}").alias(f"xh{k}") for k in range(AUDIT_N_HASHES)],
+            ),
+            "i",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("j"),
+                *[F.col(f"h{k}").alias(f"yh{k}") for k in range(AUDIT_N_HASHES)],
+            ),
+            "j",
+        )
+        .select(
+            F.expr("c * 1000000 div (na + nb - c)").alias("jaccard_ppm"),
+            F.expr(f"({matches}) * 1000000 div {AUDIT_N_HASHES}").alias("est_ppm"),
+        )
+    )
+    out = (
+        scored.select(
+            F.expr("jaccard_ppm div 100000").alias("bin"),
+            "jaccard_ppm",
+            "est_ppm",
+            F.expr(
+                "CASE WHEN est_ppm >= jaccard_ppm THEN est_ppm - jaccard_ppm"
+                " ELSE jaccard_ppm - est_ppm END"
+            ).alias("abs_err"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(sum(jaccard_ppm) div count(*) AS BIGINT)").alias(
+                "avg_exact_ppm"
+            ),
+            F.expr("CAST(sum(est_ppm) div count(*) AS BIGINT)").alias("avg_est_ppm"),
+            F.expr("CAST(sum(abs_err) div count(*) AS BIGINT)").alias("mae_ppm"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 100000).cast("long").alias("lo_ppm"),
+            "n_pairs",
+            "avg_exact_ppm",
+            "avg_est_ppm",
+            "mae_ppm",
+        )
+        .orderBy("bin")
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=_MINHASH_CAL_ORACLE,
+    tags=("llm", "dedup", "lsh", "audit"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration curve on the budget md5 sample:
+    per exact-Jaccard decile of shingle-sharing pairs, the mean
+    12-hash agreement estimate and mean |error| in ppm. The number
+    that tunes N_HASHES — the recall audit asks whether bands FIND
+    the true pairs; this asks whether the signature's Jaccard
+    estimate is honest enough to rank them. Same fixed-SIZE gate, so
+    pair work is O(budget^2) at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_calibration(budget_sample(d))

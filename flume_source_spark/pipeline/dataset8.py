@@ -237,3 +237,70 @@ def ds_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" % {_SHARD_K}"
     )
     return shard_skew_from(d.select(shard.alias("shard")))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (round 9, session 3): the k-anonymity companion.
+# k-anonymity counts SMALL quasi-identifier classes; l-diversity
+# catches the orthogonal leak — a class can be large (k-safe) yet
+# have every member share the same SENSITIVE value, so the attacker
+# learns it anyway (Machanavajjhala et al. 2007). QI = (lang,
+# len_bucket), sensitive = source: a class whose documents all come
+# from ONE source reveals provenance to anyone who knows the QI.
+# Reported per language: class count, the minimum diversity, and how
+# many classes / documents sit below L = 2 distinct sources.
+#
+# Exact integers end-to-end; one groupBy onto QI keys (count +
+# count-distinct over the bounded source domain), one per-language
+# rollup. Same shuffle envelope as ds_k_anonymity_audit.
+# ---------------------------------------------------------------------------
+
+LDIV_L = 2
+
+_LDIV_ORACLE = f"""
+    WITH cls AS (
+        SELECT lang, (n_chars // {KANON_BUCKET}) * {KANON_BUCKET} AS len_bucket,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT source) AS BIGINT) AS diversity
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(diversity) AS BIGINT) AS min_diversity,
+           CAST(sum(CASE WHEN diversity < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_div_classes,
+           CAST(sum(CASE WHEN diversity < {LDIV_L} THEN class_size ELSE 0 END)
+               AS BIGINT) AS docs_at_risk
+    FROM cls GROUP BY lang ORDER BY lang
+"""
+
+
+@query("ds_l_diversity_audit", oracle=_LDIV_ORACLE, tags=("llm", "dataset", "audit"))
+def ds_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over the release QI (lang, 100-char length
+    bucket) with source as the sensitive attribute: per language, the
+    classes (and documents) whose members all share one source — the
+    provenance leak k-anonymity cannot see because the class is big
+    enough to pass K."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cls = d.groupBy(
+        "lang",
+        (F.expr(f"n_chars div {KANON_BUCKET}") * KANON_BUCKET).alias("len_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("source").cast("long").alias("diversity"),
+    )
+    return (
+        cls.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("diversity").cast("long").alias("min_diversity"),
+            F.sum(F.when(F.col("diversity") < LDIV_L, 1).otherwise(0))
+            .cast("long")
+            .alias("low_div_classes"),
+            F.sum(F.when(F.col("diversity") < LDIV_L, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("docs_at_risk"),
+        )
+        .orderBy("lang")
+    )

@@ -518,7 +518,11 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # non-empty evidence by construction, the geo_grid_join lesson),
 # emb_cosine_hist (budget-gated collapse detector),
 # ds_shard_skew_audit (K=32 layout balance), and graph_cc_size_hist
-# (cluster-size histogram over the exact closure).
+# (cluster-size histogram over the exact closure). Batch 3 adds 3
+# more: dedup_minhash_calibration (estimator-honesty curve on the
+# portable md5 MinHash), ds_l_diversity_audit (provenance-leak
+# companion to k-anonymity), ts_bootstrap_ci_median (deterministic
+# md5-resample bootstrap CI — selection-only, RNG-free).
 _KNOWN_ROUNDS = 8
 
 

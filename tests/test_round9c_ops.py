@@ -387,3 +387,111 @@ def test_cc_size_hist_conserves_documents(spark, sf_dir):
     # the fixture corpus is singleton-dominated (healthy threshold)
     by_size = {r["component_size"]: r["n_components"] for r in hist}
     assert by_size.get(1, 0) > sum(v for k, v in by_size.items() if k > 1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_calibration_planted_pairs(spark):
+    from flume_source_spark.pipeline.audit import minhash_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical to 1
+            (3, "alpha beta gamma delta xx yy"),  # J(1,3) = 2/6 = 1/3
+            (4, "totally different tokens here now ok"),  # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["bin"]: r.asDict() for r in minhash_calibration(docs).collect()}
+    # identical pair: exact == est == 1e6, zero error, bin 10
+    assert rows[10]["avg_exact_ppm"] == PPM
+    assert rows[10]["avg_est_ppm"] == PPM
+    assert rows[10]["mae_ppm"] == 0
+    # the J = 1/3 pairs land in bin 3 with the exact value pinned;
+    # estimate is hash-dependent but bounded, and for single-pair
+    # bins MAE == |avg_est - avg_exact| identically
+    assert rows[3]["avg_exact_ppm"] == 333333
+    for r in rows.values():
+        assert 0 <= r["avg_est_ppm"] <= PPM
+        if r["n_pairs"] == 1:
+            assert r["mae_ppm"] == abs(r["avg_est_ppm"] - r["avg_exact_ppm"])
+    # doc 4 shares no shingle with anyone: no J=0-by-no-overlap rows
+    assert sum(r["n_pairs"] for r in rows.values()) == 3  # (1,2),(1,3),(2,3)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_single_source_classes(spark, sf_dir):
+    from flume_source_spark.pipeline.dataset8 import ds_l_diversity_audit
+    from flume_source_spark.tables import load_tables
+
+    out = {r["lang"]: r.asDict() for r in ds_l_diversity_audit(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir)["documents"].collect()
+    # python recompute from the fixture
+    from collections import defaultdict
+
+    cls = defaultdict(set)
+    size = defaultdict(int)
+    for d in docs:
+        k = (d["lang"], (d["n_chars"] // 100) * 100)
+        cls[k].add(d["source"])
+        size[k] += 1
+    for lang in out:
+        keys = [k for k in cls if k[0] == lang]
+        assert out[lang]["n_classes"] == len(keys)
+        assert out[lang]["min_diversity"] == min(len(cls[k]) for k in keys)
+        low = [k for k in keys if len(cls[k]) < 2]
+        assert out[lang]["low_div_classes"] == len(low)
+        assert out[lang]["docs_at_risk"] == sum(size[k] for k in low)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap CI (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_constant_series_and_selection_property(spark):
+    from flume_source_spark.operators.timeseries8 import bootstrap_ci_daily
+
+    base = dt.date(2024, 5, 1)
+    const = [("c", base + dt.timedelta(days=i), 7) for i in range(20)]
+    vary = [("v", base + dt.timedelta(days=i), (i * 13) % 50 + 1) for i in range(20)]
+    df = spark.createDataFrame(const + vary, "event_type string, d date, y long")
+    out = {r["event_type"]: r.asDict() for r in bootstrap_ci_daily(df, "event_type").collect()}
+    # constant series: every resample is all 7s
+    assert (out["c"]["med_point"], out["c"]["ci_lo"], out["c"]["ci_hi"]) == (7, 7, 7)
+    # selection property: every published number IS an original value
+    vals = {(i * 13) % 50 + 1 for i in range(20)}
+    v = out["v"]
+    assert v["med_point"] in vals and v["ci_lo"] in vals and v["ci_hi"] in vals
+    assert v["ci_lo"] <= v["ci_hi"]
+    assert v["n_boot"] == 40 and v["n_days"] == 20
+
+
+def test_bootstrap_ci_is_shift_equivariant(spark):
+    from flume_source_spark.operators.timeseries8 import bootstrap_ci_daily
+
+    base = dt.date(2024, 5, 1)
+    ys = [(i * 7) % 23 + 1 for i in range(15)]
+    a = [("k", base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    b = [("k", base + dt.timedelta(days=i), y + 100) for i, y in enumerate(ys)]
+    ra = bootstrap_ci_daily(
+        spark.createDataFrame(a, "event_type string, d date, y long")
+    ).collect()[0]
+    rb = bootstrap_ci_daily(
+        spark.createDataFrame(b, "event_type string, d date, y long")
+    ).collect()[0]
+    # the resample index stream depends only on (key, b, i, n), so a
+    # +100 shift in values shifts every published statistic by +100
+    # ... except when the shift reorders equal-y ties differently —
+    # ys here are distinct, so the order is identical
+    assert rb["med_point"] == ra["med_point"] + 100
+    assert rb["ci_lo"] == ra["ci_lo"] + 100
+    assert rb["ci_hi"] == ra["ci_hi"] + 100
