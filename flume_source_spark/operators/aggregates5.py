@@ -33,7 +33,7 @@ same cost as any grouped sum.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flume_source_spark.registry import query
@@ -89,3 +89,117 @@ def agg_moment_sums_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (round 9, session 3): the robust-center companion to
+# agg_weighted_median / agg_mode_deterministic. A plain mean of event
+# values is wrecked by a single fat-fingered amount; the winsorized
+# mean clamps every value to the exact [p5, p95] selection bounds
+# before averaging — the standard treatment for heavy-tailed revenue
+# series (Tukey). Everything is exact: values are cents (the
+# round(value*100) house convention), the percentile bounds are LOWER
+# SELECTIONS at rank ceil(p*n) = (n*p + 99) div 100 (no
+# interpolation), and the mean is a sign-split integral div, so the
+# driver hash pins the whole statistic.
+#
+# Scale: one rank window per event_type (the dq_roc_auc per-row window
+# class), a broadcast-able 1-row-per-type bounds join, then one
+# map-side-combinable clamp-sum fold. Output: one row per event_type.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    bounds AS (
+        SELECT event_type, max(n) AS n,
+               min(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100)
+                        THEN cents END) AS lo,
+               min(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100)
+                        THEN cents END) AS hi
+        FROM r GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT v.event_type, b.n, b.lo, b.hi,
+               least(greatest(v.cents, b.lo), b.hi) AS c
+        FROM v JOIN bounds b ON v.event_type = b.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(lo AS BIGINT) AS lo_cents,
+           CAST(hi AS BIGINT) AS hi_cents,
+           CAST(sum(c) AS BIGINT) AS winsorized_sum_cents,
+           CAST(CASE WHEN sum(c) >= 0 THEN sum(c) // n
+                     ELSE -((-sum(c)) // n) END AS BIGINT) AS winsorized_mean_cents
+    FROM clamped GROUP BY event_type, n, lo, hi
+    ORDER BY event_type
+"""
+
+
+def winsorized_mean(values: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core winsorized-mean fold over a ``(key, cents)`` frame: exact
+    p5/p95 lower-selection bounds, clamp, sign-split integral-div
+    mean. Factored so planted tests (outlier-immunity: one huge value
+    clamps to hi and moves the mean by a bounded amount; symmetric
+    data keeps its center) drive the production arithmetic."""
+    w = Window.partitionBy(key).orderBy("cents")
+    r = values.select(
+        key,
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(key)).alias("n"),
+    )
+    bounds = r.groupBy(key).agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("rn") == F.expr("greatest(1, (n * 5 + 99) div 100)"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("greatest(1, (n * 95 + 99) div 100)"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clamped = values.join(F.broadcast(bounds), key).select(
+        key,
+        "n",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("c"),
+    )
+    return (
+        clamped.groupBy(key, "n", "lo", "hi")
+        .agg(F.sum("c").alias("sc"))
+        .select(
+            key,
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            F.col("sc").cast("long").alias("winsorized_sum_cents"),
+            F.expr(
+                "CAST(CASE WHEN sc >= 0 THEN sc div n"
+                " ELSE -((-sc) div n) END AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+        )
+        .orderBy(key)
+    )
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE, tags=("aggregate", "stats", "exact-twin"))
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value (cents) per event_type: exact
+    p5/p95 selection bounds, clamp, integral-div mean — the robust
+    center a revenue dashboard should show instead of the raw mean
+    whenever the tail is fat (one corrupted amount moves the raw mean
+    unboundedly; here it clamps to the p95 bound)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    return winsorized_mean(v, "event_type")

@@ -522,7 +522,8 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # more: dedup_minhash_calibration (estimator-honesty curve on the
 # portable md5 MinHash), ds_l_diversity_audit (provenance-leak
 # companion to k-anonymity), ts_bootstrap_ci_median (deterministic
-# md5-resample bootstrap CI — selection-only, RNG-free).
+# md5-resample bootstrap CI — selection-only, RNG-free). Batch 4
+# adds agg_winsorized_mean (exact p5/p95 clamp + integral-div mean).
 _KNOWN_ROUNDS = 8
 
 

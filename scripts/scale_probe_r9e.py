@@ -11,6 +11,10 @@ for the batch-3 queries (protocol of scale_probe_r5..r9d).
    shifted, ts/event_type UNCHANGED) — the resample grid is
    calendar x BOOT_B regardless of N; claim FLAT after the daily
    collapse.
+4. agg_winsorized_mean under the same event replication — one rank
+   window per event_type over ALL rows (the dq_roc_auc per-row window
+   class) + a broadcast bounds join + one clamp fold; claim
+   linear-with-sort in rows.
 """
 import json
 import os
@@ -40,6 +44,7 @@ def main():
         ("dedup_minhash_calibration", d_doc),
         ("ds_l_diversity_audit", d_doc),
         ("ts_bootstrap_ci_median", d_ev),
+        ("agg_winsorized_mean", d_ev),
     ]:
         t1 = run(specs, spark, name, BASE)
         t8 = run(specs, spark, name, rep_dir)

@@ -970,3 +970,64 @@ def test_er_audit_plan_sample_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_session3_fold_queries_have_no_joins(spark, sf_dir):
+    """dq_cohens_kappa / dq_gini_impurity / ts_spearman_corr are pure
+    scan -> (window) -> partial+final aggregate pipelines: any join
+    node in the physical plan means a regression into a shuffle the
+    operator does not need."""
+    for name in ("dq_cohens_kappa", "dq_gini_impurity", "ts_spearman_corr"):
+        p = plan(spark, sf_dir, name)
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in p, (name, node)
+        assert "HashAggregate" in p, name
+
+
+def test_theil_sen_pair_join_is_equi_on_key(spark, sf_dir):
+    """ts_theil_sen's day-pair join must hash/merge on event_type with
+    d1 < d2 as a residual condition — never a cartesian (the
+    ts_mann_kendall plan contract)."""
+    p = plan(spark, sf_dir, "ts_theil_sen")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_cosine_hist_pair_join_is_bounded_broadcast(spark, sf_dir):
+    """emb_cosine_hist's i<j pair join is non-equi, so it is allowed to
+    be a nested-loop — but ONLY as a broadcast of the budget-gated
+    sample (house rule: every cross broadcasts a bounded side). A
+    CartesianProduct (both sides unbroadcast) would mean the gate fell
+    out of the plan."""
+    p = plan(spark, sf_dir, "emb_cosine_hist")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastExchange" in p
+
+
+def test_bootstrap_ci_joins_are_equi_only(spark, sf_dir):
+    """ts_bootstrap_ci_median's resample pick is an equi-join on
+    (event_type, rank); the grid explode must not degrade into any
+    nested-loop shape."""
+    p = plan(spark, sf_dir, "ts_bootstrap_ci_median")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_local_clustering_wedge_joins_are_equi(spark, sf_dir):
+    """graph_local_clustering's triangle enumeration is the canonical
+    two-equi-join wedge closure over the checkpointed edge frame —
+    no cartesian anywhere."""
+    p = plan(spark, sf_dir, "graph_local_clustering")
+    assert "CartesianProduct" not in p
+
+
+def test_winsorized_mean_bounds_join_is_broadcast(spark, sf_dir):
+    """agg_winsorized_mean joins each row against a 1-row-per-type
+    bounds table: that join must be a broadcast, never a shuffle of
+    the event side against 5 rows."""
+    p = plan(spark, sf_dir, "agg_winsorized_mean")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -495,3 +495,40 @@ def test_bootstrap_ci_is_shift_equivariant(spark):
     assert rb["med_point"] == ra["med_point"] + 100
     assert rb["ci_lo"] == ra["ci_lo"] + 100
     assert rb["ci_hi"] == ra["ci_hi"] + 100
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_mean_clamps_the_outlier(spark):
+    from flume_source_spark.operators.aggregates5 import winsorized_mean
+
+    # 19 well-behaved values + one absurd outlier
+    vals = list(range(1, 20)) + [10_000_000]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "event_type string, cents long"
+    )
+    out = winsorized_mean(df, "event_type").collect()[0]
+    # bounds: rank ceil(20*0.05)=1 -> lo=1; rank ceil(20*0.95)=19 -> hi=19
+    assert (out["lo_cents"], out["hi_cents"]) == (1, 19)
+    # the outlier contributes 19, not 1e7: sum = sum(1..19) + 19
+    assert out["winsorized_sum_cents"] == sum(range(1, 20)) + 19
+    assert out["winsorized_mean_cents"] == (sum(range(1, 20)) + 19) // 20
+
+
+def test_winsorized_mean_negative_sum_sign_split(spark):
+    from flume_source_spark.operators.aggregates5 import winsorized_mean
+
+    vals = [-100, -50, -30, -20, -10, -5, -4, -3, -2, -1]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "event_type string, cents long"
+    )
+    out = winsorized_mean(df, "event_type").collect()[0]
+    # n=10: lo rank ceil(0.5)=1 -> -100; hi rank ceil(9.5)=10 -> -1
+    assert (out["lo_cents"], out["hi_cents"]) == (-100, -1)
+    s = sum(vals)  # nothing clamps (bounds are the extremes)
+    assert out["winsorized_sum_cents"] == s
+    # sign-split trunc-toward-zero: -(225 // 10) = -22, not floor -23
+    assert out["winsorized_mean_cents"] == -((-s) // 10)
