@@ -29,11 +29,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flume_source_spark.pipeline.graph2 import _EDGE_CTE
+from flume_source_spark.pipeline.graph2 import _EDGE_CTE, edge_cte
 from flume_source_spark.registry import query
 
+# graph_common_neighbors runs at the 0.2 ANALYSIS radius (round-9
+# session-3 re-shape): at the shared 0.35 radius the fixture graph
+# has exactly ONE non-adjacent wedge pair at sf0.01 — hash-green but
+# evidence of nearly nothing (the geo_grid_join lesson). At 0.2 the
+# same wedge join yields 1,652 scored candidate pairs. Same shared
+# edge builder, parameterized — see pipeline/graph6.py.
+_CN_RADIUS = 0.2
+
 _CN_ORACLE = f"""
-    WITH {_EDGE_CTE},
+    WITH {edge_cte(_CN_RADIUS)},
     bidir AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
     deg AS (SELECT i AS node, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY i),
     wedge AS (
@@ -92,11 +100,16 @@ def common_neighbors(edges: DataFrame) -> DataFrame:
 @query("graph_common_neighbors", oracle=_CN_ORACLE, tags=("llm", "graph", "linkpred"))
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction over the label-blocked
-    embedding-similarity graph: non-adjacent pairs sharing neighbors,
-    scored by integer-permyriad Jaccard of neighborhoods."""
+    embedding-similarity graph at the 0.2 analysis radius (1,652
+    scored pairs at sf0.01 vs 1 at the dedup radius — the re-shape
+    that makes the evidence real): non-adjacent pairs sharing
+    neighbors, scored by integer-permyriad Jaccard of
+    neighborhoods."""
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
-    return common_neighbors(similarity_edges(spark, sf_dir).select("i", "j"))
+    return common_neighbors(
+        similarity_edges(spark, sf_dir, _CN_RADIUS).select("i", "j")
+    )
 
 
 _ASSORT_ORACLE = f"""

@@ -490,7 +490,10 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 #   - 16 oracled tier-1 entries: the re-shaped sim_knn_graph
 #     (singleton fold), the four verify-first arithmetic
 #     re-implementations (dq_roc_auc_exact, scalar_ip_ops,
-#     ds_curation_report, graph_common_neighbors), and the 11 new
+#     ds_curation_report, graph_common_neighbors — the last
+#     additionally re-SHAPED in session 3 onto the 0.2 analysis
+#     radius: 1,652 scored pairs at sf0.01 vs 1 at the dedup radius,
+#     the geo_grid_join lesson applied proactively), and the 11 new
 #     oracled registrations (sim_knn_cell_profile,
 #     sim_knn_descent_round, sim_knn_descent_round2,
 #     sim_knn_refined_recall_audit, mg_shard_summaries_exact,
@@ -524,6 +527,10 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # companion to k-anonymity), ts_bootstrap_ci_median (deterministic
 # md5-resample bootstrap CI — selection-only, RNG-free). Batch 4
 # adds agg_winsorized_mean (exact p5/p95 clamp + integral-div mean).
+# Batch 5: graph_common_neighbors re-shaped onto the 0.2 analysis
+# radius (see the verify-first comment above), and
+# text_compression_ratio registered rows-only (zlib pandas-UDF gate,
+# bit-for-bit in-process pin — no zlib exists in SQL).
 _KNOWN_ROUNDS = 8
 
 
@@ -674,6 +681,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text10  # noqa: F401
     import flume_source_spark.pipeline.text11  # noqa: F401
     import flume_source_spark.pipeline.text12  # noqa: F401
+    import flume_source_spark.pipeline.text13  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401

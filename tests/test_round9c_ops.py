@@ -532,3 +532,56 @@ def test_winsorized_mean_negative_sum_sign_split(spark):
     assert out["winsorized_sum_cents"] == s
     # sign-split trunc-toward-zero: -(225 // 10) = -22, not floor -23
     assert out["winsorized_mean_cents"] == -((-s) // 10)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio gate (batch 5): exact in-process pin — the
+# rows-only policy's strongest form (same compressor, same inputs,
+# bit-for-bit equality on the full fixture).
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_matches_in_process_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    from flume_source_spark.pipeline.text13 import (
+        HIGH_PPM,
+        LOW_PPM,
+        compression_ratio_ppm,
+        text_compression_ratio,
+    )
+    from flume_source_spark.tables import load_tables
+
+    got = {r["source"]: r.asDict() for r in text_compression_ratio(spark, sf_dir).collect()}
+    ratios = defaultdict(list)
+    for d in load_tables(spark, sf_dir)["documents"].collect():
+        r = compression_ratio_ppm(d["text"])
+        if r >= 0:
+            ratios[d["source"]].append(r)
+    assert set(got) == set(ratios)
+    for src, rs in ratios.items():
+        g = got[src]
+        assert g["n_docs"] == len(rs)
+        assert g["avg_ratio_ppm"] == sum(rs) // len(rs)
+        assert g["min_ratio_ppm"] == min(rs) and g["max_ratio_ppm"] == max(rs)
+        assert g["n_repetitive"] == sum(1 for r in rs if r < LOW_PPM)
+        assert g["n_incompressible"] == sum(1 for r in rs if r > HIGH_PPM)
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    from flume_source_spark.pipeline.text13 import compression_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rep", "spam spam spam spam " * 200),
+            (2, "rep", "buy now " * 500),
+            (3, "prose", "the quick brown fox jumps over the lazy dog and then "
+                          "wanders through seventeen distinct meadows describing "
+                          "each flower it encounters in novel unrepeated words"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r.asDict() for r in compression_profile(docs).collect()}
+    assert out["rep"]["n_repetitive"] == 2  # boilerplate compresses hard
+    assert out["rep"]["avg_ratio_ppm"] < out["prose"]["avg_ratio_ppm"]
+    assert out["prose"]["n_incompressible"] == 0
