@@ -37,7 +37,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from flume_source_spark.registry import query
 from flume_source_spark.tables import load_tables
@@ -47,22 +47,30 @@ LOW_PPM = 300_000   # below: repetitive/templated tail
 HIGH_PPM = 900_000  # above: incompressible (binary/garbled) tail
 
 
-@pandas_udf("long")
-def _zlib_ratio_ppm(text: pd.Series) -> pd.Series:
-    """ratio_ppm = compressed_len * 1e6 // utf8_len per document.
-    Empty/NULL text maps to -1 (flagged, excluded from aggregates on
-    both the Spark side and the pin recompute)."""
-    import zlib
+def _zlib_ratio_udf():
+    """Build the Arrow-batched kernel lazily (house rule,
+    functions/udfs.py:51): decorating at module import would resolve
+    the return type through the active SparkContext, which does not
+    exist at registry-import time (pytest collection, driver import)."""
 
-    def one(t):
-        if t is None:
-            return -1
-        b = t.encode("utf-8")
-        if not b:
-            return -1
-        return len(zlib.compress(b, ZLIB_LEVEL)) * 1_000_000 // len(b)
+    @F.pandas_udf(LongType())
+    def _zlib_ratio_ppm(text: pd.Series) -> pd.Series:
+        """ratio_ppm = compressed_len * 1e6 // utf8_len per document.
+        Empty/NULL text maps to -1 (flagged, excluded from aggregates
+        on both the Spark side and the pin recompute)."""
+        import zlib
 
-    return text.map(one)
+        def one(t):
+            if t is None:
+                return -1
+            b = t.encode("utf-8")
+            if not b:
+                return -1
+            return len(zlib.compress(b, ZLIB_LEVEL)) * 1_000_000 // len(b)
+
+        return text.map(one)
+
+    return _zlib_ratio_ppm
 
 
 def compression_ratio_ppm(t):
@@ -84,7 +92,7 @@ def compression_profile(docs: DataFrame) -> DataFrame:
     document count, mean ratio (integral div), min/max, and the two
     quality-tail counts."""
     scored = docs.select(
-        "source", _zlib_ratio_ppm(F.col("text")).alias("ratio_ppm")
+        "source", _zlib_ratio_udf()(F.col("text")).alias("ratio_ppm")
     ).filter(F.col("ratio_ppm") >= 0)
     return (
         scored.groupBy("source")
