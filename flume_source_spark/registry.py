@@ -531,6 +531,16 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # radius (see the verify-first comment above), and
 # text_compression_ratio registered rows-only (zlib pandas-UDF gate,
 # bit-for-bit in-process pin — no zlib exists in SQL).
+#
+# FINAL r09 sweep-head tally (verify-first tier, never-swept or
+# re-shaped): 16 session-1 + 7 session-2 + 14 session-3 oracled/ro
+# + 2 session-1 rows-only + 6 stale rows-only re-pins = 45 of the
+# ~50-row budget — everything fits one sweep with headroom. Every
+# oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
+# (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
+# registration, and the closing full sf0.1 sweep on the final tree
+# re-verified all 316 oracled queries (BASELINE.md session-3
+# addendum).
 _KNOWN_ROUNDS = 8
 
 
