@@ -12,11 +12,32 @@ from flume_source_spark.registry import load_all
 SPECS = sorted(load_all().values(), key=lambda s: s.name)
 
 
+# Queries legitimately EMPTY at the sf0.001 smoke tier (selective
+# TPC-H predicates / anti-joins whose filters clear the 1.5k-order
+# fixture) — each verified NON-EMPTY at the driver's sf0.01 tier
+# (1/14/238/4/3/5 rows respectively, session-3 verify log). Any OTHER
+# query going 0-row is the geo_nearest_neighbor / geo_grid_join
+# zero-signal defect class (a hash-green row that verifies nothing)
+# and must fail here instead of shipping: fix the query's parameters
+# (the 500 cd / 0.2-radius precedents) or add it here WITH a
+# documented sf0.01 row count.
+EMPTY_AT_SF0001 = {
+    "join_left_anti", "q07_nation_volume", "q11_important_stock",
+    "q20_excess_concentration", "q21_waiting_supplier",
+    "subquery_not_exists_antijoin",
+}
+
+
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_query_matches_oracle(spark, duck, sf_dir, spec):
     res = run_spec(spark, duck, spec, sf_dir)
     assert res.ok, f"{spec.name}: {res.detail}"
-    assert res.spark_rows >= 0
+    if spec.name in EMPTY_AT_SF0001 and sf_dir.rstrip("/").endswith("sf0.001"):
+        return  # allowlisted sparse query at the smoke tier
+    assert res.spark_rows >= 1, (
+        f"{spec.name}: 0 rows — zero-signal evidence (the geo_grid_join "
+        f"defect class); re-parameterize or allowlist with justification"
+    )
 
 
 def test_harness_is_dtype_strict(spark, duck):
