@@ -246,3 +246,154 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     daily.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE seasonal smoothing (round 9, session 3 —
+# PRE-VALIDATED, deliberately UNREGISTERED: the r09 sweep head is at
+# 46 of ~50 slots, so this is a round-10 registration candidate in
+# the r8->r9 handoff pattern). Extends ts_holt_exact with the weekly
+# season term (m = 7):
+#     l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+#     b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+#     s_t = gamma*(y_t - l_t) + (1-gamma)*s_{t-m}
+# alpha = 3/10, beta = gamma = 2/10, scale 1e-6; every /10 and the
+# init /7 are made exact by the remainder-strip (== floor on both
+# engines, == python //). Init after the first m points:
+# l_m = floor(mean(y_1..y_m))*S via remainder-strip-by-7,
+# b_m = 0, s_i = y_i*S - l_m. Output starts at t = m+1.
+#
+# The oracle carries the rotating season state as a LIST(BIGINT) of
+# m slots inside the recursive CTE (slot (t % m)+1 is READ for
+# s_{t-m} and then OVERWRITTEN with s_t — the same-congruence trick
+# that keeps the state O(m)); the Spark side is the ts_holt_exact
+# applyInPandas shape with a python-int list. forecast_s is the
+# one-step-ahead l + b + s_{t+1-m}.
+# ---------------------------------------------------------------------------
+
+_HW_M = 7
+_HW_G_NUM = 2  # gamma = 2/10
+
+
+def _fdiv7_sql(a: str) -> str:
+    return f"(({a}) - ((({a}) % 7 + 7) % 7)) // 7"
+
+
+def _hw_oracle() -> str:
+    S = _S
+    ys = "i.y * {S}".format(S=S)
+    s_old = "r.sl[(i.t % 7) + 1]"
+    L = _fdiv10_sql(f"3 * ({ys} - {s_old}) + 7 * (r.l + r.b)")
+    B = _fdiv10_sql(f"2 * (({L}) - r.l) + 8 * r.b")
+    SN = _fdiv10_sql(f"2 * ({ys} - ({L})) + 8 * {s_old}")
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+        FROM daily
+    ),
+    init AS (
+        SELECT event_type, {_fdiv7_sql(f"sum(y) * {S}")} AS l0
+        FROM idx WHERE t <= 7 GROUP BY event_type
+        HAVING count(*) = 7
+    ),
+    seed AS (
+        SELECT i.event_type,
+               CAST(7 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS y,
+               n.l0 AS l,
+               CAST(0 AS BIGINT) AS b,
+               list(i.y * {S} - n.l0 ORDER BY (i.t % 7)) AS sl
+        FROM idx i JOIN init n ON i.event_type = n.event_type
+        WHERE i.t <= 7
+        GROUP BY i.event_type, n.l0
+    ),
+    rec AS (
+        SELECT event_type, t, y, l, b, sl FROM seed
+        UNION ALL
+        SELECT i.event_type, i.t, i.y,
+               CAST({L} AS BIGINT) AS l,
+               CAST({B} AS BIGINT) AS b,
+               r.sl[1:(i.t % 7)]
+                 || [CAST({SN} AS BIGINT)]
+                 || r.sl[(i.t % 7) + 2:7] AS sl
+        FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+    )
+    SELECT event_type, t, y,
+           CAST(l AS BIGINT) AS level_s,
+           CAST(b AS BIGINT) AS trend_s,
+           CAST(sl[(t % 7) + 1] AS BIGINT) AS season_s,
+           CAST(l + b + sl[((t + 1) % 7) + 1] AS BIGINT) AS forecast_s
+    FROM rec WHERE t > 7
+    ORDER BY event_type, t
+"""
+
+
+_HOLT_WINTERS_ORACLE = _hw_oracle()
+
+
+def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-series exact Holt-Winters recurrence in python ints (one
+    Arrow batch per series; season state = a 7-slot rotating list).
+    Series shorter than 8 points emit nothing (init needs a full
+    season + one step)."""
+    pdf = pdf.sort_values("t")
+    ts = [int(t) for t in pdf["t"]]
+    ys = [int(y) for y in pdf["y"]]
+    out = []
+    if len(ts) <= _HW_M:
+        return pd.DataFrame(
+            out,
+            columns=["event_type", "t", "y", "level_s", "trend_s", "season_s", "forecast_s"],
+        )
+    tot = sum(ys[: _HW_M]) * _S
+    l = (tot - ((tot % _HW_M + _HW_M) % _HW_M)) // _HW_M  # remainder-strip by 7
+    b = 0
+    sl = [0] * _HW_M
+    for i in range(_HW_M):
+        sl[ts[i] % _HW_M] = ys[i] * _S - l
+    et = pdf["event_type"].iloc[0]
+    for t, y in zip(ts[_HW_M:], ys[_HW_M:]):
+        y_s = y * _S
+        s_old = sl[t % _HW_M]
+        l_new = (3 * (y_s - s_old) + 7 * (l + b)) // 10
+        b = (2 * (l_new - l) + 8 * b) // 10
+        s_new = (2 * (y_s - l_new) + 8 * s_old) // 10
+        l = l_new
+        sl[t % _HW_M] = s_new
+        out.append((et, t, y, l, b, s_new, l + b + sl[(t + 1) % _HW_M]))
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "t", "y", "level_s", "trend_s", "season_s", "forecast_s"],
+    )
+
+
+def holt_winters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive level+trend+weekly-season smoothing over
+    daily event counts, exact in scaled integers — the seasonal
+    extension of ts_holt_exact, same applyInPandas shape (sequential
+    in t, parallel across series). UNREGISTERED round-10 candidate;
+    cross-engine pinned by test_holt_winters_matches_duckdb_oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    from pyspark.sql import Window
+
+    idx = daily.withColumn(
+        "t",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).cast("long"),
+    ).select("event_type", "t", "y")
+    return (
+        idx.groupBy("event_type")
+        .applyInPandas(
+            _hw_kernel,
+            schema="event_type string, t long, y long, level_s long, trend_s long,"
+            " season_s long, forecast_s long",
+        )
+        .orderBy("event_type", "t")
+    )

@@ -546,7 +546,17 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # FINAL r09 sweep-head tally (verify-first tier, never-swept or
 # re-shaped): 16 session-1 + 7 session-2 + 14 session-3 oracled/ro
 # + geo_nearest_neighbor + 2 session-1 rows-only + 6 stale rows-only
-# re-pins = 46 of the ~50-row budget — everything fits one sweep. Every
+# re-pins = 46 of the ~50-row budget — everything fits one sweep.
+#
+# ROUND-10 REGISTRATION CANDIDATE (pre-validated, unregistered — the
+# r8->r9 handoff pattern): holt_winters_exact
+# (operators/timeseries6.py) — additive level+trend+weekly-season
+# smoothing, exact scaled-integer applyInPandas kernel vs a
+# recursive-CTE oracle carrying the rotating 7-slot season state as
+# a LIST column. Cross-engine pinned at sf0.001/0.01/0.1
+# (test_holt_winters_matches_duckdb_oracle) with constant-series
+# fixpoint and planted-weekly-pattern convergence tests. Registering
+# it is one @query line. Every
 # oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
 # (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
 # registration, and the closing full sf0.1 sweep on the final tree

@@ -585,3 +585,57 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
     assert out["rep"]["n_repetitive"] == 2  # boilerplate compresses hard
     assert out["rep"]["avg_ratio_ppm"] < out["prose"]["avg_ratio_ppm"]
     assert out["prose"]["n_incompressible"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (pre-validated round-10 candidate — unregistered)
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_matches_duckdb_oracle(spark, duck, sf_dir):
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.operators.timeseries6 import (
+        _HOLT_WINTERS_ORACLE,
+        holt_winters_exact,
+    )
+
+    sdf = holt_winters_exact(spark, sf_dir)
+    res = compare("holt_winters_exact", sdf, duck, _HOLT_WINTERS_ORACLE)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_holt_winters_constant_series_is_a_fixpoint(spark):
+    import datetime as dtm
+
+    from flume_source_spark.operators.timeseries6 import _hw_kernel
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"event_type": ["k"] * 20, "t": list(range(1, 21)), "y": [9] * 20}
+    )
+    out = _hw_kernel(pdf)
+    # constant series: level pins to 9e6 exactly, trend and season 0,
+    # forecast == the series — the smoothing is exact, not approximate
+    assert (out["level_s"] == 9_000_000).all()
+    assert (out["trend_s"] == 0).all()
+    assert (out["season_s"] == 0).all()
+    assert (out["forecast_s"] == 9_000_000).all()
+    assert len(out) == 13  # t = 8..20
+
+
+def test_holt_winters_learns_a_planted_weekly_pattern(spark):
+    from flume_source_spark.operators.timeseries6 import _hw_kernel
+    import pandas as pd
+
+    # strict weekly pattern, no trend: forecasts should converge
+    # toward the true next value as the season state absorbs it
+    pattern = [10, 10, 10, 10, 10, 40, 40]
+    n = 7 * 20
+    ys = [pattern[(t - 1) % 7] for t in range(1, n + 1)]
+    pdf = pd.DataFrame({"event_type": ["k"] * n, "t": list(range(1, n + 1)), "y": ys})
+    out = _hw_kernel(pdf)
+    tail = out.tail(14)
+    err = (tail["forecast_s"] - tail["y"].shift(-1) * 1_000_000).abs().dropna()
+    # late forecasts are within 3% of the true next value
+    assert (err <= 0.03 * 40 * 1_000_000).all()
