@@ -456,3 +456,139 @@ def ts_bootstrap_ci_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     return bootstrap_ci_daily(daily, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (round 9, session 3 — PRE-VALIDATED,
+# deliberately UNREGISTERED round-10 candidate, the same handoff
+# pattern as holt_winters_exact): the classic additive decomposition
+#     y_t = trend_t + seasonal_{dow(t)} + residual_t
+# over the daily series, exact in scaled integers:
+#   trend_t    = centered 7-day moving average (full windows only),
+#                x S, exact via remainder-strip division by 7;
+#   seasonal_d = mean over t = d (mod 7) of (y_t*S - trend_t), exact
+#                via remainder-strip division by the group count;
+#   residual_t = y_t*S - trend_t - seasonal_{dow(t)}.
+# Seasonal means are NOT re-centered (documented; centering adds one
+# more exact division without changing the residual diagnostics).
+# On a planted y = a + b*t + s_{t mod 7} series the decomposition is
+# EXACT: the 7-term MA of a linear trend is the trend itself and the
+# seasonal means recover s, so residual_s == 0 identically — the
+# model test below pins that, which no float implementation could.
+#
+# Execution: two window passes (MA sum+count; nothing else) and one
+# 7-key-per-series group join — the pure-windows cost class, no
+# recursion, no python. Oracle is plain (non-recursive) SQL.
+# ---------------------------------------------------------------------------
+
+
+def _strip_div_sql(a: str, n: str) -> str:
+    """Exact floor division a // n for positive n via remainder-strip
+    (identical under Spark's truncating div because the remainder is
+    removed first)."""
+    return f"((({a}) - ((({a}) % ({n}) + ({n})) % ({n}))) // ({n}))"
+
+
+_DECOMP_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS t
+        FROM daily
+    ),
+    ma AS (
+        SELECT event_type, t, y,
+               sum(y) OVER w AS wsum,
+               count(*) OVER w AS wn
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    tr AS (
+        SELECT event_type, t, y,
+               {_strip_div_sql("wsum * 1000000", "7")} AS trend_s,
+               y * 1000000 - {_strip_div_sql("wsum * 1000000", "7")} AS detr
+        FROM ma WHERE wn = 7
+    ),
+    sea AS (
+        SELECT event_type, t % 7 AS dow,
+               {_strip_div_sql("sum(detr)", "count(*)")} AS seasonal_s
+        FROM tr GROUP BY event_type, t % 7
+    )
+    SELECT tr.event_type, tr.t, tr.y,
+           CAST(tr.trend_s AS BIGINT) AS trend_s,
+           CAST(sea.seasonal_s AS BIGINT) AS seasonal_s,
+           CAST(tr.detr - sea.seasonal_s AS BIGINT) AS residual_s
+    FROM tr JOIN sea
+      ON tr.event_type = sea.event_type AND tr.t % 7 = sea.dow
+    ORDER BY tr.event_type, tr.t
+"""
+
+
+def seasonal_decompose_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exact decomposition over a ``(key, d, y)`` daily frame.
+    Factored so the planted trend+season model test (residual == 0
+    identically) drives the production windows."""
+    w = Window.partitionBy(key).orderBy("d")
+    idx = daily.select(
+        key, "y", F.row_number().over(w).cast("long").alias("t")
+    )
+    wma = (
+        Window.partitionBy(key)
+        .orderBy("t")
+        .rowsBetween(-3, 3)
+    )
+    ma = idx.select(
+        key,
+        "t",
+        "y",
+        F.sum("y").over(wma).alias("wsum"),
+        F.count("*").over(wma).alias("wn"),
+    )
+    tr = ma.filter(F.col("wn") == 7).select(
+        key,
+        "t",
+        "y",
+        F.expr(
+            "((wsum * 1000000) - (((wsum * 1000000) % 7 + 7) % 7)) div 7"
+        ).alias("trend_s"),
+    ).withColumn("detr", F.col("y") * 1000000 - F.col("trend_s"))
+    sea = (
+        tr.groupBy(key, (F.col("t") % 7).alias("dow"))
+        .agg(F.sum("detr").alias("sd"), F.count("*").alias("sn"))
+        .select(
+            key,
+            "dow",
+            F.expr("((sd) - (((sd) % sn + sn) % sn)) div sn").alias("seasonal_s"),
+        )
+    )
+    return (
+        tr.withColumn("dow", F.col("t") % 7)
+        .join(sea, [key, "dow"])
+        .select(
+            key,
+            "t",
+            "y",
+            F.col("trend_s").cast("long").alias("trend_s"),
+            F.col("seasonal_s").cast("long").alias("seasonal_s"),
+            (F.col("detr") - F.col("seasonal_s")).cast("long").alias("residual_s"),
+        )
+        .orderBy(key, "t")
+    )
+
+
+def ts_seasonal_decompose_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact additive seasonal decomposition of daily event counts —
+    trend (centered 7-day MA), day-of-week seasonal means, residual,
+    all scaled integers. UNREGISTERED round-10 candidate; cross-engine
+    pinned by test_seasonal_decompose_matches_duckdb_oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return seasonal_decompose_daily(daily, "event_type")

@@ -548,15 +548,21 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # + geo_nearest_neighbor + 2 session-1 rows-only + 6 stale rows-only
 # re-pins = 46 of the ~50-row budget — everything fits one sweep.
 #
-# ROUND-10 REGISTRATION CANDIDATE (pre-validated, unregistered — the
-# r8->r9 handoff pattern): holt_winters_exact
-# (operators/timeseries6.py) — additive level+trend+weekly-season
-# smoothing, exact scaled-integer applyInPandas kernel vs a
-# recursive-CTE oracle carrying the rotating 7-slot season state as
-# a LIST column. Cross-engine pinned at sf0.001/0.01/0.1
-# (test_holt_winters_matches_duckdb_oracle) with constant-series
-# fixpoint and planted-weekly-pattern convergence tests. Registering
-# it is one @query line. Every
+# ROUND-10 REGISTRATION CANDIDATES (pre-validated, unregistered —
+# the r8->r9 handoff pattern; each needs only an @query line):
+# 1. holt_winters_exact (operators/timeseries6.py) — additive
+#    level+trend+weekly-season smoothing, exact scaled-integer
+#    applyInPandas kernel vs a recursive-CTE oracle carrying the
+#    rotating 7-slot season state as a LIST column. Cross-engine
+#    pinned at sf0.001/0.01/0.1
+#    (test_holt_winters_matches_duckdb_oracle) with constant-series
+#    fixpoint and planted-weekly-pattern convergence tests.
+# 2. ts_seasonal_decompose_exact (operators/timeseries8.py) — exact
+#    additive decomposition (centered-7 MA trend, day-of-week
+#    seasonal means, residual), pure-windows class, non-recursive
+#    oracle. Cross-engine pinned at all three SFs; the planted
+#    trend+season model test pins residual == 0 IDENTICALLY (only
+#    possible because every division is remainder-stripped exact). Every
 # oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
 # (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
 # registration, and the closing full sf0.1 sweep on the final tree

@@ -639,3 +639,50 @@ def test_holt_winters_learns_a_planted_weekly_pattern(spark):
     err = (tail["forecast_s"] - tail["y"].shift(-1) * 1_000_000).abs().dropna()
     # late forecasts are within 3% of the true next value
     assert (err <= 0.03 * 40 * 1_000_000).all()
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (pre-validated round-10 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_matches_duckdb_oracle(spark, duck, sf_dir):
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.operators.timeseries8 import (
+        _DECOMP_ORACLE,
+        ts_seasonal_decompose_exact,
+    )
+
+    res = compare(
+        "ts_seasonal_decompose_exact",
+        ts_seasonal_decompose_exact(spark, sf_dir),
+        duck,
+        _DECOMP_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_seasonal_decompose_planted_series_has_zero_residual(spark):
+    from flume_source_spark.operators.timeseries8 import seasonal_decompose_daily
+
+    # y = 100 + 3t + s[t mod 7] with sum(s) == 0: the 7-term centered
+    # MA reproduces the linear trend EXACTLY (sum of s over any full
+    # period is 0), the seasonal means recover s exactly, so the
+    # residual is identically zero — only possible because every
+    # division is exact
+    s = [14, -7, 3, -10, 5, -8, 3]  # sums to 0
+    assert sum(s) == 0
+    base = dt.date(2024, 1, 1)
+    n = 35
+    rows = [
+        ("k", base + dt.timedelta(days=t - 1), 100 + 3 * t + s[t % 7])
+        for t in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    out = seasonal_decompose_daily(df, "event_type").collect()
+    assert len(out) == n - 6  # full MA windows only
+    for r in out:
+        assert r["residual_s"] == 0, r
+        assert r["trend_s"] == (100 + 3 * r["t"]) * 1_000_000
+        assert r["seasonal_s"] == s[r["t"] % 7] * 1_000_000
