@@ -203,3 +203,87 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     return winsorized_mean(v, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Log2 (HdrHistogram-lite) value histogram (round 9, session 3 —
+# PRE-VALIDATED, deliberately UNREGISTERED round-10 candidate): per
+# event_type, bucket every positive cent amount by its binary length
+# (len = floor(log2(x)) + 1 — computed EXACTLY as length(bin(x)),
+# identical integer semantics on Spark and DuckDB, no float log2
+# whose boundary rounding could diverge), with zero/negative counts
+# reported separately. Exponential buckets are the standard shape for
+# latency/amount distributions where equi-width bins waste all their
+# resolution on the head; the whole histogram is one map-side-
+# combinable groupBy.
+# ---------------------------------------------------------------------------
+
+_LOG2_HIST_ORACLE = """
+    WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    pos AS (
+        SELECT event_type,
+               CAST(length(bin(cents)) AS BIGINT) AS bucket
+        FROM v WHERE cents > 0
+    ),
+    hist AS (
+        SELECT event_type, bucket,
+               CAST(2 AS BIGINT) ** (bucket - 1) AS lo_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pos GROUP BY event_type, bucket
+    ),
+    np AS (
+        SELECT event_type,
+               CAST(0 AS BIGINT) AS bucket,
+               CAST(0 AS BIGINT) AS lo_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v WHERE cents <= 0 GROUP BY event_type
+        HAVING count(*) > 0
+    )
+    SELECT event_type, bucket, CAST(lo_cents AS BIGINT) AS lo_cents, n
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM np)
+    ORDER BY event_type, bucket
+"""
+
+
+def log2_histogram(values: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exponential-bucket fold over a ``(key, cents)`` frame:
+    bucket = length(bin(cents)) for positive cents (bucket 0 holds
+    zero/negative), lo_cents = 2^(bucket-1). Factored so boundary
+    model tests (1023 -> bucket 10, 1024 -> bucket 11) drive the
+    production expression."""
+    pos = values.filter(F.col("cents") > 0).select(
+        key, F.length(F.bin(F.col("cents"))).cast("long").alias("bucket")
+    )
+    hist = pos.groupBy(key, "bucket").agg(F.count("*").cast("long").alias("n")).select(
+        key,
+        "bucket",
+        F.expr("CAST(pow(2, bucket - 1) AS BIGINT)").alias("lo_cents"),
+        "n",
+    )
+    np_ = (
+        values.filter(F.col("cents") <= 0)
+        .groupBy(key)
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            key,
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(0).cast("long").alias("lo_cents"),
+            "n",
+        )
+    )
+    return hist.unionByName(np_).orderBy(key, "bucket")
+
+
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (power-of-2) histogram of event value cents per
+    event_type — exact integer bucketing via binary length, no float
+    log2. UNREGISTERED round-10 candidate; cross-engine pinned by
+    test_log2_histogram_matches_duckdb_oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    return log2_histogram(v, "event_type")

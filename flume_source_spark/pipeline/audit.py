@@ -569,3 +569,176 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair work is O(budget^2) at any corpus size."""
     d = load_tables(spark, sf_dir)["documents"]
     return minhash_calibration(budget_sample(d))
+
+
+# ---------------------------------------------------------------------------
+# lsh_similar_topk (round 9, session 3 — PRE-VALIDATED, deliberately
+# UNREGISTERED round-10 candidate): the SERVING side of the LSH
+# machinery this module audits. "Find the 3 most similar documents to
+# X" is the interactive lookup every dedup/retrieval UI needs; the
+# threshold queries (dedup_minhash_lsh) answer set membership, not
+# ranking. Built on the PORTABLE md5 MinHash (bit-identical on both
+# engines) over the FULL corpus: band candidates (4x3), bucket-capped
+# like production (buckets > LSH_TOPK_MAX_BUCKET dropped — at 100 TB
+# a hot bucket is boilerplate whose members direct dedup already
+# groups; the cap is deterministic so both engines drop the same
+# buckets), symmetrized, ranked per doc by estimated Jaccard
+# (matching components / 12, integer ppm; ties broken by neighbor
+# id), top LSH_TOPK kept.
+#
+# Scale: signatures are one map pass; the band join is an equi-join
+# whose per-bucket fan-out is capped; ranking is one row_number
+# window per doc over <= cap*bands candidates. No all-pairs stage.
+# ---------------------------------------------------------------------------
+
+LSH_TOPK = 3
+LSH_TOPK_MAX_BUCKET = 32
+
+_LSH_TOPK_ORACLE = f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {1 << 30} AS hx
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               {_AUDIT_MINS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({_AUDIT_BANDS_SQL}),
+    keep AS (
+        SELECT band, sig FROM bands
+        GROUP BY band, sig HAVING count(*) <= {LSH_TOPK_MAX_BUCKET}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a
+        JOIN keep k ON a.band = k.band AND a.sig = k.sig
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand
+    ),
+    scored AS (
+        SELECT s.i, s.j,
+               ({_CAL_MATCHES_SQL}) * 1000000 // {AUDIT_N_HASHES} AS est_ppm
+        FROM sym s
+        JOIN sig x ON s.i = x.doc_id
+        JOIN sig y ON s.j = y.doc_id
+    ),
+    ranked AS (
+        SELECT i, j, est_ppm,
+               row_number() OVER (PARTITION BY i ORDER BY est_ppm DESC, j) AS rank
+        FROM scored
+    )
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(j AS BIGINT) AS neighbor,
+           CAST(est_ppm AS BIGINT) AS est_ppm,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {LSH_TOPK}
+    ORDER BY doc_id, rank
+"""
+
+
+def lsh_similar_topk_from(docs: DataFrame) -> DataFrame:
+    """Core top-k similar-documents lookup over a (doc_id, text)
+    frame via the portable md5 MinHash bands. Factored so planted
+    tests (identical docs rank each other first at est 1e6) drive the
+    production join + rank."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle")
+    ).persist()
+    hashed = sh.select("doc_id", (_md5int(F.col("shingle")) % (1 << 30)).alias("hx"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hx") * a + b) % AUDIT_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_AUDIT_AB)
+        ]
+    )
+    stack_args = ", ".join(
+        "{band}, concat_ws('|', {hs})".format(
+            band=band,
+            hs=", ".join(f"h{band * AUDIT_ROWS + r}" for r in range(AUDIT_ROWS)),
+        )
+        for band in range(AUDIT_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack({AUDIT_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    keep = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= LSH_TOPK_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    kept = bands.join(keep, ["band", "sig"], "left_semi")
+    cand = (
+        kept.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    sym = cand.unionAll(cand.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    matches = " + ".join(
+        f"CASE WHEN xh{i} = yh{i} THEN 1 ELSE 0 END" for i in range(AUDIT_N_HASHES)
+    )
+    scored = (
+        sym.join(
+            sig.select(
+                F.col("doc_id").alias("i"),
+                *[F.col(f"h{k}").alias(f"xh{k}") for k in range(AUDIT_N_HASHES)],
+            ),
+            "i",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("j"),
+                *[F.col(f"h{k}").alias(f"yh{k}") for k in range(AUDIT_N_HASHES)],
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(f"({matches}) * 1000000 div {AUDIT_N_HASHES}").alias("est_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(F.col("est_ppm").desc(), F.col("j"))
+    out = (
+        scored.select("i", "j", "est_ppm", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= LSH_TOPK)
+        .select(
+            F.col("i").cast("long").alias("doc_id"),
+            F.col("j").cast("long").alias("neighbor"),
+            F.col("est_ppm").cast("long").alias("est_ppm"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
+
+
+def lsh_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar documents per document, ranked by portable
+    MinHash estimated Jaccard over band candidates — the serving
+    lookup behind every "view near-duplicates" UI. UNREGISTERED
+    round-10 candidate; cross-engine pinned by
+    test_lsh_similar_topk_matches_duckdb_oracle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return lsh_similar_topk_from(d.select("doc_id", "text"))

@@ -562,7 +562,17 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 #    seasonal means, residual), pure-windows class, non-recursive
 #    oracle. Cross-engine pinned at all three SFs; the planted
 #    trend+season model test pins residual == 0 IDENTICALLY (only
-#    possible because every division is remainder-stripped exact). Every
+#    possible because every division is remainder-stripped exact).
+# 3. agg_log2_histogram (operators/aggregates5.py) — HdrHistogram-
+#    lite: power-of-2 value buckets via length(bin(x)) (exact integer
+#    floor(log2)+1 on both engines, no float log whose boundary
+#    rounding could diverge). Boundary-pinned (1023->10, 1024->11);
+#    cross-engine green at all three SFs.
+# 4. lsh_similar_topk (pipeline/audit.py) — the SERVING lookup on the
+#    portable md5 MinHash: top-3 similar documents per document from
+#    bucket-capped band candidates, ranked by estimated Jaccard
+#    (integer ppm, tie-broken by id). Planted-duplicate ranking test;
+#    cross-engine green at all three SFs (614 rows at sf0.1). Every
 # oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
 # (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
 # registration, and the closing full sf0.1 sweep on the final tree

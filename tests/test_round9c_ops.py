@@ -686,3 +686,76 @@ def test_seasonal_decompose_planted_series_has_zero_residual(spark):
         assert r["residual_s"] == 0, r
         assert r["trend_s"] == (100 + 3 * r["t"]) * 1_000_000
         assert r["seasonal_s"] == s[r["t"] % 7] * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram (pre-validated round-10 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_log2_histogram_matches_duckdb_oracle(spark, duck, sf_dir):
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.operators.aggregates5 import (
+        _LOG2_HIST_ORACLE,
+        agg_log2_histogram,
+    )
+
+    res = compare(
+        "agg_log2_histogram", agg_log2_histogram(spark, sf_dir), duck, _LOG2_HIST_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_log2_histogram_bucket_boundaries_are_exact(spark):
+    from flume_source_spark.operators.aggregates5 import log2_histogram
+
+    vals = [1, 2, 3, 1023, 1024, 0, -5]
+    df = spark.createDataFrame([("k", v) for v in vals], "event_type string, cents long")
+    got = {(r["bucket"]): r.asDict() for r in log2_histogram(df, "event_type").collect()}
+    assert got[1]["n"] == 1 and got[1]["lo_cents"] == 1      # {1}
+    assert got[2]["n"] == 2 and got[2]["lo_cents"] == 2      # {2,3}
+    assert got[10]["n"] == 1 and got[10]["lo_cents"] == 512  # {1023}
+    assert got[11]["n"] == 1 and got[11]["lo_cents"] == 1024 # {1024}
+    assert got[0]["n"] == 2                                   # {0,-5}
+
+
+# ---------------------------------------------------------------------------
+# LSH similar-topk serving query (pre-validated round-10 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_similar_topk_matches_duckdb_oracle(spark, duck, sf_dir):
+    from flume_source_spark.oracle import compare
+    from flume_source_spark.pipeline.audit import _LSH_TOPK_ORACLE, lsh_similar_topk
+
+    res = compare(
+        "lsh_similar_topk", lsh_similar_topk(spark, sf_dir), duck, _LSH_TOPK_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_lsh_similar_topk_ranks_the_planted_duplicate_first(spark):
+    from flume_source_spark.pipeline.audit import lsh_similar_topk_from
+
+    text_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, text_a),
+            (2, text_a),  # exact duplicate of 1
+            (3, "the quick brown fox jumps over the lazy dog near the old barn"),
+            (4, "completely unrelated content about spark query optimization"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in lsh_similar_topk_from(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["neighbor"], r["est_ppm"]))
+    # the exact duplicate is rank 1 at estimate 1e6, both directions
+    assert got[1][0] == (1, 2, 1_000_000)
+    assert got[2][0] == (1, 1, 1_000_000)
+    # the near-dup is in doc 1's list below the exact dup
+    assert any(n == 3 for _, n, _ in got[1])
+    # the unrelated doc shares no band with anyone
+    assert 4 not in got
