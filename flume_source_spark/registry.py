@@ -469,9 +469,46 @@ _DRIVER_GREEN_R08 = frozenset(
     }
 )
 
+# Queries with a row in the driver's CORRECTNESS_r09.json: the 50-row
+# round-9 sweep = 39 hash-green (the re-shaped sim_knn_graph singleton
+# fold, the 4 verify-first arithmetic re-derivations, the 11 session-1
+# registrations, the 7 session-2 + 14 session-3 registrations, the
+# re-shaped graph_common_neighbors / geo_nearest_neighbor, and 2
+# sweep-tail TPC-H re-pins) + 11 rows-only-by-design re-pins
+# (`err: no_oracle` — includes the 6 stale r01/r02 rows-only queries,
+# the r06 BPE pair, and the 3 new rows-only registrations
+# sim_knn_graph_auto / sim_knn_graph_refined / text_compression_ratio,
+# each with a hash-oracled twin per the rows-only policy). 0 red.
+# After this sweep NO pre-regeneration driver evidence remains
+# anywhere in the registry.
+_DRIVER_GREEN_R09 = frozenset(
+    {
+        "agg_approx", "agg_sketch_mergeable", "agg_winsorized_mean",
+        "dedup_minhash_calibration", "dedup_simhash", "dq_calibration_bins",
+        "dq_chi2_drift_2x2", "dq_cohens_kappa", "dq_gini_impurity",
+        "dq_ks_two_sample_exact", "dq_pr_curve_exact", "dq_roc_auc_exact",
+        "ds_curation_report", "ds_l_diversity_audit", "ds_shard_skew_audit",
+        "emb_cosine_hist", "entity_blocking_recall_audit",
+        "geo_nearest_neighbor", "graph_bfs_layers", "graph_cc_size_hist",
+        "graph_common_neighbors", "graph_edge_support_exact",
+        "graph_local_clustering", "graph_two_hop_reach", "mg_rollup_exact",
+        "mg_shard_summaries_exact", "q01_pricing_summary",
+        "q03_shipping_priority", "sample_and_introspect", "scalar_hash_spark",
+        "scalar_ip_ops", "sim_ann_lsh", "sim_knn_cell_profile",
+        "sim_knn_descent_round", "sim_knn_descent_round2", "sim_knn_graph",
+        "sim_knn_graph_auto", "sim_knn_graph_refined",
+        "sim_knn_refined_recall_audit", "sql_order_by_all",
+        "text_bpe_encode_stats", "text_bpe_train_merges",
+        "text_compression_ratio", "text_novelty_curve",
+        "ts_attribution_last_touch", "ts_bootstrap_ci_median", "ts_dtw_band",
+        "ts_mann_kendall", "ts_spearman_corr", "ts_theil_sen",
+    }
+)
+
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
     | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
+    | _DRIVER_GREEN_R09
 )
 
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
@@ -489,96 +526,24 @@ _STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 # hardcoded-only scheme always starts the next round one artifact
 # stale (the r5→r6 and r6→r7 verdicts both flagged exactly this).
 #
-# ROUND-10 NOTE: when CORRECTNESS_r09.json lands, the dynamic pickup
-# re-tiers automatically. The manual hygiene step is: fold r09's keys
-# into a hardcoded _DRIVER_GREEN_R09 and bump _KNOWN_ROUNDS to 9.
-# Expected r09 sweep head (23 slots, all locally verified green at
-# sf0.01 before registration):
-#   - 16 oracled tier-1 entries: the re-shaped sim_knn_graph
-#     (singleton fold), the four verify-first arithmetic
-#     re-implementations (dq_roc_auc_exact, scalar_ip_ops,
-#     ds_curation_report, graph_common_neighbors — the last
-#     additionally re-SHAPED in session 3 onto the 0.2 analysis
-#     radius: 1,652 scored pairs at sf0.01 vs 1 at the dedup radius,
-#     the geo_grid_join lesson applied proactively), and the 11 new
-#     oracled registrations (sim_knn_cell_profile,
-#     sim_knn_descent_round, sim_knn_descent_round2,
-#     sim_knn_refined_recall_audit, mg_shard_summaries_exact,
-#     mg_rollup_exact, dq_pr_curve_exact, dq_calibration_bins,
-#     ts_mann_kendall, text_novelty_curve, graph_edge_support_exact);
-#   - 2 rows-only new registrations (sim_knn_graph_auto and
-#     sim_knn_graph_refined — the production/quality paths; twins are
-#     sim_knn_graph and sim_knn_refined_recall_audit per the
-#     rows-only policy);
-#   - the 6 rows-only stale queries (agg_approx, agg_sketch_mergeable,
-#     dedup_simhash, sample_and_introspect, scalar_hash_spark,
-#     sim_ann_lsh) re-pinned with current-fixture no_oracle rows —
-#     after which NO pre-regeneration driver evidence remains
-#     anywhere in the registry.
-# Session 2 adds 7 more oracled tier-1 entries (all verified at
-# sf0.001 + sf0.01 before registration; the four analysis ops also
-# at sf0.1): dq_ks_two_sample_exact, dq_chi2_drift_2x2,
-# graph_two_hop_reach, ts_dtw_band, ts_attribution_last_touch,
-# sql_order_by_all, entity_blocking_recall_audit.
-# Session 3 adds 9 more oracled tier-1 entries (each verified at
-# sf0.001 + sf0.01 + sf0.1 before registration): dq_cohens_kappa,
-# dq_gini_impurity, ts_spearman_corr, ts_theil_sen,
-# graph_local_clustering, graph_bfs_layers (the last two on the
-# documented 0.2 analysis radius of the shared edge builder —
-# non-empty evidence by construction, the geo_grid_join lesson),
-# emb_cosine_hist (budget-gated collapse detector),
-# ds_shard_skew_audit (K=32 layout balance), and graph_cc_size_hist
-# (cluster-size histogram over the exact closure). Batch 3 adds 3
-# more: dedup_minhash_calibration (estimator-honesty curve on the
-# portable md5 MinHash), ds_l_diversity_audit (provenance-leak
-# companion to k-anonymity), ts_bootstrap_ci_median (deterministic
-# md5-resample bootstrap CI — selection-only, RNG-free). Batch 4
-# adds agg_winsorized_mean (exact p5/p95 clamp + integral-div mean).
-# Batch 5: graph_common_neighbors re-shaped onto the 0.2 analysis
-# radius (see the verify-first comment above), and
-# text_compression_ratio registered rows-only (zlib pandas-UDF gate,
-# bit-for-bit in-process pin — no zlib exists in SQL).
-#
-# Late session-3 re-shape: geo_nearest_neighbor re-registered at the
-# 500 cd grid-join radius (its r04 row was a 0-row green — see the
-# _DRIVER_GREEN_R04 exclusion comment).
-#
-# FINAL r09 sweep-head tally (verify-first tier, never-swept or
-# re-shaped): 16 session-1 + 7 session-2 + 14 session-3 oracled/ro
-# + geo_nearest_neighbor + 2 session-1 rows-only + 6 stale rows-only
-# re-pins = 46 of the ~50-row budget — everything fits one sweep.
-#
-# ROUND-10 REGISTRATION CANDIDATES (pre-validated, unregistered —
-# the r8->r9 handoff pattern; each needs only an @query line):
-# 1. holt_winters_exact (operators/timeseries6.py) — additive
-#    level+trend+weekly-season smoothing, exact scaled-integer
-#    applyInPandas kernel vs a recursive-CTE oracle carrying the
-#    rotating 7-slot season state as a LIST column. Cross-engine
-#    pinned at sf0.001/0.01/0.1
-#    (test_holt_winters_matches_duckdb_oracle) with constant-series
-#    fixpoint and planted-weekly-pattern convergence tests.
-# 2. ts_seasonal_decompose_exact (operators/timeseries8.py) — exact
-#    additive decomposition (centered-7 MA trend, day-of-week
-#    seasonal means, residual), pure-windows class, non-recursive
-#    oracle. Cross-engine pinned at all three SFs; the planted
-#    trend+season model test pins residual == 0 IDENTICALLY (only
-#    possible because every division is remainder-stripped exact).
-# 3. agg_log2_histogram (operators/aggregates5.py) — HdrHistogram-
-#    lite: power-of-2 value buckets via length(bin(x)) (exact integer
-#    floor(log2)+1 on both engines, no float log whose boundary
-#    rounding could diverge). Boundary-pinned (1023->10, 1024->11);
-#    cross-engine green at all three SFs.
-# 4. lsh_similar_topk (pipeline/audit.py) — the SERVING lookup on the
-#    portable md5 MinHash: top-3 similar documents per document from
-#    bucket-capped band candidates, ranked by estimated Jaccard
-#    (integer ppm, tie-broken by id). Planted-duplicate ranking test;
-#    cross-engine green at all three SFs (614 rows at sf0.1). Every
-# oracled entry above was verified vs DuckDB at sf0.001 + sf0.01
-# (sessions 1-2) or sf0.001 + sf0.01 + sf0.1 (session 3) before
-# registration, and the closing full sf0.1 sweep on the final tree
-# re-verified all 316 oracled queries (BASELINE.md session-3
-# addendum).
-_KNOWN_ROUNDS = 8
+# Round-10 artifact-currency re-pins (VERDICT r9 item 4): the 8
+# rows-only queries whose LATEST driver artifact is r3-r5 era. All
+# post-regeneration (each has a hash-oracled twin or numpy/in-process
+# pin, so correctness is not in doubt) — fresh `no_oracle` rows merely
+# extend round 9's "no stale artifacts" state to the whole registry.
+# They sort right behind the never-swept tier so one ~8-slot block of
+# the round-10 sweep refreshes them; a later-round artifact row
+# removes each from the tier automatically.
+_R10_ROWSONLY_REPIN = (
+    "sim_ann_ivf", "multimodal_binaryfile", "graph_pagerank_neardup",
+    "ds_semdedup", "dedup_simhash_hamming_join", "emb_pca_power",
+    "emb_quantize_pq", "sim_ann_pq_adc",
+)
+
+# ROUND-11 NOTE: when CORRECTNESS_r10.json lands, the dynamic pickup
+# re-tiers automatically. The manual hygiene step is: fold r10's keys
+# into a hardcoded _DRIVER_GREEN_R10 and bump _KNOWN_ROUNDS to 10.
+_KNOWN_ROUNDS = 9
 
 
 def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:
@@ -733,6 +698,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.streaming.batch_equiv2  # noqa: F401
+    import flume_source_spark.streaming.crawl_pipeline  # noqa: F401
     import flume_source_spark.streaming.heavy_hitters  # noqa: F401
     import flume_source_spark.streaming.timetravel  # noqa: F401
     import flume_source_spark.sources.filemeta_queries  # noqa: F401
@@ -771,9 +737,24 @@ def load_all() -> dict[str, QuerySpec]:
     ordered.update(
         {n: s for n, s in REGISTRY.items() if n in _STALE_GREEN and n not in fresh}
     )
-    # Tier 3: swept rows-only (the r06 BPE rows) behind all oracled.
+    # Tier 3: swept rows-only (the r06 BPE rows) behind all oracled —
+    # unless a fresher round re-pinned them (r09 did), in which case
+    # they carry current evidence and sort with tier 4.
     ordered.update(
-        {n: REGISTRY[n] for n in _DRIVER_ROWSONLY_R06 if n in REGISTRY}
+        {
+            n: REGISTRY[n]
+            for n in _DRIVER_ROWSONLY_R06
+            if n in REGISTRY and n not in fresh
+        }
+    )
+    # Tier 3.5: rows-only artifact-currency re-pins (r3-r5-era rows;
+    # VERDICT r9 item 4). A later-round row retires each dynamically.
+    ordered.update(
+        {
+            n: REGISTRY[n]
+            for n in _R10_ROWSONLY_REPIN
+            if n in REGISTRY and n not in dyn_swept
+        }
     )
     # Tier 4: current-fixture driver-green evidence (r03+ hardcoded
     # plus anything a later-round artifact swept clean).

@@ -421,9 +421,11 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
         _DRIVER_GREEN_R08,
+        _DRIVER_GREEN_R09,
         _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
         _R07_STALE_REPIN,
+        _R10_ROWSONLY_REPIN,
         _STALE_GREEN,
         _later_round_artifacts,
         load_all,
@@ -440,22 +442,31 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
         _DRIVER_GREEN_R08,
+        _DRIVER_GREEN_R09,
         _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
+    assert set(_R10_ROWSONLY_REPIN) <= names
+    # the re-pin tier is exclusively rows-only-by-design queries whose
+    # hardcoded green evidence is r3-r5 era (so they sit in _FRESH_GREEN
+    # but their artifact currency predates round 6)
+    for n in _R10_ROWSONLY_REPIN:
+        assert REGISTRY[n].oracle is None, n
+        assert n in _FRESH_GREEN, n
+        assert n not in _DRIVER_GREEN_R09, n
     assert not (_STALE_GREEN & _FRESH_GREEN)
-    # r06/r07/r08 sweeps must have LEFT the stale/verify tiers
+    # r06-r09 sweeps must have LEFT the stale/verify tiers
     assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R07 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R08 <= _FRESH_GREEN
-    # the round-8 re-shapes dedup_lsh_recall_audit / geo_grid_join now
-    # carry their fresh r08 rows; the round-9 re-shape (sim_knn_graph
-    # singleton fold) and the two verify-first arithmetic
-    # re-implementations must NOT carry green credit for superseded
-    # semantics (ADVICE r8 items 1 and 3)
+    assert _DRIVER_GREEN_R09 <= _FRESH_GREEN
+    # the round-9 re-shape (sim_knn_graph singleton fold) and the two
+    # verify-first arithmetic re-implementations went through the
+    # verify-first block and now carry fresh r09 rows (ADVICE r8
+    # items 1 and 3, closed by the r09 sweep)
     for reshaped in ("sim_knn_graph", "dq_roc_auc_exact", "scalar_ip_ops"):
-        assert reshaped not in _FRESH_GREEN, reshaped
+        assert reshaped in _DRIVER_GREEN_R09, reshaped
     assert "dedup_lsh_recall_audit" in _DRIVER_GREEN_R08
     assert "geo_grid_join" in _DRIVER_GREEN_R08
 
@@ -490,6 +501,13 @@ def test_registry_green_sets_are_consistent():
     n_head += len(expected_stale)
     tier3 = [n for n in _DRIVER_ROWSONLY_R06 if n not in fresh]
     assert set(ordered[n_head : n_head + len(tier3)]) <= set(_DRIVER_ROWSONLY_R06)
+    # tier 3.5: the r3-r5-era rows-only artifact-currency re-pins, in
+    # declared order, each retired the moment a later-round row lands
+    n_head += len(tier3)
+    expected_repin = [
+        n for n in _R10_ROWSONLY_REPIN if n in REGISTRY and n not in dyn_swept
+    ]
+    assert ordered[n_head : n_head + len(expected_repin)] == expected_repin
     # the whole registry is ordered exactly once
     assert len(ordered) == len(names)
 
@@ -541,13 +559,13 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
     and newly swept queries fall to the back."""
     import flume_source_spark.registry as reg
 
-    # pick the scenario fixtures from the LIVE stale tier (entries the
-    # hardcoded record still lists as stale) — hardcoding repin-order
-    # heads broke the moment r07's sweep re-pinned them (they moved to
-    # the fresh tier, where relative order proves nothing)
-    live_stale = [n for n in reg._R07_STALE_REPIN if n in reg._STALE_GREEN]
-    assert len(live_stale) >= 2, "scenario needs two still-stale queries"
-    stale_head, stale_next = live_stale[0], live_stale[1]
+    # pick the scenario fixtures from the LIVE re-pin tier (the r09
+    # sweep retired the last _STALE_GREEN entries, so the only
+    # leave-on-sweep tier left is the r10 rows-only currency queue)
+    dyn_swept0, _ = reg._later_round_artifacts()
+    live_repin = [n for n in reg._R10_ROWSONLY_REPIN if n not in dyn_swept0]
+    assert len(live_repin) >= 2, "scenario needs two still-queued re-pins"
+    stale_head, stale_next = live_repin[0], live_repin[1]
     fresh_red = "q01_pricing_summary"             # previously fresh, now red
     monkeypatch.setattr(
         reg,
