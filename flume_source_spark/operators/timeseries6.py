@@ -249,11 +249,9 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Holt-Winters ADDITIVE seasonal smoothing (round 9, session 3 —
-# PRE-VALIDATED, deliberately UNREGISTERED: the r09 sweep head is at
-# 46 of ~50 slots, so this is a round-10 registration candidate in
-# the r8->r9 handoff pattern). Extends ts_holt_exact with the weekly
-# season term (m = 7):
+# Holt-Winters ADDITIVE seasonal smoothing (built round 9 session 3,
+# registered round 10 per the r9->r10 handoff). Extends ts_holt_exact
+# with the weekly season term (m = 7):
 #     l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
 #     b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
 #     s_t = gamma*(y_t - l_t) + (1-gamma)*s_{t-m}
@@ -272,6 +270,13 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HW_M = 7
+# Smoothing coefficients as numerators over the shared /10 denominator
+# (complement = _HW_DEN - num). Used by BOTH the recursive-CTE oracle
+# builder and the python kernel so the two sides cannot silently drift
+# (ADVICE r9 item 3).
+_HW_DEN = 10
+_HW_A_NUM = 3  # alpha = 3/10
+_HW_B_NUM = 2  # beta  = 2/10
 _HW_G_NUM = 2  # gamma = 2/10
 
 
@@ -283,9 +288,14 @@ def _hw_oracle() -> str:
     S = _S
     ys = "i.y * {S}".format(S=S)
     s_old = "r.sl[(i.t % 7) + 1]"
-    L = _fdiv10_sql(f"3 * ({ys} - {s_old}) + 7 * (r.l + r.b)")
-    B = _fdiv10_sql(f"2 * (({L}) - r.l) + 8 * r.b")
-    SN = _fdiv10_sql(f"2 * ({ys} - ({L})) + 8 * {s_old}")
+    L = _fdiv10_sql(
+        f"{_HW_A_NUM} * ({ys} - {s_old})"
+        f" + {_HW_DEN - _HW_A_NUM} * (r.l + r.b)"
+    )
+    B = _fdiv10_sql(f"{_HW_B_NUM} * (({L}) - r.l) + {_HW_DEN - _HW_B_NUM} * r.b")
+    SN = _fdiv10_sql(
+        f"{_HW_G_NUM} * ({ys} - ({L})) + {_HW_DEN - _HW_G_NUM} * {s_old}"
+    )
     return f"""
     WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
@@ -360,9 +370,9 @@ def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     for t, y in zip(ts[_HW_M:], ys[_HW_M:]):
         y_s = y * _S
         s_old = sl[t % _HW_M]
-        l_new = (3 * (y_s - s_old) + 7 * (l + b)) // 10
-        b = (2 * (l_new - l) + 8 * b) // 10
-        s_new = (2 * (y_s - l_new) + 8 * s_old) // 10
+        l_new = (_HW_A_NUM * (y_s - s_old) + (_HW_DEN - _HW_A_NUM) * (l + b)) // _HW_DEN
+        b = (_HW_B_NUM * (l_new - l) + (_HW_DEN - _HW_B_NUM) * b) // _HW_DEN
+        s_new = (_HW_G_NUM * (y_s - l_new) + (_HW_DEN - _HW_G_NUM) * s_old) // _HW_DEN
         l = l_new
         sl[t % _HW_M] = s_new
         out.append((et, t, y, l, b, s_new, l + b + sl[(t + 1) % _HW_M]))
@@ -372,12 +382,17 @@ def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@query(
+    "ts_holt_winters_exact",
+    oracle=_HOLT_WINTERS_ORACLE,
+    tags=("timeseries", "forecast", "exact-twin"),
+)
 def holt_winters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive level+trend+weekly-season smoothing over
     daily event counts, exact in scaled integers — the seasonal
     extension of ts_holt_exact, same applyInPandas shape (sequential
-    in t, parallel across series). UNREGISTERED round-10 candidate;
-    cross-engine pinned by test_holt_winters_matches_duckdb_oracle."""
+    in t, parallel across series). Cross-engine pinned at all three
+    SFs by test_holt_winters_matches_duckdb_oracle."""
     ev = load_tables(spark, sf_dir)["events"]
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")

@@ -47,9 +47,13 @@ from flume_source_spark.tables import load_tables
 #
 # Exactness/overflow: ranks <= 2n so |num| <= 4n^4 and den_i <= 4n^4;
 # num^2*1e6 stays inside DECIMAL(38,0) while n <= ~7000 points per
-# series (19 years of daily data). Past that, aggregate weekly first.
-# Degenerate (constant) series have den = 0 and are filtered
-# identically on both engines.
+# series (19 years of daily data). The bound is ENFORCED as an
+# explicit `n_days <= SPEARMAN_MAX_DAYS` filter on BOTH engines
+# (ADVICE r9 item 2): past it, Spark DECIMAL(38,0) overflow would
+# yield NULL while DuckDB HUGEINT errors — an asymmetric failure —
+# so over-bound series are excluded identically and visibly instead
+# (aggregate weekly first to analyze them). Degenerate (constant)
+# series have den = 0 and are filtered identically on both engines.
 #
 # Scale: one groupBy onto (event_type, day) — map-side combinable —
 # two rank-window passes over the collapsed daily frame (30-3650 rows
@@ -57,7 +61,11 @@ from flume_source_spark.tables import load_tables
 # per event_type.
 # ---------------------------------------------------------------------------
 
-_SPEARMAN_ORACLE = """
+# DECIMAL(38,0) headroom bound for num^2 * 1e6 (see overflow note
+# above); shared by the Spark filter and the oracle SQL.
+SPEARMAN_MAX_DAYS = 7000
+
+_SPEARMAN_ORACLE = f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
                CAST(count(*) AS BIGINT) AS x,
@@ -97,7 +105,7 @@ _SPEARMAN_ORACLE = """
                      ELSE -(num * num * 1000000 // (den1 * den2))
                 END AS BIGINT) AS rho_sq_ppm
     FROM terms
-    WHERE den1 > 0 AND den2 > 0
+    WHERE den1 > 0 AND den2 > 0 AND n_days <= {SPEARMAN_MAX_DAYS}
     ORDER BY event_type
 """
 
@@ -135,7 +143,11 @@ def spearman_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
         F.expr("n_days * sss - CAST(ss AS DECIMAL(38,0)) * ss").alias("den2"),
     )
     return (
-        terms.filter((F.col("den1") > 0) & (F.col("den2") > 0))
+        terms.filter(
+            (F.col("den1") > 0)
+            & (F.col("den2") > 0)
+            & (F.col("n_days") <= SPEARMAN_MAX_DAYS)
+        )
         .select(
             key,
             "n_days",
@@ -307,6 +319,13 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BOOT_B = 40  # resamples; 5%/95% lower selections land at ranks 2 / 38
+# Per-resample draw count is min(n, BOOT_MAX_DAYS) on BOTH engines:
+# the oracle's generate_series must carry a literal bound, so the
+# Spark side clamps its F.sequence to the same constant — a series
+# longer than ~11 years of daily points resamples a capped draw count
+# (still n distinct source ranks via the md5 % n index) instead of
+# silently diverging from the oracle (ADVICE r9 item 1).
+BOOT_MAX_DAYS = 4000
 _BOOT_LO_RANK = max(1, (BOOT_B * 5) // 100)
 _BOOT_HI_RANK = max(1, (BOOT_B * 95) // 100)
 
@@ -326,7 +345,7 @@ _BOOTSTRAP_ORACLE = f"""
         SELECT DISTINCT i.event_type, i.n, b.b, s.i
         FROM idx i,
              (SELECT unnest(generate_series(1, {BOOT_B})) AS b) b,
-             (SELECT unnest(generate_series(1, 4000)) AS i) s
+             (SELECT unnest(generate_series(1, {BOOT_MAX_DAYS})) AS i) s
         WHERE s.i <= i.n
     ),
     resample AS (
@@ -392,7 +411,14 @@ def bootstrap_ci_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
         idx.select(key, "n")
         .distinct()
         .select(key, "n", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
-        .select(key, "n", "b", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+        .select(
+            key,
+            "n",
+            "b",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n"), F.lit(BOOT_MAX_DAYS)))
+            ).alias("i"),
+        )
     )
     md5i = F.expr(
         f"CAST(conv(substr(md5(concat({key}, ':', CAST(b AS STRING), ':',"
@@ -459,9 +485,9 @@ def ts_bootstrap_ci_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Seasonal decomposition (round 9, session 3 — PRE-VALIDATED,
-# deliberately UNREGISTERED round-10 candidate, the same handoff
-# pattern as holt_winters_exact): the classic additive decomposition
+# Seasonal decomposition (built round 9 session 3, registered round
+# 10 per the r9->r10 handoff, the same pattern as
+# holt_winters_exact): the classic additive decomposition
 #     y_t = trend_t + seasonal_{dow(t)} + residual_t
 # over the daily series, exact in scaled integers:
 #   trend_t    = centered 7-day moving average (full windows only),
@@ -582,11 +608,16 @@ def seasonal_decompose_daily(daily: DataFrame, key: str = "event_type") -> DataF
     )
 
 
+@query(
+    "ts_seasonal_decompose_exact",
+    oracle=_DECOMP_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
 def ts_seasonal_decompose_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact additive seasonal decomposition of daily event counts —
     trend (centered 7-day MA), day-of-week seasonal means, residual,
-    all scaled integers. UNREGISTERED round-10 candidate; cross-engine
-    pinned by test_seasonal_decompose_matches_duckdb_oracle."""
+    all scaled integers. Cross-engine pinned at all three SFs by
+    test_seasonal_decompose_matches_duckdb_oracle."""
     ev = load_tables(spark, sf_dir)["events"]
     daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
         F.count("*").cast("long").alias("y")

@@ -83,11 +83,13 @@ _TRIANGLE_ORACLE = f"""
 
 
 def similarity_edges_from(e: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Label-blocked cosine ≥ 0.35 pair join over a ``(vec_id, label,
-    v0)`` frame (v0 = double vector) — factored from
-    :func:`similarity_edges` so planted-topology model tests (hub
-    blocks, cliques, chains) drive the exact production pair-join
-    code path.
+    """Label-blocked cosine ≥ ``threshold`` pair join over a
+    ``(vec_id, label, v0)`` frame (v0 = double vector) — factored
+    from :func:`similarity_edges` so planted-topology model tests
+    (hub blocks, cliques, chains) drive the exact production
+    pair-join code path. ``threshold`` defaults to the 0.35 dedup
+    radius; graph3/graph6 call it at the 0.2 analysis radius (the
+    non-degenerate wedge/triangle regime).
 
     Vectors are unit-normalized ONCE before the pair join (see the
     ``_EDGE_CTE`` comment): per pair the predicate is a single
