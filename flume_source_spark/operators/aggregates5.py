@@ -206,8 +206,8 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Log2 (HdrHistogram-lite) value histogram (round 9, session 3 —
-# PRE-VALIDATED, deliberately UNREGISTERED round-10 candidate): per
+# Log2 (HdrHistogram-lite) value histogram (built round 9 session 3,
+# registered round 10 per the r9->r10 handoff): per
 # event_type, bucket every positive cent amount by its binary length
 # (len = floor(log2(x)) + 1 — computed EXACTLY as length(bin(x)),
 # identical integer semantics on Spark and DuckDB, no float log2
@@ -277,10 +277,15 @@ def log2_histogram(values: DataFrame, key: str = "event_type") -> DataFrame:
     return hist.unionByName(np_).orderBy(key, "bucket")
 
 
+@query(
+    "agg_log2_histogram",
+    oracle=_LOG2_HIST_ORACLE,
+    tags=("aggregate", "histogram", "exact-twin"),
+)
 def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential (power-of-2) histogram of event value cents per
     event_type — exact integer bucketing via binary length, no float
-    log2. UNREGISTERED round-10 candidate; cross-engine pinned by
+    log2. Cross-engine pinned at all three SFs by
     test_log2_histogram_matches_duckdb_oracle."""
     ev = load_tables(spark, sf_dir)["events"]
     v = ev.select(

@@ -572,8 +572,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# lsh_similar_topk (round 9, session 3 — PRE-VALIDATED, deliberately
-# UNREGISTERED round-10 candidate): the SERVING side of the LSH
+# lsh_similar_topk (built round 9 session 3, registered round 10 per
+# the r9->r10 handoff): the SERVING side of the LSH
 # machinery this module audits. "Find the 3 most similar documents to
 # X" is the interactive lookup every dedup/retrieval UI needs; the
 # threshold queries (dedup_minhash_lsh) answer set membership, not
@@ -734,11 +734,16 @@ def lsh_similar_topk_from(docs: DataFrame) -> DataFrame:
     return out
 
 
+@query(
+    "lsh_similar_topk",
+    oracle=_LSH_TOPK_ORACLE,
+    tags=("pipeline", "dedup", "serving"),
+)
 def lsh_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most similar documents per document, ranked by portable
     MinHash estimated Jaccard over band candidates — the serving
-    lookup behind every "view near-duplicates" UI. UNREGISTERED
-    round-10 candidate; cross-engine pinned by
+    lookup behind every "view near-duplicates" UI. Cross-engine
+    pinned at all three SFs by
     test_lsh_similar_topk_matches_duckdb_oracle."""
     d = load_tables(spark, sf_dir)["documents"]
     return lsh_similar_topk_from(d.select("doc_id", "text"))
