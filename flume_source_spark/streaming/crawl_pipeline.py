@@ -64,6 +64,8 @@ from flume_source_spark.pipeline.dedup import (
     minhash_signature,
     shingle_col,
 )
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
 
 
 def _sig_bands(sig: DataFrame, id_col: str) -> DataFrame:
@@ -333,4 +335,70 @@ def crawl_pipeline_batch_twin(docs_with_epoch: DataFrame) -> DataFrame:
             "i", "j", F.round(jac, 4).cast("double").alias("est_jaccard"), "epoch"
         )
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible registration of the crawl composition (VERDICT r9
+# item 3). The live stream's match output is pinned stream == twin by
+# tests/test_streaming_crawl.py; the twin itself is a deterministic
+# batch DataFrame, so ITS pair set can be oracled directly. The
+# registered projection drops est_jaccard (a 63-component xxhash64
+# signature estimate DuckDB cannot reproduce) and claims the PAIR SET:
+# on this corpus the signature-estimated threshold admits exactly the
+# exact-Jaccard ≥ 0.5 cross-epoch pairs (the same "LSH equals exact
+# here" argument as dedup_minhash_lsh / dedup_incremental_lsh, now
+# for the estimator too — validated at sf0.001 and sf0.01 before
+# registration: 20 / 18 identical pairs). Epochs are a deterministic
+# doc_id % 3 split standing in for three daily crawls.
+# ---------------------------------------------------------------------------
+
+_CRAWL_TWIN_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE b.doc_id % 3 < a.doc_id % 3
+              GROUP BY 1, 2)
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST(j AS BIGINT) AS j,
+           CAST(i % 3 AS BIGINT) AS epoch
+    FROM inter
+    JOIN sz sa ON i = sa.doc_id
+    JOIN sz sb ON j = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    ORDER BY i, j
+"""
+
+
+@query(
+    "stream_crawl_matches_twin",
+    oracle=_CRAWL_TWIN_ORACLE,
+    tags=("streaming", "dedup", "lsh", "batch-twin"),
+)
+def stream_crawl_matches_twin(spark, sf_dir: str) -> DataFrame:
+    """Cross-epoch near-dup pair set of the streaming crawl pipeline's
+    batch twin over documents split into three doc_id%3 crawl epochs —
+    each pair (i, j): increment doc i LSH-matched a strictly-earlier
+    -epoch doc j at signature-estimated Jaccard ≥ the house threshold.
+    The live stream produces the SAME rows epoch by epoch
+    (tests/test_streaming_crawl.py pins stream == twin); the oracle is
+    the exact cross-epoch shingle-Jaccard join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("long").alias("epoch")
+    )
+    return (
+        crawl_pipeline_batch_twin(docs)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("epoch").cast("long").alias("epoch"),
+        )
+        .orderBy("i", "j")
     )
