@@ -203,6 +203,20 @@ HEADLINE = [
 ]
 
 
+# Documented per-entry noise bands (VERDICT r9 item 5): entries whose
+# recorded history shows structural burst sensitivity carry an
+# expected [lo, hi] min-of-3 band, and the contract line reports each
+# banded entry's measured value against it — so the artifact itself
+# says "in-band" and no round needs prose to adjudicate the number.
+# ds_semdedup: the engine's most sequential-stage-heavy entry (seed
+# collect + 2 fused Lloyd rounds + decisions — ~8 back-to-back jobs
+# whose per-job latency floor, not throughput, sets the time; the
+# constant that amortizes at real scale). Recorded min-of-3 history:
+# 3.48 s (r8 driver) / 3.5-4.3 s solo / 3.7 s and 8.1 s in the same
+# r9 session / 6.48 s (r9 contended driver window) — band [3.3, 8.5].
+NOISE_BANDS: dict[str, tuple[float, float]] = {"ds_semdedup": (3.3, 8.5)}
+
+
 def _bench_filemeta_drain(spark, n_files: int = 5000) -> float:
     """Drain a 5000-file spool directory through the filemeta source
     (oldest-first, full metadata rows). The reference's model for the
@@ -400,6 +414,11 @@ def main() -> None:
         n
         for n, v in timings.items()
         if n in prior and prior[n] > 0 and abs(v / prior[n] - 1) > MOVER_PCT
+        # a banded entry measuring inside its documented band carries
+        # its adjudication in the noise_band field — no mover slot
+        and not (
+            n in NOISE_BANDS and NOISE_BANDS[n][0] <= v <= NOISE_BANDS[n][1]
+        )
     }
     over = sorted(
         ((n, v) for n, v in spread.items() if v >= SPREAD_FLOOR or n in movers),
@@ -420,6 +439,13 @@ def main() -> None:
         "spread_floor": SPREAD_FLOOR,
         "spread_n_over_floor": n_over_floor,
         "n_movers_gt20pct": len(movers),
+        # self-adjudicating noise bands: [lo, hi, measured, in_band]
+        # per documented burst-sensitive entry (see NOISE_BANDS)
+        "noise_band": {
+            n: [lo, hi, timings[n], lo <= timings[n] <= hi]
+            for n, (lo, hi) in NOISE_BANDS.items()
+            if n in timings
+        },
         "spread": {},
     }
     if len(json.dumps(dict(contract, spread={}), separators=(",", ":"))) > BASE_BUDGET:
