@@ -381,6 +381,79 @@ _KNN_REFINED_AUDIT_ORACLE = (
 )
 
 
+# Rounds=2 extension of the refined-recall audit (round 10, VERDICT
+# r9 item 6b): one more descent layer over `refined`, scoring base vs
+# round-1 vs round-2 recall in the SAME hashed row — the number that
+# pins where the ladder PLATEAUS (SCALE.md part 8 measured the
+# round-1 jump; this makes the convergence claim driver-hashable
+# instead of script-asserted). Same unroll discipline as
+# _KNN_DESCENT2_ORACLE: each round is one more deterministic CTE
+# layer over the previous round's top-k.
+_KNN_REFINED2_AUDIT_ORACLE = (
+    _KNN_REFINED_AUDIT_ORACLE.rsplit("    sq AS MATERIALIZED", 1)[0]
+    + f"""    fwdq AS (SELECT DISTINCT i, j FROM refined),
+    revq0 AS (SELECT j AS i, i AS j FROM fwdq),
+    revqc AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (
+                       PARTITION BY i ORDER BY
+                       CAST('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 8)
+                            AS BIGINT), j) AS rn
+            FROM revq0)
+        WHERE rn <= {_KNN_K}),
+    dirsq AS MATERIALIZED (
+        SELECT i, j FROM fwdq UNION ALL SELECT i, j FROM revqc),
+    nn2q AS (SELECT a.i AS i, b.j AS j
+             FROM dirsq a JOIN dirsq b ON a.j = b.i),
+    candq AS MATERIALIZED (
+        SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM dirsq UNION ALL SELECT i, j FROM nn2q)
+        WHERE i <> j),
+    dscoredq AS (
+        SELECT c.i, c.j, list_dot_product(na.nv, nb.nv) AS sim
+        FROM candq c
+        JOIN en na ON na.vec_id = c.i
+        JOIN en nb ON nb.vec_id = c.j),
+    refined2 AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rnk
+            FROM dscoredq)
+        WHERE rnk <= {_KNN_K}),
+    sq AS MATERIALIZED (
+        SELECT vec_id, nv FROM en
+        WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                   AS BIGINT)
+              % greatest((SELECT n FROM nn) // {KNN_AUDIT_BUDGET}, 1) = 0),
+    ex_topk AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT s.vec_id AS i, c.vec_id AS j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.nv, c.nv) DESC, c.vec_id)
+                       AS rn
+            FROM sq s JOIN en c ON c.vec_id <> s.vec_id)
+        WHERE rn <= {_KNN_K})
+    SELECT CAST((SELECT count(*) FROM sq) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(b.j) AS BIGINT) AS base_hits,
+           CAST(count(r.j) AS BIGINT) AS r1_hits,
+           CAST(count(r2.j) AS BIGINT) AS r2_hits,
+           CAST(count(b.j) * 1000000 // count(*) AS BIGINT)
+               AS base_recall_ppm,
+           CAST(count(r.j) * 1000000 // count(*) AS BIGINT)
+               AS r1_recall_ppm,
+           CAST(count(r2.j) * 1000000 // count(*) AS BIGINT)
+               AS r2_recall_ppm
+    FROM ex_topk e
+    LEFT JOIN knnb b ON b.i = e.i AND b.j = e.j
+    LEFT JOIN refined r ON r.i = e.i AND r.j = e.j
+    LEFT JOIN refined2 r2 ON r2.i = e.i AND r2.j = e.j
+"""
+)
+
+
 def knn_graph(e: DataFrame, k: int = _KNN_K) -> DataFrame:
     """Label-blocked top-k neighbor lists over a ``(vec_id, label,
     v0)`` frame (v0 = raw double vector) — the SMALL-FIXTURE ORACLE
@@ -1041,6 +1114,126 @@ def sim_knn_refined_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr("CAST(refined_hits * 1000000 div n_exact AS BIGINT)").alias(
                 "refined_recall_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "sim_knn_refined2_recall_audit",
+    oracle=_KNN_REFINED2_AUDIT_ORACLE,
+    tags=("llm", "similarity", "graph", "audit"),
+)
+def sim_knn_refined2_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the two-view ladder after ONE vs TWO NN-descent
+    rounds vs exact brute force, as ONE integer row — the convergence
+    pin for the iterative refinement (where does the ladder plateau?).
+    Same portable primitives as ``sim_knn_refined_recall_audit``
+    (lattice base + md5 random view + md5-capped descent), with the
+    round-2 graph produced by feeding round 1's top-k back through
+    the identical ``knn_descent_round`` — the unroll discipline of
+    ``sim_knn_descent_round2``. r2 ≥ r1 ≥ base recall by the same
+    containment theorem (each round's candidates include the previous
+    round's edges).
+
+    100 TB shape: one extra O(N·k²) equi-join round on top of the
+    round-1 audit's bounded plan; the exact side stays budget-gated
+    (md5 modulus, ~KNN_AUDIT_BUDGET nodes at any N)."""
+    from pyspark.sql import Window as W
+
+    e = _emb_v0(spark, sf_dir)
+    n = e.count()
+    base = knn_graph_blocked(spark, e)
+    bedges = base.where(F.col("neighbor_id").isNotNull()).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    md5i = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    nblocks = max(1, -(-n // KNN_BLOCK_CAP))
+    rb = nv.select("vec_id", "nv", (md5i % F.lit(nblocks)).alias("rb"))
+    rb = rb.select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.row_number().over(W.partitionBy("rb").orderBy("vec_id")).alias("rn"),
+        F.count("*").over(W.partitionBy("rb")).alias("cnt"),
+    ).select(
+        "vec_id",
+        "nv",
+        "rb",
+        F.when(
+            F.col("cnt") >= 2,
+            F.least(
+                F.expr(f"div(rn - 1, {KNN_BLOCK_CAP})"),
+                F.expr(f"div(cnt - 2, {KNN_BLOCK_CAP})"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rblk"),
+    )
+    a = rb.select(F.col("vec_id").alias("i"), F.col("nv").alias("nva"), "rb", "rblk")
+    b = rb.select(F.col("vec_id").alias("j"), F.col("nv").alias("nvb"), "rb", "rblk")
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j"))
+    rtopk = (
+        a.join(b, ["rb", "rblk"])
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j", _dot(F.col("nva"), F.col("nvb")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("i", "j")
+    )
+    refined = knn_descent_round(e, bedges.union(rtopk)).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    refined2 = knn_descent_round(e, refined).select(
+        F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
+    )
+    m = max(n // KNN_AUDIT_BUDGET, 1)
+    sq = nv.where(md5i % F.lit(m) == 0).select(
+        F.col("vec_id").alias("qi"), F.col("nv").alias("qnv")
+    )
+    n_sampled = sq.count()  # bounded: ~KNN_AUDIT_BUDGET rows
+    ex_topk = (
+        nv.crossJoin(F.broadcast(sq))
+        .where(F.col("vec_id") != F.col("qi"))
+        .select(
+            F.col("qi").alias("i"),
+            F.col("vec_id").alias("j"),
+            _dot(F.col("qnv"), F.col("nv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select("i", "j")
+    )
+    return (
+        ex_topk.join(bedges.withColumn("bhit", F.lit(1)), ["i", "j"], "left")
+        .join(refined.withColumn("r1hit", F.lit(1)), ["i", "j"], "left")
+        .join(refined2.withColumn("r2hit", F.lit(1)), ["i", "j"], "left")
+        .agg(
+            F.lit(n_sampled).cast("long").alias("n_sampled"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("bhit").cast("long").alias("base_hits"),
+            F.count("r1hit").cast("long").alias("r1_hits"),
+            F.count("r2hit").cast("long").alias("r2_hits"),
+        )
+        .select(
+            "n_sampled",
+            "n_exact",
+            "base_hits",
+            "r1_hits",
+            "r2_hits",
+            F.expr("CAST(base_hits * 1000000 div n_exact AS BIGINT)").alias(
+                "base_recall_ppm"
+            ),
+            F.expr("CAST(r1_hits * 1000000 div n_exact AS BIGINT)").alias(
+                "r1_recall_ppm"
+            ),
+            F.expr("CAST(r2_hits * 1000000 div n_exact AS BIGINT)").alias(
+                "r2_recall_ppm"
             ),
         )
     )
