@@ -269,3 +269,206 @@ def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 4).cast("double").alias("clip_sim"),
         (F.round("s", 4) >= 0.2).alias("keep_pair"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash Hamming-band near-dup (round 10, VERDICT r9 item
+# 6c): the image-side twin of text near-dedup, reusing the
+# dedup_simhash_hamming_join pigeonhole machinery on 64-bit pHash
+# codes. multimodal_content_dedup buckets EXACT signature matches;
+# real perceptual hashes of re-encoded/resized images differ in a FEW
+# bits, so the production question is "which pairs are within Hamming
+# distance r?" — answered by the Charikar/Manku multi-index: split
+# the 64-bit code into r+1 = 4 disjoint 16-bit bands; any pair within
+# distance 3 agrees exactly on ≥ 1 band (pigeonhole), so a band
+# equi-join + an exact popcount filter finds all of them with no n²
+# scan.
+#
+# The pHash stand-in (no image codecs in this container): a 64-bucket
+# content-histogram threshold sketch — md5(shingle) % 64 bucket
+# counts, bit_i = 1 iff 64·s_i > n (bucket above the mean) — which
+# has the property that matters: near-identical content flips FEW
+# bits (measured on the fixture: planted near-dup pairs sit at
+# Hamming 0-2, background pairs at 9+, a clean gap at the radius-3
+# cut). A real pipeline swaps the sketch column for a DCT pHash
+# computed in the multimodal_decode Arrow-kernel shape; every
+# downstream stage (band split, capped equi-join, xor+bit_count
+# verify) is identical.
+#
+# Scale: sketch = one explode + two map-side-combinable aggregates;
+# candidate generation is the banded equi-join with hot buckets
+# capped at PHASH_MAX_BUCKET (the MAX_BUCKET discipline — an
+# all-zero band value is a degenerate bucket by construction); the
+# verify stage touches candidates only. Pair work is bounded by
+# Σ_bucket |bucket|² with |bucket| ≤ cap — never corpus².
+# ---------------------------------------------------------------------------
+
+PHASH_RADIUS = 3
+PHASH_BANDS = PHASH_RADIUS + 1  # pigeonhole: r-distance pairs share a band
+PHASH_BAND_BITS = 64 // PHASH_BANDS  # 16-bit bands
+PHASH_MAX_BUCKET = 200  # dedup.MAX_BUCKET discipline
+
+_PHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    bk AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 64 AS bucket
+        FROM sh
+    ),
+    cnt AS (SELECT doc_id, bucket, count(*) AS s FROM bk GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS n FROM bk GROUP BY 1),
+    bits AS (
+        SELECT c.doc_id, c.bucket
+        FROM cnt c JOIN tot t USING (doc_id)
+        WHERE 64 * c.s > t.n
+    ),
+    ph AS MATERIALIZED (
+        SELECT t.doc_id, g.band,
+               CAST(coalesce(sum(CASE WHEN b.bucket IS NOT NULL
+                    THEN 1 << CAST(b.bucket % {PHASH_BAND_BITS} AS INT)
+                    ELSE 0 END), 0) AS BIGINT) AS v
+        FROM tot t
+        CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band) g
+        LEFT JOIN bits b
+          ON b.doc_id = t.doc_id AND b.bucket // {PHASH_BAND_BITS} = g.band
+        GROUP BY t.doc_id, g.band
+    ),
+    keep AS (
+        SELECT band, v FROM ph GROUP BY band, v
+        HAVING count(*) <= {PHASH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM ph a
+        JOIN keep k ON a.band = k.band AND a.v = k.v
+        JOIN ph b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    ),
+    wide AS (
+        SELECT doc_id,
+               min(CASE WHEN band = 0 THEN v END) AS b0,
+               min(CASE WHEN band = 1 THEN v END) AS b1,
+               min(CASE WHEN band = 2 THEN v END) AS b2,
+               min(CASE WHEN band = 3 THEN v END) AS b3
+        FROM ph GROUP BY doc_id
+    )
+    SELECT c.i, c.j,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN wide x ON x.doc_id = c.i
+    JOIN wide y ON y.doc_id = c.j
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {PHASH_RADIUS}
+    ORDER BY i, j
+"""
+
+
+def phash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, v) 16-bit band values of the 64-bit perceptual
+    sketch over a (doc_id, text) frame — every doc emits ALL
+    PHASH_BANDS rows (zero-valued bands included: a missing row would
+    silently exclude the doc from that band's candidate join).
+    Factored so planted tests (bit-flip neighbors within/beyond the
+    radius) drive the production sketch + band split."""
+    from flume_source_spark.pipeline.audit import _md5int
+    from flume_source_spark.pipeline.dedup import shingle_col
+
+    sh = docs.select("doc_id", F.explode(shingle_col(F.col("text"))).alias("shingle"))
+    bk = sh.select("doc_id", (_md5int(F.col("shingle")) % 64).alias("bucket"))
+    cnt = bk.groupBy("doc_id", "bucket").agg(F.count("*").alias("s"))
+    tot = bk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bits = cnt.join(tot, "doc_id").filter(64 * F.col("s") > F.col("n"))
+    band_vals = (
+        bits.select(
+            "doc_id",
+            F.expr(f"bucket div {PHASH_BAND_BITS}").alias("band"),
+            F.expr(
+                f"CAST(shiftleft(1, CAST(bucket % {PHASH_BAND_BITS} AS INT))"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.sum("w").alias("v"))
+    )
+    lattice = tot.select("doc_id").crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(PHASH_BANDS).select(F.col("id").alias("band"))
+        )
+    )
+    return lattice.join(band_vals, ["doc_id", "band"], "left").select(
+        "doc_id", "band", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+
+
+def phash_hamming_pairs(ph: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
+    """(i, j, hamming) pairs within ``radius`` over a (doc_id, band,
+    v) band frame, via the capped band equi-join + exact xor/popcount
+    verify. Exact recall for radius ≤ PHASH_BANDS − 1 among docs
+    whose shared band bucket is under the cap."""
+    keep = (
+        ph.groupBy("band", "v")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= PHASH_MAX_BUCKET)
+        .select("band", "v")
+    )
+    kept = ph.join(keep, ["band", "v"], "left_semi")
+    cand = (
+        kept.alias("a")
+        .join(
+            ph.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    wide = ph.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("band") == b, F.col("v"))).alias(f"b{b}")
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"xb{b} ^ yb{b}")) for b in range(PHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(
+            wide.select(
+                F.col("doc_id").alias("i"),
+                *[F.col(f"b{b}").alias(f"xb{b}") for b in range(PHASH_BANDS)],
+            ),
+            "i",
+        )
+        .join(
+            wide.select(
+                F.col("doc_id").alias("j"),
+                *[F.col(f"b{b}").alias(f"yb{b}") for b in range(PHASH_BANDS)],
+            ),
+            "j",
+        )
+        .select("i", "j", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "multimodal_phash_hamming_neardup",
+    oracle=_PHASH_ORACLE,
+    tags=("llm", "multimodal", "dedup", "lsh"),
+)
+def multimodal_phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All content pairs within Hamming distance 3 of each other's
+    64-bit perceptual sketches, found by exact-recall 4×16-bit band
+    blocking + popcount verify — the image-near-dup plan (pHash multi
+    -index) run end-to-end on the deterministic sketch stand-in."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return phash_hamming_pairs(phash_bands(d.select("doc_id", "text")))
