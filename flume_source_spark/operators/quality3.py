@@ -206,3 +206,139 @@ def dq_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward monoculture."""
     d = load_tables(spark, sf_dir)["documents"]
     return gini_impurity(d, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (squared, exact ppm) — round 10. dq_chi2_drift_2x2 tests
+# WHETHER two categoricals are associated; Cramér's V is the EFFECT
+# SIZE that makes chi-square comparable across tables of different
+# size and shape: V² = χ² / (t · (min(R, C) − 1)), in [0, 1]. The
+# square is the exact portable form (sqrt is float), monotone in V so
+# thresholding works the same — the rho_sq_ppm convention.
+#
+# Exact arithmetic: per cell, the χ²·t term (o·t − r·c)² / (r·c) is
+# one integral div on non-negative DECIMAL(38,0)/HUGEINT operands
+# (each cell's floor is applied identically on both engines — the
+# published statistic is THIS deterministic formulation, documented,
+# off from real χ² by < #cells in the t-scaled units, i.e. < 1e-6
+# relative at fixture scale); the cell terms sum and one more
+# integral div by t²·(min(R,C)−1) lands V² in ppm.
+# Headroom: o·t ≤ t², so (o·t − r·c)² ≤ t⁴ and the ppm-scaled
+# numerator ≤ t⁴·1e6 — inside DECIMAL(38,0) while t ≤ ~3×10⁶ rows
+# per audited table; enforced nowhere because the AUDITED table here
+# is the (event_type × day-of-week) contingency whose t is the event
+# count — at larger scale audit a sampled window (the audit-budget
+# discipline) or widen to two-level partials.
+#
+# Scale: one map-side-combinable groupBy onto R·C cells, two
+# broadcast-sized margin joins, one fold. Output: ONE row.
+# ---------------------------------------------------------------------------
+
+_CRAMERS_ORACLE = """
+    WITH cells AS (
+        SELECT event_type AS r, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY r),
+    cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY c),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+    dims AS (
+        SELECT (SELECT count(*) FROM rm) AS nr, (SELECT count(*) FROM cm) AS nc
+    ),
+    lattice AS (
+        SELECT rm.r, rm.rn, cm.c, cm.cn, coalesce(x.o, 0) AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells x ON x.r = rm.r AND x.c = cm.c
+    ),
+    terms AS (
+        SELECT CAST(sum(
+            ((CAST(o AS HUGEINT) * t.t - CAST(rn AS HUGEINT) * cn)
+             * (CAST(o AS HUGEINT) * t.t - CAST(rn AS HUGEINT) * cn)
+             * 1000000)
+            // (CAST(rn AS HUGEINT) * cn)
+        ) AS HUGEINT) AS chi2t_ppm
+        FROM lattice CROSS JOIN t
+    )
+    SELECT CAST(t.t AS BIGINT) AS n,
+           CAST(d.nr AS BIGINT) AS n_rows,
+           CAST(d.nc AS BIGINT) AS n_cols,
+           CAST(terms.chi2t_ppm // t.t AS BIGINT) AS chi2_ppm,
+           CAST(terms.chi2t_ppm
+                // (CAST(t.t AS HUGEINT) * t.t * (least(d.nr, d.nc) - 1))
+                AS BIGINT) AS v_sq_ppm
+    FROM terms CROSS JOIN t CROSS JOIN dims d
+"""
+
+
+def cramers_v_sq(cells: DataFrame) -> DataFrame:
+    """Core Cramér's V² fold over an ``(r, c, o)`` contingency frame.
+    Factored so closed-form model tests (perfect association → 1e6
+    ppm; independence → 0) drive the production margin joins and the
+    exact per-cell arithmetic."""
+    rm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
+    t = cells.agg(
+        F.sum("o").cast("long").alias("t"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    )
+    # the FULL R×C lattice, zero cells included: absent cells carry
+    # the (0 − e)²/e term, and a sparse perfect-association table
+    # would otherwise read V² = 1/(min−1) instead of 1 (the planted
+    # 3×3 model test catches exactly this)
+    lattice = (
+        F.broadcast(rm)
+        .crossJoin(F.broadcast(cm))
+        .join(cells, ["r", "c"], "left")
+        .select("r", "c", "rn", "cn", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    terms = (
+        lattice
+        .crossJoin(F.broadcast(t))
+        .select(
+            "t",
+            "nr",
+            "nc",
+            F.expr(
+                "(CAST(o AS DECIMAL(38,0)) * t - CAST(rn AS DECIMAL(38,0)) * cn)"
+            ).alias("d"),
+            F.expr("CAST(rn AS DECIMAL(38,0)) * cn").alias("e"),
+        )
+        .select(
+            "t",
+            "nr",
+            "nc",
+            F.expr("CAST((d * d * 1000000) div e AS DECIMAL(38,0))").alias("cell"),
+        )
+    )
+    return terms.groupBy("t", "nr", "nc").agg(
+        F.sum("cell").alias("chi2t_ppm")
+    ).select(
+        F.col("t").alias("n"),
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.expr("CAST(chi2t_ppm div t AS BIGINT)").alias("chi2_ppm"),
+        F.expr(
+            "CAST(chi2t_ppm div (CAST(t AS DECIMAL(38,0)) * t"
+            " * (least(nr, nc) - 1)) AS BIGINT)"
+        ).alias("v_sq_ppm"),
+    )
+
+
+@query(
+    "dq_cramers_v_sq",
+    oracle=_CRAMERS_ORACLE,
+    tags=("quality", "stats", "exact-twin"),
+)
+def dq_cramers_v_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V² (exact ppm) between event_type and day-of-week —
+    the effect size behind "is traffic mix different on weekends?".
+    chi2_ppm is emitted too so the consumer can recover the test
+    statistic; one row out."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT)").alias("c"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    return cramers_v_sq(cells)
