@@ -1237,3 +1237,77 @@ def sim_knn_refined2_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label purity (round 10): the embedding-space QUALITY audit the
+# k-NN ladder feeds. If the space is any good, a vector's nearest
+# neighbors should overwhelmingly share its label; per-label purity
+# (same-label edge fraction, exact ppm) is the number that says WHICH
+# classes the encoder confuses — the confusion-matrix-shaped view of
+# emb_centroid_cohesion's single cohesion scalar, computed over the
+# REGISTERED capped-IVF graph (so the audit measures the graph a
+# consumer actually gets, cap effects included).
+#
+# Scale: the graph is the bounded sim_knn_graph plan; the audit adds
+# two broadcast-able label joins (labels are one narrow column) and
+# one map-side-combinable rollup onto |labels| rows.
+# ---------------------------------------------------------------------------
+
+_KNN_PURITY_ORACLE = (
+    _KNN_ORACLE.rsplit("SELECT i AS vec_id", 1)[0]
+    + f""",
+    knn AS (SELECT i, nj AS j FROM ranked WHERE rnk <= {_KNN_K}),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+    SELECT la.label,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same,
+           CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS purity_ppm
+    FROM knn k
+    JOIN lab la ON la.vec_id = k.i
+    JOIN lab lb ON lb.vec_id = k.j
+    GROUP BY la.label
+    ORDER BY la.label
+"""
+)
+
+
+@query(
+    "sim_knn_label_purity",
+    oracle=_KNN_PURITY_ORACLE,
+    tags=("llm", "similarity", "graph", "audit"),
+)
+def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label k-NN purity over the registered capped-IVF graph:
+    what fraction of each label's neighbor edges stay inside the
+    label (exact ppm)? Low purity for a label = the encoder confuses
+    it — the class-level embedding-quality audit behind SemDeDup and
+    label-propagation consumers."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    knn = knn_graph_blocked(
+        spark, e.select("vec_id", _dvec("embedding").alias("v0"))
+    ).where(F.col("neighbor_id").isNotNull())
+    lab = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    return (
+        knn.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j"))
+        .join(lab.select(F.col("vec_id").alias("i"), F.col("label").alias("la")), "i")
+        .join(lab.select(F.col("vec_id").alias("j"), F.col("label").alias("lb")), "j")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_same"),
+        )
+        .select(
+            "label",
+            "n_edges",
+            "n_same",
+            F.expr("CAST(n_same * 1000000 div n_edges AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy("label")
+    )
