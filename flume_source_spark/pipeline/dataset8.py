@@ -304,3 +304,88 @@ def ds_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate by language (round 10): the curation-dashboard rollup
+# of the dedup machinery — per lang, how much of the corpus sits in a
+# near-duplicate pair? The number that decides WHERE dedup budget
+# goes (a lang with 20% near-dup rate gets the aggressive pass; one
+# at 0.1% doesn't) and the drift alarm when one crawl source starts
+# recycling content. Pairs come from the production MinHash-LSH path
+# (banded candidates + exact verify — dedup_minhash_lsh's plan, equal
+# to the exact join on this corpus by the module's probability
+# argument); the oracle is the exact shingle-Jaccard join + the same
+# rollup. A doc counts as duplicated if it appears in ANY qualifying
+# pair (cross-lang pairs count for both sides' langs).
+#
+# Scale: the LSH pair set is the bounded banded plan; the rollup is
+# one union + distinct on the (rare) pair endpoints, one broadcast
+# join back to the narrow (doc_id, lang) projection, and a
+# map-side-combinable per-lang fold.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_RATE_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i, j FROM inter
+              JOIN sz sa ON i = sa.doc_id
+              JOIN sz sb ON j = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+    dup AS (SELECT DISTINCT doc_id FROM (
+        SELECT i AS doc_id FROM pairs UNION ALL SELECT j FROM pairs))
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+           CAST(count(dup.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+"""
+
+
+@query(
+    "ds_neardup_rate_by_lang",
+    oracle=_NEARDUP_RATE_ORACLE,
+    tags=("llm", "dataset", "dedup", "report"),
+)
+def ds_neardup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language near-duplicate exposure: fraction of docs (exact
+    ppm) appearing in at least one Jaccard ≥ 0.5 near-dup pair, pairs
+    found by the production banded-LSH + exact-verify plan. The
+    curation dashboard's budget-allocation number."""
+    from flume_source_spark.pipeline.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("i", "j")
+    dup = (
+        pairs.select(F.col("i").alias("doc_id"))
+        .unionAll(pairs.select(F.col("j").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    return (
+        d.join(F.broadcast(dup), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("CAST(n_dup_docs * 1000000 div n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )

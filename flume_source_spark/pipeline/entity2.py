@@ -284,3 +284,162 @@ def entity_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden record / survivorship merge (round 10): the step AFTER
+# linkage — collapse each connected cluster of score ≥ MATCH_T pairs
+# into ONE canonical record with deterministic survivorship rules:
+#   entity_id      = min member partkey (the CC label),
+#   canonical_name = longest member name (ties → lexicographically
+#                    first, then min partkey) — the completeness rule,
+#   canonical_type = modal p_type (ties → lexicographically first),
+#   size_lo/size_hi = member size envelope (the field where members
+#                     legitimately disagree → publish the range).
+# Only multi-member clusters are emitted — singletons ARE their own
+# golden record and would pad the output corpus-sized.
+#
+# Clusters: min-label connected components over the match edges —
+# Spark runs the shared graph.connected_components propagation loop
+# (O(diameter) rounds; match clusters are shallow by construction),
+# the oracle the shared recursive-reachability CTE pattern
+# (graph._CC_CTE). Scale: edges are the N·W sorted-neighborhood
+# output filtered to matches (rare), the CC loop runs on THAT edge
+# set (not the corpus), and survivorship is two window selections +
+# one rollup per cluster.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+        SELECT p_partkey, p_brand, p_name, p_type, p_size,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_name, p_partkey) AS BIGINT) AS rnk
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS i, b.p_partkey AS j,
+               CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                    THEN {_W_NAME[0]} ELSE {_W_NAME[1]} END
+             + CASE WHEN a.p_type = b.p_type
+                    THEN {_W_TYPE[0]} ELSE {_W_TYPE[1]} END
+             + CASE WHEN abs(a.p_size - b.p_size) <= 1
+                    THEN {_W_SIZE[0]} ELSE {_W_SIZE[1]} END AS score
+        FROM ranked a
+        CROSS JOIN (SELECT unnest(generate_series(1, {_WINDOW})) AS off) o
+        JOIN ranked b ON b.p_brand = a.p_brand AND b.rnk = a.rnk + o.off
+    ),
+    matches AS (
+        SELECT DISTINCT least(i, j) AS i, greatest(i, j) AS j
+        FROM cand WHERE score >= {_MATCH_T}
+    ),
+    mnodes AS (SELECT DISTINCT i AS node FROM (
+        SELECT i FROM matches UNION ALL SELECT j AS i FROM matches)),
+    bidir AS (SELECT i, j FROM matches UNION SELECT j AS i, i AS j FROM matches),
+    reach(node, root) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT b.j, r.root FROM reach r JOIN bidir b ON b.i = r.node
+    ),
+    comp AS (SELECT node AS p_partkey, min(root) AS entity_id
+             FROM reach GROUP BY node),
+    members AS (
+        SELECT c.entity_id, p.p_partkey, p.p_name, p.p_type, p.p_size
+        FROM comp c JOIN part p ON p.p_partkey = c.p_partkey
+    ),
+    name_pick AS (
+        SELECT entity_id, p_name AS canonical_name FROM (
+            SELECT entity_id, p_name,
+                   row_number() OVER (PARTITION BY entity_id
+                       ORDER BY length(p_name) DESC, p_name, p_partkey) AS rn
+            FROM members) WHERE rn = 1
+    ),
+    type_pick AS (
+        SELECT entity_id, p_type AS canonical_type FROM (
+            SELECT entity_id, p_type,
+                   row_number() OVER (PARTITION BY entity_id
+                       ORDER BY count(*) DESC, p_type) AS rn
+            FROM members GROUP BY entity_id, p_type) WHERE rn = 1
+    ),
+    roll AS (
+        SELECT entity_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(p_size) AS BIGINT) AS size_lo,
+               CAST(max(p_size) AS BIGINT) AS size_hi
+        FROM members GROUP BY entity_id
+    )
+    SELECT r.entity_id, r.n_members, n.canonical_name, t.canonical_type,
+           r.size_lo, r.size_hi
+    FROM roll r
+    JOIN name_pick n USING (entity_id)
+    JOIN type_pick t USING (entity_id)
+    WHERE r.n_members >= 2
+    ORDER BY r.entity_id
+"""
+
+
+@query(
+    "entity_golden_record",
+    oracle=_GOLDEN_ORACLE,
+    tags=("llm", "entity", "linkage", "merge"),
+)
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over Fellegi-Sunter match clusters: connected
+    components of score ≥ MATCH_T pairs, one canonical record per
+    multi-member cluster (min-id entity key, longest name, modal
+    type, size envelope) — the 'create the master record' step every
+    MDM/dedup pipeline ends with."""
+    from pyspark.sql import Window
+
+    from flume_source_spark.pipeline.graph import connected_components
+
+    matches = (
+        entity_fs_linkage_scores(spark, sf_dir)
+        .filter(F.col("link_class") == "match")
+        .select("i", "j")
+        .distinct()
+    )
+    nodes = (
+        matches.select(F.col("i").alias("id"))
+        .unionAll(matches.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, matches.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    ).select(F.col("id").alias("p_partkey"), F.col("component_id").alias("entity_id"))
+    p = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey", "p_name", "p_type", "p_size"
+    )
+    members = comp.join(p, "p_partkey")
+    wname = Window.partitionBy("entity_id").orderBy(
+        F.length("p_name").desc(), F.col("p_name"), F.col("p_partkey")
+    )
+    name_pick = (
+        members.withColumn("rn", F.row_number().over(wname))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("p_name").alias("canonical_name"))
+    )
+    wtype = Window.partitionBy("entity_id").orderBy(
+        F.col("tc").desc(), F.col("p_type")
+    )
+    type_pick = (
+        members.groupBy("entity_id", "p_type")
+        .agg(F.count("*").alias("tc"))
+        .withColumn("rn", F.row_number().over(wtype))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("p_type").alias("canonical_type"))
+    )
+    roll = members.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("p_size").cast("long").alias("size_lo"),
+        F.max("p_size").cast("long").alias("size_hi"),
+    )
+    return (
+        roll.join(name_pick, "entity_id")
+        .join(type_pick, "entity_id")
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "entity_id", "n_members", "canonical_name", "canonical_type",
+            "size_lo", "size_hi",
+        )
+        .orderBy("entity_id")
+    )
