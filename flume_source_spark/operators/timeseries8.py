@@ -623,3 +623,80 @@ def ts_seasonal_decompose_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     return seasonal_decompose_daily(daily, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Deseasonalized outliers (round 10): anomaly detection on the
+# DECOMPOSITION RESIDUAL instead of the raw series. ts_outlier_mad
+# flags raw-level outliers — on a strongly weekly series every
+# weekend is an "outlier" to a raw MAD gate; after removing trend +
+# day-of-week season (ts_seasonal_decompose_exact), what remains
+# SHOULD be noise, so a residual spike is a genuine anomaly, not a
+# calendar effect. Gate: |residual| > 3 · median(|residual|), both
+# sides exact integers (the residual is scaled-integer by
+# construction; the median is the lower-median selection — the
+# ts_outlier_mad convention). Degenerate exact-fit series (median 0)
+# flag every nonzero residual, which is correct: on a planted
+# trend+season fixture the residual is identically 0 and nothing
+# flags.
+#
+# Scale: the decomposition's pure-windows plan + one per-series
+# median selection + one filter. Output: flagged days only.
+# ---------------------------------------------------------------------------
+
+_RESID_OUTLIER_ORACLE = f"""
+    WITH dec AS ({_DECOMP_ORACLE}),
+    med AS (
+        SELECT event_type, ar AS med_abs_res FROM (
+            SELECT event_type, abs(residual_s) AS ar,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(residual_s)) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dec
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.t, d.y, d.residual_s, m.med_abs_res
+    FROM dec d JOIN med m ON d.event_type = m.event_type
+    WHERE abs(d.residual_s) > 3 * m.med_abs_res
+    ORDER BY d.event_type, d.t
+"""
+
+
+def seasonal_residual_outliers(dec: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core residual-outlier gate over a decomposition frame (the
+    seasonal_decompose_daily output shape). Factored so planted tests
+    (exact trend+season series flags nothing; one injected spike day
+    flags exactly itself) drive the production selection + gate."""
+    w = Window.partitionBy(key).orderBy(F.abs("residual_s"))
+    med = (
+        dec.select(
+            key,
+            F.abs("residual_s").alias("ar"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(key)).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(key, F.col("ar").alias("med_abs_res"))
+    )
+    return (
+        dec.join(med, key)
+        .filter(F.abs("residual_s") > 3 * F.col("med_abs_res"))
+        .select(key, "t", "y", "residual_s", F.col("med_abs_res").cast("long").alias("med_abs_res"))
+        .orderBy(key, "t")
+    )
+
+
+@query(
+    "ts_seasonal_residual_outliers",
+    oracle=_RESID_OUTLIER_ORACLE,
+    tags=("timeseries", "anomaly", "exact-twin"),
+)
+def ts_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose decomposition residual exceeds 3× the series'
+    median absolute residual — anomalies AFTER the calendar is
+    explained away, the deseasonalized companion to ts_outlier_mad."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return seasonal_residual_outliers(seasonal_decompose_daily(daily, "event_type"))

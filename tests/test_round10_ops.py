@@ -242,3 +242,130 @@ def test_refined2_audit_recall_is_monotone_in_rounds(spark, sf_dir):
     assert r["n_exact"] > 0
     assert r["base_hits"] <= r["r1_hits"] <= r["r2_hits"]
     assert r["base_recall_ppm"] <= r["r1_recall_ppm"] <= r["r2_recall_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V²
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association_and_independence(spark):
+    from flume_source_spark.operators.quality3 import cramers_v_sq
+
+    # perfect association: each r maps to exactly one c, equal masses
+    perfect = spark.createDataFrame(
+        [("a", 1, 50), ("b", 2, 50), ("c", 3, 50)], "r string, c long, o long"
+    )
+    r = cramers_v_sq(perfect).collect()[0].asDict()
+    # every cell's floor loses < 1 ppm-unit; 3x3 perfect association
+    # lands within #cells of exactly 1e6
+    assert r["n"] == 150 and r["n_rows"] == 3 and r["n_cols"] == 3
+    assert PPM - 9 <= r["v_sq_ppm"] <= PPM
+
+    # exact independence: o = rn*cn/t for every cell -> chi2 == 0
+    indep = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("b", 1, 20), ("b", 2, 60)],
+        "r string, c long, o long",
+    )
+    r = cramers_v_sq(indep).collect()[0].asDict()
+    assert r["chi2_ppm"] == 0 and r["v_sq_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Golden record survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_golden_record_survivorship_rules_on_planted_cluster(spark, sf_dir):
+    """The fixture clusters are whatever FS finds; pin the RULES
+    instead: within every emitted record, the canonical name must be
+    a member name of maximal length, the type a modal member type,
+    and the size envelope must bracket every member size."""
+    from flume_source_spark.pipeline.entity2 import (
+        entity_fs_linkage_scores,
+        entity_golden_record,
+    )
+    from flume_source_spark.pipeline.graph import connected_components
+    from flume_source_spark.tables import load_tables
+
+    golden = {r["entity_id"]: r.asDict() for r in entity_golden_record(spark, sf_dir).collect()}
+    assert golden, "fixture must produce at least one multi-member cluster"
+
+    matches = (
+        entity_fs_linkage_scores(spark, sf_dir)
+        .filter(F.col("link_class") == "match")
+        .select("i", "j")
+        .distinct()
+    )
+    nodes = matches.select(F.col("i").alias("id")).unionAll(
+        matches.select(F.col("j").alias("id"))
+    ).distinct()
+    comp = connected_components(
+        nodes, matches.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    p = {
+        r["p_partkey"]: r.asDict()
+        for r in load_tables(spark, sf_dir)["part"]
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .collect()
+    }
+    clusters = {}
+    for r in comp.collect():
+        clusters.setdefault(r["component_id"], []).append(r["id"])
+    for eid, g in golden.items():
+        members = [p[k] for k in clusters[eid]]
+        assert g["n_members"] == len(members) >= 2
+        assert eid == min(clusters[eid])
+        max_len = max(len(m["p_name"]) for m in members)
+        assert len(g["canonical_name"]) == max_len
+        assert g["canonical_name"] in {m["p_name"] for m in members}
+        from collections import Counter
+
+        tc = Counter(m["p_type"] for m in members)
+        assert tc[g["canonical_type"]] == max(tc.values())
+        sizes = [m["p_size"] for m in members]
+        assert g["size_lo"] == min(sizes) and g["size_hi"] == max(sizes)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal residual outliers
+# ---------------------------------------------------------------------------
+
+
+def test_residual_outliers_flag_spike_not_season(spark):
+    """A planted trend+weekly-season series decomposes with residual
+    identically 0 → nothing flags; injecting one spike day flags
+    EXACTLY that day (the weekend highs never flag — the raw-MAD
+    contrast this operator exists for)."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries8 import (
+        seasonal_decompose_daily,
+        seasonal_residual_outliers,
+    )
+
+    season = [0, 5, 10, 15, 10, 5, 100]  # strong "weekend" bump
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for t in range(70):
+        y = 50 + 2 * t + season[(t + 1) % 7]
+        rows.append(("s", base + dt.timedelta(days=t), y))
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    clean = seasonal_residual_outliers(seasonal_decompose_daily(df, "event_type"))
+    assert clean.count() == 0
+
+    spiked = [
+        (et, d, y + (500 if d == base + dt.timedelta(days=30) else 0))
+        for (et, d, y) in rows
+    ]
+    df2 = spark.createDataFrame(spiked, "event_type string, d date, y long")
+    out = seasonal_residual_outliers(
+        seasonal_decompose_daily(df2, "event_type")
+    ).collect()
+    assert len(out) >= 1
+    # t is the 1-based day index; the spike day t=31 must be flagged
+    # and be the LARGEST flagged residual (the MA smears a little
+    # energy onto the 3 neighbors inside the centered window)
+    flagged = {r["t"]: abs(r["residual_s"]) for r in out}
+    assert 31 in flagged
+    assert flagged[31] == max(flagged.values())
