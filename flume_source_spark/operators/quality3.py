@@ -342,3 +342,87 @@ def dq_cramers_v_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT)").alias("c"),
     ).agg(F.count("*").cast("long").alias("o"))
     return cramers_v_sq(cells)
+
+
+# ---------------------------------------------------------------------------
+# Data freshness audit (round 10): the first question an on-call asks
+# of an ingest pipeline — per event_type, when did data last arrive,
+# how stale is it against the freshest stream, and is the last day's
+# volume collapsing? A silent upstream outage shows up here hours
+# before any distribution-drift test (dq_drift_psi/dq_chi2) can see
+# it. Lag is exact integer seconds (epoch arithmetic, no floats);
+# last_ts is published as the ISO string per the canonicalization
+# contract.
+#
+# Scale: two map-side-combinable aggregates over one scan (the
+# trailing-day count rides the same pass as a conditional sum against
+# the broadcast 1-row corpus max). Output: one row per event_type.
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    gm AS (SELECT max(ts) AS g FROM e),
+    per AS (
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(e.ts) AS last_ts,
+               CAST(sum(CASE WHEN e.ts > gm.g - INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+        FROM e CROSS JOIN gm
+        GROUP BY e.event_type
+    )
+    SELECT p.event_type, p.n_events,
+           strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           -- microsecond diff then integral div: epoch() is a DOUBLE
+           -- whose BIGINT cast ROUNDS, and per-side second floors can
+           -- differ from the floored difference by 1
+           CAST((epoch_us(gm.g) - epoch_us(p.last_ts)) // 1000000
+                AS BIGINT) AS lag_seconds,
+           p.n_last_day
+    FROM per p CROSS JOIN gm
+    ORDER BY p.event_type
+"""
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=_FRESHNESS_ORACLE,
+    tags=("quality", "ops", "exact-twin"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness: last arrival, exact staleness in
+    seconds behind the freshest stream, and trailing-24h volume — the
+    ingest-outage alarm that fires before any distribution test."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts")
+    gm = ev.agg(F.max("ts").alias("g"))
+    per = (
+        ev.crossJoin(F.broadcast(gm))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts_t"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.expr("g - INTERVAL 1 DAY"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_day"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(gm))
+        .select(
+            "event_type",
+            "n_events",
+            F.date_format("last_ts_t", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.expr(
+                "CAST((unix_micros(g) - unix_micros(last_ts_t))"
+                " div 1000000 AS BIGINT)"
+            ).alias("lag_seconds"),
+            "n_last_day",
+        )
+        .orderBy("event_type")
+    )
