@@ -242,3 +242,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (round 10): text_lang_id predicts; this
+# rolls prediction vs the labeled lang into the confusion matrix —
+# the accuracy audit of the classifier the pipeline actually gates
+# on. Each (labeled, predicted) cell carries its count and its share
+# of the labeled language's documents in exact ppm; the diagonal
+# share IS per-class recall. Composes the registered lang-id oracle
+# verbatim (one CTE wrap), so classifier and audit cannot drift.
+#
+# Scale: the lang-id pass is the per-row HOF scorer it already was;
+# the rollup is one map-side-combinable groupBy onto ≤ |langs|² cells
+# plus a broadcast-sized margin join.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from flume_source_spark.registry import REGISTRY
+
+    return f"""
+    WITH lid AS ({REGISTRY["text_lang_id"].oracle}),
+    cells AS (
+        SELECT labeled_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lid GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS label_total
+        FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.predicted_lang, c.n, m.label_total,
+           CAST(c.n * 1000000 // m.label_total AS BIGINT) AS share_ppm
+    FROM cells c JOIN marg m USING (labeled_lang)
+    ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("llm", "text", "langid", "audit"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language classifier vs the
+    labeled lang: per (labeled, predicted) cell, the count and its
+    exact-ppm share of the labeled language (diagonal = per-class
+    recall) — the audit that says whether the cheap gate is safe to
+    filter on, per class."""
+    lid = text_lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cells = lid.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    marg = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("long").alias("label_total")
+    )
+    return (
+        cells.join(F.broadcast(marg), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            "label_total",
+            F.expr("CAST(n * 1000000 div label_total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
