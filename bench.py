@@ -200,6 +200,12 @@ HEADLINE = [
     # graph_bfs_layers 4.92x (output-bound under cosine-identical
     # 64x-edge replication — the triangle-census caveat class, NOT
     # admitted for the same reason as graph_two_hop_reach).
+    # round-10 admission (scripts/scale_probe_r10.py, SCALE.md part
+    # 10): the recurrence-kernel + scoring-join cost class — the HW
+    # applyInPandas kernel feeding window-join WAPE scoring against
+    # the trailing-mean baseline (solo 1.28 s, 8x events 0.88x —
+    # calendar-bounded after the daily collapse)
+    "ts_hw_backtest_wape",
 ]
 
 
@@ -414,11 +420,9 @@ def main() -> None:
         n
         for n, v in timings.items()
         if n in prior and prior[n] > 0 and abs(v / prior[n] - 1) > MOVER_PCT
-        # a banded entry measuring inside its documented band carries
-        # its adjudication in the noise_band field — no mover slot
-        and not (
-            n in NOISE_BANDS and NOISE_BANDS[n][0] <= v <= NOISE_BANDS[n][1]
-        )
+        # a banded entry measuring at or under its documented hi
+        # carries its adjudication in the noise_band field — no slot
+        and not (n in NOISE_BANDS and v <= NOISE_BANDS[n][1])
     }
     over = sorted(
         ((n, v) for n, v in spread.items() if v >= SPREAD_FLOOR or n in movers),
@@ -439,10 +443,12 @@ def main() -> None:
         "spread_floor": SPREAD_FLOOR,
         "spread_n_over_floor": n_over_floor,
         "n_movers_gt20pct": len(movers),
-        # self-adjudicating noise bands: [lo, hi, measured, in_band]
-        # per documented burst-sensitive entry (see NOISE_BANDS)
+        # self-adjudicating noise bands: [lo, hi, measured, ok] per
+        # documented burst-sensitive entry (see NOISE_BANDS). ok means
+        # "not slower than the recorded hi" — a faster-than-band run
+        # needs no adjudication, so the lo bound is informational only
         "noise_band": {
-            n: [lo, hi, timings[n], lo <= timings[n] <= hi]
+            n: [lo, hi, timings[n], timings[n] <= hi]
             for n, (lo, hi) in NOISE_BANDS.items()
             if n in timings
         },
