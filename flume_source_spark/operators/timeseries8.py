@@ -700,3 +700,103 @@ def ts_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("y")
     )
     return seasonal_residual_outliers(seasonal_decompose_daily(daily, "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (round 10): the robust rolling BASELINE —
+# ts_rolling_anomaly scores against a rolling mean/stddev, which one
+# fat outlier inside the window corrupts (the masking problem);
+# the rolling median is the standard robust center for baselines and
+# imputation. Exact: the window is materialized as a 7-way OFFSET
+# EQUI-join (b.t = a.t + off, off ∈ [−3, 3] — the entity2
+# sorted-neighborhood trick, never a non-equi range join that would
+# plan as BNL), full windows only (the decompose wn = 7 convention),
+# and the median is the LOWER-median selection (rank 4 of 7, pure
+# selection, engine-agnostic).
+#
+# Scale: the daily collapse is the usual map-side groupBy; the offset
+# join is 7 equi-joins' worth of rows on the CALENDAR-bounded daily
+# frame (d×7 rows per series); one rank window selects the median.
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS t
+        FROM daily
+    ),
+    win AS (
+        SELECT a.event_type, a.t, a.y, b.y AS yb, b.t AS tb
+        FROM idx a
+        CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS off) o
+        JOIN idx b ON b.event_type = a.event_type AND b.t = a.t + o.off
+    ),
+    full7 AS (
+        SELECT event_type, t, y, yb, tb,
+               row_number() OVER (PARTITION BY event_type, t
+                                  ORDER BY yb, tb) AS rn,
+               count(*) OVER (PARTITION BY event_type, t) AS wn
+        FROM win
+    )
+    SELECT event_type, t, y, CAST(yb AS BIGINT) AS rolling_med7
+    FROM full7
+    WHERE wn = 7 AND rn = 4
+    ORDER BY event_type, t
+"""
+
+
+def rolling_median_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exact 7-day rolling lower-median over a ``(key, d, y)``
+    daily frame. Factored so planted tests (one outlier inside the
+    window does NOT move the median — the masking contrast with a
+    rolling mean; constant series is a fixpoint) drive the production
+    offset join + selection."""
+    w = Window.partitionBy(key).orderBy("d")
+    idx = daily.select(key, "y", F.row_number().over(w).cast("long").alias("t"))
+    a = idx.select(key, F.col("t"), F.col("y")).withColumn(
+        "off", F.explode(F.array(*[F.lit(o) for o in range(-3, 4)]))
+    )
+    b = idx.select(
+        F.col(key).alias("kb"), F.col("t").alias("tb"), F.col("y").alias("yb")
+    )
+    win = a.join(
+        b,
+        (F.col("kb") == F.col(key)) & (F.col("tb") == F.col("t") + F.col("off")),
+    ).select(key, "t", "y", "yb", "tb")
+    ws = Window.partitionBy(key, "t").orderBy("yb", "tb")
+    return (
+        win.select(
+            key,
+            "t",
+            "y",
+            "yb",
+            F.row_number().over(ws).alias("rn"),
+            F.count("*").over(Window.partitionBy(key, "t")).alias("wn"),
+        )
+        .filter((F.col("wn") == 7) & (F.col("rn") == 4))
+        .select(key, "t", "y", F.col("yb").cast("long").alias("rolling_med7"))
+        .orderBy(key, "t")
+    )
+
+
+@query(
+    "ts_rolling_median_exact",
+    oracle=_ROLLING_MEDIAN_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact centered 7-day rolling lower median of daily event counts
+    per event_type (full windows only) — the robust rolling baseline
+    a single in-window outlier cannot corrupt, the companion input to
+    anomaly gates that currently score against the rolling mean."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return rolling_median_daily(daily, "event_type")
