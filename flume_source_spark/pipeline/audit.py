@@ -747,3 +747,108 @@ def lsh_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_lsh_similar_topk_matches_duckdb_oracle."""
     d = load_tables(spark, sf_dir)["documents"]
     return lsh_similar_topk_from(d.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (round 10): the tuning curve for the ONE
+# number every near-dedup deployment argues about — the Jaccard
+# threshold. One pass computes the exact pair count at each candidate
+# threshold (50/60/70/80/90% as integer permyriad), so the operator
+# answers "how much MORE would 0.6 remove than 0.8?" without five
+# reruns. Pairs come from the production banded-LSH candidate path
+# verified with EXACT INTEGER permyriad Jaccard (inter·10000 div
+# union — no float boundary anywhere, unlike the rounded-double
+# jaccard the membership query publishes); the bands are tuned for
+# the 0.5 floor, and every higher threshold's pair set is a subset,
+# so one candidate generation serves the whole curve.
+#
+# Scale: the banded candidate join + one exact verify (the
+# dedup_minhash_lsh plan) + a 5-row conditional fold. Output: one row
+# per threshold.
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS_PM = (5000, 6000, 7000, 8000, 9000)
+
+_SWEEP_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    scored AS (
+        SELECT i, j,
+               c * 10000 // (sa.n + sb.n - c) AS jac_pm
+        FROM inter
+        JOIN sz sa ON i = sa.doc_id
+        JOIN sz sb ON j = sb.doc_id
+    )
+    SELECT CAST(t.thr AS BIGINT) AS threshold_pm,
+           CAST(count(CASE WHEN s.jac_pm >= t.thr THEN 1 END) AS BIGINT)
+               AS n_pairs
+    FROM (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS_PM)}]) AS thr) t
+    CROSS JOIN scored s
+    GROUP BY t.thr
+    ORDER BY threshold_pm
+"""
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=_SWEEP_ORACLE,
+    tags=("llm", "dedup", "audit", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pair counts at Jaccard thresholds 0.5-0.9 (one
+    row per integer-permyriad threshold) from ONE banded-LSH candidate
+    pass — the threshold tuning curve that decides how aggressive the
+    dedup pass should be."""
+    from flume_source_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_col,
+        spread,
+    )
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles")).persist()
+    sig = minhash_signature(docs, "doc_id", "shingles")
+    cand = lsh_candidate_pairs(sig, "doc_id")
+    ids = cand.select(F.col("i").alias("doc_id")).union(cand.select("j")).distinct()
+    cdocs = docs.join(F.broadcast(ids), "doc_id")
+    left = cdocs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
+    right = cdocs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    scored = (
+        cand.join(F.broadcast(left), "i")
+        .join(F.broadcast(right), "j")
+        .select(
+            "i",
+            "j",
+            (inter.cast("long") * 10000).alias("inter_scaled"),
+            union.cast("long").alias("union_sz"),
+        )
+        .select(
+            "i",
+            "j",
+            F.expr("CAST(inter_scaled div union_sz AS BIGINT)").alias("jac_pm"),
+        )
+    )
+    thr = docs.sparkSession.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS_PM], "thr long"
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("thr").alias("threshold_pm"))
+        .agg(
+            F.count(F.when(F.col("jac_pm") >= F.col("thr"), 1))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("threshold_pm")
+    )

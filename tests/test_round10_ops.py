@@ -369,3 +369,74 @@ def test_residual_outliers_flag_spike_not_season(spark):
     flagged = {r["t"]: abs(r["residual_s"]) for r in out}
     assert 31 in flagged
     assert flagged[31] == max(flagged.values())
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_resists_the_outlier_a_mean_cannot(spark):
+    """One huge value inside the window must leave the median at the
+    baseline (the masking contrast with a rolling mean), and full-
+    window semantics must trim 3 days at each edge."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries8 import rolling_median_daily
+
+    base = dt.date(2024, 3, 1)
+    ys = [10] * 21
+    ys[10] = 100000  # one fat outlier mid-series
+    rows = [("s", base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    out = {r["t"]: r["rolling_med7"] for r in rolling_median_daily(df).collect()}
+    # full windows only: t in [4, 18] for 21 points
+    assert sorted(out) == list(range(4, 19))
+    assert all(v == 10 for v in out.values()), out
+
+
+def test_rolling_median_matches_python_reference(spark):
+    import datetime as dt
+    import random
+
+    from flume_source_spark.operators.timeseries8 import rolling_median_daily
+
+    rng = random.Random(3)
+    ys = [rng.randint(0, 50) for _ in range(30)]
+    base = dt.date(2024, 3, 1)
+    rows = [("s", base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "event_type string, d date, y long")
+    got = {r["t"]: r["rolling_med7"] for r in rolling_median_daily(df).collect()}
+    exp = {
+        t + 1: sorted(ys[t - 3 : t + 4])[3]
+        for t in range(3, len(ys) - 3)
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_is_monotone_and_anchored_to_the_membership_query(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, one row per
+    threshold, and the 0.5 floor must count at least as many pairs as
+    dedup_minhash_lsh publishes (same floor, same corpus — the sweep
+    uses exact integral permyriad, the membership query a rounded
+    double, so boundary pairs can only differ one way: a pair the
+    rounded double admits at 0.5 has jac_pm >= 4999, and on the
+    fixture the two counts are equal)."""
+    from flume_source_spark.pipeline.audit import (
+        SWEEP_THRESHOLDS_PM,
+        dedup_threshold_sweep,
+    )
+    from flume_source_spark.pipeline.dedup import dedup_minhash_lsh
+
+    rows = {r["threshold_pm"]: r["n_pairs"] for r in dedup_threshold_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(SWEEP_THRESHOLDS_PM)
+    counts = [rows[t] for t in sorted(rows)]
+    assert counts == sorted(counts, reverse=True), counts
+    assert rows[5000] >= 1
+    n_membership = dedup_minhash_lsh(spark, sf_dir).count()
+    assert rows[5000] == n_membership
