@@ -604,16 +604,15 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering maximizes information per budget-truncated driver sweep
     (~50 rows/round): (0) reds from any artifact newer than the
     hardcoded record, picked up dynamically; (1) anything with no
-    driver row for its CURRENT shape — round-8 re-shapes (capped-IVF
-    sim_knn_graph, budget-mode dedup_lsh_recall_audit, 500 cd
-    geo_grid_join) plus any new registration — oracled before
-    rows-only; (2) the remaining 53 stale r01/r02 greens (47 oracled
-    + 6 rows-only) re-pinned in _R07_STALE_REPIN priority order —
-    one-per-family heads, then family groups, rows-only tail (their
-    only driver evidence predates the round-3 fixture regeneration;
-    3 tier-1 entries + 47 oracled stale = exactly the 50-row budget);
-    (3) swept rows-only-by-design rows (r06 BPE); (4) queries already
-    verified on the current fixtures (r03-r07).
+    driver row for its CURRENT shape — i.e. this round's new
+    registrations and re-shapes — oracled before rows-only; (2) any
+    remaining pre-regeneration stale greens in _R07_STALE_REPIN
+    priority order (empty since the r09 sweep re-pinned the last of
+    them); (3) swept rows-only-by-design rows not yet re-pinned on
+    current fixtures (empty since r09); (3.5) the r3-r5-era rows-only
+    artifact-currency re-pins (_R10_ROWSONLY_REPIN), each retired
+    dynamically when a newer row lands; (4) queries already verified
+    on the current fixtures (r03+).
     """
     import flume_source_spark.operators.relational  # noqa: F401
     import flume_source_spark.operators.relational2  # noqa: F401
