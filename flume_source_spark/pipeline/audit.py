@@ -852,3 +852,241 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pm")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_nprobe_curve (round 10): sim_ann_recall_audit is the
+# one-point evaluator its own docstring calls "the tuning curve's
+# evaluator" — this IS the curve: aggregate recall@k of the
+# integer-lattice IVF machinery at nprobe ∈ {1, 2, 4, 8}, one hashed
+# row per setting. The serving question it answers is the only one
+# that matters when sizing an IVF deployment: how much recall does
+# each extra probed list buy? Monotone nondecreasing in nprobe by
+# construction (candidate sets are nested), which a model test pins.
+#
+# One candidate generation serves the whole curve: every (query,
+# candidate) pair is tagged with the PROBE RANK of the cell it came
+# from (rank of that cell in the query's distance order), so
+# "nprobe = p" is a filter, not a re-run; the per-setting top-k
+# rerank is a window over the bounded candidate panel.
+#
+# Scale: the corpus-side work (assignment + one scan against the
+# Q_MAX-bounded broadcast panel) is paid ONCE; per-setting cost is a
+# window over ≤ Q_MAX · maxprobe · cell-size candidate rows. The
+# exact side is the recall audit's linear budget-bounded scan.
+# ---------------------------------------------------------------------------
+
+NPROBE_CURVE = (1, 2, 4, 8)
+
+_NPROBE_CURVE_ORACLE = f"""
+    WITH {_IVFX_CTES.rsplit("    qprobe AS MATERIALIZED", 1)[0]}
+    qcells AS MATERIALIZED (
+        SELECT vec_id AS qid, j, CAST(rn AS BIGINT) AS cell_rank FROM dist
+        WHERE rn <= {max(NPROBE_CURVE)}
+          AND vec_id IN (SELECT vec_id FROM e WHERE {_QWHERE_SQL})
+    ),
+    cand8 AS MATERIALIZED (
+        SELECT qc.qid, a.vec_id AS cid, min(qc.cell_rank) AS cell_rank
+        FROM qcells qc JOIN assign a ON qc.j = a.j
+        WHERE qc.qid <> a.vec_id
+        GROUP BY qc.qid, a.vec_id
+    ),
+    scored8 AS MATERIALIZED (
+        SELECT c.qid, c.cid, c.cell_rank,
+               CAST(list_dot_product(
+                   list_transform(qq.xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(cc.xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score
+        FROM cand8 c
+        JOIN q0 qq ON qq.vec_id = c.qid
+        JOIN q0 cc ON cc.vec_id = c.cid
+    ),
+    percfg AS (
+        SELECT np.np, s.qid, s.cid,
+               row_number() OVER (
+                   PARTITION BY np.np, s.qid
+                   ORDER BY s.score DESC, s.cid) AS rn
+        FROM (SELECT unnest([{", ".join(str(p) for p in NPROBE_CURVE)}]) AS np) np
+        JOIN scored8 s ON s.cell_rank <= np.np
+    ),
+    ivf_topk AS MATERIALIZED (
+        SELECT np, qid, cid FROM percfg WHERE rn <= {IVFX_TOP_K}
+    ),
+    exact_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(list_dot_product(
+                   list_transform(q.xq, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.xq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score
+        FROM q0 q JOIN q0 c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM e WHERE {_QWHERE_SQL})
+    ),
+    exact_topk AS MATERIALIZED (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+            FROM exact_scored) WHERE rn <= {IVFX_TOP_K}
+    ),
+    grid AS (
+        SELECT np.np, e.qid, e.cid
+        FROM (SELECT unnest([{", ".join(str(p) for p in NPROBE_CURVE)}]) AS np) np
+        CROSS JOIN exact_topk e
+    )
+    SELECT CAST(g.np AS BIGINT) AS nprobe,
+           CAST(count(DISTINCT g.qid) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.cid) AS BIGINT) AS hits,
+           CAST(count(i.cid) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM grid g
+    LEFT JOIN ivf_topk i ON i.np = g.np AND i.qid = g.qid AND i.cid = g.cid
+    GROUP BY g.np
+    ORDER BY nprobe
+"""
+
+
+@query(
+    "sim_ann_nprobe_curve",
+    oracle=_NPROBE_CURVE_ORACLE,
+    tags=("llm", "similarity", "ann", "audit", "tuning"),
+)
+def sim_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate recall@k of the integer-lattice IVF machinery at
+    nprobe = 1, 2, 4, 8 — the tuning curve behind every IVF
+    deployment's latency/recall trade, from ONE candidate generation
+    (each candidate tagged with the probe rank of its cell; a setting
+    is a filter + rerank, not a re-run)."""
+    from pyspark.sql import Window as W
+
+    from flume_source_spark.pipeline.similarity2 import (
+        _IVFX_A,
+        _IVFX_C,
+        IVFX_NLIST,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    sq = F.aggregate(
+        F.transform("xq", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    q0 = (
+        e.select(
+            "vec_id",
+            F.transform("v", lambda x: F.floor(x * F.lit(1000)).cast("long")).alias("xq"),
+        )
+        .withColumn("na", sq)
+        .localCheckpoint(eager=True)
+    )
+    jcol = F.col("j")
+    cent = spark.range(IVFX_NLIST).select(
+        F.col("id").cast("long").alias("j"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((jcol * _IVFX_A + d.cast("long") * _IVFX_C) % 2001 - 1000).cast("long"),
+        ).alias("carr"),
+    )
+    cent = cent.withColumn(
+        "nc",
+        F.aggregate(
+            F.transform("carr", lambda c: c * c), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    dot_xc = F.aggregate(
+        F.zip_with("xq", "carr", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = q0.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "j", (F.col("na") + F.col("nc") - F.lit(2) * dot_xc).alias("dist")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("j").asc())
+    )
+    ranked_lists = dist.select("vec_id", "j", rn.alias("rn")).localCheckpoint(
+        eager=True
+    )
+    assign = ranked_lists.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cid"), "j"
+    )
+    qids = e.filter(_query_filter()).select(F.col("vec_id").alias("qid"))
+    qcells = (
+        ranked_lists.where(F.col("rn") <= max(NPROBE_CURVE))
+        .join(F.broadcast(qids), ranked_lists.vec_id == qids.qid)
+        .select("qid", "j", F.col("rn").cast("long").alias("cell_rank"))
+    )
+    cand8 = (
+        assign.join(F.broadcast(qcells), "j")
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.min("cell_rank").alias("cell_rank"))
+    )
+    qx = q0.filter(_query_filter()).select(
+        F.col("vec_id").alias("qid"), F.col("xq").alias("qxq")
+    )
+    cx = q0.select(F.col("vec_id").alias("cid"), F.col("xq").alias("cxq"))
+    score = F.aggregate(
+        F.zip_with("qxq", "cxq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored8 = (
+        cand8.join(F.broadcast(qx), "qid")
+        .join(cx, "cid")
+        .select("qid", "cid", "cell_rank", score.alias("score"))
+    )
+    nps = spark.createDataFrame([(p,) for p in NPROBE_CURVE], "np long")
+    percfg = (
+        scored8.join(F.broadcast(nps), F.col("cell_rank") <= F.col("np"))
+        .select(
+            "np",
+            "qid",
+            "cid",
+            F.row_number()
+            .over(
+                W.partitionBy("np", "qid").orderBy(F.col("score").desc(), F.col("cid"))
+            )
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= IVFX_TOP_K)
+        .select("np", "qid", "cid", F.lit(1).alias("hit"))
+    )
+    exact_scored = (
+        q0.crossJoin(F.broadcast(qx))
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.aggregate(
+                F.zip_with("qxq", "xq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    exact_topk = (
+        exact_scored.select(
+            "qid",
+            "cid",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid")))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= IVFX_TOP_K)
+        .select("qid", "cid")
+    )
+    grid = exact_topk.crossJoin(F.broadcast(nps))
+    return (
+        grid.join(percfg, ["np", "qid", "cid"], "left")
+        .groupBy("np")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("hits"),
+        )
+        .select(
+            F.col("np").alias("nprobe"),
+            "n_queries",
+            "n_exact",
+            "hits",
+            F.expr("CAST(hits * 1000000 div n_exact AS BIGINT)").alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )

@@ -440,3 +440,31 @@ def test_threshold_sweep_is_monotone_and_anchored_to_the_membership_query(spark,
     assert rows[5000] >= 1
     n_membership = dedup_minhash_lsh(spark, sf_dir).count()
     assert rows[5000] == n_membership
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve
+# ---------------------------------------------------------------------------
+
+
+def test_nprobe_curve_is_monotone_and_consistent_with_the_audit(spark, sf_dir):
+    """Nested candidate sets make recall non-decreasing in nprobe, and
+    the nprobe = 4 row must agree with sim_ann_recall_audit's
+    aggregate (same machinery, same panel, same exact side)."""
+    from flume_source_spark.pipeline.audit import (
+        NPROBE_CURVE,
+        sim_ann_nprobe_curve,
+        sim_ann_recall_audit,
+    )
+
+    rows = {r["nprobe"]: r.asDict() for r in sim_ann_nprobe_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(NPROBE_CURVE)
+    hits = [rows[p]["hits"] for p in sorted(rows)]
+    assert hits == sorted(hits), hits
+    assert len({rows[p]["n_exact"] for p in rows}) == 1
+
+    audit = sim_ann_recall_audit(spark, sf_dir).collect()
+    agg_hits = sum(r["hits"] for r in audit)
+    agg_exact = sum(r["n_exact"] for r in audit)
+    assert rows[4]["hits"] == agg_hits
+    assert rows[4]["n_exact"] == agg_exact
