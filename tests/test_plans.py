@@ -1049,3 +1049,38 @@ def test_winsorized_mean_bounds_join_is_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "agg_winsorized_mean")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round10_plan_shapes(spark, sf_dir):
+    """Plan contracts for the round-10 registrations: every pair join
+    is an equi-join (no CartesianProduct anywhere), the bounded panels
+    are broadcast, and the pure-fold queries carry no join at all
+    beyond their declared broadcast enrichments."""
+    # pHash near-dup: band candidate join + two wide joins, all equi
+    p = plan(spark, sf_dir, "multimodal_phash_hamming_neardup")
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+    # rolling median: the 7-way offset window is an EQUI join (the
+    # whole point of the offset trick — a range join would plan BNL)
+    p = plan(spark, sf_dir, "ts_rolling_median_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # Cramér's V²: margins and the 1-row totals are broadcast; the
+    # only non-broadcast join is the lattice's left join back to cells
+    p = plan(spark, sf_dir, "dq_cramers_v_sq")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    # nprobe curve: candidate generation is equi-on-cell; the np
+    # expansion joins a 4-row broadcast; no cartesian
+    p = plan(spark, sf_dir, "sim_ann_nprobe_curve")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    # threshold sweep: banded candidates equi-join; the 5-row
+    # threshold panel is broadcast
+    p = plan(spark, sf_dir, "dedup_threshold_sweep")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    # HW backtest: the kernel feeds equi-joins on (event_type, t)
+    p = plan(spark, sf_dir, "ts_hw_backtest_wape")
+    assert "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p  # the applyInPandas kernel survived
