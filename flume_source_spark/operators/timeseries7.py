@@ -312,3 +312,168 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (round 10): the engine's first SURVIVAL
+# surface — the re-engagement curve over inter-event gaps. Question:
+# "a user has been silent for t hours — what is the probability the
+# silence lasts longer?" Durations are the consecutive-event gaps in
+# whole hours (observed = death); each user's final OPEN gap (last
+# event → corpus max ts) is right-CENSORED — discarding it would bias
+# the curve down, the textbook reason KM exists (Kaplan & Meier 1958).
+#
+#     S(t) = Π_{t_i ≤ t, d_i > 0} (n_i − d_i) / n_i
+#
+# published as surv_ppm via the recursive integral-div product
+# S_i = S_{i−1}·(n_i − d_i) div n_i (floor per death-step, identical
+# on both engines; drift vs the true product < #steps ppm —
+# documented formulation, the dq_cramers per-cell-floor convention).
+# n_i (at risk) is the reverse cumulative count of durations ≥ t_i.
+#
+# Execution: gaps = one lag window; censored tails = one per-user
+# aggregate vs the broadcast 1-row corpus max; the life table is a
+# calendar-bounded aggregate (distinct whole-hour durations); the
+# recursive product runs in a SINGLE applyInPandas group over that
+# ≤ few-hundred-row table (the DTW 24-row-profile bounded-kernel
+# discipline — the corpus never enters the kernel). Oracle: recursive
+# CTE stepping the ordered life table (the Holt list-state pattern).
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    gmax AS (SELECT max(ts) AS g FROM ev),
+    gaps AS (
+        -- elapsed WHOLE hours via epoch_us floor-div, matching the
+        -- Spark side: date_diff('hour', ...) counts calendar-boundary
+        -- CROSSINGS (10:59 -> 11:01 is 1), not elapsed hours (0)
+        SELECT user_id,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                - epoch_us(ts)) // 3600000000 AS t
+        FROM ev
+    ),
+    died AS (SELECT CAST(t AS BIGINT) AS t, 1 AS died FROM gaps WHERE t IS NOT NULL),
+    cens AS (
+        SELECT CAST((epoch_us(gm.g) - epoch_us(max(e.ts))) // 3600000000
+                    AS BIGINT) AS t, 0 AS died
+        FROM ev e CROSS JOIN gmax gm
+        GROUP BY e.user_id, gm.g
+    ),
+    lt AS (
+        SELECT t,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS c
+        FROM (SELECT * FROM died UNION ALL SELECT * FROM cens)
+        GROUP BY t
+    ),
+    ordered AS (
+        SELECT t, d, c,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+               CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        FROM lt
+    ),
+    rec AS (
+        SELECT i, t, d, c, n,
+               CAST(CASE WHEN d > 0 THEN (1000000 * (n - d)) // n
+                         ELSE 1000000 END AS BIGINT) AS s
+        FROM ordered WHERE i = 1
+        UNION ALL
+        SELECT o.i, o.t, o.d, o.c, o.n,
+               CAST(CASE WHEN o.d > 0 THEN (rec.s * (o.n - o.d)) // o.n
+                         ELSE rec.s END AS BIGINT) AS s
+        FROM rec JOIN ordered o ON o.i = rec.i + 1
+    )
+    SELECT t AS t_hours, n AS n_at_risk, d AS n_events, c AS n_censored,
+           s AS surv_ppm
+    FROM rec ORDER BY t_hours
+"""
+
+
+def _km_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential KM product over the ORDERED life table (python ints;
+    one bounded Arrow batch — the table is calendar-sized)."""
+    pdf = pdf.sort_values("t")
+    s = 1_000_000
+    out = []
+    for t, d, c, n in zip(pdf["t"], pdf["d"], pdf["c"], pdf["n"]):
+        t, d, c, n = int(t), int(d), int(c), int(n)
+        if d > 0:
+            s = (s * (n - d)) // n
+        out.append((t, n, d, c, s))
+    return pd.DataFrame(
+        out, columns=["t_hours", "n_at_risk", "n_events", "n_censored", "surv_ppm"]
+    )
+
+
+def kaplan_meier(durations: DataFrame) -> DataFrame:
+    """Core KM fold over a ``(t, died)`` duration frame (t BIGINT,
+    died 0/1). Factored so closed-form model tests (no censoring →
+    S = empirical survival; censored-only tail never drops S; a
+    censored duration reduces later n without a step) drive the
+    production life-table + recursion."""
+    from pyspark.sql import Window as W
+
+    lt = durations.groupBy("t").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count("*") - F.sum("died")).cast("long").alias("c"),
+    )
+    ordered = lt.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c"))
+        .over(W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("n"),
+    )
+    return (
+        ordered.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda pdf: _km_kernel(pdf),
+            schema="t_hours long, n_at_risk long, n_events long,"
+            " n_censored long, surv_ppm long",
+        )
+        .orderBy("t_hours")
+    )
+
+
+@query(
+    "ts_kaplan_meier",
+    oracle=_KM_ORACLE,
+    tags=("timeseries", "survival", "exact-twin"),
+)
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier re-engagement curve over inter-event gaps (whole
+    hours): observed gaps are events, each user's final open gap is
+    right-censored, and surv_ppm(t) is the survival product in exact
+    recursive integer ppm — the probability a silence outlasts t."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    from pyspark.sql import Window as W
+
+    gmax = ev.agg(F.max("ts").alias("g"))
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(lead(ts, 1) OVER"
+            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
+            " div 3600000000 AS BIGINT)"
+        ).alias("t"),
+    ).where(F.col("t").isNotNull())
+    died = gaps.select("t", F.lit(1).alias("died"))
+    cens = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr(
+                "CAST((unix_micros(g) - unix_micros(last_ts))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("t"),
+            F.lit(0).alias("died"),
+        )
+    )
+    return kaplan_meier(died.unionByName(cens))

@@ -468,3 +468,58 @@ def test_nprobe_curve_is_monotone_and_consistent_with_the_audit(spark, sf_dir):
     agg_exact = sum(r["n_exact"] for r in audit)
     assert rows[4]["hits"] == agg_hits
     assert rows[4]["n_exact"] == agg_exact
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_without_censoring_is_the_empirical_survival(spark):
+    """With zero censoring KM collapses to the empirical survival
+    function: S(t) = (#durations > t) / N — checked exactly in ppm
+    against a python recompute (floor drift < #death-steps ppm is
+    covered by recomputing with the SAME recursion)."""
+    from flume_source_spark.operators.timeseries7 import kaplan_meier
+
+    durs = [1, 1, 2, 3, 3, 3, 5, 8, 8, 13]
+    df = spark.createDataFrame([(t, 1) for t in durs], "t long, died long")
+    got = {r["t_hours"]: r.asDict() for r in kaplan_meier(df).collect()}
+
+    s = 1_000_000
+    n = len(durs)
+    exp = {}
+    at_risk = n
+    from collections import Counter
+
+    cnt = Counter(durs)
+    for t in sorted(cnt):
+        d = cnt[t]
+        s = (s * (at_risk - d)) // at_risk
+        exp[t] = (at_risk, d, 0, s)
+        at_risk -= d
+    for t, (nr, d, c, sv) in exp.items():
+        g = got[t]
+        assert (g["n_at_risk"], g["n_events"], g["n_censored"], g["surv_ppm"]) == (
+            nr, d, c, sv,
+        ), (t, g, exp[t])
+
+
+def test_kaplan_meier_censoring_reduces_risk_without_a_step(spark):
+    """A censored duration must consume risk (later n drops) but never
+    step S down at its own t — the whole point of KM vs naive
+    drop-the-censored estimates."""
+    from flume_source_spark.operators.timeseries7 import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0)]  # deaths at 1 and 3
+    df = spark.createDataFrame(rows, "t long, died long")
+    got = {r["t_hours"]: r.asDict() for r in kaplan_meier(df).collect()}
+    # t=1: n=4, d=1 -> S = 750000
+    assert got[1]["surv_ppm"] == 750_000
+    # t=2 censored only: S unchanged, n=3
+    assert got[2]["surv_ppm"] == 750_000 and got[2]["n_at_risk"] == 3
+    assert got[2]["n_events"] == 0 and got[2]["n_censored"] == 1
+    # t=3: n=2, d=1 -> S = 750000 * 1 // 2 = 375000
+    assert got[3]["surv_ppm"] == 375_000
+    # t=4 censored tail: unchanged
+    assert got[4]["surv_ppm"] == 375_000 and got[4]["n_at_risk"] == 1
