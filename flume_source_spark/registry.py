@@ -543,6 +543,23 @@ _R10_ROWSONLY_REPIN = (
 # ROUND-11 NOTE: when CORRECTNESS_r10.json lands, the dynamic pickup
 # re-tiers automatically. The manual hygiene step is: fold r10's keys
 # into a hardcoded _DRIVER_GREEN_R10 and bump _KNOWN_ROUNDS to 10.
+# Expected r10 sweep head (all locally verified green at sf0.001 +
+# sf0.01 — most also sf0.1 — before registration; the full
+# driver-contract sweep ran ALL MATCH at sf0.01 seven times this
+# round and at sf0.1 once):
+#   - 19 oracled tier-1 registrations: ts_holt_winters_exact,
+#     ts_seasonal_decompose_exact, agg_log2_histogram,
+#     lsh_similar_topk (the four r9-handoff candidates),
+#     stream_crawl_matches_twin (the crawl composition's pair set),
+#     ts_hw_backtest_wape, sim_knn_refined2_recall_audit,
+#     multimodal_phash_hamming_neardup, dq_cramers_v_sq,
+#     sim_knn_label_purity, ds_neardup_rate_by_lang,
+#     entity_golden_record, ts_seasonal_residual_outliers,
+#     dq_freshness_lag, text_langid_confusion,
+#     ts_rolling_median_exact, dedup_threshold_sweep,
+#     sim_ann_nprobe_curve, ts_kaplan_meier;
+#   - the 8 _R10_ROWSONLY_REPIN artifact-currency rows (no_oracle
+#     row counts expected: see each query's twin/pin docstring).
 _KNOWN_ROUNDS = 9
 
 
