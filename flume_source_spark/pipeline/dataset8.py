@@ -389,3 +389,119 @@ def ds_neardup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snake-striped shard balancing (round 10): ds_shard_skew_audit
+# MEASURES layout imbalance; this is the REPAIR. Hash sharding
+# balances COUNTS but not WEIGHTS — a shard that drew the long
+# documents straggles even at equal row counts. The standard fix for
+# batch/shard packing is the snake stripe: rank items by weight
+# descending, then deal rank r to shard s(r) = r' if r' < K else
+# 2K−1−r' with r' = (r−1) mod 2K — the boustrophedon order that
+# pairs each shard's heavy pick with a light pick every full pass
+# (for sorted weights its worst-case spread beats round-robin's by
+# construction; it is the deterministic, shuffle-free approximation
+# of LPT greedy, which needs a sequential heap and does not
+# distribute).
+#
+# Output per shard: doc count, weight (char) sum, and the signed
+# permyriad deviation from the ideal total/K — the same deviation
+# convention the audit uses, so "audit says ±X, snake achieves ±Y"
+# reads off directly.
+#
+# Scale: one global rank (a sort — the one shuffle; at 100 TB use
+# range-partitioned sort, which Spark's orderBy already plans) + a
+# map-side shard assignment + one K-row rollup.
+# ---------------------------------------------------------------------------
+
+_SNAKE_ORACLE = f"""
+    WITH ranked AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, w,
+               CASE WHEN (r - 1) % {2 * _SHARD_K} < {_SHARD_K}
+                    THEN (r - 1) % {2 * _SHARD_K}
+                    ELSE {2 * _SHARD_K} - 1 - ((r - 1) % {2 * _SHARD_K})
+               END AS shard
+        FROM ranked
+    ),
+    per AS (
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS w_sum
+        FROM assigned GROUP BY shard
+    ),
+    tot AS (SELECT CAST(sum(w_sum) AS BIGINT) AS total FROM per)
+    SELECT CAST(p.shard AS BIGINT) AS shard, p.n_docs, p.w_sum,
+           CAST(CASE WHEN p.w_sum * {_SHARD_K} >= t.total
+                     THEN (p.w_sum * {_SHARD_K} - t.total) * 10000 // t.total
+                     ELSE -((t.total - p.w_sum * {_SHARD_K}) * 10000 // t.total)
+                END AS BIGINT) AS dev_permyriad
+    FROM per p CROSS JOIN tot t
+    ORDER BY shard
+"""
+
+
+def snake_balance(weighted: DataFrame, k: int = _SHARD_K) -> DataFrame:
+    """Core snake-stripe assignment + balance rollup over a
+    ``(doc_id, w)`` frame. Factored so model tests (uniform weights →
+    near-zero deviation; adversarial geometric weights → snake beats
+    the md5-hash layout's weight spread) drive the production rank
+    and assignment arithmetic."""
+    from pyspark.sql import Window as W
+
+    ranked = weighted.select(
+        "doc_id",
+        "w",
+        F.row_number().over(W.orderBy(F.col("w").desc(), F.col("doc_id"))).alias("r"),
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "w",
+        F.expr(
+            f"CAST(CASE WHEN (r - 1) % {2 * k} < {k}"
+            f" THEN (r - 1) % {2 * k}"
+            f" ELSE {2 * k} - 1 - ((r - 1) % {2 * k}) END AS BIGINT)"
+        ).alias("shard"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("w_sum"),
+    )
+    tot = per.agg(F.sum("w_sum").cast("long").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "w_sum",
+            F.expr(
+                f"CAST(CASE WHEN w_sum * {k} >= total"
+                f" THEN (w_sum * {k} - total) * 10000 div total"
+                f" ELSE -((total - w_sum * {k}) * 10000 div total)"
+                f" END AS BIGINT)"
+            ).alias("dev_permyriad"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "ds_shard_snake_balance",
+    oracle=_SNAKE_ORACLE,
+    tags=("llm", "dataset", "layout"),
+)
+def ds_shard_snake_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced K=32 shard layout by snake striping documents
+    in descending length order — the repair for the weight imbalance
+    ds_shard_skew_audit measures: per shard, doc count, char weight,
+    and signed permyriad deviation from ideal (reads directly against
+    the audit's deviation column)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return snake_balance(
+        d.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    )

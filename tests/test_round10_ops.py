@@ -523,3 +523,42 @@ def test_kaplan_meier_censoring_reduces_risk_without_a_step(spark):
     assert got[3]["surv_ppm"] == 375_000
     # t=4 censored tail: unchanged
     assert got[4]["surv_ppm"] == 375_000 and got[4]["n_at_risk"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Snake-striped shard balance
+# ---------------------------------------------------------------------------
+
+
+def test_snake_balance_beats_hash_layout_on_skewed_weights(spark):
+    """Geometric weights (the adversarial case for count-balanced
+    layouts): the snake stripe's worst per-shard weight deviation must
+    be far tighter than the md5-hash layout's on the same corpus, and
+    every shard must receive ~n/K docs."""
+    from flume_source_spark.pipeline.dataset8 import _SHARD_K, snake_balance
+
+    n = 1600
+    rows = [(i, 10 + (i % 40) ** 3) for i in range(n)]  # heavy tail
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = {r["shard"]: r.asDict() for r in snake_balance(df).collect()}
+    assert sorted(out) == list(range(_SHARD_K))
+    assert all(r["n_docs"] == n // _SHARD_K for r in out.values())
+    snake_dev = max(abs(r["dev_permyriad"]) for r in out.values())
+
+    # md5-hash layout weight deviation on the same corpus
+    import hashlib
+
+    sums = [0] * _SHARD_K
+    for i, w in rows:
+        sums[int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _SHARD_K] += w
+    total = sum(sums)
+    hash_dev = max(
+        abs(
+            (s * _SHARD_K - total) * 10000 // total
+            if s * _SHARD_K >= total
+            else -((total - s * _SHARD_K) * 10000 // total)
+        )
+        for s in sums
+    )
+    assert snake_dev * 5 < hash_dev, (snake_dev, hash_dev)
+    assert snake_dev <= 100  # within ±1% of ideal on sorted weights
