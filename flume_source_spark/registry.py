@@ -547,7 +547,7 @@ _R10_ROWSONLY_REPIN = (
 # sf0.01 — most also sf0.1 — before registration; the full
 # driver-contract sweep ran ALL MATCH at sf0.01 seven times this
 # round and at sf0.1 once):
-#   - 19 oracled tier-1 registrations: ts_holt_winters_exact,
+#   - 20 oracled tier-1 registrations: ts_holt_winters_exact,
 #     ts_seasonal_decompose_exact, agg_log2_histogram,
 #     lsh_similar_topk (the four r9-handoff candidates),
 #     stream_crawl_matches_twin (the crawl composition's pair set),
@@ -557,7 +557,8 @@ _R10_ROWSONLY_REPIN = (
 #     entity_golden_record, ts_seasonal_residual_outliers,
 #     dq_freshness_lag, text_langid_confusion,
 #     ts_rolling_median_exact, dedup_threshold_sweep,
-#     sim_ann_nprobe_curve, ts_kaplan_meier;
+#     sim_ann_nprobe_curve, ts_kaplan_meier, ds_shard_snake_balance
+#     (20 in total);
 #   - the 8 _R10_ROWSONLY_REPIN artifact-currency rows (no_oracle
 #     row counts expected: see each query's twin/pin docstring).
 _KNOWN_ROUNDS = 9
