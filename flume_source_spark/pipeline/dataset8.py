@@ -410,9 +410,14 @@ def ds_neardup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convention the audit uses, so "audit says ±X, snake achieves ±Y"
 # reads off directly.
 #
-# Scale: one global rank (a sort — the one shuffle; at 100 TB use
-# range-partitioned sort, which Spark's orderBy already plans) + a
-# map-side shard assignment + one K-row rollup.
+# Scale: the global row_number window is a SINGLE-PARTITION sort —
+# correct at fixture scale and the honest oracle twin, but the
+# documented 100 TB replacement is the ds_curriculum_order recipe:
+# repartitionByRange on (w DESC, doc_id) + per-partition row_number
+# offset by broadcast partition counts (the sink_clustered_write
+# layout) — the snake shard depends only on rank mod 2K, so the
+# offset arithmetic distributes. Assignment itself is map-side; the
+# rollup is K rows.
 # ---------------------------------------------------------------------------
 
 _SNAKE_ORACLE = f"""
