@@ -1,0 +1,150 @@
+"""Distributed global ordering primitives: exact ``row_number`` /
+``ntile`` over a corpus-sized table WITHOUT a single-partition sort.
+
+The problem (VERDICT r10 "What's wrong"): ``row_number() OVER
+(ORDER BY ...)`` with an empty PARTITION BY plans as ``Exchange
+SinglePartition`` + one sort of the WHOLE table on one task — correct
+at fixture scale, a straggler-then-OOM at 100 TB. The standard
+decomposition (documented in prose at ``pipeline/dataset3.py`` /
+``dataset8.py`` since round 5, implemented here):
+
+1. **Bucket** every row by a numeric key that is monotone in the
+   requested total order (the first ORDER BY column, or an explicit
+   composite): boundaries come from one ``percentile_approx`` pass,
+   broadcast as a 1-row array; the bucket id is
+   ``#(boundaries < key)`` folded JVM-side with ``F.aggregate`` —
+   a pure function of the ROW, so recomputation of any plan branch
+   reassigns identical buckets (no ``spark_partition_id()``, no
+   persist, no reliance on exchange reuse — the failure modes of the
+   physical-partition-id formulation).
+2. **Local rank** within each bucket: ``row_number`` over
+   ``Window.partitionBy(bucket)`` — a hash exchange on the bucket id;
+   every sort is bucket-sized.
+3. **Offsets**: per-bucket counts (one map-side-combinable hash
+   aggregate) turned into exclusive prefix sums via a broadcast
+   self-join over the ≤``buckets``² count pairs — deliberately NOT a
+   window, so the helper's whole plan contains ZERO
+   ``Exchange SinglePartition`` (the plan test pins this).
+4. ``global rank = offset + local rank``; ``ntile(n)`` is pure
+   arithmetic on (rank, total): the first ``total % n`` tiles carry
+   ``total div n + 1`` rows — bit-identical to SQL NTILE.
+
+EXACTNESS IS INDEPENDENT OF BOUNDARY QUALITY: a skewed
+``percentile_approx`` sketch only unbalances bucket sizes, never the
+rank — which is why the four re-shaped queries keep their original
+window-form oracles unchanged. Correctness therefore never depends on
+the sampling; only the parallelism does.
+
+Contract: ``order_cols`` must define a TOTAL order (include a unique
+tiebreak) and ``bucket_key`` must be a non-null numeric expression
+ascending-monotone in that order (negate for DESC heads; compose
+``a * K + b`` for multi-column heads with b < K). At 100 TB pass
+``buckets ≈ rows / 10M`` so each bucket-sort fits a task; the default
+64 suits fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BNDS = "__go_bnds"
+_BUCKET = "__go_bucket"
+_LOCAL = "__go_local"
+_OFFSET = "__go_offset"
+_TOTAL = "__go_total"
+
+
+def _bucketed(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
+    """Stamp each row with its deterministic order-bucket id."""
+    pcts = [i / buckets for i in range(1, buckets)]
+    bnds = df.agg(
+        F.percentile_approx(bucket_key.cast("double"), pcts, 10000).alias(_BNDS)
+    )
+    key = bucket_key.cast("double")
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn(
+            _BUCKET,
+            F.aggregate(
+                F.col(_BNDS),
+                F.lit(0),
+                lambda acc, b: acc + F.when(key > b, 1).otherwise(0),
+            ),
+        )
+        .drop(_BNDS)
+    )
+
+
+def _offsets(bucketed: DataFrame) -> DataFrame:
+    """(bucket, offset, total): exclusive prefix counts via a broadcast
+    self-join on the tiny per-bucket count frame (≤ buckets rows) —
+    no window, no single-partition exchange anywhere."""
+    cnt = bucketed.groupBy(_BUCKET).agg(F.count("*").alias("__go_n"))
+    lower = cnt.select(
+        F.col(_BUCKET).alias("__go_b2"), F.col("__go_n").alias("__go_n2")
+    )
+    off = (
+        cnt.join(
+            F.broadcast(lower), F.col("__go_b2") < F.col(_BUCKET), "left"
+        )
+        .groupBy(_BUCKET, "__go_n")
+        .agg(F.coalesce(F.sum("__go_n2"), F.lit(0)).alias(_OFFSET))
+    )
+    tot = off.agg(F.sum("__go_n").alias(_TOTAL))
+    return off.crossJoin(F.broadcast(tot)).select(_BUCKET, _OFFSET, _TOTAL)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket_key: Column,
+    rank_col: str = "r",
+    buckets: int = 64,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Add ``rank_col`` = exact global ``row_number`` over
+    ``order_cols`` (and optionally ``total_col`` = table row count)
+    without any corpus-sized single-partition sort. See module doc for
+    the contract on ``bucket_key``."""
+    b = _bucketed(df, bucket_key, buckets)
+    local = F.row_number().over(Window.partitionBy(_BUCKET).orderBy(*order_cols))
+    ranked = b.withColumn(_LOCAL, local)
+    out = ranked.join(F.broadcast(_offsets(b)), _BUCKET).withColumn(
+        rank_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long")
+    )
+    keep = df.columns + [rank_col] + ([total_col] if total_col else [])
+    if total_col:
+        out = out.withColumn(total_col, F.col(_TOTAL).cast("long"))
+    return out.select(*keep)
+
+
+def with_global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[Column],
+    bucket_key: Column,
+    tile_col: str = "tile",
+    buckets: int = 64,
+) -> DataFrame:
+    """Add ``tile_col`` = exact SQL ``NTILE(n)`` over ``order_cols``:
+    global rank (above) + closed-form tile arithmetic. With
+    q = total div n and rem = total % n, tiles 1..rem hold q+1 rows;
+    rank r maps to ``(r-1) div (q+1) + 1`` inside the fat prefix and
+    ``rem + (r - rem*(q+1) - 1) div q + 1`` past it — the exact NTILE
+    fill rule in both Spark and DuckDB."""
+    ranked = with_global_rank(
+        df, order_cols, bucket_key, rank_col="__go_r", buckets=buckets,
+        total_col="__go_t",
+    )
+    r, t = F.col("__go_r"), F.col("__go_t")
+    q = F.floor(t / n)
+    rem = t % n
+    fat = rem * (q + 1)
+    tile = (
+        F.when(q == 0, r)  # total < n: one row per tile, tile = rank
+        .when(r <= fat, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - fat - 1) / q) + 1)
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__go_r", "__go_t")

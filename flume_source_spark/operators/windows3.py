@@ -52,17 +52,28 @@ _EQUIDEPTH_ORACLE = """
 
 @query("agg_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE, tags=("agg", "histogram"))
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth decile histogram of lineitem price cents: ntile(10)
-    over a deterministic total order, then per-bucket count/min/max."""
+    """Equi-depth decile histogram of lineitem price cents: exact
+    NTILE(10) over a deterministic total order via the DISTRIBUTED
+    global-order helper (round 11 — the window form was a
+    single-partition sort of all of lineitem; `global_order` replaces
+    it with boundary-bucketed two-level rank, bit-identical to the
+    unchanged NTILE oracle), then per-bucket count/min/max."""
+    from flume_source_spark.global_order import with_global_ntile
+
     li = load_tables(spark, sf_dir)["lineitem"]
     c = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
     return (
-        c.select("cents", F.ntile(10).over(w).alias("bucket"))
+        with_global_ntile(
+            c,
+            10,
+            [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+            F.col("cents"),
+            tile_col="bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),

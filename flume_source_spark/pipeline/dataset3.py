@@ -16,16 +16,15 @@ resampling, curriculum ordering.
   quality proxy capped at 2.0; both engines evaluate the identical
   double expression, so the comparison is bit-reproducible.
 - ``ds_curriculum_order`` — curriculum stages (easy→hard quartiles
-  via ntile(4) over a UNIQUE (n_chars, doc_id) ordering — unique
-  ordering is what makes ntile deterministic and cross-engine
+  via exact NTILE(4) over a UNIQUE (n_chars, doc_id) ordering —
+  unique ordering is what makes ntile deterministic and cross-engine
   stable) with intra-stage order shuffled by identity hash, and a
-  global curriculum rank. The two full-corpus windows are single-
-  partition global sorts — correct at fixture scale and the honest
-  oracle; at 100 TB replace ntile with percentile_approx stage
-  boundaries (broadcast, then a stateless CASE assign) and the
-  global rank with repartitionByRange(stage, h) + per-partition
-  row_number offset by partition counts (the sink_clustered_write
-  layout), both already demonstrated elsewhere in this repo.
+  global curriculum rank. Round 11: both full-corpus orderings run
+  through the DISTRIBUTED global-order helper
+  (flume_source_spark/global_order.py — boundary-bucketed two-level
+  rank, exact by construction), so no single-partition sort remains;
+  the window-form SQL stays as the oracle because the helper is
+  bit-identical to it.
 """
 
 from __future__ import annotations
@@ -154,20 +153,38 @@ _CURRICULUM_ORACLE = """
 @query("ds_curriculum_order", oracle=_CURRICULUM_ORACLE, tags=("llm", "dataset", "curriculum"))
 def ds_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Easy→hard curriculum: quartile stages (deterministic ntile on a
-    unique ordering) + identity-hash shuffle within stage. See module
-    doc for the 100 TB window-free formulation."""
+    unique ordering) + identity-hash shuffle within stage. Round 11:
+    both full-corpus windows replaced by the DISTRIBUTED global-order
+    helper (module doc's 100 TB formulation, now code): the stage is
+    an exact NTILE(4) bucketed on n_chars; the curriculum rank is an
+    exact row_number bucketed on the composite ``stage·100000 + h``
+    (h < 100000 by construction, so the composite is
+    ascending-monotone in (stage, h)). Bit-identical to the unchanged
+    window-form oracle."""
+    from flume_source_spark.global_order import with_global_ntile, with_global_rank
+
     d = load_tables(spark, sf_dir)["documents"]
-    s = d.select(
+    base = d.select(
         "doc_id",
         "n_chars",
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).cast("int").alias("stage"),
         _hash_mod(F.col("doc_id"), 100000).alias("h"),
     )
-    return s.select(
-        "doc_id",
-        "stage",
-        F.row_number().over(Window.orderBy("stage", "h", "doc_id")).cast("long").alias("curriculum_rank"),
-    ).orderBy("curriculum_rank")
+    s = with_global_ntile(
+        base,
+        4,
+        [F.col("n_chars"), F.col("doc_id")],
+        F.col("n_chars"),
+        tile_col="stage",
+    )
+    ranked = with_global_rank(
+        s,
+        [F.col("stage"), F.col("h"), F.col("doc_id")],
+        F.col("stage").cast("long") * 100000 + F.col("h"),
+        rank_col="curriculum_rank",
+    )
+    return ranked.select("doc_id", "stage", "curriculum_rank").orderBy(
+        "curriculum_rank"
+    )
 
 
 _RESERVOIR_ORACLE = """

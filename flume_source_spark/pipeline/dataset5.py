@@ -10,10 +10,11 @@
   padding-waste driver), and the id range. Rank→step is pure
   arithmetic ((rank−1) div B) — no sequential state, so the plan is
   embarrassingly parallel and any worker can locate its steps by
-  predicate pushdown on the step column. The window rank IS a global
-  sort of hashes; at 100 TB the documented decomposition is the one
-  ``ds_global_shuffle`` uses (per-shard rank + shard-major order) —
-  same schedule, no global sort.
+  predicate pushdown on the step column. Round 11: the rank runs
+  through the DISTRIBUTED global-order helper
+  (flume_source_spark/global_order.py) — exact row_number over the
+  hash order with no single-partition sort; the window-form SQL
+  stays as the oracle because the helper is bit-identical to it.
 - ``dq_drift_psi`` — Population Stability Index between a reference
   and a current slice (here: orders before/after the fixture's
   median-year boundary), the standard "did the distribution move"
@@ -61,7 +62,13 @@ _BATCH_PLAN_ORACLE = f"""
 @query("ds_batch_plan", oracle=_BATCH_PLAN_ORACLE, tags=("llm", "dataset", "dataloader"))
 def ds_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataloader schedule: identity-hash shuffle rank →
-    fixed-size global steps → per-step doc/token/padding accounting."""
+    fixed-size global steps → per-step doc/token/padding accounting.
+    Round 11: the rank is the DISTRIBUTED global-order helper (the
+    md5 hash is a near-uniform bucket key, so the boundary buckets are
+    balanced by construction) — exact row_number, no single-partition
+    sort, unchanged oracle."""
+    from flume_source_spark.global_order import with_global_rank
+
     d = load_tables(spark, sf_dir)["documents"]
     hashed = d.select(
         "doc_id",
@@ -70,8 +77,12 @@ def ds_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    rk = F.row_number().over(Window.orderBy("h", "doc_id"))
-    steps = hashed.withColumn("step", ((rk - 1) / BATCH_DOCS).cast("long"))
+    ranked = with_global_rank(
+        hashed, [F.col("h"), F.col("doc_id")], F.col("h"), rank_col="rk"
+    )
+    steps = ranked.withColumn(
+        "step", ((F.col("rk") - 1) / BATCH_DOCS).cast("long")
+    )
     return (
         steps.groupBy("step")
         .agg(

@@ -410,14 +410,12 @@ def ds_neardup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convention the audit uses, so "audit says ±X, snake achieves ±Y"
 # reads off directly.
 #
-# Scale: the global row_number window is a SINGLE-PARTITION sort —
-# correct at fixture scale and the honest oracle twin, but the
-# documented 100 TB replacement is the ds_curriculum_order recipe:
-# repartitionByRange on (w DESC, doc_id) + per-partition row_number
-# offset by broadcast partition counts (the sink_clustered_write
-# layout) — the snake shard depends only on rank mod 2K, so the
-# offset arithmetic distributes. Assignment itself is map-side; the
-# rollup is K rows.
+# Scale (round 11): the weight-descending rank is the distributed
+# global-order helper (flume_source_spark/global_order.py) — exact
+# row_number via boundary-bucketed two-level rank, no single-partition
+# sort anywhere in the plan. The snake shard depends only on
+# rank mod 2K, so the offset arithmetic distributes. Assignment
+# itself is map-side; the rollup is K rows.
 # ---------------------------------------------------------------------------
 
 _SNAKE_ORACLE = f"""
@@ -456,13 +454,19 @@ def snake_balance(weighted: DataFrame, k: int = _SHARD_K) -> DataFrame:
     ``(doc_id, w)`` frame. Factored so model tests (uniform weights →
     near-zero deviation; adversarial geometric weights → snake beats
     the md5-hash layout's weight spread) drive the production rank
-    and assignment arithmetic."""
-    from pyspark.sql import Window as W
+    and assignment arithmetic. Round 11: the weight-descending rank is
+    the DISTRIBUTED global-order helper (bucket key ``-w`` — negation
+    makes the ascending boundary bucketing monotone in the DESC
+    order), closing ADVICE r10 item 3: the shard depends only on
+    rank mod 2K, so the rank-offset recipe distributes and the shipped
+    path now uses it. Bit-identical to the unchanged window oracle."""
+    from flume_source_spark.global_order import with_global_rank
 
-    ranked = weighted.select(
-        "doc_id",
-        "w",
-        F.row_number().over(W.orderBy(F.col("w").desc(), F.col("doc_id"))).alias("r"),
+    ranked = with_global_rank(
+        weighted.select("doc_id", "w"),
+        [F.col("w").desc(), F.col("doc_id")],
+        -F.col("w"),
+        rank_col="r",
     )
     assigned = ranked.select(
         "doc_id",
