@@ -156,8 +156,8 @@ _DRIVER_GREEN_R04 = frozenset(
         "join_interval_overlap", "sql_scripting_threshold",
         "sql_declared_functions", "udtf_table_partition",
         "streaming_chained_windows_batch", "text_bpe_pair_stats",
-        "agg_equidepth_histogram", "window_distinct_count_emulation",
-        "dq_drift_psi", "ds_batch_plan",
+        "window_distinct_count_emulation",
+        "dq_drift_psi",
         "emb_dim_variance_prune", "ts_outlier_mad", "ts_event_pattern_regex",
         "ts_transition_matrix", "ts_peak_detection", "agg_weighted_median",
         "graph_assortativity", "agg_bitmap_distinct", "window_pareto_abc",
@@ -205,7 +205,7 @@ _DRIVER_GREEN_R05 = frozenset(
         "agg_percentile_disc_cont", "agg_regression_family",
         "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
         "dedup_incremental_lsh", "dedup_simhash_hamming_join",
-        "ds_curriculum_order", "ds_importance_resample",
+        "ds_importance_resample",
         "ds_length_histogram", "ds_mixture_temperature",
         "ds_reservoir_per_group", "emb_pca_power", "emb_quantize_pq",
         "join_asof_forward", "join_asof_tolerance",
@@ -505,20 +505,6 @@ _DRIVER_GREEN_R09 = frozenset(
     }
 )
 
-_FRESH_GREEN = (
-    _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
-    | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
-    | _DRIVER_GREEN_R09
-)
-
-# Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
-# driver regenerated the fixtures (events.ts type and documents
-# cardinality changed). Locally green on the current fixtures (judge
-# re-verified all of them in the r6 session); their driver evidence is
-# stale until a sweep re-pins them. They form the sweep tier right
-# after the never-swept block, in _R07_STALE_REPIN order.
-_STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
-
 # Rounds whose driver evidence is recorded in the hardcoded frozensets
 # above. Artifacts for LATER rounds are picked up dynamically (below),
 # which closes the recurring one-commit gap: each round's
@@ -540,28 +526,103 @@ _R10_ROWSONLY_REPIN = (
     "emb_quantize_pq", "sim_ann_pq_adc",
 )
 
-# ROUND-11 NOTE: when CORRECTNESS_r10.json lands, the dynamic pickup
-# re-tiers automatically. The manual hygiene step is: fold r10's keys
-# into a hardcoded _DRIVER_GREEN_R10 and bump _KNOWN_ROUNDS to 10.
-# Expected r10 sweep head (all locally verified green at sf0.001 +
-# sf0.01 — most also sf0.1 — before registration; the full
-# driver-contract sweep ran ALL MATCH at sf0.01 seven times this
-# round and at sf0.1 once):
-#   - 20 oracled tier-1 registrations: ts_holt_winters_exact,
-#     ts_seasonal_decompose_exact, agg_log2_histogram,
-#     lsh_similar_topk (the four r9-handoff candidates),
-#     stream_crawl_matches_twin (the crawl composition's pair set),
-#     ts_hw_backtest_wape, sim_knn_refined2_recall_audit,
-#     multimodal_phash_hamming_neardup, dq_cramers_v_sq,
-#     sim_knn_label_purity, ds_neardup_rate_by_lang,
-#     entity_golden_record, ts_seasonal_residual_outliers,
-#     dq_freshness_lag, text_langid_confusion,
-#     ts_rolling_median_exact, dedup_threshold_sweep,
-#     sim_ann_nprobe_curve, ts_kaplan_meier, ds_shard_snake_balance
-#     (20 in total);
-#   - the 8 _R10_ROWSONLY_REPIN artifact-currency rows (no_oracle
-#     row counts expected: see each query's twin/pin docstring).
-_KNOWN_ROUNDS = 9
+# Queries with a row in the driver's CORRECTNESS_r10.json: the 50-row
+# round-10 sweep = 42 hash-green (all 20 round-10 registrations, the
+# 21-query TPC-H re-pin subset the sweep reached — q21's freshest row
+# remains r06 — and the filter_predicates re-pin) + the 8
+# _R10_ROWSONLY_REPIN artifact-currency rows (`err: no_oracle`, fresh
+# row counts per each query's twin/pin docstring). 0 red. After this
+# sweep no registry query's latest driver artifact predates the
+# round-10 re-pin policy window.
+_DRIVER_GREEN_R10 = frozenset(
+    {
+        "agg_log2_histogram", "dedup_threshold_sweep", "dq_cramers_v_sq",
+        "dq_freshness_lag", "ds_neardup_rate_by_lang",
+        "entity_golden_record",
+        "filter_predicates", "lsh_similar_topk",
+        "multimodal_phash_hamming_neardup", "q01_pricing_summary",
+        "q02_min_cost_supplier", "q03_shipping_priority",
+        "q04_priority_exists", "q05_local_supplier_volume",
+        "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
+        "q09_product_type_profit", "q10_returned_items",
+        "q11_important_stock", "q12_conditional_shipping",
+        "q13_order_count_distribution", "q14_promo_revenue_share",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_disjunctive_predicates", "q20_excess_concentration",
+        "q22_dormant_customers", "sim_ann_nprobe_curve",
+        "sim_knn_label_purity", "sim_knn_refined2_recall_audit",
+        "stream_crawl_matches_twin", "text_langid_confusion",
+        "ts_holt_winters_exact", "ts_hw_backtest_wape", "ts_kaplan_meier",
+        "ts_rolling_median_exact", "ts_seasonal_decompose_exact",
+        "ts_seasonal_residual_outliers",
+        # the 8 rows-only artifact-currency re-pins (no_oracle rows)
+        "dedup_simhash_hamming_join", "ds_semdedup", "emb_pca_power",
+        "emb_quantize_pq", "graph_pagerank_neardup",
+        "multimodal_binaryfile", "sim_ann_ivf", "sim_ann_pq_adc",
+    }
+)
+# FOUR round-11 exclusions across the sets above (the graph_kcore /
+# sim_knn_graph re-shape precedent): agg_equidepth_histogram (was r04),
+# ds_batch_plan (was r04), ds_curriculum_order (was r05), and
+# ds_shard_snake_balance (was r10) had their production rank/ntile
+# re-shaped from the unpartitioned corpus-sized window onto the
+# distributed global-order helper (flume_source_spark/global_order.py,
+# VERDICT r10 item 1). The helper is bit-identical to the window form
+# (equality-pinned at sf0.001/0.01/0.1 + plan-pinned in
+# tests/test_global_order.py) and the oracles are unchanged, but the
+# executed Spark path is new, so each re-enters the verify-first block
+# for a fresh driver row.
+
+# Round-11 hash-green artifact-currency re-pin tier (VERDICT r10
+# "Next round" item 3): the 48 queries whose LATEST driver artifact is
+# CORRECTNESS_r03.json. No correctness doubt — all hash-green on
+# current fixtures in every local full sweep since — purely driver
+# artifact freshness (driver currency lags builder currency by ~7
+# rounds at 50 slots/sweep). Ordered one-per-family heads first so a
+# truncated sweep still spans families; a later-round artifact row
+# retires each dynamically. Advancing these moves the oldest-artifact
+# round from r3 to ≥r4 (48 r4-era rows remain for round 12).
+_R11_STALE_REPIN = (
+    # one-per-family heads
+    "text_lang_id", "ts_sessionize_gaps", "streaming_tumbling_window",
+    "udf_pandas_vectorized", "source_csv_roundtrip", "sql_recursive_cte",
+    "multimodal_binary_meta", "filemeta_scan", "agg_wave2",
+    "sim_cosine_arrow", "sink_partitioned_write", "ds_shard_manifest",
+    "udtf_expand",
+    # the rest, grouped by family
+    "text_quality", "text_token_stats", "text_token_count_bpeish",
+    "text_fingerprint", "text_chunk_overlap", "text_pii_scrub",
+    "text_repetition_filter", "text_vocab_topk", "text_tfidf_topk",
+    "text_dup_ngram_fraction", "text_url_parse", "text_normalize_unicode",
+    "text_inverted_index",
+    "ts_ohlc_bars", "ts_concurrency_sweep", "ts_calendar_features",
+    "ts_seasonal_profile", "ts_ewma_bounded",
+    "streaming_sliding_window", "streaming_session_window",
+    "streaming_dedup_batch", "streaming_interval_join_batch",
+    "streaming_static_enrich",
+    "udf_grouped_map_zscore", "udf_row_classify", "udf_map_in_arrow",
+    "source_jsonl_roundtrip", "source_orc_roundtrip", "source_csv_options",
+    "sql_interface_cte", "sql_lateral_topk",
+    "multimodal_decode", "multimodal_frame_sample",
+    "filemeta_ignore_pattern", "agg_incremental_merge",
+)
+
+_KNOWN_ROUNDS = 10
+
+_FRESH_GREEN = (
+    _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
+    | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
+    | _DRIVER_GREEN_R09 | _DRIVER_GREEN_R10
+)
+
+# Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
+# driver regenerated the fixtures (events.ts type and documents
+# cardinality changed). Locally green on the current fixtures (judge
+# re-verified all of them in the r6 session); their driver evidence is
+# stale until a sweep re-pins them. They form the sweep tier right
+# after the never-swept block, in _R07_STALE_REPIN order.
+_STALE_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02) - _FRESH_GREEN
 
 
 def _later_round_artifacts(artifact_dir: str | None = None) -> tuple[set, set]:
@@ -765,11 +826,23 @@ def load_all() -> dict[str, QuerySpec]:
         }
     )
     # Tier 3.5: rows-only artifact-currency re-pins (r3-r5-era rows;
-    # VERDICT r9 item 4). A later-round row retires each dynamically.
+    # VERDICT r9 item 4). All retired by the hardcoded r10 record
+    # (now in _FRESH_GREEN); kept for a future artifact regression.
     ordered.update(
         {
             n: REGISTRY[n]
             for n in _R10_ROWSONLY_REPIN
+            if n in REGISTRY and n not in dyn_swept and n not in fresh
+        }
+    )
+    # Tier 3.7: round-11 hash-green artifact-currency re-pins — the 48
+    # r3-era rows (VERDICT r10 item 3), behind every never-swept
+    # registration. A later-round (r11+) artifact row retires each
+    # dynamically, so this tier self-empties as sweeps land.
+    ordered.update(
+        {
+            n: REGISTRY[n]
+            for n in _R11_STALE_REPIN
             if n in REGISTRY and n not in dyn_swept
         }
     )

@@ -422,10 +422,12 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R07,
         _DRIVER_GREEN_R08,
         _DRIVER_GREEN_R09,
+        _DRIVER_GREEN_R10,
         _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
         _R07_STALE_REPIN,
         _R10_ROWSONLY_REPIN,
+        _R11_STALE_REPIN,
         _STALE_GREEN,
         _later_round_artifacts,
         load_all,
@@ -443,24 +445,38 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R07,
         _DRIVER_GREEN_R08,
         _DRIVER_GREEN_R09,
+        _DRIVER_GREEN_R10,
         _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
         assert not missing, f"green set names unknown queries: {missing}"
     assert set(_R10_ROWSONLY_REPIN) <= names
-    # the re-pin tier is exclusively rows-only-by-design queries whose
-    # hardcoded green evidence is r3-r5 era (so they sit in _FRESH_GREEN
-    # but their artifact currency predates round 6)
+    # the r10 rows-only re-pin tier is exclusively rows-only-by-design
+    # queries; each now carries a fresh r10 `no_oracle` row, so they
+    # are folded into the hardcoded r10 record
     for n in _R10_ROWSONLY_REPIN:
         assert REGISTRY[n].oracle is None, n
         assert n in _FRESH_GREEN, n
-        assert n not in _DRIVER_GREEN_R09, n
+        assert n in _DRIVER_GREEN_R10, n
+    # the r11 re-pin tier is exclusively hash-ORACLED queries whose
+    # latest driver artifact is r3-era (they sit in _DRIVER_GREEN_R03
+    # and nothing later re-pinned them)
+    assert set(_R11_STALE_REPIN) <= names
+    for n in _R11_STALE_REPIN:
+        assert REGISTRY[n].oracle is not None, n
+        assert n in _DRIVER_GREEN_R03, n
+        assert n not in (
+            _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05 | _DRIVER_GREEN_R06
+            | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08 | _DRIVER_GREEN_R09
+            | _DRIVER_GREEN_R10
+        ), n
     assert not (_STALE_GREEN & _FRESH_GREEN)
-    # r06-r09 sweeps must have LEFT the stale/verify tiers
+    # r06-r10 sweeps must have LEFT the stale/verify tiers
     assert _DRIVER_GREEN_R06 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R07 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R08 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R09 <= _FRESH_GREEN
+    assert _DRIVER_GREEN_R10 <= _FRESH_GREEN
     # the round-9 re-shape (sim_knn_graph singleton fold) and the two
     # verify-first arithmetic re-implementations went through the
     # verify-first block and now carry fresh r09 rows (ADVICE r8
@@ -501,13 +517,23 @@ def test_registry_green_sets_are_consistent():
     n_head += len(expected_stale)
     tier3 = [n for n in _DRIVER_ROWSONLY_R06 if n not in fresh]
     assert set(ordered[n_head : n_head + len(tier3)]) <= set(_DRIVER_ROWSONLY_R06)
-    # tier 3.5: the r3-r5-era rows-only artifact-currency re-pins, in
-    # declared order, each retired the moment a later-round row lands
+    # tier 3.5: the r3-r5-era rows-only artifact-currency re-pins —
+    # all retired by the hardcoded r10 fold (empty unless an artifact
+    # regression re-exposes one)
     n_head += len(tier3)
     expected_repin = [
-        n for n in _R10_ROWSONLY_REPIN if n in REGISTRY and n not in dyn_swept
+        n
+        for n in _R10_ROWSONLY_REPIN
+        if n in REGISTRY and n not in dyn_swept and n not in fresh
     ]
     assert ordered[n_head : n_head + len(expected_repin)] == expected_repin
+    # tier 3.7: the r3-era hash-green artifact-currency re-pins in
+    # declared order, each retired the moment an r11+ row lands
+    n_head += len(expected_repin)
+    expected_r11 = [
+        n for n in _R11_STALE_REPIN if n in REGISTRY and n not in dyn_swept
+    ]
+    assert ordered[n_head : n_head + len(expected_r11)] == expected_r11
     # the whole registry is ordered exactly once
     assert len(ordered) == len(names)
 
@@ -559,11 +585,11 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
     and newly swept queries fall to the back."""
     import flume_source_spark.registry as reg
 
-    # pick the scenario fixtures from the LIVE re-pin tier (the r09
-    # sweep retired the last _STALE_GREEN entries, so the only
-    # leave-on-sweep tier left is the r10 rows-only currency queue)
+    # pick the scenario fixtures from the LIVE re-pin tier (the r10
+    # sweep retired the rows-only currency queue, so the only
+    # leave-on-sweep tier left is the r11 hash-green currency queue)
     dyn_swept0, _ = reg._later_round_artifacts()
-    live_repin = [n for n in reg._R10_ROWSONLY_REPIN if n not in dyn_swept0]
+    live_repin = [n for n in reg._R11_STALE_REPIN if n not in dyn_swept0]
     assert len(live_repin) >= 2, "scenario needs two still-queued re-pins"
     stale_head, stale_next = live_repin[0], live_repin[1]
     fresh_red = "q01_pricing_summary"             # previously fresh, now red
