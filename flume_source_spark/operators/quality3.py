@@ -225,16 +225,23 @@ def dq_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integral div by t²·(min(R,C)−1) lands V² in ppm.
 # Headroom: o·t ≤ t², so (o·t − r·c)² ≤ t⁴ and the ppm-scaled
 # numerator ≤ t⁴·1e6 — inside DECIMAL(38,0) while t ≤ ~3×10⁶ rows
-# per audited table; enforced nowhere because the AUDITED table here
-# is the (event_type × day-of-week) contingency whose t is the event
-# count — at larger scale audit a sampled window (the audit-budget
-# discipline) or widen to two-level partials.
+# per audited table. ENFORCED (round 11, ADVICE r10 item 2 — the
+# SPEARMAN_MAX_DAYS pattern): both engines filter the final row on
+# t <= CRAMERS_MAX_N, so past the bound BOTH sides return an empty
+# frame instead of Spark decimal-overflow NULL vs DuckDB HUGEINT
+# error (the asymmetric-failure class the Spearman fix closed). At
+# larger scale audit a sampled window (the audit-budget discipline)
+# or widen to two-level partials.
 #
 # Scale: one map-side-combinable groupBy onto R·C cells, two
 # broadcast-sized margin joins, one fold. Output: ONE row.
 # ---------------------------------------------------------------------------
 
-_CRAMERS_ORACLE = """
+# DECIMAL(38,0) headroom bound on the contingency total (see block
+# comment above); shared verbatim by the Spark fold and the oracle.
+CRAMERS_MAX_N = 3_000_000
+
+_CRAMERS_ORACLE = f"""
     WITH cells AS (
         SELECT event_type AS r, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS c,
                CAST(count(*) AS BIGINT) AS o
@@ -252,13 +259,18 @@ _CRAMERS_ORACLE = """
         LEFT JOIN cells x ON x.r = rm.r AND x.c = cm.c
     ),
     terms AS (
-        SELECT CAST(sum(
+        -- GROUP BY t.t so an over-bound (filtered-empty) input yields
+        -- ZERO rows, matching Spark's grouped aggregate — an
+        -- ungrouped sum() would emit one NULL row instead
+        SELECT t.t AS tt, CAST(sum(
             ((CAST(o AS HUGEINT) * t.t - CAST(rn AS HUGEINT) * cn)
              * (CAST(o AS HUGEINT) * t.t - CAST(rn AS HUGEINT) * cn)
              * 1000000)
             // (CAST(rn AS HUGEINT) * cn)
         ) AS HUGEINT) AS chi2t_ppm
         FROM lattice CROSS JOIN t
+        WHERE t.t <= {CRAMERS_MAX_N}
+        GROUP BY t.t
     )
     SELECT CAST(t.t AS BIGINT) AS n,
            CAST(d.nr AS BIGINT) AS n_rows,
@@ -296,6 +308,10 @@ def cramers_v_sq(cells: DataFrame) -> DataFrame:
     terms = (
         lattice
         .crossJoin(F.broadcast(t))
+        # identical guard to the oracle's WHERE (ADVICE r10 item 2):
+        # past the DECIMAL(38,0) headroom bound both engines emit an
+        # EMPTY frame — never Spark overflow-NULL vs DuckDB error
+        .filter(F.col("t") <= CRAMERS_MAX_N)
         .select(
             "t",
             "nr",

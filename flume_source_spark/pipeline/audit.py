@@ -815,7 +815,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spread(load_tables(spark, sf_dir)["documents"])
-    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles")).persist()
+    # No persist (ADVICE r10 item 4): a registered builder returns a
+    # LAZY frame, so a persist here can never be paired with an
+    # unpersist and leaks cached blocks for the rest of the session.
+    # The shingle projection is recomputed by the signature pass and
+    # the verify join — two cheap map-side scans.
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles"))
     sig = minhash_signature(docs, "doc_id", "shingles")
     cand = lsh_candidate_pairs(sig, "doc_id")
     ids = cand.select(F.col("i").alias("doc_id")).union(cand.select("j")).distinct()

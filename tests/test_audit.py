@@ -156,3 +156,98 @@ def test_lsh_audit_registered_query_runs(spark, sf_dir):
     assert row.n_hit <= min(row.n_true, row.n_cand)
     assert 0 <= row.recall_ppm <= 1_000_000
     assert 0 <= row.precision_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# LSH recall ATTRIBUTION (round 11, ADVICE r10 item 1). Three
+# registered queries (ds_neardup_rate_by_lang, dedup_threshold_sweep,
+# stream_crawl_matches_twin) run the banded-LSH candidate path on
+# Spark but are oracled against EXACT all-pairs shingle Jaccard — the
+# hash match holds because LSH recall is 100% on the fixtures. These
+# two tests make a recall miss fail HERE, with an "LSH recall"
+# message, before it can surface as a driver red that looks like an
+# engine bug (e.g. after a fixture regeneration or a band retune).
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_candidates_superset_of_exact_pairs_on_fixtures(spark, sf_dir):
+    """On the real fixture corpus, the banded candidate set must
+    contain EVERY exact pair at the 0.5 sweep floor (integer
+    permyriad, the dedup_threshold_sweep verify arithmetic). If this
+    fails, the banding's recall dropped below 100% on the fixtures —
+    fix the fixture/banding mismatch, NOT the engine."""
+    from flume_source_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_col,
+        spread,
+    )
+    from flume_source_spark.tables import load_tables
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    docs = d.select("doc_id", shingle_col(F.col("text")).alias("sh"))
+    # exact all-pairs at the floor (explode + equi-join on shingle —
+    # fixture-scale evidence machinery, the oracle's own shape)
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sz = docs.select("doc_id", F.size("sh").alias("n"))
+    exact = (
+        inter.join(sz.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
+        .join(sz.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+        .filter(
+            F.expr("CAST(c * 10000 div (ni + nj - c) AS BIGINT)") >= 5000
+        )
+        .select("i", "j")
+    )
+    exact_pairs = {(r.i, r.j) for r in exact.collect()}
+    sig = minhash_signature(docs, "doc_id", "sh")
+    cand = {(r.i, r.j) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    missed = exact_pairs - cand
+    assert not missed, (
+        f"LSH RECALL MISS (not an engine bug): {len(missed)} exact "
+        f"J>=0.5 pairs absent from the banded candidate set, e.g. "
+        f"{sorted(missed)[:5]} — the exact-pair oracles of "
+        f"ds_neardup_rate_by_lang / dedup_threshold_sweep / "
+        f"stream_crawl_matches_twin will mismatch for this reason"
+    )
+
+
+def test_lsh_recall_attribution_planted_floor_pair(spark):
+    """A planted pair JUST above the 0.5 band floor (J = 40/76 ≈
+    0.526 — adversarial to the 21x3 banding, where single-band
+    collision probability is only ~15%) must be produced by the
+    production candidate path. Deterministic: the MinHash family is
+    fixed-seeded. If this fails after a banding retune, the retune
+    lowered floor recall — the three exact-pair-oracled queries need
+    re-validation before any driver sweep."""
+    from flume_source_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_col,
+    )
+
+    a_text = " ".join(f"w{i}" for i in range(60))
+    b_text = " ".join([f"w{i}" for i in range(42)] + [f"x{i}" for i in range(18)])
+    decoys = [
+        (100 + i, " ".join(f"d{i}_{j}" for j in range(60))) for i in range(6)
+    ]
+    df = _docs(spark, [(1, a_text), (2, b_text)] + decoys)
+    docs = df.select("doc_id", shingle_col(F.col("text")).alias("sh"))
+    a, b = [set(r.sh) for r in docs.filter("doc_id <= 2").orderBy("doc_id").collect()]
+    j = len(a & b) / len(a | b)
+    assert 0.5 < j < 0.55, f"planted pair drifted off the floor: J={j}"
+    sig = minhash_signature(docs, "doc_id", "sh")
+    cand = {(r.i, r.j) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in cand, (
+        f"LSH RECALL MISS at the band floor (J={j:.4f}): the banding "
+        f"no longer surfaces just-above-threshold pairs — an exact-pair "
+        f"oracle mismatch downstream is a recall miss, not an engine bug"
+    )

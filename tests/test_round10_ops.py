@@ -562,3 +562,42 @@ def test_snake_balance_beats_hash_layout_on_skewed_weights(spark):
     )
     assert snake_dev * 5 < hash_dev, (snake_dev, hash_dev)
     assert snake_dev <= 100  # within ±1% of ideal on sorted weights
+
+
+def test_cramers_v_headroom_guard_empties_both_engines(spark):
+    """ADVICE r10 item 2: past the DECIMAL(38,0) headroom bound
+    (CRAMERS_MAX_N) the Spark fold must return an EMPTY frame — never
+    an overflow NULL — and the oracle's guarded GROUP BY shape must
+    agree (an ungrouped sum would emit one NULL row instead)."""
+    import duckdb
+
+    from flume_source_spark.operators.quality3 import CRAMERS_MAX_N, cramers_v_sq
+
+    big = CRAMERS_MAX_N  # per-cell counts, t = 4*CRAMERS_MAX_N > bound
+    over = spark.createDataFrame(
+        [(0, 0, big), (0, 1, big), (1, 0, big), (1, 1, big)],
+        "r long, c long, o long",
+    )
+    assert cramers_v_sq(over).count() == 0
+    # just UNDER the bound still emits the row (guard is not too eager)
+    under = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 5), (1, 0, 5), (1, 1, 10)], "r long, c long, o long"
+    )
+    assert cramers_v_sq(under).count() == 1
+    # oracle shape: the guarded+grouped terms CTE yields ZERO rows on
+    # an over-bound input (DuckDB mini-model of the real oracle)
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        WITH cells(r, c, o) AS (VALUES (0, 0, ({big}::HUGEINT + 1))),
+        t AS (SELECT sum(o) AS t FROM cells),
+        terms AS (
+            SELECT t.t AS tt, sum(o) AS s
+            FROM cells CROSS JOIN t
+            WHERE t.t <= {CRAMERS_MAX_N}
+            GROUP BY t.t
+        )
+        SELECT count(*) FROM terms
+        """
+    ).fetchone()[0]
+    assert n == 0
