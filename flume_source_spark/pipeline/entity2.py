@@ -377,19 +377,11 @@ _GOLDEN_ORACLE = f"""
 """
 
 
-@query(
-    "entity_golden_record",
-    oracle=_GOLDEN_ORACLE,
-    tags=("llm", "entity", "linkage", "merge"),
-)
-def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivorship merge over Fellegi-Sunter match clusters: connected
-    components of score ≥ MATCH_T pairs, one canonical record per
-    multi-member cluster (min-id entity key, longest name, modal
-    type, size envelope) — the 'create the master record' step every
-    MDM/dedup pipeline ends with."""
-    from pyspark.sql import Window
-
+def _golden_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity_id, p_partkey, p_name, p_type, p_size) cluster members:
+    min-label connected components over the FS match edges, joined
+    back to the part attributes — the shared input of the golden
+    record and its survivorship audit."""
     from flume_source_spark.pipeline.graph import connected_components
 
     matches = (
@@ -409,7 +401,23 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_tables(spark, sf_dir)["part"].select(
         "p_partkey", "p_name", "p_type", "p_size"
     )
-    members = comp.join(p, "p_partkey")
+    return comp.join(p, "p_partkey")
+
+
+@query(
+    "entity_golden_record",
+    oracle=_GOLDEN_ORACLE,
+    tags=("llm", "entity", "linkage", "merge"),
+)
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over Fellegi-Sunter match clusters: connected
+    components of score ≥ MATCH_T pairs, one canonical record per
+    multi-member cluster (min-id entity key, longest name, modal
+    type, size envelope) — the 'create the master record' step every
+    MDM/dedup pipeline ends with."""
+    from pyspark.sql import Window
+
+    members = _golden_members(spark, sf_dir)
     wname = Window.partitionBy("entity_id").orderBy(
         F.length("p_name").desc(), F.col("p_name"), F.col("p_partkey")
     )
@@ -443,3 +451,173 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship audit (round 11, VERDICT r10 item 7):
+# the blocking recall audit measures what LINKAGE missed; this
+# measures what the MERGE decided and discarded — the audit
+# discipline applied to the MDM step. Over the multi-member clusters:
+#   name_tie_ppm     — clusters where ≥ 2 members tie at the max name
+#                      length, i.e. the lexicographic tie rule (not
+#                      the completeness rule) chose the master name;
+#   type_tie_ppm     — clusters where the modal-type count is tied,
+#                      i.e. the tie rule chose canonical_type;
+#   type_minority_ppm— members whose p_type differs from the modal
+#                      pick (attribute information the merge folds
+#                      away), over ALL cluster members;
+#   size_spread_ppm  — clusters whose size envelope is non-degenerate
+#                      (lo < hi: the field where members disagree).
+# One hashed integer-ppm row: every rate is an exact integral div of
+# the corresponding counts (no floats anywhere).
+#
+# Scale: reuses the golden-record members frame (CC over the rare
+# match edges); the audit is three grouped aggregates over cluster
+# members + one fold. Output: ONE row.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_AUDIT_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+        SELECT p_partkey, p_brand, p_name, p_type, p_size,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_name, p_partkey) AS BIGINT) AS rnk
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS i, b.p_partkey AS j,
+               CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                    THEN {_W_NAME[0]} ELSE {_W_NAME[1]} END
+             + CASE WHEN a.p_type = b.p_type
+                    THEN {_W_TYPE[0]} ELSE {_W_TYPE[1]} END
+             + CASE WHEN abs(a.p_size - b.p_size) <= 1
+                    THEN {_W_SIZE[0]} ELSE {_W_SIZE[1]} END AS score
+        FROM ranked a
+        CROSS JOIN (SELECT unnest(generate_series(1, {_WINDOW})) AS off) o
+        JOIN ranked b ON b.p_brand = a.p_brand AND b.rnk = a.rnk + o.off
+    ),
+    matches AS (
+        SELECT DISTINCT least(i, j) AS i, greatest(i, j) AS j
+        FROM cand WHERE score >= {_MATCH_T}
+    ),
+    mnodes AS (SELECT DISTINCT i AS node FROM (
+        SELECT i FROM matches UNION ALL SELECT j AS i FROM matches)),
+    bidir AS (SELECT i, j FROM matches UNION SELECT j AS i, i AS j FROM matches),
+    reach(node, root) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT b.j, r.root FROM reach r JOIN bidir b ON b.i = r.node
+    ),
+    comp AS (SELECT node AS p_partkey, min(root) AS entity_id
+             FROM reach GROUP BY node),
+    members AS (
+        SELECT c.entity_id, p.p_partkey, p.p_name, p.p_type, p.p_size
+        FROM comp c JOIN part p ON p.p_partkey = c.p_partkey
+    ),
+    ml AS (SELECT entity_id, max(length(p_name)) AS maxlen
+           FROM members GROUP BY entity_id),
+    nl AS (SELECT m.entity_id, CAST(count(*) AS BIGINT) AS n_at_max
+           FROM members m JOIN ml USING (entity_id)
+           WHERE length(m.p_name) = ml.maxlen GROUP BY m.entity_id),
+    tc AS (SELECT entity_id, p_type, CAST(count(*) AS BIGINT) AS c
+           FROM members GROUP BY 1, 2),
+    tmax AS (SELECT entity_id, max(c) AS mc FROM tc GROUP BY entity_id),
+    tt AS (SELECT tc.entity_id, CAST(count(*) AS BIGINT) AS n_at_mode
+           FROM tc JOIN tmax USING (entity_id)
+           WHERE tc.c = tmax.mc GROUP BY tc.entity_id),
+    roll AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+                    CAST(min(p_size) AS BIGINT) AS size_lo,
+                    CAST(max(p_size) AS BIGINT) AS size_hi
+             FROM members GROUP BY entity_id),
+    per AS (
+        SELECT r.entity_id, r.n_members, r.size_lo, r.size_hi,
+               nl.n_at_max, tt.n_at_mode, tmax.mc
+        FROM roll r
+        JOIN nl USING (entity_id)
+        JOIN tt USING (entity_id)
+        JOIN tmax USING (entity_id)
+        WHERE r.n_members >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_members,
+           CAST(count(CASE WHEN n_at_max >= 2 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS name_tie_ppm,
+           CAST(count(CASE WHEN n_at_mode >= 2 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS type_tie_ppm,
+           CAST(sum(n_members - mc) * 1000000
+                // sum(n_members) AS BIGINT) AS type_minority_ppm,
+           CAST(count(CASE WHEN size_lo < size_hi THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS size_spread_ppm
+    FROM per
+"""
+
+
+@query(
+    "entity_golden_record_audit",
+    oracle=_GOLDEN_AUDIT_ORACLE,
+    tags=("llm", "entity", "linkage", "audit"),
+)
+def entity_golden_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-quality audit of entity_golden_record: how often
+    the master record was decided by a TIE rule (name length / modal
+    type) rather than the survivorship rule itself, how many member
+    attributes the merge folds away (type minority share), and how
+    often the size envelope is non-degenerate — one exact integer-ppm
+    row per corpus."""
+    return golden_survivorship_audit(_golden_members(spark, sf_dir))
+
+
+def golden_survivorship_audit(members: DataFrame) -> DataFrame:
+    """Core survivorship-audit fold over an ``(entity_id, p_partkey,
+    p_name, p_type, p_size)`` members frame. Factored so closed-form
+    model tests (planted tie / minority / envelope shapes → exact ppm)
+    drive the production aggregates."""
+    ml = members.groupBy("entity_id").agg(
+        F.max(F.length("p_name")).alias("maxlen")
+    )
+    nl = (
+        members.join(ml, "entity_id")
+        .filter(F.length("p_name") == F.col("maxlen"))
+        .groupBy("entity_id")
+        .agg(F.count("*").cast("long").alias("n_at_max"))
+    )
+    tc = members.groupBy("entity_id", "p_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tmax = tc.groupBy("entity_id").agg(F.max("c").alias("mc"))
+    tt = (
+        tc.join(tmax, "entity_id")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("entity_id")
+        .agg(F.count("*").cast("long").alias("n_at_mode"))
+    )
+    roll = members.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("p_size").cast("long").alias("size_lo"),
+        F.max("p_size").cast("long").alias("size_hi"),
+    )
+    per = (
+        roll.join(nl, "entity_id")
+        .join(tt, "entity_id")
+        .join(tmax, "entity_id")
+        .filter(F.col("n_members") >= 2)
+    )
+    return per.groupBy(F.lit(1).alias("_g")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_members"),
+        F.expr(
+            "CAST(count(CASE WHEN n_at_max >= 2 THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("name_tie_ppm"),
+        F.expr(
+            "CAST(count(CASE WHEN n_at_mode >= 2 THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("type_tie_ppm"),
+        F.expr(
+            "CAST(sum(n_members - mc) * 1000000"
+            " div sum(n_members) AS BIGINT)"
+        ).alias("type_minority_ppm"),
+        F.expr(
+            "CAST(count(CASE WHEN size_lo < size_hi THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("size_spread_ppm"),
+    ).drop("_g")

@@ -407,11 +407,11 @@ def phash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def phash_hamming_pairs(ph: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
-    """(i, j, hamming) pairs within ``radius`` over a (doc_id, band,
-    v) band frame, via the capped band equi-join + exact xor/popcount
-    verify. Exact recall for radius ≤ PHASH_BANDS − 1 among docs
-    whose shared band bucket is under the cap."""
+def _phash_cand_wide(ph: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage: the capped band equi-join's distinct
+    i<j pair set and the doc-wide band-value pivot — the inputs to
+    both the radius membership query (phash_hamming_pairs) and the
+    top-k serving lookup (phash_similar_topk)."""
     keep = (
         ph.groupBy("band", "v")
         .agg(F.count("*").alias("bn"))
@@ -436,6 +436,15 @@ def phash_hamming_pairs(ph: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
             for b in range(PHASH_BANDS)
         ]
     )
+    return cand, wide
+
+
+def phash_hamming_pairs(ph: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
+    """(i, j, hamming) pairs within ``radius`` over a (doc_id, band,
+    v) band frame, via the capped band equi-join + exact xor/popcount
+    verify. Exact recall for radius ≤ PHASH_BANDS − 1 among docs
+    whose shared band bucket is under the cap."""
+    cand, wide = _phash_cand_wide(ph)
     ham = sum(
         F.bit_count(F.expr(f"xb{b} ^ yb{b}")) for b in range(PHASH_BANDS)
     ).cast("long")
@@ -472,3 +481,149 @@ def multimodal_phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFr
     -index) run end-to-end on the deterministic sketch stand-in."""
     d = load_tables(spark, sf_dir)["documents"]
     return phash_hamming_pairs(phash_bands(d.select("doc_id", "text")))
+
+
+# ---------------------------------------------------------------------------
+# pHash serving lookup (round 11, VERDICT r10 item 6): completes the
+# image-side family — multimodal_phash_hamming_neardup answers
+# MEMBERSHIP ("which pairs are near-dups?"), this answers SERVING
+# ("show me the 3 most similar images to this one") — the
+# lsh_similar_topk pattern over the pHash band machinery. Candidates
+# are the SAME capped pigeonhole band join (generated once, mirrored
+# to serve both endpoints), ranked per doc by EXACT xor/popcount
+# Hamming ascending with doc-id tiebreak; no radius filter — a
+# serving lookup returns the best available neighbors even past the
+# dedup cut, and the candidate scope (band-collision pairs) is the
+# documented serving contract, identical on both engines.
+#
+# Scale: candidate work is the neardup query's (Σ|bucket|² with
+# |bucket| ≤ cap), the rank is one window PARTITIONED by doc_id.
+# ---------------------------------------------------------------------------
+
+PHASH_TOPK = 3
+
+_PHASH_TOPK_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks)-2)])) AS shingle
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    bk AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 64 AS bucket
+        FROM sh
+    ),
+    cnt AS (SELECT doc_id, bucket, count(*) AS s FROM bk GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS n FROM bk GROUP BY 1),
+    bits AS (
+        SELECT c.doc_id, c.bucket
+        FROM cnt c JOIN tot t USING (doc_id)
+        WHERE 64 * c.s > t.n
+    ),
+    ph AS MATERIALIZED (
+        SELECT t.doc_id, g.band,
+               CAST(coalesce(sum(CASE WHEN b.bucket IS NOT NULL
+                    THEN 1 << CAST(b.bucket % {PHASH_BAND_BITS} AS INT)
+                    ELSE 0 END), 0) AS BIGINT) AS v
+        FROM tot t
+        CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band) g
+        LEFT JOIN bits b
+          ON b.doc_id = t.doc_id AND b.bucket // {PHASH_BAND_BITS} = g.band
+        GROUP BY t.doc_id, g.band
+    ),
+    keep AS (
+        SELECT band, v FROM ph GROUP BY band, v
+        HAVING count(*) <= {PHASH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM ph a
+        JOIN keep k ON a.band = k.band AND a.v = k.v
+        JOIN ph b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
+    wide AS (
+        SELECT doc_id,
+               min(CASE WHEN band = 0 THEN v END) AS b0,
+               min(CASE WHEN band = 1 THEN v END) AS b1,
+               min(CASE WHEN band = 2 THEN v END) AS b2,
+               min(CASE WHEN band = 3 THEN v END) AS b3
+        FROM ph GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT s.i, s.j,
+               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                  + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                    AS BIGINT) AS hamming
+        FROM sym s
+        JOIN wide x ON x.doc_id = s.i
+        JOIN wide y ON y.doc_id = s.j
+    ),
+    ranked AS (
+        SELECT i, j, hamming,
+               row_number() OVER (PARTITION BY i ORDER BY hamming, j) AS rk
+        FROM scored
+    )
+    SELECT CAST(i AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS neighbor,
+           hamming, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= {PHASH_TOPK}
+    ORDER BY doc_id, rank
+"""
+
+
+def phash_similar_topk(ph: DataFrame, k: int = PHASH_TOPK) -> DataFrame:
+    """Top-k nearest neighbors per doc by exact Hamming over the
+    capped band candidates of a (doc_id, band, v) frame. Factored so
+    planted tests (a bit-flip neighbor outranks a farther one; ranks
+    are dense from 1) drive the production mirror + rank."""
+    from pyspark.sql import Window
+
+    cand, wide = _phash_cand_wide(ph)
+    sym = cand.unionAll(cand.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    ham = sum(
+        F.bit_count(F.expr(f"xb{b} ^ yb{b}")) for b in range(PHASH_BANDS)
+    ).cast("long")
+    scored = (
+        sym.join(
+            wide.select(
+                F.col("doc_id").alias("i"),
+                *[F.col(f"b{b}").alias(f"xb{b}") for b in range(PHASH_BANDS)],
+            ),
+            "i",
+        )
+        .join(
+            wide.select(
+                F.col("doc_id").alias("j"),
+                *[F.col(f"b{b}").alias(f"yb{b}") for b in range(PHASH_BANDS)],
+            ),
+            "j",
+        )
+        .select("i", "j", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("i").orderBy(F.col("hamming"), F.col("j"))
+    return (
+        scored.select("i", "j", "hamming", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("i").cast("long").alias("doc_id"),
+            F.col("j").cast("long").alias("neighbor"),
+            "hamming",
+            F.col("rk").cast("long").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "multimodal_similar_topk",
+    oracle=_PHASH_TOPK_ORACLE,
+    tags=("llm", "multimodal", "serving"),
+)
+def multimodal_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most perceptually similar documents per document, ranked
+    by exact Hamming distance between 64-bit sketches over the capped
+    pigeonhole band candidates — the image-side "view similar" serving
+    lookup (the lsh_similar_topk pattern on the pHash machinery)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return phash_similar_topk(phash_bands(d.select("doc_id", "text")))

@@ -1,0 +1,168 @@
+"""Round-11 operator model tests: log-rank (Mantel-Cox) closed forms.
+Cross-engine value checks live in the driver contract / verify sweep
+(ts_logrank is fully oracled)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flume_source_spark.operators.timeseries9 import LOGRANK_MAX_N, logrank
+
+
+def _dur(spark, rows):
+    return spark.createDataFrame(rows, "t long, g1 long, died long")
+
+
+def test_logrank_identical_arms_is_zero(spark):
+    """Two arms with IDENTICAL duration multisets: at every event time
+    n1 = n/2 and d1 = d/2, so e1 is exact (no floor) and O − E = 0 →
+    χ² must be exactly 0."""
+    base = [(1, 1), (2, 1), (3, 1), (5, 1), (8, 0)]  # (t, died)
+    rows = [(t, 1, d) for t, d in base] + [(t, 0, d) for t, d in base]
+    r = logrank(_dur(spark, rows)).collect()[0].asDict()
+    assert r["o_minus_e_ppm"] == 0
+    assert r["chi2_ppm"] == 0
+    assert r["n_times"] == 4  # the censor-only t=8 contributes no term
+    assert r["n_total"] == 10 and r["n1_total"] == 5
+
+
+def test_logrank_separated_arms_is_large(spark):
+    """Arm 1 all-short, arm 0 all-long (no overlap): the strongest
+    possible separation — χ² must exceed the 0.1%-significance cut of
+    χ²(1) (10.83) by a wide margin."""
+    rows = [(t, 1, 1) for t in range(1, 11)] + [
+        (t, 0, 1) for t in range(100, 110)
+    ]
+    r = logrank(_dur(spark, rows)).collect()[0].asDict()
+    assert r["chi2_ppm"] > 15_000_000, r
+    # all 10 arm-1 events observed, far above expectation
+    assert r["o1"] == 10
+    assert r["o_minus_e_ppm"] > 0
+
+
+def test_logrank_censor_only_times_feed_at_risk_not_terms(spark):
+    """A censored-only duration must reduce LATER at-risk counts but
+    never add a term row: dropping it changes the statistic, excluding
+    it from terms keeps n_times fixed."""
+    rows = [(1, 1, 1), (1, 0, 1), (2, 0, 0), (3, 1, 1), (3, 0, 1)]
+    r = logrank(_dur(spark, rows)).collect()[0].asDict()
+    assert r["n_times"] == 2  # t=1 and t=3 only
+    assert r["d_total"] == 4
+    # at t=3 the censored t=2 row has left the risk set: n=2, n1=1
+    # e1(t=1) = 2*2*1e6 div 5 = 800000; e1(t=3) = 2*1*1e6 div 2 = 1e6
+    assert r["e1_ppm"] == 800_000 + 1_000_000
+
+
+def test_logrank_headroom_guard_empties(spark):
+    """Past LOGRANK_MAX_N at-risk rows the fold must return an EMPTY
+    frame (the CRAMERS_MAX_N discipline) — model it without
+    materializing that many rows by checking the filter column."""
+    # the guard compares n_total (= max at-risk) against the bound;
+    # plant a frame whose size we can't exceed cheaply, so assert the
+    # guard predicate directly on the folded plan instead
+    rows = [(1, 1, 1), (2, 0, 1)]
+    df = logrank(_dur(spark, rows))
+    assert df.count() == 1  # under the bound: row emitted
+    assert LOGRANK_MAX_N >= 10_000  # fixture scale sits far inside
+    # and the guard column participates in the plan (filter present)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert str(LOGRANK_MAX_N) in plan
+
+
+def test_phash_similar_topk_identical_doc_ranks_first(spark):
+    """An identical-text pair has Hamming 0 in every band, so each
+    must be the other's rank-1 neighbor; a mostly-different decoy may
+    appear but only at a worse rank/distance."""
+    from flume_source_spark.pipeline.multimodal import (
+        phash_bands,
+        phash_similar_topk,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(80))
+    near = " ".join(f"tok{i}" for i in range(78)) + " zz1 zz2"
+    rows = [(1, text), (2, text), (3, near)] + [
+        (10 + i, " ".join(f"d{i}_{j}" for j in range(80))) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phash_similar_topk(phash_bands(df)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.neighbor, r.hamming))
+    assert by_doc[1][0] == (1, 2, 0), by_doc.get(1)
+    assert by_doc[2][0] == (1, 1, 0), by_doc.get(2)
+    # ranks are dense from 1 within each doc
+    for doc, lst in by_doc.items():
+        assert [r for r, _, _ in sorted(lst)] == list(range(1, len(lst) + 1))
+
+
+def test_golden_survivorship_audit_closed_form(spark):
+    """Planted clusters with known tie/minority/envelope shapes:
+    cluster 1 = name-length tie + type tie + size spread (2 members,
+    2 types); cluster 2 = clean (2 members, same type/size, distinct
+    name lengths). Expected: name_tie 1/2, type_tie 1/2,
+    type_minority (2-1 + 2-2)/4, size_spread 1/2 — all exact ppm."""
+    from flume_source_spark.pipeline.entity2 import golden_survivorship_audit
+
+    rows = [
+        (1, 101, "aaaa", "t1", 5),
+        (1, 102, "bbbb", "t2", 9),
+        (2, 201, "long-name", "t1", 7),
+        (2, 202, "short", "t1", 7),
+    ]
+    m = spark.createDataFrame(
+        rows, "entity_id long, p_partkey long, p_name string, p_type string, p_size long"
+    )
+    r = golden_survivorship_audit(m).collect()[0].asDict()
+    assert r["n_clusters"] == 2 and r["n_members"] == 4
+    assert r["name_tie_ppm"] == 500_000
+    assert r["type_tie_ppm"] == 500_000
+    assert r["type_minority_ppm"] == 250_000
+    assert r["size_spread_ppm"] == 500_000
+
+
+def test_golden_audit_singletons_excluded(spark):
+    """A singleton cluster IS its own golden record — it must not
+    enter any audit denominator."""
+    from flume_source_spark.pipeline.entity2 import golden_survivorship_audit
+
+    rows = [
+        (1, 101, "aa", "t1", 5),
+        (1, 102, "bb", "t1", 5),
+        (9, 900, "solo", "t9", 1),
+    ]
+    m = spark.createDataFrame(
+        rows, "entity_id long, p_partkey long, p_name string, p_type string, p_size long"
+    )
+    r = golden_survivorship_audit(m).collect()[0].asDict()
+    assert r["n_clusters"] == 1 and r["n_members"] == 2
+
+
+def test_km_rmst_closed_form(spark):
+    """Hand-built KM table: S=1 on [0,2), 0.5 on [2,5), 0.25 on
+    [5,10), 0 after 10. RMST(20) = 1e6*2 + 5e5*3 + 25e4*5 + 0 =
+    4_750_000 ppm-hours; median = first t with S ≤ 1/2 = 2."""
+    from flume_source_spark.operators.timeseries9 import km_rmst_from
+
+    km = spark.createDataFrame(
+        [(2, 500_000), (5, 250_000), (10, 0)], "t long, s long"
+    )
+    r = km_rmst_from(km, 20).collect()[0].asDict()
+    assert r["horizon_hours"] == 20
+    assert r["rmst_ppm_hours"] == 2_000_000 + 1_500_000 + 1_250_000
+    assert r["median_hours"] == 2
+    assert r["final_surv_ppm"] == 0
+
+
+def test_km_rmst_horizon_clamps(spark):
+    """A horizon INSIDE the curve truncates the integral: with the
+    same table and tau=4, RMST = 1e6*2 + 5e5*2 = 3_000_000 and the
+    post-horizon steps contribute nothing."""
+    from flume_source_spark.operators.timeseries9 import km_rmst_from
+
+    km = spark.createDataFrame(
+        [(2, 500_000), (5, 250_000), (10, 0)], "t long, s long"
+    )
+    r = km_rmst_from(km, 4).collect()[0].asDict()
+    assert r["rmst_ppm_hours"] == 3_000_000
+    # median is a property of the CURVE, not the horizon
+    assert r["median_hours"] == 2
