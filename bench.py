@@ -206,6 +206,16 @@ HEADLINE = [
     # the trailing-mean baseline (solo 1.28 s, 8x events 0.88x —
     # calendar-bounded after the daily collapse)
     "ts_hw_backtest_wape",
+    # round-11 admissions (scripts/scale_probe_r11.py, SCALE.md part
+    # 11): (a) the distributed global-order helper cost class —
+    # percentile_approx boundary pass + bucket-partitioned window
+    # rank + broadcast offset join (solo 6.33 s, 1.31× at 8×
+    # lineitem; the plan all four global-window re-shapes ride);
+    # (b) the survival-statistics fold — per-user lag window into a
+    # calendar-bounded life table, reverse-cumulative at-risk windows,
+    # DECIMAL ppm fold (solo 0.64 s, 1.28× at 8× events)
+    "agg_equidepth_histogram",
+    "ts_logrank",
 ]
 
 
@@ -220,7 +230,29 @@ HEADLINE = [
 # constant that amortizes at real scale). Recorded min-of-3 history:
 # 3.48 s (r8 driver) / 3.5-4.3 s solo / 3.7 s and 8.1 s in the same
 # r9 session / 6.48 s (r9 contended driver window) — band [3.3, 8.5].
-NOISE_BANDS: dict[str, tuple[float, float]] = {"ds_semdedup": (3.3, 8.5)}
+#
+# Round-11 additions (VERDICT r10 item 4 — the other chronically
+# window-sensitive entries, banded from their recorded solo/driver
+# history so BENCH movers self-adjudicate in-artifact):
+# - graph_kcore: iterative 6-round peel on a shrinking checkpointed
+#   edge set. History: 4.83 solo (SCALE part 5) / 5.26 (r8 driver) /
+#   4.98 (r9) / 6.57 at spread 26.9 (r10 contended) — band [4.5, 8.0].
+# - graph_triangle_count: canonical i<j<k wedge join, untouched since
+#   r4. History: 3.46 solo min (r8 adjudication) / 4.22 / 4.67 / 4.47
+#   (r8-r10 drivers) — band [3.3, 5.8].
+# - sim_knn_descent_round: one NN-descent round, equi-joins + one
+#   top-k window. History: 3.98 solo (SCALE part 8) / 3.9 (r9) / 4.84
+#   (r10 contended) — band [3.5, 6.0].
+# - sim_knn_refined_recall_audit: the full ladder audit incl. the
+#   budget-gated exact side. History: 6.34 solo (SCALE part 8) / 6.46
+#   (r9) / 7.53 (r10 contended) — band [6.0, 9.5].
+NOISE_BANDS: dict[str, tuple[float, float]] = {
+    "ds_semdedup": (3.3, 8.5),
+    "graph_kcore": (4.5, 8.0),
+    "graph_triangle_count": (3.3, 5.8),
+    "sim_knn_descent_round": (3.5, 6.0),
+    "sim_knn_refined_recall_audit": (6.0, 9.5),
+}
 
 
 def _bench_filemeta_drain(spark, n_files: int = 5000) -> float:
@@ -458,6 +490,9 @@ def main() -> None:
         short = _short_keys(list(timings))
         contract["key_scheme"] = "uniq-prefix-10"
         contract["queries"] = {short[n]: v for n, v in timings.items()}
+        contract["noise_band"] = {
+            short.get(n, n): v for n, v in contract["noise_band"].items()
+        }
         over = [(short[n], v) for n, v in over]
     for n, v in over:
         candidate = dict(contract, spread=dict(contract["spread"], **{n: v}))
