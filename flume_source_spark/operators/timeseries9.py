@@ -401,3 +401,440 @@ def km_rmst_from(km: DataFrame, tau: int) -> DataFrame:
             "final_surv_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b (round 11): the third rank-correlation surface —
+# Spearman (ts_spearman_corr) measures monotone association through
+# ranks; Kendall measures it through PAIR concordance, is more robust
+# to outliers, and its tau-b form corrects for ties on both margins
+# (Kendall 1945):
+#
+#   tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+#   n0 = n(n−1)/2, n1 = Σ_x-tie-groups t(t−1)/2, n2 = same over y.
+#
+# Published as the SIGNED SQUARE in ppm (the rho_sq_ppm convention —
+# sqrt is float; the square is exact and monotone in |tau|):
+# tau_sq_ppm = sign(C−D) · ((C−D)² · 10⁶) div ((n0−n1)(n0−n2)),
+# with C, D, n0, n1, n2 also emitted raw.
+#
+# Input is ts_spearman_corr's daily frame (per event_type: day, x =
+# event count, y = value cents) — deliberately the SAME series, so
+# the two statistics read against each other. Pair counting is the
+# exact n² self-join over DAYS (calendar-bounded: the corpus never
+# enters the join; ≤ KENDALL_MAX_DAYS² bounded pairs per series,
+# ENFORCED on both engines — the SPEARMAN_MAX_DAYS discipline, here
+# also the pair-work bound). Headroom: |C−D| ≤ n0 ≤ n²/2, so
+# (C−D)²·10⁶ needs DECIMAL(38,0)/HUGEINT past n ≈ 3000 — the same
+# bound covers both concerns.
+# ---------------------------------------------------------------------------
+
+KENDALL_MAX_DAYS = 3000
+
+_KENDALL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+        HAVING count(*) <= {KENDALL_MAX_DAYS}
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(count(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y) THEN 1 END)
+                    AS BIGINT) AS c,
+               CAST(count(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y) THEN 1 END)
+                    AS BIGINT) AS disc
+        FROM daily a
+        JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+        JOIN sized s ON s.event_type = a.event_type
+        GROUP BY a.event_type
+    ),
+    tx AS (
+        SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+        FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY event_type
+    ),
+    ty AS (
+        SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+        FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY event_type
+    ),
+    terms AS (
+        SELECT s.event_type, s.n_days, p.c, p.disc, tx.n1, ty.n2,
+               CAST(s.n_days * (s.n_days - 1) // 2 AS BIGINT) AS n0
+        FROM sized s
+        JOIN pairs p USING (event_type)
+        JOIN tx USING (event_type)
+        JOIN ty USING (event_type)
+    )
+    SELECT event_type, n_days, n0, n1, n2, c,
+           disc AS d,
+           CAST(CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN
+                CASE WHEN c >= disc
+                     THEN (CAST(c - disc AS HUGEINT) * (c - disc) * 1000000)
+                          // (CAST(n0 - n1 AS HUGEINT) * (n0 - n2))
+                     ELSE -((CAST(disc - c AS HUGEINT) * (disc - c) * 1000000)
+                          // (CAST(n0 - n1 AS HUGEINT) * (n0 - n2)))
+                END ELSE 0 END AS BIGINT) AS tau_sq_ppm
+    FROM terms
+    ORDER BY event_type
+"""
+
+
+def kendall_daily(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Core exact tau-b fold over a ``(key, d, x, y)`` daily frame.
+    Factored so monotone (+1e6) / anti-monotone (−1e6) / tied model
+    tests drive the pair join and the ppm arithmetic."""
+    sized = (
+        daily.groupBy(key)
+        .agg(F.count("*").cast("long").alias("n_days"))
+        .filter(F.col("n_days") <= KENDALL_MAX_DAYS)
+    )
+    a = daily.select(
+        F.col(key).alias("k"), F.col("d").alias("da"),
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col(key).alias("k"), F.col("d").alias("db"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+    )
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    )
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    )
+    pairs = a.join(b, ["k"]).filter(F.col("da") < F.col("db"))
+    pairs = (
+        pairs.join(
+            F.broadcast(sized.select(F.col(key).alias("k"))), "k", "left_semi"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.when(conc, 1)).cast("long").alias("c"),
+            F.count(F.when(disc, 1)).cast("long").alias("disc"),
+        )
+    )
+    tx = (
+        daily.groupBy(key, "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy(key)
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("n1"))
+    )
+    ty = (
+        daily.groupBy(key, "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy(key)
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("n2"))
+    )
+    terms = (
+        sized.join(pairs.withColumnRenamed("k", key), key)
+        .join(tx, key)
+        .join(ty, key)
+        .withColumn("n0", F.expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)"))
+    )
+    return terms.select(
+        key,
+        "n_days",
+        "n0",
+        "n1",
+        "n2",
+        "c",
+        F.col("disc").alias("d"),
+        F.expr(
+            "CAST(CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN"
+            " CASE WHEN c >= disc"
+            " THEN (CAST(c - disc AS DECIMAL(38,0)) * (c - disc) * 1000000)"
+            "      div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2))"
+            " ELSE -((CAST(disc - c AS DECIMAL(38,0)) * (disc - c) * 1000000)"
+            "      div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)))"
+            " END ELSE 0 END AS BIGINT)"
+        ).alias("tau_sq_ppm"),
+    ).orderBy(key)
+
+
+@query(
+    "ts_kendall_tau",
+    oracle=_KENDALL_ORACLE,
+    tags=("timeseries", "stats", "exact-twin"),
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily event count and daily value cents
+    per event_type (exact pair concordance with tie correction on
+    both margins, signed-square ppm) — the pair-based companion to
+    ts_spearman_corr over the SAME daily series."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    return kendall_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# Stratified log-rank (round 11): ts_logrank compares the two user
+# arms marginally; the stratified Mantel-Cox statistic controls for a
+# confounder by building ONE life table PER STRATUM and summing the
+# per-stratum (O − E) and V before squaring:
+#
+#   χ²_strat = (Σ_s Σ_i (d1_si − e1_si))² / Σ_s Σ_i v_si
+#
+# Stratum = the event_type of the gap's STARTING event ("silence
+# after a purchase vs after a click") — each observed gap inherits
+# its opening event's type; each user's censored tail inherits the
+# user's last event's type. Arms stay the user-parity identity split.
+# Output: one row per stratum (its own marginal test) plus the
+# '__all__' row carrying the stratified statistic — the row a
+# "did the arm change retention, controlling for activity type"
+# dashboard quotes.
+#
+# Arithmetic, guard, and at-risk machinery are ts_logrank's exactly,
+# with every window additionally PARTITIONED BY stratum (bounded:
+# #event_types × calendar rows). The LOGRANK_MAX_N guard applies to
+# the GLOBAL max at-risk count: any over-bound stratum empties the
+# whole frame identically on both engines.
+# ---------------------------------------------------------------------------
+
+_LOGRANK_STRAT_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, CAST(user_id % 2 = 0 AS BIGINT) AS g1,
+               event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    gmax AS (SELECT max(ts) AS g FROM ev),
+    gaps AS (
+        SELECT user_id, g1, event_type AS stratum,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                - epoch_us(ts)) // 3600000000 AS t
+        FROM ev
+    ),
+    died AS (
+        SELECT stratum, CAST(t AS BIGINT) AS t, g1, 1 AS died
+        FROM gaps WHERE t IS NOT NULL
+    ),
+    lastev AS (
+        -- (ts, event_id) tiebreak matches Spark's max_by struct order
+        SELECT user_id, g1, event_type AS stratum, ts AS last_ts
+        FROM (SELECT user_id, g1, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev)
+        WHERE rn = 1
+    ),
+    cens AS (
+        SELECT l.stratum,
+               CAST((epoch_us(gm.g) - epoch_us(l.last_ts)) // 3600000000
+                    AS BIGINT) AS t,
+               l.g1, 0 AS died
+        FROM lastev l CROSS JOIN gmax gm
+    ),
+    dur AS (SELECT * FROM died UNION ALL SELECT * FROM cens),
+    lt AS (
+        SELECT stratum, t,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(sum(died * g1) AS BIGINT) AS d1,
+               CAST(count(*) AS BIGINT) AS a,
+               CAST(sum(g1) AS BIGINT) AS a1
+        FROM dur GROUP BY stratum, t
+    ),
+    atrisk AS (
+        SELECT stratum, t, d, d1,
+               CAST(sum(a) OVER (PARTITION BY stratum ORDER BY t DESC)
+                    AS BIGINT) AS n,
+               CAST(sum(a1) OVER (PARTITION BY stratum ORDER BY t DESC)
+                    AS BIGINT) AS n1
+        FROM lt
+    ),
+    terms AS (
+        SELECT stratum, t, d, d1, n, n1,
+               (CAST(d AS HUGEINT) * n1 * 1000000) // n AS e1_ppm,
+               CASE WHEN n > 1 THEN
+                   (CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+                   // (CAST(n AS HUGEINT) * n * (n - 1))
+               ELSE 0 END AS v_ppm
+        FROM atrisk WHERE d > 0
+    ),
+    guard AS (SELECT max(n) AS nmax FROM terms),
+    per AS (
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_times,
+               CAST(sum(d) AS BIGINT) AS d_total,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1_ppm) AS HUGEINT) AS e1_ppm,
+               CAST(sum(v_ppm) AS HUGEINT) AS v_ppm
+        FROM terms CROSS JOIN guard
+        WHERE guard.nmax <= {LOGRANK_MAX_N}
+        GROUP BY stratum
+    ),
+    combined AS (
+        SELECT stratum, n_times, d_total, o1, e1_ppm, v_ppm FROM per
+        UNION ALL
+        SELECT '__all__', CAST(sum(n_times) AS BIGINT),
+               CAST(sum(d_total) AS BIGINT), CAST(sum(o1) AS BIGINT),
+               CAST(sum(e1_ppm) AS HUGEINT), CAST(sum(v_ppm) AS HUGEINT)
+        FROM per
+        GROUP BY 1 = 1
+    )
+    SELECT stratum, n_times, d_total, o1,
+           CAST(e1_ppm AS BIGINT) AS e1_ppm,
+           CAST(o1 * 1000000 - e1_ppm AS BIGINT) AS o_minus_e_ppm,
+           CAST(v_ppm AS BIGINT) AS v_ppm,
+           CAST(CASE WHEN v_ppm > 0 THEN
+                CASE WHEN o1 * 1000000 >= e1_ppm
+                     THEN ((o1 * 1000000 - e1_ppm) * (o1 * 1000000 - e1_ppm))
+                          // v_ppm
+                     ELSE ((e1_ppm - o1 * 1000000) * (e1_ppm - o1 * 1000000))
+                          // v_ppm
+                END ELSE 0 END AS BIGINT) AS chi2_ppm
+    FROM combined
+    ORDER BY stratum
+"""
+
+
+def logrank_stratified(durations: DataFrame) -> DataFrame:
+    """Core stratified Mantel-Cox fold over a ``(stratum, t, g1,
+    died)`` duration frame: per-stratum marginal rows + the '__all__'
+    stratified row. Factored so model tests (one confounded stratum
+    pair canceling in the sum; per-stratum rows matching the
+    unstratified fold on each slice) drive the partitioned at-risk
+    windows and the combining arithmetic."""
+    from pyspark.sql import Window as W
+
+    lt = durations.groupBy("stratum", "t").agg(
+        F.sum("died").cast("long").alias("d"),
+        F.sum(F.col("died") * F.col("g1")).cast("long").alias("d1"),
+        F.count("*").cast("long").alias("a"),
+        F.sum("g1").cast("long").alias("a1"),
+    )
+    rev = (
+        W.partitionBy("stratum")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    atrisk = lt.select(
+        "stratum",
+        "t",
+        "d",
+        "d1",
+        F.sum("a").over(rev).cast("long").alias("n"),
+        F.sum("a1").over(rev).cast("long").alias("n1"),
+    )
+    terms = atrisk.filter(F.col("d") > 0).select(
+        "stratum",
+        "d",
+        "d1",
+        "n",
+        "n1",
+        F.expr(
+            "CAST((CAST(d AS DECIMAL(38,0)) * n1 * 1000000) div n"
+            " AS DECIMAL(38,0))"
+        ).alias("e1_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n > 1 THEN"
+            " (CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            " ELSE 0 END AS DECIMAL(38,0))"
+        ).alias("v_ppm"),
+    )
+    guard = terms.agg(F.max("n").alias("nmax"))
+    per = (
+        terms.crossJoin(F.broadcast(guard))
+        .filter(F.col("nmax") <= LOGRANK_MAX_N)
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_times"),
+            F.sum("d").cast("long").alias("d_total"),
+            F.sum("d1").cast("long").alias("o1"),
+            F.sum("e1_ppm").alias("e1_dec"),
+            F.sum("v_ppm").alias("v_dec"),
+        )
+    )
+    overall = per.groupBy(F.lit("__all__").alias("stratum")).agg(
+        F.sum("n_times").cast("long").alias("n_times"),
+        F.sum("d_total").cast("long").alias("d_total"),
+        F.sum("o1").cast("long").alias("o1"),
+        F.sum("e1_dec").alias("e1_dec"),
+        F.sum("v_dec").alias("v_dec"),
+    )
+    both = per.unionByName(overall)
+    return both.select(
+        "stratum",
+        "n_times",
+        "d_total",
+        "o1",
+        F.expr("CAST(e1_dec AS BIGINT)").alias("e1_ppm"),
+        F.expr(
+            "CAST(CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_dec AS BIGINT)"
+        ).alias("o_minus_e_ppm"),
+        F.expr("CAST(v_dec AS BIGINT)").alias("v_ppm"),
+        F.expr(
+            "CAST(CASE WHEN v_dec > 0 THEN"
+            " ((CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_dec)"
+            "  * (CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_dec))"
+            " div v_dec ELSE 0 END AS BIGINT)"
+        ).alias("chi2_ppm"),
+    ).orderBy("stratum")
+
+
+@query(
+    "ts_logrank_stratified",
+    oracle=_LOGRANK_STRAT_ORACLE,
+    tags=("timeseries", "survival", "stats", "exact-twin"),
+)
+def ts_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Mantel-Cox log-rank between the user arms,
+    controlling for the gap's opening event type: per-stratum marginal
+    tests plus the '__all__' stratified statistic, all in exact
+    integer ppm."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % 2 == 0).cast("long").alias("g1"),
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    from pyspark.sql import Window as W
+
+    gmax = ev.agg(F.max("ts").alias("g"))
+    gaps = ev.select(
+        "user_id",
+        "g1",
+        F.col("event_type").alias("stratum"),
+        F.expr(
+            "CAST((unix_micros(lead(ts, 1) OVER"
+            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
+            " div 3600000000 AS BIGINT)"
+        ).alias("t"),
+    ).where(F.col("t").isNotNull())
+    died = gaps.select("stratum", "t", "g1", F.lit(1).alias("died"))
+    lastev = (
+        ev.groupBy("user_id", "g1")
+        .agg(
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("stratum"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    cens = (
+        lastev.crossJoin(F.broadcast(gmax))
+        .select(
+            "stratum",
+            F.expr(
+                "CAST((unix_micros(g) - unix_micros(last_ts))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("t"),
+            "g1",
+            F.lit(0).alias("died"),
+        )
+    )
+    return logrank_stratified(died.unionByName(cens))

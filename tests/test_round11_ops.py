@@ -166,3 +166,93 @@ def test_km_rmst_horizon_clamps(spark):
     assert r["rmst_ppm_hours"] == 3_000_000
     # median is a property of the CURVE, not the horizon
     assert r["median_hours"] == 2
+
+
+def test_kendall_monotone_and_antimonotone(spark):
+    """A strictly monotone series has all pairs concordant →
+    tau_sq_ppm = +1e6; strictly anti-monotone → −1e6."""
+    from flume_source_spark.operators.timeseries9 import kendall_daily
+
+    import datetime
+
+    def day(i):
+        return datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+
+    up = [("up", day(i), i, 10 * i) for i in range(10)]
+    dn = [("dn", day(i), i, -10 * i) for i in range(10)]
+    d = spark.createDataFrame(
+        up + dn, "event_type string, d date, x long, y long"
+    )
+    rows = {r.event_type: r.asDict() for r in kendall_daily(d).collect()}
+    assert rows["up"]["tau_sq_ppm"] == 1_000_000
+    assert rows["up"]["c"] == 45 and rows["up"]["d"] == 0
+    assert rows["dn"]["tau_sq_ppm"] == -1_000_000
+    assert rows["dn"]["d"] == 45 and rows["dn"]["c"] == 0
+
+
+def test_kendall_tie_correction(spark):
+    """With ties on x the tau-b denominator shrinks: x = (1,1,2),
+    y = (1,2,3) → C = 2, D = 0, n0 = 3, n1 = 1, n2 = 0 →
+    tau_b² = 4/(2·3) = 2/3 → 666666 ppm (floored)."""
+    from flume_source_spark.operators.timeseries9 import kendall_daily
+
+    import datetime
+
+    def day(i):
+        return datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+
+    d = spark.createDataFrame(
+        [("t", day(0), 1, 1), ("t", day(1), 1, 2), ("t", day(2), 2, 3)],
+        "event_type string, d date, x long, y long",
+    )
+    r = kendall_daily(d).collect()[0].asDict()
+    assert (r["c"], r["d"], r["n0"], r["n1"], r["n2"]) == (2, 0, 3, 1, 0)
+    assert r["tau_sq_ppm"] == 666_666
+
+
+def test_logrank_stratified_matches_marginal_per_stratum(spark):
+    """Each per-stratum row of the stratified fold must equal the
+    UNSTRATIFIED fold run on that stratum's slice, and the '__all__'
+    row must be the sums of the per-stratum O−E and V."""
+    from flume_source_spark.operators.timeseries9 import (
+        logrank,
+        logrank_stratified,
+    )
+
+    rows = [
+        ("a", 1, 1, 1), ("a", 2, 0, 1), ("a", 3, 1, 1), ("a", 8, 0, 0),
+        ("b", 1, 0, 1), ("b", 4, 1, 1), ("b", 9, 1, 0), ("b", 9, 0, 1),
+    ]
+    dur = spark.createDataFrame(rows, "stratum string, t long, g1 long, died long")
+    strat = {r.stratum: r.asDict() for r in logrank_stratified(dur).collect()}
+    for s in ("a", "b"):
+        solo = logrank(
+            dur.filter(F.col("stratum") == s).drop("stratum")
+        ).collect()[0].asDict()
+        assert strat[s]["o1"] == solo["o1"], s
+        assert strat[s]["e1_ppm"] == solo["e1_ppm"], s
+        assert strat[s]["v_ppm"] == solo["v_ppm"], s
+    allr = strat["__all__"]
+    assert allr["o1"] == strat["a"]["o1"] + strat["b"]["o1"]
+    assert allr["e1_ppm"] == strat["a"]["e1_ppm"] + strat["b"]["e1_ppm"]
+    assert allr["v_ppm"] == strat["a"]["v_ppm"] + strat["b"]["v_ppm"]
+
+
+def test_logrank_stratified_confounder_cancels(spark):
+    """Two strata with OPPOSITE arm effects of equal size: each
+    marginal χ² is large, but the stratified sum of (O−E) cancels to
+    ~0 — the reason the stratified statistic exists."""
+    from flume_source_spark.operators.timeseries9 import logrank_stratified
+
+    # stratum a: arm1 dies early; stratum b: mirrored (arm0 dies early)
+    a = [("a", t, 1, 1) for t in range(1, 6)] + [("a", t, 0, 1) for t in range(10, 15)]
+    b = [("b", t, 0, 1) for t in range(1, 6)] + [("b", t, 1, 1) for t in range(10, 15)]
+    dur = spark.createDataFrame(a + b, "stratum string, t long, g1 long, died long")
+    strat = {r.stratum: r.asDict() for r in logrank_stratified(dur).collect()}
+    assert strat["a"]["chi2_ppm"] > 5_000_000
+    assert strat["b"]["chi2_ppm"] > 5_000_000
+    # exact cancellation up to the documented per-row floor drift
+    # (< #term-rows ppm: each e1 term floors once)
+    n_terms = strat["__all__"]["n_times"]
+    assert abs(strat["__all__"]["o_minus_e_ppm"]) < n_terms
+    assert strat["__all__"]["chi2_ppm"] < 10
