@@ -317,3 +317,142 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
     return two_hop_reach(similarity_edges(spark, sf_dir).select("i", "j"))
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel PROFILE (round 11): graph_edge_support_exact is the
+# truss algorithm's unrolled FIRST round (one exact support pass);
+# this is the ITERATIVE completion — the edge-level companion to
+# graph_kcore's vertex peel (Cohen 2008): repeatedly drop edges whose
+# triangle support on the SURVIVING edge set falls below k−2, until
+# fixpoint. The 4-truss (support ≥ 2) is the useful dedup-QA cut: an
+# edge surviving it sits in ≥ 2 triangles of the surviving graph, so
+# transitive closure over the 4-truss cannot be chained through a
+# single spurious pair — the bridge-cutting rationale of
+# graph_edge_support_exact applied until it stabilizes.
+#
+# Registered as the per-round PROFILE (removed/remaining edges per
+# round) for the same reason graph_kcore is: the fixture's 4-truss
+# tail may be small or empty, but the peel TRAJECTORY is non-empty
+# whenever the graph has edges, integer-exact, and driver-HASHABLE
+# via the unrolled MATERIALIZED-CTE oracle (the graph_kcore /
+# BPE-unroll registration pattern).
+#
+# Scale: per round ONE wedge equi-join (Σ_v deg(v)² candidate wedges,
+# the graph_triangle_count bound, on a monotonically SHRINKING edge
+# set) + one semi-join filter; localCheckpoint truncates lineage per
+# round; fixpoint shortcut fills provably-constant tail rounds
+# without running jobs (the graph_kcore discipline).
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 4  # support threshold = TRUSS_K - 2 = 2
+TRUSS_ROUNDS = 4  # fixed unroll: the profile is "the first 4 peel rounds"
+
+
+def _truss_peel_oracle(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB twin of the truss peel profile: per round
+    t, s{t} = per-edge support on the surviving edge set r{t-1}, r{t}
+    = edges with support ≥ k−2. AS MATERIALIZED for the same
+    ~3^rounds re-expansion reason as _kcore_peel_oracle. Runs at the
+    0.2 ANALYSIS radius (the graph_common_neighbors precedent): at
+    the shared 0.35 radius the fixture graph has ZERO triangles, so
+    every edge would die in round 1 and the profile would assert
+    nothing about the ITERATION; at 0.2 the peel runs a real
+    multi-round trajectory (634→23→6-edge fixpoint at sf0.001) with
+    a surviving truss."""
+    thr = k - 2
+    ctes = [
+        "r0 AS MATERIALIZED (SELECT i, j FROM edges)",
+        "b0 AS MATERIALIZED (SELECT i, j FROM r0 UNION ALL SELECT j, i FROM r0)",
+    ]
+    selects = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+        SELECT e.i, e.j, count(*) AS supp
+        FROM r{p} e
+        JOIN b{p} a ON a.i = e.i
+        JOIN b{p} b ON b.i = e.j AND b.j = a.j
+        GROUP BY e.i, e.j),
+    r{t} AS MATERIALIZED (
+        SELECT e.i, e.j FROM r{p} e
+        JOIN s{t} s ON s.i = e.i AND s.j = e.j AND s.supp >= {thr}),
+    b{t} AS MATERIALIZED (SELECT i, j FROM r{t} UNION ALL SELECT j, i FROM r{t})"""
+        )
+        selects.append(
+            f"""SELECT CAST({t} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM r{p})
+             - (SELECT CAST(count(*) AS BIGINT) FROM r{t}) AS removed_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM r{t}) AS remaining_edges"""
+        )
+    return (
+        f"WITH {edge_cte(_CN_RADIUS)},\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY round"
+    )
+
+
+_TRUSS_PEEL_ORACLE = _truss_peel_oracle()
+
+
+def truss_peel_profile(
+    edges: DataFrame, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+) -> DataFrame:
+    """Core truss peel over canonical (i < j) edges: per round, the
+    removed/remaining edge counts. Factored so model tests (a clique
+    survives whole; a chain/bridge dies in round 1; a bowtie loses
+    only its bridge) drive the production wedge join and the peel."""
+    thr = k - 2
+    spark = edges.sparkSession
+    cur = edges.select("i", "j").localCheckpoint(eager=True)
+    prev_n = cur.count()
+    rows = []
+    t = 1
+    while t <= rounds:
+        bidir = cur.union(
+            cur.select(F.col("j").alias("i"), F.col("i").alias("j"))
+        )
+        a = bidir.select(F.col("i").alias("ea"), F.col("j").alias("w"))
+        b = bidir.select(F.col("i").alias("eb"), F.col("j").alias("w"))
+        supp = (
+            cur.join(a, F.col("i") == F.col("ea"))
+            .join(b, (F.col("j") == F.col("eb")) & (a["w"] == b["w"]))
+            .groupBy("i", "j")
+            .agg(F.count("*").alias("supp"))
+        )
+        keep = supp.filter(F.col("supp") >= thr).select("i", "j")
+        nxt = cur.join(keep, ["i", "j"], "left_semi").localCheckpoint(eager=True)
+        n = nxt.count()
+        rows.append((t, prev_n - n, n))
+        if n == prev_n:
+            # fixpoint: every remaining round is provably (0, n)
+            rows.extend((r, 0, n) for r in range(t + 1, rounds + 1))
+            break
+        cur, prev_n = nxt, n
+        t += 1
+    return spark.createDataFrame(
+        rows, "round long, removed_edges long, remaining_edges long"
+    ).orderBy("round")
+
+
+@query(
+    "graph_ktruss_peel",
+    oracle=_TRUSS_PEEL_ORACLE,
+    tags=("llm", "graph", "iterative", "truss"),
+)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peel profile of the embedding near-dup graph: per peel
+    round, how many edges fell below support 2 on the surviving graph
+    and how many remain — the iterative completion of
+    graph_edge_support_exact and the edge-level twin of graph_kcore's
+    vertex profile. The surviving tail is the 4-truss: the subgraph
+    transitive dedup can trust not to chain through a single spurious
+    pair."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    return truss_peel_profile(
+        similarity_edges(spark, sf_dir, _CN_RADIUS).select("i", "j")
+    )

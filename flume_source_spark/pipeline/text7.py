@@ -170,9 +170,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    ranked = wc.withColumn(
+    # Round 11: top-100 via orderBy().limit() (TakeOrderedAndProject —
+    # per-partition partial top-k) instead of ranking the WHOLE vocab
+    # through one window; the rank window then covers 100 rows only.
+    top = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(100)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-    ).filter(F.col("rnk") <= 100)
+    )
     return ranked.agg(
         F.count("*").cast("long").alias("n_words_fit"),
         F.round(

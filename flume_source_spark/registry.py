@@ -112,7 +112,7 @@ _DRIVER_GREEN_R03 = frozenset(
         "sim_cosine_arrow", "text_quality", "text_token_stats",
         "text_lang_id", "text_token_count_bpeish", "text_fingerprint",
         "text_chunk_overlap", "text_pii_scrub", "text_repetition_filter",
-        "text_vocab_topk", "text_tfidf_topk", "text_dup_ngram_fraction",
+        "text_tfidf_topk", "text_dup_ngram_fraction",
         "text_url_parse", "text_normalize_unicode", "text_inverted_index",
         "multimodal_binary_meta", "multimodal_decode",
         "multimodal_frame_sample", "multimodal_binaryfile",
@@ -322,7 +322,7 @@ _DRIVER_GREEN_R06 = frozenset(
         "sql_unpivot", "sql_variables_param", "text_bigram_lm",
         "text_char_entropy", "text_readability",
         "text_substring_dedup_spans", "text_url_canonical_dedup",
-        "text_zipf_fit", "ts_cross_correlation", "ts_m4_downsample",
+        "ts_cross_correlation", "ts_m4_downsample",
     }
 )
 
@@ -573,6 +573,15 @@ _DRIVER_GREEN_R10 = frozenset(
 # tests/test_global_order.py) and the oracles are unchanged, but the
 # executed Spark path is new, so each re-enters the verify-first block
 # for a fresh driver row.
+#
+# TWO FURTHER round-11 exclusions (the vocab-rank note in VERDICT r10
+# "What's wrong"): text_vocab_topk (was r03, also dropped from
+# _R11_STALE_REPIN below — its re-shape IS its re-pin) and
+# text_zipf_fit (was r06) moved their whole-vocabulary row_number
+# windows onto orderBy().limit(K) (TakeOrderedAndProject — per-
+# partition partial top-k) with the rank window covering exactly K
+# rows; prefix-identical results, unchanged oracles, new executed
+# path → verify-first.
 
 # Round-11 hash-green artifact-currency re-pin tier (VERDICT r10
 # "Next round" item 3): the 48 queries whose LATEST driver artifact is
@@ -593,7 +602,7 @@ _R11_STALE_REPIN = (
     # the rest, grouped by family
     "text_quality", "text_token_stats", "text_token_count_bpeish",
     "text_fingerprint", "text_chunk_overlap", "text_pii_scrub",
-    "text_repetition_filter", "text_vocab_topk", "text_tfidf_topk",
+    "text_repetition_filter", "text_tfidf_topk",
     "text_dup_ngram_fraction", "text_url_parse", "text_normalize_unicode",
     "text_inverted_index",
     "ts_ohlc_bars", "ts_concurrency_sweep", "ts_calendar_features",

@@ -256,3 +256,52 @@ def test_logrank_stratified_confounder_cancels(spark):
     n_terms = strat["__all__"]["n_times"]
     assert abs(strat["__all__"]["o_minus_e_ppm"]) < n_terms
     assert strat["__all__"]["chi2_ppm"] < 10
+
+
+def test_truss_peel_clique_survives_chain_dies(spark):
+    """K4 edges each close 2 triangles → the whole clique survives the
+    4-truss peel; a disjoint chain has zero support → dies in round 1;
+    a bridge between two triangles dies while the triangles survive
+    the 3-truss."""
+    from flume_source_spark.pipeline.graph3 import truss_peel_profile
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(k4 + chain, "i long, j long")
+    prof = {r.round: r.asDict() for r in truss_peel_profile(edges, k=4).collect()}
+    assert prof[1] == {"round": 1, "removed_edges": 3, "remaining_edges": 6}
+    assert prof[4]["remaining_edges"] == 6  # fixpoint: the K4
+    # 3-truss bridge cut: two triangles + a bridge
+    tri2 = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    e2 = spark.createDataFrame(tri2, "i long, j long")
+    prof2 = {r.round: r.asDict() for r in truss_peel_profile(e2, k=3).collect()}
+    assert prof2[1] == {"round": 1, "removed_edges": 1, "remaining_edges": 6}
+    assert prof2[4]["remaining_edges"] == 6
+
+
+def test_truss_peel_cascades_across_rounds(spark):
+    """Two triangles sharing an edge: only the shared edge has
+    support 2, so the 4-truss peel removes the other four in round 1
+    and the now-unsupported shared edge in round 2 — the iteration is
+    what the profile exists to pin."""
+    from flume_source_spark.pipeline.graph3 import truss_peel_profile
+
+    strip = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(strip, "i long, j long")
+    prof = {r.round: r.asDict() for r in truss_peel_profile(edges, k=4).collect()}
+    assert prof[1] == {"round": 1, "removed_edges": 4, "remaining_edges": 1}
+    assert prof[2] == {"round": 2, "removed_edges": 1, "remaining_edges": 0}
+    assert prof[3]["removed_edges"] == 0 and prof[3]["remaining_edges"] == 0
+
+
+def test_vocab_topk_plans_use_take_ordered(spark, sf_dir):
+    """The round-11 vocab re-shapes must select top-K via
+    TakeOrderedAndProject (per-partition partial top-k) — the
+    whole-vocabulary unpartitioned row_number window is gone; any
+    remaining Window runs AFTER the K-row limit."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    for name in ("text_vocab_topk", "text_zipf_fit"):
+        p = qs[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p, name
