@@ -255,3 +255,100 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (round 11): the Heaps'-law companion to
+# text_zipf_fit — Zipf describes the frequency RANKS of a vocabulary,
+# Heaps describes how the vocabulary GROWS as the corpus is consumed
+# (V(n) ~ K·n^β, β≈0.5 for natural text; a flat tail means the corpus
+# stopped contributing new types — the "is more data still buying new
+# vocabulary" curation signal). Exact, shuffle-light formulation: no
+# per-prefix distinct-count — each token TYPE has one first-appearance
+# position, so the whole curve is min(position) per type + one
+# 10-row cumulative window:
+#   decile(doc)   = exact NTILE(10) over doc_id (the distributed
+#                   global-order helper — no single-partition sort),
+#   first(type)   = min decile over the docs containing it,
+#   new_types(i)  = #types with first = i;  vocab_cum = prefix sum.
+# new_per_kilotoken = new_types·1000 div decile token volume is the
+# integer growth-rate signal (falling ⇒ Heaps tail).
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_ORACLE = """
+    WITH dec AS (
+        SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile, text
+        FROM documents
+    ),
+    toks AS (
+        SELECT decile, unnest(str_split(text, ' ')) AS tok FROM dec
+    ),
+    vol AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY decile
+    ),
+    first_seen AS (
+        SELECT tok, min(decile) AS first_decile FROM toks GROUP BY tok
+    ),
+    growth AS (
+        SELECT first_decile AS decile,
+               CAST(count(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY first_decile
+    )
+    SELECT CAST(v.decile AS INT) AS decile,
+           v.n_tokens,
+           CAST(coalesce(g.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(g.new_types, 0))
+                OVER (ORDER BY v.decile) AS BIGINT) AS vocab_cum,
+           CAST(coalesce(g.new_types, 0) * 1000 // v.n_tokens AS BIGINT)
+               AS new_per_kilotoken
+    FROM vol v LEFT JOIN growth g ON g.decile = v.decile
+    ORDER BY decile
+"""
+
+
+@query(
+    "text_vocab_growth",
+    oracle=_VOCAB_GROWTH_ORACLE,
+    tags=("llm", "text", "stats", "vocab"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-style vocabulary growth over the corpus in doc_id order:
+    per ingest decile, the token volume, the count of NEVER-before-
+    seen token types, the cumulative vocabulary, and the integer
+    new-types-per-1000-tokens rate — computed from one min-position
+    aggregate per type (no per-prefix distinct), with the decile
+    assignment on the distributed global-order helper."""
+    from pyspark.sql.window import Window
+
+    from flume_source_spark.global_order import with_global_ntile
+    from flume_source_spark.tables import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    dec = with_global_ntile(
+        d, 10, [F.col("doc_id")], F.col("doc_id"), tile_col="decile"
+    )
+    toks = dec.select("decile", F.explode(F.split("text", " ")).alias("tok"))
+    vol = toks.groupBy("decile").agg(F.count("*").cast("long").alias("n_tokens"))
+    growth = (
+        toks.groupBy("tok")
+        .agg(F.min("decile").alias("first_decile"))
+        .groupBy(F.col("first_decile").alias("decile"))
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vol.join(growth, "decile", "left")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias("new_types"),
+        )
+        # the cumulative window runs over EXACTLY 10 rows
+        .withColumn("vocab_cum", F.sum("new_types").over(w).cast("long"))
+        .withColumn(
+            "new_per_kilotoken",
+            F.expr("CAST(new_types * 1000 div n_tokens AS BIGINT)"),
+        )
+        .orderBy("decile")
+    )

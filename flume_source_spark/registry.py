@@ -617,6 +617,26 @@ _R11_STALE_REPIN = (
     "filemeta_ignore_pattern", "agg_incremental_merge",
 )
 
+# ROUND-12 NOTE: when CORRECTNESS_r11.json lands, the dynamic pickup
+# re-tiers automatically. The manual hygiene step is: fold r11's keys
+# into a hardcoded _DRIVER_GREEN_R11, bump _KNOWN_ROUNDS to 11, and
+# retire the swept prefix of _R11_STALE_REPIN (any entry with an r11
+# row moves to the hardcoded record; the remainder stays queued — 48
+# r4-era rows form the natural _R12_STALE_REPIN). Expected r11 sweep
+# head (every entry locally verified green at sf0.001 + sf0.01 — the
+# re-shapes and analysis ops also at sf0.1 — before commit; the full
+# driver-contract sweep ran ALL MATCH at sf0.01 five times this
+# round):
+#   - 6 global-order / top-k re-shapes, verify-first:
+#     agg_equidepth_histogram, ds_batch_plan, ds_curriculum_order,
+#     ds_shard_snake_balance (distributed global-rank helper),
+#     text_vocab_topk, text_zipf_fit (TakeOrderedAndProject);
+#   - 8 oracled new registrations: ts_logrank, ts_logrank_stratified,
+#     ts_km_rmst, ts_kendall_tau, multimodal_similar_topk,
+#     entity_golden_record_audit, graph_ktruss_peel,
+#     text_vocab_growth;
+#   - then the _R11_STALE_REPIN tier (r3-era artifact currency),
+#     ~36 slots of it under a 50-row budget.
 _KNOWN_ROUNDS = 10
 
 _FRESH_GREEN = (

@@ -305,3 +305,27 @@ def test_vocab_topk_plans_use_take_ordered(spark, sf_dir):
     for name in ("text_vocab_topk", "text_zipf_fit"):
         p = qs[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in p, name
+
+
+def test_vocab_growth_first_occurrence_semantics(spark, sf_dir):
+    """Invariants on the real corpus: exactly 10 deciles; vocab_cum is
+    the prefix sum of new_types and its last value equals the corpus
+    distinct-type count; decile 1's new_types equals its own distinct
+    count (everything is new at the start)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = sorted(
+        (r.asDict() for r in qs["text_vocab_growth"].builder(spark, sf_dir).collect()),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cum = 0
+    for r in rows:
+        cum += r["new_types"]
+        assert r["vocab_cum"] == cum
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_types = (
+        d.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
+    )
+    assert rows[-1]["vocab_cum"] == total_types
