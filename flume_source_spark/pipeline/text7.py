@@ -352,3 +352,134 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out bigram LM scoring (round 11): text_bigram_lm trains and
+# scores on the SAME corpus — the self-scored form every quality
+# pipeline starts with, but it cannot see memorization or distribution
+# drift. This is the cross-split form: the LM (bigram counts, context
+# counts, vocabulary V) is fit on the TRAIN split of
+# ds_split_deterministic (md5 bucket < 80) and scores the TEST split
+# (bucket ≥ 90) — "how surprising is unseen data under the training
+# distribution", the signal that (a) ranks held-out docs for
+# curation and (b) collapses toward the in-corpus score when test
+# leaks into train (the decontamination check's LM-side companion to
+# text_decontaminate).
+#
+# OOV handling is add-one smoothing's: an unseen bigram scores
+# (0+1)/(n(w1)+V), an unseen CONTEXT (0+1)/(0+V) — both well-defined
+# via left joins + coalesce, and n_unseen_bigrams is emitted per doc
+# so the surprise decomposes. Same count-table join shape as
+# text_bigram_lm (map-side-combinable counts, vocabulary-keyed joins,
+# broadcast scalar V); the split predicates are pure functions of
+# doc_id (the md5 identity convention), pushed to the scans.
+# ---------------------------------------------------------------------------
+
+_HELDOUT_LM_ORACLE = """
+    WITH split AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, bucket,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> length(x) > 0) AS t
+        FROM split
+    ),
+    bg AS (
+        SELECT doc_id, bucket, t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM toks, generate_series(1, 128) AS g(i)
+        WHERE g.i < len(t)
+    ),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+            FROM bg WHERE bucket < 80 GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n
+            FROM bg WHERE bucket < 80 GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS v
+          FROM toks, unnest(t) AS u(x) WHERE bucket < 80),
+    test_bg AS (SELECT doc_id, w1, w2 FROM bg WHERE bucket >= 90)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(CASE WHEN bgc.c IS NULL THEN 1 END) AS BIGINT)
+               AS n_unseen_bigrams,
+           CAST(round(avg(log2((coalesce(bgc.c, 0) + 1)
+                               / (coalesce(ctx.n, 0) + v.v))), 4) AS DOUBLE)
+               AS mean_log2_prob
+    FROM test_bg b
+    LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+    LEFT JOIN ctx ON b.w1 = ctx.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@query(
+    "text_bigram_lm_heldout",
+    oracle=_HELDOUT_LM_ORACLE,
+    tags=("llm", "text", "lm", "split"),
+)
+def text_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LM surprise: the add-one bigram LM fit on the
+    deterministic TRAIN split scores every TEST-split doc — per doc,
+    the bigram count, the count the training LM never saw, and the
+    mean log2 probability under the training distribution."""
+    from flume_source_spark.pipeline.dataset import (
+        TRAIN_PCT,
+        VAL_PCT,
+        split_bucket,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        split_bucket(F.col("doc_id")).alias("bucket"),
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0).alias("t"),
+    )
+    bg = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("p"),
+    ).select("doc_id", "bucket", "p.w1", "p.w2")
+    train_bg = bg.filter(F.col("bucket") < TRAIN_PCT)
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c"))
+    ctx = train_bg.groupBy("w1").agg(F.count("*").cast("double").alias("n"))
+    v = (
+        toks.filter(F.col("bucket") < TRAIN_PCT)
+        .select(F.explode("t").alias("x"))
+        .agg(F.countDistinct("x").cast("double").alias("v"))
+    )
+    test_bg = bg.filter(F.col("bucket") >= TRAIN_PCT + VAL_PCT).select(
+        "doc_id", "w1", "w2"
+    )
+    scored = (
+        test_bg.join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp",
+            F.log2(
+                (F.coalesce(F.col("c"), F.lit(0.0)) + 1)
+                / (F.coalesce(F.col("n"), F.lit(0.0)) + F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count(F.when(F.col("c").isNull(), 1)).cast("long").alias("n_unseen_bigrams"),
+            F.round(F.avg("lp"), 4).alias("mean_log2_prob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -329,3 +329,25 @@ def test_vocab_growth_first_occurrence_semantics(spark, sf_dir):
         d.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
     )
     assert rows[-1]["vocab_cum"] == total_types
+
+
+def test_heldout_lm_scores_only_test_split(spark, sf_dir):
+    """Every scored doc must be in the deterministic TEST split
+    (md5 bucket >= 90) and have >= 2 letter-tokens; unseen counts are
+    bounded by totals and log-probs are negative."""
+    from flume_source_spark.pipeline.dataset import split_bucket
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    out = qs["text_bigram_lm_heldout"].builder(spark, sf_dir)
+    rows = [r.asDict() for r in out.collect()]
+    assert rows, "test split produced no scored docs"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buckets = {
+        r.doc_id: r.b
+        for r in d.select("doc_id", split_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    for r in rows:
+        assert buckets[r["doc_id"]] >= 90, r
+        assert 0 <= r["n_unseen_bigrams"] <= r["n_bigrams"]
+        assert r["mean_log2_prob"] < 0
