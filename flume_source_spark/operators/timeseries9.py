@@ -838,3 +838,169 @@ def ts_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return logrank_stratified(died.unionByName(cens))
+
+
+# ---------------------------------------------------------------------------
+# Per-arm Kaplan-Meier curves (round 11): ts_logrank answers "are the
+# two arms' survival distributions different" with one number; this
+# publishes the CURVES the number summarizes — one KM life table per
+# arm, side by side, the plot a retention dashboard draws next to the
+# test. Same durations, same exact recursive-product arithmetic as
+# ts_kaplan_meier, with every stage additionally keyed by the arm:
+# the life table groups by (arm, t), the at-risk window partitions by
+# arm, and the sequential product runs one bounded applyInPandas
+# group PER ARM (2 × calendar-sized — the KM bounded-kernel
+# discipline). Oracle: ONE recursive CTE stepping both arms' ordered
+# life tables in lockstep (seeded at i = 1 per arm, joined on
+# (arm, i+1)).
+# ---------------------------------------------------------------------------
+
+_KM_BY_ARM_ORACLE = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    gmax AS (SELECT max(ts) AS g FROM ev),
+    gaps AS (
+        SELECT user_id, arm,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                - epoch_us(ts)) // 3600000000 AS t
+        FROM ev
+    ),
+    died AS (SELECT arm, CAST(t AS BIGINT) AS t, 1 AS died
+             FROM gaps WHERE t IS NOT NULL),
+    cens AS (
+        SELECT e.arm,
+               CAST((epoch_us(gm.g) - epoch_us(max(e.ts))) // 3600000000
+                    AS BIGINT) AS t,
+               0 AS died
+        FROM ev e CROSS JOIN gmax gm
+        GROUP BY e.user_id, e.arm, gm.g
+    ),
+    lt AS (
+        SELECT arm, t,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS c
+        FROM (SELECT * FROM died UNION ALL SELECT * FROM cens)
+        GROUP BY arm, t
+    ),
+    ordered AS (
+        SELECT arm, t, d, c,
+               CAST(row_number() OVER (PARTITION BY arm ORDER BY t)
+                    AS BIGINT) AS i,
+               CAST(sum(d + c) OVER (PARTITION BY arm ORDER BY t DESC)
+                    AS BIGINT) AS n
+        FROM lt
+    ),
+    rec AS (
+        SELECT arm, i, t, d, c, n,
+               CAST(CASE WHEN d > 0 THEN (1000000 * (n - d)) // n
+                         ELSE 1000000 END AS BIGINT) AS s
+        FROM ordered WHERE i = 1
+        UNION ALL
+        SELECT o.arm, o.i, o.t, o.d, o.c, o.n,
+               CAST(CASE WHEN o.d > 0 THEN (rec.s * (o.n - o.d)) // o.n
+                         ELSE rec.s END AS BIGINT) AS s
+        FROM rec JOIN ordered o ON o.arm = rec.arm AND o.i = rec.i + 1
+    )
+    SELECT arm, t AS t_hours, n AS n_at_risk, d AS n_events,
+           c AS n_censored, s AS surv_ppm
+    FROM rec ORDER BY arm, t_hours
+"""
+
+
+def km_by_group(durations: DataFrame, group_col: str = "arm") -> DataFrame:
+    """Per-group KM fold over a ``(group, t, died)`` duration frame:
+    the ts_kaplan_meier recursion run independently per group (one
+    bounded applyInPandas batch per group). Factored so model tests
+    (two planted arms → each arm's curve equals the solo KM on its
+    slice) drive the grouped kernel."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    lt = durations.groupBy(group_col, "t").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count("*") - F.sum("died")).cast("long").alias("c"),
+    )
+    rev = (
+        W.partitionBy(group_col)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ordered = lt.select(
+        group_col,
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(rev).cast("long").alias("n"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        g = int(pdf[group_col].iloc[0])
+        s = 1_000_000
+        out = []
+        for t, d, c, n in zip(pdf["t"], pdf["d"], pdf["c"], pdf["n"]):
+            t, d, c, n = int(t), int(d), int(c), int(n)
+            if d > 0:
+                s = (s * (n - d)) // n
+            out.append((g, t, n, d, c, s))
+        return pd.DataFrame(
+            out,
+            columns=[
+                group_col, "t_hours", "n_at_risk", "n_events",
+                "n_censored", "surv_ppm",
+            ],
+        )
+
+    return (
+        ordered.groupBy(group_col)
+        .applyInPandas(
+            kernel,
+            schema=f"{group_col} long, t_hours long, n_at_risk long,"
+            " n_events long, n_censored long, surv_ppm long",
+        )
+        .orderBy(group_col, "t_hours")
+    )
+
+
+@query(
+    "ts_km_by_arm",
+    oracle=_KM_BY_ARM_ORACLE,
+    tags=("timeseries", "survival", "exact-twin"),
+)
+def ts_km_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two user arms' Kaplan-Meier re-engagement curves side by
+    side (exact recursive integer-ppm product per arm) — the curves
+    behind ts_logrank's one-number verdict."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    gmax = ev.agg(F.max("ts").alias("g"))
+    gaps = ev.select(
+        "user_id",
+        "arm",
+        F.expr(
+            "CAST((unix_micros(lead(ts, 1) OVER"
+            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
+            " div 3600000000 AS BIGINT)"
+        ).alias("t"),
+    ).where(F.col("t").isNotNull())
+    died = gaps.select("arm", "t", F.lit(1).alias("died"))
+    cens = (
+        ev.groupBy("user_id", "arm")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "arm",
+            F.expr(
+                "CAST((unix_micros(g) - unix_micros(last_ts))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("t"),
+            F.lit(0).alias("died"),
+        )
+    )
+    return km_by_group(died.unionByName(cens))

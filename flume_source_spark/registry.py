@@ -631,8 +631,9 @@ _R11_STALE_REPIN = (
 #     agg_equidepth_histogram, ds_batch_plan, ds_curriculum_order,
 #     ds_shard_snake_balance (distributed global-rank helper),
 #     text_vocab_topk, text_zipf_fit (TakeOrderedAndProject);
-#   - 9 oracled new registrations: ts_logrank, ts_logrank_stratified,
-#     ts_km_rmst, ts_kendall_tau, multimodal_similar_topk,
+#   - 10 oracled new registrations: ts_logrank,
+#     ts_logrank_stratified, ts_km_rmst, ts_km_by_arm,
+#     ts_kendall_tau, multimodal_similar_topk,
 #     entity_golden_record_audit, graph_ktruss_peel,
 #     text_vocab_growth, text_bigram_lm_heldout;
 #   - then the _R11_STALE_REPIN tier (r3-era artifact currency),

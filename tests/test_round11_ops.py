@@ -351,3 +351,29 @@ def test_heldout_lm_scores_only_test_split(spark, sf_dir):
         assert buckets[r["doc_id"]] >= 90, r
         assert 0 <= r["n_unseen_bigrams"] <= r["n_bigrams"]
         assert r["mean_log2_prob"] < 0
+
+
+def test_km_by_group_matches_solo_km_per_slice(spark):
+    """Each arm's curve from the grouped KM fold must equal the
+    UNGROUPED ts_kaplan_meier fold run on that arm's duration slice."""
+    from flume_source_spark.operators.timeseries7 import kaplan_meier
+    from flume_source_spark.operators.timeseries9 import km_by_group
+
+    rows = [
+        (0, 1, 1), (0, 2, 1), (0, 2, 0), (0, 5, 1), (0, 9, 0),
+        (1, 1, 1), (1, 3, 1), (1, 3, 1), (1, 7, 0),
+    ]
+    dur = spark.createDataFrame(rows, "arm long, t long, died long")
+    grouped = {}
+    for r in km_by_group(dur).collect():
+        grouped.setdefault(r.arm, []).append(
+            (r.t_hours, r.n_at_risk, r.n_events, r.n_censored, r.surv_ppm)
+        )
+    for arm in (0, 1):
+        solo = [
+            (r.t_hours, r.n_at_risk, r.n_events, r.n_censored, r.surv_ppm)
+            for r in kaplan_meier(
+                dur.filter(F.col("arm") == arm).drop("arm")
+            ).collect()
+        ]
+        assert sorted(grouped[arm]) == sorted(solo), arm
