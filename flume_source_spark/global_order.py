@@ -10,21 +10,28 @@ decomposition (documented in prose at ``pipeline/dataset3.py`` /
 
 1. **Bucket** every row by a numeric key that is monotone in the
    requested total order (the first ORDER BY column, or an explicit
-   composite): boundaries come from one ``percentile_approx`` pass,
-   broadcast as a 1-row array; the bucket id is
-   ``#(boundaries < key)`` folded JVM-side with ``F.aggregate`` —
-   a pure function of the ROW, so recomputation of any plan branch
-   reassigns identical buckets (no ``spark_partition_id()``, no
-   persist, no reliance on exchange reuse — the failure modes of the
-   physical-partition-id formulation).
+   composite): boundaries come from one ``percentile_approx`` pass
+   **materialized exactly once on the driver** (a 1-row, ≤buckets-1
+   double collect) and inlined as a literal array; the bucket id is
+   ``#(boundaries < key)`` folded JVM-side with ``F.aggregate``.
+   Because the boundaries are a fixed literal, the bucket is a pure
+   function of the ROW for EVERY downstream plan branch — task
+   retries, speculative duplicates, and the rank/offset branches all
+   see byte-identical boundaries, even though ``percentile_approx``
+   sketch merges are not order-deterministic at scale (ADVICE r11:
+   re-evaluating the sketch per branch could re-bucket a row and
+   corrupt the rank; collecting once removes that failure mode for
+   the price of one tiny job).
 2. **Local rank** within each bucket: ``row_number`` over
    ``Window.partitionBy(bucket)`` — a hash exchange on the bucket id;
    every sort is bucket-sized.
 3. **Offsets**: per-bucket counts (one map-side-combinable hash
    aggregate) turned into exclusive prefix sums via a broadcast
    self-join over the ≤``buckets``² count pairs — deliberately NOT a
-   window, so the helper's whole plan contains ZERO
-   ``Exchange SinglePartition`` (the plan test pins this).
+   window, so the helper's plan contains no single-partition SORT and
+   no unpartitioned ``row_number`` window (the plan test pins exactly
+   that; the 1-row scalar total aggregate keeps its inherent 1-row
+   exchange, which is O(buckets), not O(rows)).
 4. ``global rank = offset + local rank``; ``ntile(n)`` is pure
    arithmetic on (rank, total): the first ``total % n`` tiles carry
    ``total div n + 1`` rows — bit-identical to SQL NTILE.
@@ -55,25 +62,45 @@ _LOCAL = "__go_local"
 _OFFSET = "__go_offset"
 _TOTAL = "__go_total"
 
+# percentile_approx sketch accuracy for the boundary pass. Exactness
+# of the rank is provably independent of boundary quality (module
+# doc), so the sketch only has to BALANCE buckets, not be precise:
+# accuracy ≈ 16× the bucket count keeps the worst relative bucket-size
+# error ≈ 1/16 while making the boundary job ~5× cheaper than the
+# 10000 default it replaced (round-12 probe in SCALE.md part 12:
+# accuracy ∈ {100, 1000, 10000} produced identical ranks and
+# statistically indistinguishable bucket balance at 8× lineitem).
+_BOUNDARY_ACCURACY = 1000
+
+
+def _boundaries(df: DataFrame, bucket_key: Column, buckets: int) -> list[float]:
+    """One tiny job: the ``buckets-1`` approximate quantile boundaries
+    of ``bucket_key``, collected to the driver so every downstream
+    plan branch (local rank, offsets, retries, speculative tasks)
+    buckets rows against byte-identical literals."""
+    pcts = [i / buckets for i in range(1, buckets)]
+    row = df.agg(
+        F.percentile_approx(
+            bucket_key.cast("double"), pcts, _BOUNDARY_ACCURACY
+        ).alias(_BNDS)
+    ).first()
+    bnds = row[_BNDS] if row is not None else None
+    return [float(b) for b in bnds] if bnds else []
+
 
 def _bucketed(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
     """Stamp each row with its deterministic order-bucket id."""
-    pcts = [i / buckets for i in range(1, buckets)]
-    bnds = df.agg(
-        F.percentile_approx(bucket_key.cast("double"), pcts, 10000).alias(_BNDS)
-    )
+    bnds = _boundaries(df, bucket_key, buckets)
+    if not bnds:  # empty input (or all-null key): one bucket
+        return df.withColumn(_BUCKET, F.lit(0))
     key = bucket_key.cast("double")
-    return (
-        df.crossJoin(F.broadcast(bnds))
-        .withColumn(
-            _BUCKET,
-            F.aggregate(
-                F.col(_BNDS),
-                F.lit(0),
-                lambda acc, b: acc + F.when(key > b, 1).otherwise(0),
-            ),
-        )
-        .drop(_BNDS)
+    return df.withColumn(
+        _BUCKET,
+        F.aggregate(
+            F.array(*[F.lit(b) for b in bnds]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(key > b, 1).otherwise(0),
+        ),
     )
 
 

@@ -195,9 +195,14 @@ _BIGRAM_ORACLE = """
         FROM documents
     ),
     bg AS (
-        SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
-        FROM toks, generate_series(1, 128) AS g(i)
-        WHERE g.i < len(t)
+        -- series bound driven by len(t) (ADVICE r11): the old fixed
+        -- generate_series(1, 128) silently truncated docs past 129
+        -- tokens; the scalar-unnest form enumerates every bigram of
+        -- every doc, exactly like the Spark side's posexplode.
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
     ),
     bgc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY w1, w2),
     ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n FROM bg GROUP BY w1),
@@ -390,9 +395,12 @@ _HELDOUT_LM_ORACLE = """
         FROM split
     ),
     bg AS (
-        SELECT doc_id, bucket, t[g.i] AS w1, t[g.i + 1] AS w2
-        FROM toks, generate_series(1, 128) AS g(i)
-        WHERE g.i < len(t)
+        -- len(t)-driven bound (ADVICE r11), matching the Spark side's
+        -- full size(t)-1 bigram enumeration on docs of any length
+        SELECT doc_id, bucket, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, bucket, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
     ),
     bgc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
             FROM bg WHERE bucket < 80 GROUP BY w1, w2),

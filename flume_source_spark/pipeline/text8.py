@@ -51,10 +51,12 @@ _RAKE_ORACLE = f"""
         FROM documents
     ),
     pos AS (
-        SELECT doc_id, g.i AS p, t[g.i] AS word,
-               t[g.i] IN ({_STOP_SQL}) AS is_stop
-        FROM toks, generate_series(1, 128) AS g(i)
-        WHERE g.i <= len(t)
+        -- len(t)-driven bound (ADVICE r11 convention fix): every
+        -- token position of every doc, like the Spark posexplode
+        SELECT doc_id, i AS p, t[i] AS word,
+               t[i] IN ({_STOP_SQL}) AS is_stop
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks)
     ),
     seg AS (
         SELECT doc_id, p, word,
@@ -156,10 +158,18 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("score"),
         )
     )
+    # Round 12 (VERDICT r11 "What's wrong"): the phrase vocabulary
+    # grows with the corpus (Heaps), so DON'T rank it through one
+    # unpartitioned window — take the top-10 with orderBy().limit()
+    # (TakeOrderedAndProject: per-partition partial top-k, then a
+    # 10-row merge on the driver-side reducer), and only then run the
+    # rank window over exactly those ≤10 rows (the text_vocab_topk
+    # template at pipeline/text7.py). Prefix-identical to ranking
+    # first: the limit key IS the rank key.
     wrank = Window.orderBy(F.round("score", 6).desc(), F.col("phrase"))
+    top = agg.orderBy(F.round("score", 6).desc(), F.col("phrase")).limit(10)
     return (
-        agg.withColumn("rnk", F.row_number().over(wrank).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(wrank).cast("long"))
         .select("phrase", "n_occurrences", F.round("score", 4).alias("rake_score"), "rnk")
         .orderBy("rnk")
     )

@@ -190,14 +190,19 @@ _DRIVER_GREEN_R04 = frozenset(
 # row was zero-signal (spark_rows: 0 — the sf0.01 2-core is genuinely
 # empty), and round 6 re-shaped it into a hash-oracled peel profile
 # (VERDICT r5 item 2), so it re-enters the verify-first block for a
-# first meaningful driver row.
+# first meaningful driver row. text_rake_keywords is EXCLUDED as of
+# round 12 (its only row was r05): its production path was re-shaped
+# off the corpus-scale unpartitioned rank window onto
+# orderBy().limit(10) (TakeOrderedAndProject — the text_vocab_topk
+# template; VERDICT r11 "What's wrong"), so it re-enters verify-first
+# for a fresh row on the new executed path.
 _DRIVER_GREEN_R05 = frozenset(
     {
         "ds_pack_attention_spans", "graph_pagerank_exact",
         "dedup_cluster_cc_lsh", "profile_summary", "upsert_time_travel",
         "sim_mips_topk", "graph_triangle_count", "window_range_interval",
         "agg_heavy_hitters", "sql_pipe_syntax", "scalar_regexp_suite",
-        "text_rake_keywords", "ds_semdedup", "emb_norm_stats",
+        "ds_semdedup", "emb_norm_stats",
         "source_schema_evolution", "sink_spool_writer",
         "filemeta_sharded_scan", "multimodal_content_dedup",
         "join_null_safe", "streaming_cdc_latest_batch",
@@ -299,7 +304,11 @@ _R05_VERIFY_FIRST = (
 # round-6 registrations (exact twins, skew_salted_join,
 # ds_deterministic_sample) + the full TPC-H q01-q22 re-pin + 3
 # one-per-family heads (agg_basic, join_inner, join_shuffle_fact_fact).
-# 48 hash-green, 0 red.
+# 48 hash-green, 0 red. text_bigram_lm is EXCLUDED as of round 12: its
+# oracle's bigram bound now follows len(t) instead of the fixed
+# 128-token convention (the same ADVICE r11 fix as
+# text_bigram_lm_heldout), so it re-enters verify-first for a row
+# against the corrected oracle.
 _DRIVER_GREEN_R06 = frozenset(
     {
         "agg_basic", "dedup_simhash_exact", "dedup_simhash_hamming_exact",
@@ -319,7 +328,7 @@ _DRIVER_GREEN_R06 = frozenset(
         "q22_dormant_customers",
         "sim_ann_adc_exact", "sim_ann_ivf_exact", "sim_ann_lsh_exact",
         "sim_hard_negatives", "skew_salted_join", "sql_star_except",
-        "sql_unpivot", "sql_variables_param", "text_bigram_lm",
+        "sql_unpivot", "sql_variables_param",
         "text_char_entropy", "text_readability",
         "text_substring_dedup_spans", "text_url_canonical_dedup",
         "ts_cross_correlation", "ts_m4_downsample",
@@ -575,75 +584,102 @@ _DRIVER_GREEN_R10 = frozenset(
 # for a fresh driver row.
 #
 # TWO FURTHER round-11 exclusions (the vocab-rank note in VERDICT r10
-# "What's wrong"): text_vocab_topk (was r03, also dropped from
-# _R11_STALE_REPIN below — its re-shape IS its re-pin) and
+# "What's wrong"): text_vocab_topk (was r03, also dropped from the
+# round-11 stale-re-pin tier — its re-shape WAS its re-pin) and
 # text_zipf_fit (was r06) moved their whole-vocabulary row_number
 # windows onto orderBy().limit(K) (TakeOrderedAndProject — per-
 # partition partial top-k) with the rank window covering exactly K
 # rows; prefix-identical results, unchanged oracles, new executed
 # path → verify-first.
 
-# Round-11 hash-green artifact-currency re-pin tier (VERDICT r10
-# "Next round" item 3): the 48 queries whose LATEST driver artifact is
-# CORRECTNESS_r03.json. No correctness doubt — all hash-green on
-# current fixtures in every local full sweep since — purely driver
-# artifact freshness (driver currency lags builder currency by ~7
-# rounds at 50 slots/sweep). Ordered one-per-family heads first so a
-# truncated sweep still spans families; a later-round artifact row
-# retires each dynamically. Advancing these moves the oldest-artifact
-# round from r3 to ≥r4 (48 r4-era rows remain for round 12).
-_R11_STALE_REPIN = (
-    # one-per-family heads
-    "text_lang_id", "ts_sessionize_gaps", "streaming_tumbling_window",
-    "udf_pandas_vectorized", "source_csv_roundtrip", "sql_recursive_cte",
-    "multimodal_binary_meta", "filemeta_scan", "agg_wave2",
-    "sim_cosine_arrow", "sink_partitioned_write", "ds_shard_manifest",
-    "udtf_expand",
-    # the rest, grouped by family
-    "text_quality", "text_token_stats", "text_token_count_bpeish",
-    "text_fingerprint", "text_chunk_overlap", "text_pii_scrub",
-    "text_repetition_filter", "text_tfidf_topk",
-    "text_dup_ngram_fraction", "text_url_parse", "text_normalize_unicode",
-    "text_inverted_index",
-    "ts_ohlc_bars", "ts_concurrency_sweep", "ts_calendar_features",
-    "ts_seasonal_profile", "ts_ewma_bounded",
-    "streaming_sliding_window", "streaming_session_window",
-    "streaming_dedup_batch", "streaming_interval_join_batch",
-    "streaming_static_enrich",
-    "udf_grouped_map_zscore", "udf_row_classify", "udf_map_in_arrow",
-    "source_jsonl_roundtrip", "source_orc_roundtrip", "source_csv_options",
-    "sql_interface_cte", "sql_lateral_topk",
-    "multimodal_decode", "multimodal_frame_sample",
-    "filemeta_ignore_pattern", "agg_incremental_merge",
+# Queries with a row in the driver's CORRECTNESS_r11.json: the 50-row
+# round-11 sweep = all 10 round-11 registrations + the 6 global-order
+# / top-k re-shapes + ~34 r3-era artifact-currency re-pins, all
+# hash-green, 0 red. SEVEN round-12 exclusions from the hardcoded set
+# (each verify-first again this round):
+#   - agg_equidepth_histogram, ds_batch_plan, ds_curriculum_order,
+#     ds_shard_snake_balance, text_vocab_growth: their executed path
+#     runs through global_order.py, whose boundary array is now
+#     materialized exactly once on the driver (ADVICE r11 medium —
+#     plan-branch recomputation of the percentile sketch could
+#     re-bucket rows at scale) with a cheaper sketch accuracy;
+#     oracles unchanged, new executed path → fresh rows required.
+#   - entity_golden_record_audit: oracle gained GROUP BY 1 = 1 so
+#     both engines emit an empty frame on a no-multi-member-cluster
+#     fixture (ADVICE r11 low).
+#   - text_bigram_lm_heldout: oracle's bigram series bound now
+#     follows len(t) instead of the fixed 128-token convention
+#     (ADVICE r11 low).
+_DRIVER_GREEN_R11 = frozenset(
+    {
+        "agg_wave2", "ds_shard_manifest", "filemeta_scan",
+        "graph_ktruss_peel", "multimodal_binary_meta",
+        "multimodal_similar_topk", "sim_cosine_arrow",
+        "sink_partitioned_write", "source_csv_roundtrip",
+        "sql_recursive_cte", "streaming_dedup_batch",
+        "streaming_interval_join_batch", "streaming_session_window",
+        "streaming_sliding_window", "streaming_tumbling_window",
+        "text_chunk_overlap", "text_dup_ngram_fraction",
+        "text_fingerprint", "text_inverted_index", "text_lang_id",
+        "text_normalize_unicode", "text_pii_scrub", "text_quality",
+        "text_repetition_filter", "text_tfidf_topk",
+        "text_token_count_bpeish", "text_token_stats", "text_url_parse",
+        "text_vocab_topk", "text_zipf_fit", "ts_calendar_features",
+        "ts_concurrency_sweep", "ts_ewma_bounded", "ts_kendall_tau",
+        "ts_km_by_arm", "ts_km_rmst", "ts_logrank",
+        "ts_logrank_stratified", "ts_ohlc_bars", "ts_seasonal_profile",
+        "ts_sessionize_gaps", "udf_pandas_vectorized", "udtf_expand",
+    }
 )
 
-# ROUND-12 NOTE: when CORRECTNESS_r11.json lands, the dynamic pickup
-# re-tiers automatically. The manual hygiene step is: fold r11's keys
-# into a hardcoded _DRIVER_GREEN_R11, bump _KNOWN_ROUNDS to 11, and
-# retire the swept prefix of _R11_STALE_REPIN (any entry with an r11
-# row moves to the hardcoded record; the remainder stays queued — 48
-# r4-era rows form the natural _R12_STALE_REPIN). Expected r11 sweep
-# head (every entry locally verified green at sf0.001 + sf0.01 — the
-# re-shapes and analysis ops also at sf0.1 — before commit; the full
-# driver-contract sweep ran ALL MATCH at sf0.01 five times this
-# round):
-#   - 6 global-order / top-k re-shapes, verify-first:
-#     agg_equidepth_histogram, ds_batch_plan, ds_curriculum_order,
-#     ds_shard_snake_balance (distributed global-rank helper),
-#     text_vocab_topk, text_zipf_fit (TakeOrderedAndProject);
-#   - 10 oracled new registrations: ts_logrank,
-#     ts_logrank_stratified, ts_km_rmst, ts_km_by_arm,
-#     ts_kendall_tau, multimodal_similar_topk,
-#     entity_golden_record_audit, graph_ktruss_peel,
-#     text_vocab_growth, text_bigram_lm_heldout;
-#   - then the _R11_STALE_REPIN tier (r3-era artifact currency),
-#     ~36 slots of it under a 50-row budget.
-_KNOWN_ROUNDS = 10
+# Round-12 hash-green artifact-currency re-pin tier (VERDICT r11
+# "Next round" item 3): the 13 queries whose LATEST driver artifact is
+# still CORRECTNESS_r03.json (the _R11_STALE_REPIN tail the 50-row r11
+# sweep didn't reach) followed by the 42 whose latest is r04. No
+# correctness doubt — all hash-green on current fixtures in every
+# local full sweep since — purely driver artifact freshness. r3-era
+# heads lead; the r4 block puts one-per-family heads first so a
+# truncated sweep still spans families. A later-round artifact row
+# retires each dynamically. Sweeping ~38 of these clears the r3 tier
+# entirely and takes the oldest-artifact round to r4's tail.
+_R12_STALE_REPIN = (
+    # r3-era (13) — the unswept _R11_STALE_REPIN remainder
+    "streaming_static_enrich", "udf_grouped_map_zscore",
+    "udf_row_classify", "udf_map_in_arrow", "source_jsonl_roundtrip",
+    "source_orc_roundtrip", "source_csv_options", "sql_interface_cte",
+    "sql_lateral_topk", "multimodal_decode", "multimodal_frame_sample",
+    "filemeta_ignore_pattern", "agg_incremental_merge",
+    # r4-era one-per-family heads (17)
+    "agg_bitmap_distinct", "dedup_keep_best", "dq_drift_psi",
+    "ds_pipeline_end_to_end", "emb_quantize_int8", "geo_heatmap_grid",
+    "graph_degree_hist", "join_asof_nearest", "scalar_variant",
+    "source_csv_malformed", "sql_declared_functions",
+    "streaming_chained_windows_batch", "text_gopher_rules", "ts_acf",
+    "udf_cogrouped_merge", "udtf_table_partition", "window_pareto_abc",
+    # r4-era rest, grouped by family (25)
+    "agg_listagg", "agg_mode_deterministic", "agg_weighted_median",
+    "ds_bloom_dedup", "ds_global_shuffle", "ds_interleave_sources",
+    "ds_mixture_weighted", "ds_quality_cascade", "ds_token_budget_fill",
+    "emb_centroid_cohesion", "emb_dim_variance_prune",
+    "graph_assortativity", "join_interval_overlap",
+    "source_text_roundtrip", "source_xml_roundtrip",
+    "sql_scripting_threshold", "text_bpe_pair_stats", "text_line_dedup",
+    "text_unigram_logprob", "ts_event_pattern_regex", "ts_interp_linear",
+    "ts_outlier_mad", "ts_peak_detection", "ts_transition_matrix",
+    "window_distinct_count_emulation",
+)
+
+# ROUND-13 NOTE: when CORRECTNESS_r12.json lands, the dynamic pickup
+# re-tiers automatically. The manual hygiene step is: fold r12's keys
+# into a hardcoded _DRIVER_GREEN_R12, bump _KNOWN_ROUNDS to 12, and
+# retire the swept prefix of _R12_STALE_REPIN (the remainder forms the
+# natural _R13_STALE_REPIN head, ahead of the 43 r5-era rows).
+_KNOWN_ROUNDS = 11
 
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
     | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
-    | _DRIVER_GREEN_R09 | _DRIVER_GREEN_R10
+    | _DRIVER_GREEN_R09 | _DRIVER_GREEN_R10 | _DRIVER_GREEN_R11
 )
 
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
@@ -866,14 +902,15 @@ def load_all() -> dict[str, QuerySpec]:
             if n in REGISTRY and n not in dyn_swept and n not in fresh
         }
     )
-    # Tier 3.7: round-11 hash-green artifact-currency re-pins — the 48
-    # r3-era rows (VERDICT r10 item 3), behind every never-swept
-    # registration. A later-round (r11+) artifact row retires each
-    # dynamically, so this tier self-empties as sweeps land.
+    # Tier 3.7: round-12 hash-green artifact-currency re-pins — the 13
+    # r3-era + 42 r4-era rows (VERDICT r11 item 3), behind every
+    # never-swept registration. A later-round (r12+) artifact row
+    # retires each dynamically, so this tier self-empties as sweeps
+    # land.
     ordered.update(
         {
             n: REGISTRY[n]
-            for n in _R11_STALE_REPIN
+            for n in _R12_STALE_REPIN
             if n in REGISTRY and n not in dyn_swept
         }
     )
