@@ -785,6 +785,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries7  # noqa: F401
     import flume_source_spark.operators.timeseries8  # noqa: F401
     import flume_source_spark.operators.timeseries9  # noqa: F401
+    import flume_source_spark.operators.timeseries10  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401
@@ -841,6 +842,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text13  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
+    import flume_source_spark.pipeline.multimodal2  # noqa: F401
     import flume_source_spark.streaming.batch_equiv  # noqa: F401
     import flume_source_spark.streaming.batch_equiv2  # noqa: F401
     import flume_source_spark.streaming.crawl_pipeline  # noqa: F401

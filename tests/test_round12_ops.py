@@ -96,3 +96,179 @@ def test_global_order_empty_and_single_row(spark):
     one = spark.range(1).select(F.col("id").alias("k"))
     got = with_global_rank(one, [F.col("k")], F.col("k"), rank_col="r").collect()
     assert [(r["k"], r["r"]) for r in got] == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen closed forms
+# ---------------------------------------------------------------------------
+
+
+def _na(spark, rows):
+    from flume_source_spark.operators.timeseries10 import nelson_aalen
+
+    return {
+        r["t_hours"]: r.asDict()
+        for r in nelson_aalen(
+            spark.createDataFrame(rows, "t long, died long")
+        ).collect()
+    }
+
+
+def test_nelson_aalen_no_censoring_closed_form(spark):
+    """Three uncensored deaths at t = 1, 2, 3: H steps by d/n of the
+    shrinking risk set — 1/3, 1/2, 1/1 — in floored ppm."""
+    na = _na(spark, [(1, 1), (2, 1), (3, 1)])
+    assert na[1]["h_ppm"] == 333_333 and na[1]["n_at_risk"] == 3
+    assert na[2]["h_ppm"] == 500_000 and na[2]["n_at_risk"] == 2
+    assert na[3]["h_ppm"] == 1_000_000 and na[3]["n_at_risk"] == 1
+    assert [na[t]["cumhaz_ppm"] for t in (1, 2, 3)] == [
+        333_333,
+        833_333,
+        1_833_333,
+    ]
+
+
+def test_nelson_aalen_censoring_carries_hazard_flat(spark):
+    """A censor-only time contributes NO hazard increment but leaves
+    the risk set — H is flat at t = 2 and the t = 3 step uses n = 1."""
+    na = _na(spark, [(1, 1), (2, 0), (3, 1)])
+    assert na[2]["h_ppm"] == 0 and na[2]["n_censored"] == 1
+    assert na[2]["cumhaz_ppm"] == na[1]["cumhaz_ppm"] == 333_333
+    assert na[3]["n_at_risk"] == 1 and na[3]["cumhaz_ppm"] == 1_333_333
+
+
+def test_nelson_aalen_exp_bound_vs_km(spark, sf_dir):
+    """The Fleming-Harrington relation on the real corpus: the two
+    estimators share the life table row-for-row and satisfy
+    exp(−H(t)) ≥ S_KM(t) pointwise (equivalently H ≤ −ln S), with a
+    small allowance for the ppm floors on both sides."""
+    import math
+
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    na = {
+        r["t_hours"]: r.asDict()
+        for r in qs["ts_nelson_aalen"].builder(spark, sf_dir).collect()
+    }
+    km = {
+        r["t_hours"]: r.asDict()
+        for r in qs["ts_kaplan_meier"].builder(spark, sf_dir).collect()
+    }
+    assert set(na) == set(km) and len(na) > 10
+    prev = 0
+    for t in sorted(na):
+        assert na[t]["n_at_risk"] == km[t]["n_at_risk"]
+        assert na[t]["n_events"] == km[t]["n_events"]
+        assert na[t]["cumhaz_ppm"] >= prev  # monotone
+        prev = na[t]["cumhaz_ppm"]
+        s_na = math.exp(-na[t]["cumhaz_ppm"] / 1e6)
+        assert s_na >= km[t]["surv_ppm"] / 1e6 - 1e-4, t
+
+
+# ---------------------------------------------------------------------------
+# Curation A/B report anchors
+# ---------------------------------------------------------------------------
+
+
+def test_ab_report_anchors_to_standalone_components(spark, sf_dir):
+    """Every report column must equal the standalone query it
+    composes: chi2/o1/e1/v from ts_logrank; per-arm RMST and median
+    from km_rmst_from over the ts_km_by_arm curves."""
+    from flume_source_spark.operators.timeseries9 import km_rmst_from
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rep = qs["ts_curation_ab_report"].builder(spark, sf_dir).collect()[0].asDict()
+    lr = qs["ts_logrank"].builder(spark, sf_dir).collect()[0].asDict()
+    for k in ("n_total", "d_total", "o1", "e1_ppm", "o_minus_e_ppm",
+              "v_ppm", "chi2_ppm"):
+        assert rep[k] == lr[k], k
+    km2 = qs["ts_km_by_arm"].builder(spark, sf_dir)
+    for arm, suffix in ((0, "even"), (1, "odd")):
+        curve = km2.filter(F.col("arm") == arm).select(
+            F.col("t_hours").alias("t"), F.col("surv_ppm").alias("s")
+        )
+        r = km_rmst_from(curve, rep["horizon_hours"]).collect()[0].asDict()
+        assert rep[f"rmst_{suffix}_ppm_hours"] == r["rmst_ppm_hours"], suffix
+        assert rep[f"median_{suffix}_hours"] == r["median_hours"], suffix
+    assert (
+        rep["rmst_delta_ppm_hours"]
+        == rep["rmst_even_ppm_hours"] - rep["rmst_odd_ppm_hours"]
+    )
+    assert rep["significant_05"] == int(rep["chi2_ppm"] >= 3_841_459)
+
+
+def test_ab_report_significance_flag_planted(spark):
+    """Planted arms: identical multisets → χ² = 0 and flag 0;
+    fully separated arms → flag 1 and the long-lived EVEN arm shows a
+    positive RMST delta."""
+    from flume_source_spark.operators.timeseries10 import ab_report_from
+
+    def rep(rows):
+        df = spark.createDataFrame(rows, "arm long, t long, died long")
+        return ab_report_from(df, 168).collect()[0].asDict()
+
+    base = [(1, 1), (2, 1), (3, 1), (5, 1), (8, 0)]
+    same = rep([(0, t, d) for t, d in base] + [(1, t, d) for t, d in base])
+    assert same["chi2_ppm"] == 0 and same["significant_05"] == 0
+    assert same["rmst_delta_ppm_hours"] == 0
+
+    sep = rep(
+        [(0, t, 1) for t in range(100, 110)] + [(1, t, 1) for t in range(1, 11)]
+    )
+    assert sep["significant_05"] == 1
+    assert sep["rmst_delta_ppm_hours"] > 0
+    assert sep["median_even_hours"] > sep["median_odd_hours"]
+
+
+# ---------------------------------------------------------------------------
+# pHash recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_phash_recall_audit_pigeonhole_reads_full_recall(spark, sf_dir):
+    """The family's quality claim, measured: on the budget sample no
+    band bucket can exceed the cap, so the pigeonhole construction
+    guarantees every exact radius-3 truth pair appears among the band
+    candidates — recall must read EXACTLY 10⁶ ppm, with a nonzero
+    truth set so the number means something."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    r = (
+        qs["multimodal_phash_recall_audit"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert r["n_true"] > 0, "fixture sample lost its planted near-dups"
+    assert r["n_hit"] == r["n_true"]
+    assert r["recall_ppm"] == 1_000_000
+    assert 0 < r["n_docs"] <= 200  # the budget gate held
+
+
+def test_phash_recall_counts_planted_floor_pair(spark):
+    """Planted floor: two identical docs (Hamming 0) plus distinct
+    background must yield that exact truth pair AND its candidate hit
+    — a recall miss here would be attributed to the band join, not
+    the fixture (the dedup_lsh_recall_audit superset discipline)."""
+    from flume_source_spark.pipeline.multimodal2 import phash_recall_counts
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),
+            (3, "completely different words in every position nothing "
+                "shared with any other document here at all today"),
+            (4, "yet another unrelated block of tokens carrying its own "
+                "distinct shingle set for the background population"),
+        ],
+        "doc_id long, text string",
+    )
+    r = phash_recall_counts(docs).collect()[0].asDict()
+    assert r["n_docs"] == 4  # modulus 1 at tiny N: everything sampled
+    assert r["n_true"] >= 1
+    assert r["n_hit"] == r["n_true"]
+    assert r["recall_ppm"] == 1_000_000
