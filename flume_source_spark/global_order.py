@@ -12,8 +12,10 @@ decomposition (documented in prose at ``pipeline/dataset3.py`` /
    requested total order (the first ORDER BY column, or an explicit
    composite): boundaries come from one ``percentile_approx`` pass
    **materialized exactly once on the driver** (a 1-row, ≤buckets-1
-   double collect) and inlined as a literal array; the bucket id is
-   ``#(boundaries < key)`` folded JVM-side with ``F.aggregate``.
+   double collect) and inlined as literals; the bucket id is
+   ``#(boundaries < key)`` via a binary-search CASE tree
+   (``_bucket_expr`` — log₂(buckets) comparisons per row, plain
+   codegen-friendly expressions, no higher-order-function fold).
    Because the boundaries are a fixed literal, the bucket is a pure
    function of the ROW for EVERY downstream plan branch — task
    retries, speculative duplicates, and the rank/offset branches all
@@ -64,12 +66,14 @@ _TOTAL = "__go_total"
 
 # percentile_approx sketch accuracy for the boundary pass. Exactness
 # of the rank is provably independent of boundary quality (module
-# doc), so the sketch only has to BALANCE buckets, not be precise:
-# accuracy ≈ 16× the bucket count keeps the worst relative bucket-size
-# error ≈ 1/16 while making the boundary job ~5× cheaper than the
-# 10000 default it replaced (round-12 probe in SCALE.md part 12:
-# accuracy ∈ {100, 1000, 10000} produced identical ranks and
-# statistically indistinguishable bucket balance at 8× lineitem).
+# doc), so the sketch only has to BALANCE buckets, not be precise.
+# Round-12 probe (scripts/scale_probe_r12.py, SCALE.md part 12), all
+# three settings producing the IDENTICAL histogram: accuracy 100
+# unbalances buckets enough to cost wall (2.93 s solo / 4.73 s at 8×
+# lineitem on the equidepth pipeline); 1000 and 10000 are
+# indistinguishable (1.94/2.62 vs 1.85/2.40). 1000 keeps the full
+# balance benefit with the 10× smaller sketch, the cheaper choice as
+# the boundary pass grows with the corpus.
 _BOUNDARY_ACCURACY = 1000
 
 
@@ -88,20 +92,35 @@ def _boundaries(df: DataFrame, bucket_key: Column, buckets: int) -> list[float]:
     return [float(b) for b in bnds] if bnds else []
 
 
+def _bucket_expr(bnds: list[float], key: Column) -> Column:
+    """``#(boundaries < key)`` as a binary-search CASE tree over the
+    driver-side boundary literals: ⌈log₂ buckets⌉ comparisons per row
+    and — unlike a higher-order ``F.aggregate`` fold — a plain
+    expression that stays inside whole-stage codegen everywhere the
+    bucket column is duplicated (window partition key, join key, hash
+    exchange). Round-12 measurement: the HOF fold evaluated
+    interpreted at each duplication site and cost 11.4 s on the
+    sf0.1 equidepth pipeline vs 1.2 s for this tree (SCALE.md part
+    12); equal keys take the left branch, exactly the fold's
+    strict-``>`` count."""
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key > F.lit(bnds[mid]), rec(mid + 1, hi)).otherwise(
+            rec(lo, mid)
+        )
+
+    return rec(0, len(bnds))
+
+
 def _bucketed(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
     """Stamp each row with its deterministic order-bucket id."""
     bnds = _boundaries(df, bucket_key, buckets)
     if not bnds:  # empty input (or all-null key): one bucket
         return df.withColumn(_BUCKET, F.lit(0))
-    key = bucket_key.cast("double")
-    return df.withColumn(
-        _BUCKET,
-        F.aggregate(
-            F.array(*[F.lit(b) for b in bnds]),
-            F.lit(0),
-            lambda acc, b: acc + F.when(key > b, 1).otherwise(0),
-        ),
-    )
+    return df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double")))
 
 
 def _offsets(bucketed: DataFrame) -> DataFrame:
