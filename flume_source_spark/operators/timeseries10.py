@@ -406,6 +406,142 @@ def ab_report_from(durations: DataFrame, tau: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Greenwood's formula (round 12): the KM curve's variance machinery —
+# Var(S(t)) = S(t)² · Σ_{t_i ≤ t} d_i / (n_i · (n_i − d_i))
+# (Greenwood 1926). The Greenwood SUM (the engine-exact part) is
+# published per life-table row in floored integer ppb (ppm is too
+# coarse: a single step at n ≈ 9000 contributes ~1.2e-8); the S²
+# multiplication and the log-log CI need floats and live in the
+# consumer (pinned by a model test against a float recompute, not
+# published). Rows where n = d (everyone remaining dies — S hits 0,
+# variance of the constant-0 tail undefined) contribute 0 by the
+# standard convention, identically on both engines.
+# Same execution shape as Nelson-Aalen: one integral div per
+# calendar-bounded life-table row + one forward prefix sum.
+# ---------------------------------------------------------------------------
+
+_GREENWOOD_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    gmax AS (SELECT max(ts) AS g FROM ev),
+    gaps AS (
+        SELECT user_id,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                - epoch_us(ts)) // 3600000000 AS t
+        FROM ev
+    ),
+    died AS (SELECT CAST(t AS BIGINT) AS t, 1 AS died
+             FROM gaps WHERE t IS NOT NULL),
+    cens AS (
+        SELECT CAST((epoch_us(gm.g) - epoch_us(max(e.ts))) // 3600000000
+                    AS BIGINT) AS t, 0 AS died
+        FROM ev e CROSS JOIN gmax gm
+        GROUP BY e.user_id, gm.g
+    ),
+    lt AS (
+        SELECT t,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS c
+        FROM (SELECT * FROM died UNION ALL SELECT * FROM cens)
+        GROUP BY t
+    ),
+    ordered AS (
+        SELECT t, d, c,
+               CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        FROM lt
+    )
+    SELECT t AS t_hours, n AS n_at_risk, d AS n_events, c AS n_censored,
+           CAST(CASE WHEN d > 0 AND n > d
+                     THEN (d * 1000000000) // (n * (n - d))
+                     ELSE 0 END AS BIGINT) AS greenwood_ppb,
+           CAST(sum(CASE WHEN d > 0 AND n > d
+                         THEN (d * 1000000000) // (n * (n - d))
+                         ELSE 0 END)
+                OVER (ORDER BY t) AS BIGINT) AS greenwood_cum_ppb
+    FROM ordered
+    ORDER BY t_hours
+"""
+
+
+def greenwood(durations: DataFrame) -> DataFrame:
+    """Core Greenwood fold over a ``(t, died)`` duration frame: the KM
+    life table + per-row variance increment d/(n(n−d)) in floored ppb
+    and its forward prefix sum. Factored so closed-form model tests
+    (no censoring → increments 1/(n(n−1)) of the shrinking risk set;
+    the n = d terminal row contributes 0; Var(S) via S²·sum matches a
+    float recompute) drive the production stages."""
+    from pyspark.sql import Window as W
+
+    lt = durations.groupBy("t").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count("*") - F.sum("died")).cast("long").alias("c"),
+    )
+    rev = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.orderBy(F.col("t").asc()).rowsBetween(W.unboundedPreceding, 0)
+    ordered = lt.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(rev).cast("long").alias("n"),
+    )
+    g = F.when(
+        (F.col("d") > 0) & (F.col("n") > F.col("d")),
+        F.expr("CAST((d * 1000000000) div (n * (n - d)) AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ordered.withColumn("greenwood_ppb", g)
+        .select(
+            F.col("t").alias("t_hours"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            "greenwood_ppb",
+            F.sum("greenwood_ppb").over(fwd).cast("long").alias("greenwood_cum_ppb"),
+        )
+        .orderBy("t_hours")
+    )
+
+
+@query(
+    "ts_km_greenwood",
+    oracle=_GREENWOOD_ORACLE,
+    tags=("timeseries", "survival", "exact-twin"),
+)
+def ts_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood variance sum of the re-engagement KM curve: per
+    distinct duration, the increment d/(n(n−d)) and its running sum in
+    exact floored integer ppb — the quantity Var(Ŝ(t)) = Ŝ(t)²·sum
+    and every KM confidence band are built from."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    gmax = ev.agg(F.max("ts").alias("g"))
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(lead(ts, 1) OVER"
+            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
+            " div 3600000000 AS BIGINT)"
+        ).alias("t"),
+    ).where(F.col("t").isNotNull())
+    died = gaps.select("t", F.lit(1).alias("died"))
+    cens = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr(
+                "CAST((unix_micros(g) - unix_micros(last_ts))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("t"),
+            F.lit(0).alias("died"),
+        )
+    )
+    return greenwood(died.unionByName(cens))
+
+
 @query(
     "ts_curation_ab_report",
     oracle=_AB_REPORT_ORACLE,

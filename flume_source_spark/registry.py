@@ -840,6 +840,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text11  # noqa: F401
     import flume_source_spark.pipeline.text12  # noqa: F401
     import flume_source_spark.pipeline.text13  # noqa: F401
+    import flume_source_spark.pipeline.text14  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.pipeline.multimodal2  # noqa: F401

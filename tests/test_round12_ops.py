@@ -272,3 +272,94 @@ def test_phash_recall_counts_planted_floor_pair(spark):
     assert r["n_true"] >= 1
     assert r["n_hit"] == r["n_true"]
     assert r["recall_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Greenwood variance sum
+# ---------------------------------------------------------------------------
+
+
+def test_greenwood_no_censoring_closed_form(spark):
+    """Three uncensored deaths at t = 1, 2, 3: increments are
+    d/(n(n−d)) = 1/6, 1/2 in floored ppb; the terminal n = d row
+    contributes 0 (variance of the constant-0 tail) and the cumsum
+    stays flat across it."""
+    from flume_source_spark.operators.timeseries10 import greenwood
+
+    rows = {
+        r["t_hours"]: r.asDict()
+        for r in greenwood(
+            spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "t long, died long")
+        ).collect()
+    }
+    assert rows[1]["greenwood_ppb"] == 166_666_666
+    assert rows[2]["greenwood_ppb"] == 500_000_000
+    assert rows[3]["greenwood_ppb"] == 0  # n = d terminal row
+    assert [rows[t]["greenwood_cum_ppb"] for t in (1, 2, 3)] == [
+        166_666_666,
+        666_666_666,
+        666_666_666,
+    ]
+
+
+def test_greenwood_matches_float_recompute(spark, sf_dir):
+    """On the real corpus the exact-ppb cumulative Greenwood sum must
+    track a float recompute from the same KM life table within the
+    documented per-row floor drift (< #rows ppb), and the implied
+    variance Var(S) = S²·sum must be finite and nonnegative."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    gw = sorted(
+        (r.asDict() for r in qs["ts_km_greenwood"].builder(spark, sf_dir).collect()),
+        key=lambda r: r["t_hours"],
+    )
+    acc, nrows = 0.0, 0
+    for row in gw:
+        nrows += 1
+        d, n = row["n_events"], row["n_at_risk"]
+        if d > 0 and n > d:
+            acc += d / (n * (n - d))
+        assert abs(row["greenwood_cum_ppb"] - acc * 1e9) <= nrows + 1
+        assert row["greenwood_cum_ppb"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_planted_counts(spark):
+    """Planted trigrams with known count-of-counts: 'a b c' twice,
+    'd e f' once → N₁ = N₂ = 1, so r = 1 has r* = 2·N₂/N₁ = 2
+    exactly, r = 2 hits the gap case (N₃ = 0 → r* = 0), and
+    p₀ = N₁/N = 1/3 floored ppm."""
+    from flume_source_spark.pipeline.text14 import good_turing_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "d e f")], "doc_id long, text string"
+    )
+    rows = {r["r"]: r.asDict() for r in good_turing_counts(docs).collect()}
+    assert rows[1]["n_r"] == 1 and rows[1]["n_r_next"] == 1
+    assert rows[1]["r_star_ppm"] == 2_000_000
+    assert rows[2]["n_r"] == 1 and rows[2]["n_r_next"] == 0
+    assert rows[2]["r_star_ppm"] == 0  # the N_{r+1} = 0 gap case
+    assert rows[1]["p0_ppm"] == 333_333
+
+
+def test_good_turing_discounts_singletons_on_corpus(spark, sf_dir):
+    """The estimator's reason to exist, on real data: singletons are
+    DISCOUNTED (r* < 1 at r = 1 — mass flows to unseen types), the
+    unseen mass p₀ equals N₁/N, and the count-of-counts tail is
+    populated (the fixture's trigram grain has singletons even though
+    its closed unigram vocabulary does not)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = {
+        r["r"]: r.asDict()
+        for r in qs["text_good_turing"].builder(spark, sf_dir).collect()
+    }
+    assert 1 in rows and rows[1]["n_r"] > 1000
+    assert 0 < rows[1]["r_star_ppm"] < 1_000_000
+    assert 0 < rows[1]["p0_ppm"] < 1_000_000
