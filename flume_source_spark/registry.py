@@ -822,6 +822,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.similarity  # noqa: F401
     import flume_source_spark.pipeline.similarity2  # noqa: F401
     import flume_source_spark.pipeline.similarity3  # noqa: F401
+    import flume_source_spark.pipeline.similarity4  # noqa: F401
     import flume_source_spark.pipeline.semdedup  # noqa: F401
     import flume_source_spark.pipeline.audit  # noqa: F401
     import flume_source_spark.pipeline.embstats  # noqa: F401

@@ -363,3 +363,73 @@ def test_good_turing_discounts_singletons_on_corpus(spark, sf_dir):
     assert 1 in rows and rows[1]["n_r"] > 1000
     assert 0 < rows[1]["r_star_ppm"] < 1_000_000
     assert 0 < rows[1]["p0_ppm"] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# MMR rerank
+# ---------------------------------------------------------------------------
+
+
+def _mmr(spark, pool_rows, pair_rows, lam):
+    from flume_source_spark.pipeline.similarity4 import mmr_rerank
+
+    pool = spark.createDataFrame(pool_rows, "qid long, nid long, sim double")
+    pairs = spark.createDataFrame(
+        pair_rows, "qid long, i long, j long, psim double"
+    )
+    return [
+        (r["pick"], r["nid"])
+        for r in mmr_rerank(pool, pairs, lam=lam).collect()
+    ]
+
+
+def _sym_pairs(vals):
+    return [(q, i, j, s) for q, i, j, s in vals] + [
+        (q, j, i, s) for q, i, j, s in vals
+    ]
+
+
+def test_mmr_skips_the_near_duplicate_plain_topk_keeps(spark):
+    """Planted redundancy: B is a near-copy of the top result A
+    (pair sim 0.99) while C is distinct — plain top-2 is (A, B), MMR
+    at λ = 0.7 must pick (A, C, B): 0.7·0.90 − 0.3·0.99 = 0.333 for B
+    vs 0.7·0.80 − 0.3·0.10 = 0.530 for C."""
+    pool = [(1, 10, 0.95), (1, 20, 0.90), (1, 30, 0.80)]
+    pairs = _sym_pairs(
+        [(1, 10, 20, 0.99), (1, 10, 30, 0.10), (1, 20, 30, 0.12)]
+    )
+    got = _mmr(spark, pool, pairs, lam=0.7)
+    assert got == [(1, 10), (2, 30), (3, 20)]
+
+
+def test_mmr_lambda_one_degenerates_to_topk(spark):
+    """λ = 1 removes the redundancy penalty entirely: the MMR order
+    must equal the plain relevance order even with a planted
+    duplicate."""
+    pool = [(1, 10, 0.95), (1, 20, 0.90), (1, 30, 0.80)]
+    pairs = _sym_pairs(
+        [(1, 10, 20, 0.99), (1, 10, 30, 0.10), (1, 20, 30, 0.12)]
+    )
+    got = _mmr(spark, pool, pairs, lam=1.0)
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_mmr_picks_are_distinct_and_from_pool_on_corpus(spark, sf_dir):
+    """On the real corpus: 3 picks per query, all distinct, every pick
+    a member of that query's exact top-10 pool, and pick 1 IS the
+    plain top-1 (MMR with an empty selected set is pure relevance)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    mmr = {}
+    for r in qs["sim_mmr_rerank"].builder(spark, sf_dir).collect():
+        mmr.setdefault(r["qid"], []).append((r["pick"], r["nid"]))
+    topk = {}
+    for r in qs["sim_cosine_topk"].builder(spark, sf_dir).collect():
+        topk.setdefault(r["qid"], []).append(r["nid"])
+    assert set(mmr) == set(topk)
+    for qid, picks in mmr.items():
+        assert [p for p, _ in sorted(picks)] == [1, 2, 3]
+        nids = [n for _, n in sorted(picks)]
+        assert len(set(nids)) == 3
+        assert nids[0] == topk[qid][0]  # pick 1 = plain top-1
