@@ -166,3 +166,152 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec("embedding").alias("v0")
     )
     return cosine_hist_from(e)
+
+
+# ---------------------------------------------------------------------------
+# emb_prefix_recall_curve (round 12): the RETRIEVAL-quality side of
+# the Matryoshka audit. emb_prefix_energy answers "how much norm
+# survives truncation"; this answers the question serving actually
+# cares about — "if I retrieve with the first P dimensions, how much
+# of the full-dimension top-k do I still find?" For each bounded
+# query (the similarity family's Q_MAX contract) and each P ∈
+# {8, 16, 32, 64}: cosine top-K by the P-prefix slices, then
+# recall@K against the P = 64 (full) top-K. The P = 64 row is a
+# built-in sanity pin: its recall must read exactly 10⁶ ppm.
+#
+# Scale: ONE Q·N scoring pass (the sim_cosine_topk class — at real
+# scale the pool comes from sim_ann_* instead) fanned ×4 by a literal
+# prefix explode; the rank windows partition by (P, qid) so every
+# sort is per-query-sized. Per-row float cosines are bitwise
+# cross-engine (identical left-fold op order); all aggregation is on
+# integer ids and counts.
+# ---------------------------------------------------------------------------
+
+PREFIX_RECALL_K = 3
+_RECALL_PREFIXES = (8, 16, 32, 64)
+
+
+def _prefix_recall_oracle() -> str:
+    from flume_source_spark.pipeline.similarity import _QWHERE_SQL
+
+    ps = ", ".join(str(p) for p in _RECALL_PREFIXES)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE {_QWHERE_SQL}),
+    scored AS (
+        SELECT p.p, q.qid, e.vec_id AS nid,
+               list_dot_product(qv[1:p.p], v[1:p.p]) /
+                 (sqrt(list_dot_product(qv[1:p.p], qv[1:p.p]))
+                  * sqrt(list_dot_product(v[1:p.p], v[1:p.p]))) AS sim
+        FROM q JOIN e ON e.vec_id <> qid
+        CROSS JOIN (SELECT unnest([{ps}]) AS p) p
+    ),
+    topk AS MATERIALIZED (
+        SELECT p, qid, nid FROM (
+            SELECT p, qid, nid,
+                   row_number() OVER (PARTITION BY p, qid
+                       ORDER BY round(sim, 6) DESC, nid) AS rn
+            FROM scored) WHERE rn <= {PREFIX_RECALL_K}
+    ),
+    truth AS (SELECT qid, nid FROM topk WHERE p = 64),
+    hits AS (
+        SELECT t.p, count(*) AS n_hits
+        FROM topk t JOIN truth u ON u.qid = t.qid AND u.nid = t.nid
+        GROUP BY t.p
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+    -- left join from the P lattice: a prefix with ZERO hits keeps its
+    -- curve point (recall 0) instead of silently vanishing
+    SELECT CAST(l.p AS BIGINT) AS prefix_len,
+           nq.n_queries,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(h.n_hits, 0) * 1000000)
+                // (nq.n_queries * {PREFIX_RECALL_K}) AS BIGINT) AS recall_ppm
+    FROM (SELECT unnest([{ps}]) AS p) l
+    LEFT JOIN hits h ON h.p = l.p
+    CROSS JOIN nq
+    ORDER BY prefix_len
+"""
+
+
+@query(
+    "emb_prefix_recall_curve",
+    oracle=_prefix_recall_oracle(),
+    tags=("llm", "embedding", "similarity", "audit"),
+)
+def emb_prefix_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall curve: per prefix length P ∈
+    {8, 16, 32, 64}, the recall@3 of P-prefix cosine retrieval
+    against the full-dimension top-3, over the hard-bounded query set
+    — the measured answer to "how few dimensions can serving ship?".
+    The P = 64 row must read exactly 10⁶ ppm (sanity pin)."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    return prefix_recall_from(spark, e)
+
+
+def prefix_recall_from(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Curve builder over any (vec_id, v: array<double>) frame —
+    split out so planted-geometry tests can feed a tiny frame."""
+    from pyspark.sql import Window as W
+
+    from flume_source_spark.pipeline.similarity import _query_filter, cosine
+
+    q = e.filter(_query_filter()).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid"),
+            F.col("vec_id").alias("nid"),
+            F.explode(
+                F.array(*[F.lit(p) for p in _RECALL_PREFIXES])
+            ).alias("p"),
+            "qv",
+            "v",
+        )
+        .select(
+            "p",
+            "qid",
+            "nid",
+            cosine(
+                F.slice(F.col("qv"), 1, F.col("p")),
+                F.slice(F.col("v"), 1, F.col("p")),
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("p", "qid").orderBy(F.round("sim", 6).desc(), F.col("nid"))
+    # ≤ |prefixes|·Q_MAX·K rows, but its lineage is the full Q·N×4
+    # scoring pass — checkpoint so truth + hits don't rescore the pool
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PREFIX_RECALL_K)
+        .select("p", "qid", "nid")
+    ).localCheckpoint(eager=True)
+    truth = topk.filter(F.col("p") == 64).select("qid", "nid")
+    hits = topk.join(F.broadcast(truth), ["qid", "nid"]).groupBy("p").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    nq = q.agg(F.count("*").cast("long").alias("n_queries"))
+    # left join from the P lattice, mirroring the oracle: a prefix with
+    # zero hits keeps its curve point instead of silently vanishing
+    lattice = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _RECALL_PREFIXES])).alias("p")
+    )
+    return (
+        lattice.join(F.broadcast(hits), "p", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("p").cast("long").alias("prefix_len"),
+            "n_queries",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST((coalesce(n_hits, 0) * 1000000)"
+                f" div (n_queries * {PREFIX_RECALL_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("prefix_len")
+    )

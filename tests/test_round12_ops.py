@@ -433,3 +433,62 @@ def test_mmr_picks_are_distinct_and_from_pool_on_corpus(spark, sf_dir):
         nids = [n for _, n in sorted(picks)]
         assert len(set(nids)) == 3
         assert nids[0] == topk[qid][0]  # pick 1 = plain top-1
+
+
+def test_prefix_recall_full_dim_pins_exact_million(spark, sf_dir):
+    """The P = 64 row of the Matryoshka recall curve compares the
+    full-dimension top-k with itself, so its recall must read exactly
+    10**6 ppm; the lattice keeps all four prefixes; hit counts are
+    bounded by n_queries * K."""
+    from flume_source_spark.pipeline.embstats3 import PREFIX_RECALL_K
+    from flume_source_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["emb_prefix_recall_curve"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["prefix_len"],
+    )
+    assert [r["prefix_len"] for r in rows] == [8, 16, 32, 64]
+    full = rows[-1]
+    assert full["recall_ppm"] == 1_000_000
+    assert full["n_hits"] == full["n_queries"] * PREFIX_RECALL_K
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_queries"] * PREFIX_RECALL_K
+
+
+def test_prefix_recall_planted_disjoint_prefix_keeps_zero_row(spark):
+    """Planted geometry where the first-8-dim retrieval is MAXIMALLY
+    misleading: candidates 4-6 share the query's 8-dim prefix but are
+    near-orthogonal in full space, while candidates 1-3 are
+    prefix-orthogonal but dominate dims 9+. The full top-3 is {1,2,3},
+    the P=8 top-3 is {4,5,6} — disjoint — so the P=8 curve point must
+    SURVIVE with recall 0 (the lattice left join) instead of
+    vanishing; P in {16, 32, 64} all see dim 9 and read 10**6."""
+    from flume_source_spark.pipeline.embstats3 import prefix_recall_from
+
+    def vec(first8, at9=0.0, marker=(0, 0.0)):
+        v = first8 + [0.0] * 56
+        v[8] = at9
+        pos, val = marker
+        if val:
+            v[pos] = val
+        return v
+
+    u = [1.0] + [0.0] * 7   # query's 8-dim prefix direction
+    o = [0.0, 1.0] + [0.0] * 6  # orthogonal to u in the prefix
+    rows = [
+        (0, vec(u, at9=10.0)),              # the query (0 % 100 == 0)
+        (1, vec(o, at9=10.0)),              # full-space winners
+        (2, vec(o, at9=10.0)),
+        (3, vec(o, at9=10.0)),
+        (4, vec(u, marker=(10, 0.001))),    # prefix-space decoys
+        (5, vec(u, marker=(11, 0.001))),
+        (6, vec(u, marker=(12, 0.001))),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r["prefix_len"]: (r["n_queries"], r["n_hits"], r["recall_ppm"])
+        for r in prefix_recall_from(spark, e).collect()
+    }
+    assert got[8] == (1, 0, 0)
+    for p in (16, 32, 64):
+        assert got[p] == (1, 3, 1_000_000)
