@@ -315,3 +315,120 @@ def prefix_recall_from(spark: SparkSession, e: DataFrame) -> DataFrame:
         )
         .orderBy("prefix_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_isotropy_audit (round 12): exact mean pairwise cosine per label
+# WITHOUT a pair join. On unit-normalized vectors,
+# ||sum_i u_i||^2 = sum_ij <u_i, u_j> = N + sum_{i != j} cos(i, j),
+# so mean_{i != j} cos = (||S||^2 - N) / (N * (N - 1)) — one corpus
+# scan, a posexplode into (label, dim) partial sums (64·L rows,
+# map-side combinable), then O(dim) arithmetic. Anisotropy (a large
+# positive mean cosine) is the classic embedding pathology that
+# inflates every cosine-threshold dedup/retrieval decision upstream;
+# this is the audit that says whether thresholds need centering.
+#
+# Cross-engine exactness: the per-row normalize is identical IEEE op
+# order (the _EDGE_CTE precedent); the only cross-row float sums are
+# the per-(label, dim) sums and the dim-sum-of-squares — ~1e-15
+# relative error against a round-6 output, and the total row reuses
+# the per-label sums (same two-level accumulation structure mirrored
+# in the oracle). The ROLLUP total is a literal UNION of the same
+# CTEs, not a second scan.
+# ---------------------------------------------------------------------------
+
+_ISOTROPY_ORACLE = """
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv AS (SELECT label, v, sqrt(list_dot_product(v, v)) AS nrm_v FROM e),
+    nrm AS (SELECT label, list_transform(v, x -> x / nrm_v) AS u FROM nv),
+    -- equal-length unnests in one SELECT zip positionally in DuckDB
+    ex AS (SELECT label,
+                  unnest(generate_series(1, len(u))) AS pos,
+                  unnest(u) AS val
+           FROM nrm),
+    dims AS (SELECT label, pos, sum(val) AS s FROM ex GROUP BY label, pos),
+    per AS (SELECT label, sum(s * s) AS s2 FROM dims GROUP BY label),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
+    lab AS (
+        SELECT c.label, c.n_vecs,
+               CASE WHEN c.n_vecs >= 2 THEN
+                   CAST(round((p.s2 - c.n_vecs) / (c.n_vecs * (c.n_vecs - 1.0)), 6)
+                        AS DOUBLE)
+               END AS mean_pair_cos
+        FROM cnt c JOIN per p ON p.label = c.label
+    ),
+    tot_dims AS (SELECT pos, sum(s) AS s FROM dims GROUP BY pos),
+    tot AS (
+        SELECT CAST(NULL AS INTEGER) AS label,
+               (SELECT sum(n_vecs) FROM cnt) AS n_vecs,
+               (SELECT sum(s * s) FROM tot_dims) AS s2
+    )
+    SELECT label, n_vecs, mean_pair_cos FROM lab
+    UNION ALL
+    SELECT label, n_vecs,
+           CASE WHEN n_vecs >= 2 THEN
+               CAST(round((s2 - n_vecs) / (n_vecs * (n_vecs - 1.0)), 6) AS DOUBLE)
+           END AS mean_pair_cos
+    FROM tot WHERE n_vecs IS NOT NULL
+    ORDER BY label NULLS LAST
+"""
+
+
+@query(
+    "emb_isotropy_audit",
+    oracle=_ISOTROPY_ORACLE,
+    tags=("llm", "embedding", "audit", "stats"),
+)
+def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean pairwise cosine per label + an all-corpus total row
+    (label NULL) via the sum-of-normalized-vectors identity — no pair
+    join anywhere, one scan, 64·L-row shuffles only."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "label", _dvec("embedding").alias("v")
+    )
+    return isotropy_from(e)
+
+
+def isotropy_from(e: DataFrame) -> DataFrame:
+    """Core fold over a (label, v: array<double>) frame — factored so
+    planted-geometry model tests (identical → +1, orthogonal → 0,
+    antipodal → −1) drive the production arithmetic."""
+    # norm as a column FIRST: the transform lambda then does one
+    # divide per element (O(d) per row, not O(d²) re-dotting)
+    nrm = e.select(
+        "label", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm_v")
+    ).select("label", F.transform("v", lambda x: x / F.col("nrm_v")).alias("u"))
+    ex = nrm.select("label", F.posexplode("u").alias("pos", "val"))
+    dims = ex.groupBy("label", "pos").agg(F.sum("val").alias("s"))
+    per = dims.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    cnt = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+
+    def curve(frame):
+        return frame.select(
+            "label",
+            "n_vecs",
+            F.when(
+                F.col("n_vecs") >= 2,
+                F.round(
+                    (F.col("s2") - F.col("n_vecs"))
+                    / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("mean_pair_cos"),
+        )
+
+    lab = curve(cnt.join(per, "label"))
+    # total row: REUSE the per-(label, dim) sums (same two-level
+    # accumulation the oracle's tot_dims CTE mirrors), never a rescan
+    tot_s2 = (
+        dims.groupBy("pos")
+        .agg(F.sum("s").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    )
+    tot_n = cnt.agg(F.sum("n_vecs").alias("n_vecs"))
+    tot = curve(
+        tot_n.crossJoin(tot_s2).select(
+            F.lit(None).cast("int").alias("label"), "n_vecs", "s2"
+        )
+    ).filter(F.col("n_vecs").isNotNull())
+    return lab.unionByName(tot).orderBy(F.col("label").asc_nulls_last())

@@ -794,6 +794,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.quality  # noqa: F401
     import flume_source_spark.operators.quality2  # noqa: F401
     import flume_source_spark.operators.quality3  # noqa: F401
+    import flume_source_spark.operators.quality4  # noqa: F401
     import flume_source_spark.operators.geo  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
     import flume_source_spark.operators.sqlapi3  # noqa: F401

@@ -492,3 +492,84 @@ def test_prefix_recall_planted_disjoint_prefix_keeps_zero_row(spark):
     assert got[8] == (1, 0, 0)
     for p in (16, 32, 64):
         assert got[p] == (1, 3, 1_000_000)
+
+
+def test_isotropy_planted_geometry(spark):
+    """Closed forms of the sum-trick: an identical pair reads mean
+    pairwise cosine exactly +1, an orthogonal pair exactly 0, an
+    antipodal pair exactly −1; the total row counts everything."""
+    from flume_source_spark.pipeline.embstats3 import isotropy_from
+
+    rows = [
+        (1, [3.0, 0.0, 0.0, 0.0]), (1, [6.0, 0.0, 0.0, 0.0]),   # identical dir
+        (2, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0, 0.0]),   # orthogonal
+        (3, [0.0, 0.0, 5.0, 0.0]), (3, [0.0, 0.0, -5.0, 0.0]),  # antipodal
+    ]
+    e = spark.createDataFrame(rows, "label int, v array<double>")
+    got = {r["label"]: r for r in isotropy_from(e).collect()}
+    assert got[1]["mean_pair_cos"] == 1.0
+    assert got[2]["mean_pair_cos"] == 0.0
+    assert got[3]["mean_pair_cos"] == -1.0
+    assert got[None]["n_vecs"] == 6
+    assert -1.0 <= got[None]["mean_pair_cos"] <= 1.0
+
+
+def test_isotropy_corpus_total_row_is_consistent(spark, sf_dir):
+    """On the real corpus: the label-NULL total row's count is the sum
+    of the per-label counts, and every mean pairwise cosine is a valid
+    cosine."""
+    from flume_source_spark.registry import load_all
+
+    rows = load_all()["emb_isotropy_audit"].builder(spark, sf_dir).collect()
+    per = [r for r in rows if r["label"] is not None]
+    tot = [r for r in rows if r["label"] is None]
+    assert len(tot) == 1 and per
+    assert tot[0]["n_vecs"] == sum(r["n_vecs"] for r in per)
+    for r in rows:
+        assert -1.0 <= r["mean_pair_cos"] <= 1.0
+
+
+def test_mutual_information_perfect_association(spark):
+    """A diagonal 3×3 contingency table: MI = H(rows) = H(cols) =
+    ln 3, so the normalized MI must read exactly 10⁶ ppm."""
+    import math
+
+    from flume_source_spark.operators.quality4 import mutual_information
+
+    cells = spark.createDataFrame(
+        [(1, 1, 5), (2, 2, 5), (3, 3, 5)], "r int, c int, o long"
+    )
+    got = mutual_information(cells).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 15 and r["n_cells"] == 3
+    assert r["mi_nats"] == round(math.log(3), 6)
+    assert r["h_rows"] == r["h_cols"] == round(math.log(3), 6)
+    assert r["nmi_ppm"] == 1_000_000
+
+
+def test_mutual_information_exact_independence(spark):
+    """A perfectly multiplicative 2×2 table (o = rn·cn/t for every
+    cell): every log argument is exactly 1.0, so MI and NMI read
+    exactly zero — not merely small."""
+    from flume_source_spark.operators.quality4 import mutual_information
+
+    cells = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (2, 1, 2), (2, 2, 4)], "r int, c int, o long"
+    )
+    got = mutual_information(cells).collect()
+    assert len(got) == 1
+    assert got[0]["mi_nats"] == 0.0
+    assert got[0]["nmi_ppm"] == 0
+
+
+def test_mutual_information_corpus_bounds(spark, sf_dir):
+    """On documents(lang, source): 0 ≤ MI ≤ min(H_rows, H_cols) and
+    NMI ∈ [0, 10⁶] ppm (rounding slack one ulp of the 6th decimal)."""
+    from flume_source_spark.registry import load_all
+
+    r = load_all()["dq_mutual_information"].builder(spark, sf_dir).collect()[0]
+    eps = 1e-6
+    assert r["mi_nats"] >= -eps
+    assert r["mi_nats"] <= min(r["h_rows"], r["h_cols"]) + eps
+    assert 0 <= r["nmi_ppm"] <= 1_000_000
