@@ -75,6 +75,11 @@ def mutual_information(cells: DataFrame) -> DataFrame:
     so closed-form model tests (perfect association → NMI = 10⁶ ppm
     and MI = ln k; exact independence → MI = 0) drive the production
     margin joins and the per-cell arithmetic."""
+    # cells is |r|·|c| rows but its lineage is the corpus-wide
+    # hash-agg; materialize it ONCE so the four consumers (margins,
+    # totals, term join) don't each replay the corpus scan (the
+    # static plan duplicates the subtree 4x without this)
+    cells = cells.localCheckpoint(eager=True)
     rm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
     cm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
     t = cells.agg(

@@ -346,9 +346,13 @@ _ISOTROPY_ORACLE = """
                   unnest(generate_series(1, len(u))) AS pos,
                   unnest(u) AS val
            FROM nrm),
-    dims AS (SELECT label, pos, sum(val) AS s FROM ex GROUP BY label, pos),
+    dims AS (SELECT label, pos, sum(val) AS s,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM ex GROUP BY label, pos),
     per AS (SELECT label, sum(s * s) AS s2 FROM dims GROUP BY label),
-    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
+    -- the count at any dim IS the vector count (arrays are same-
+    -- length); max(c) avoids a second corpus-facing aggregate
+    cnt AS (SELECT label, CAST(max(c) AS BIGINT) AS n_vecs FROM dims GROUP BY label),
     lab AS (
         SELECT c.label, c.n_vecs,
                CASE WHEN c.n_vecs >= 2 THEN
@@ -399,9 +403,18 @@ def isotropy_from(e: DataFrame) -> DataFrame:
         "label", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm_v")
     ).select("label", F.transform("v", lambda x: x / F.col("nrm_v")).alias("u"))
     ex = nrm.select("label", F.posexplode("u").alias("pos", "val"))
-    dims = ex.groupBy("label", "pos").agg(F.sum("val").alias("s"))
+    # per-(label, dim) sums AND counts in the same pass: the count at
+    # any dim IS the vector count, so no second corpus scan is needed
+    # for n_vecs. dims is 64·L rows with a corpus-wide lineage —
+    # materialize it ONCE for its three consumers (per-label s2,
+    # per-label n, total dims), mirroring the oracle's single CTE.
+    dims = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     per = dims.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
-    cnt = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    cnt = dims.groupBy("label").agg(F.max("c").alias("n_vecs"))
 
     def curve(frame):
         return frame.select(
