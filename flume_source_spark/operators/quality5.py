@@ -1,0 +1,181 @@
+"""Quality wave 5 (round 12): exact Brier score + Murphy (1973)
+reliability / resolution / uncertainty decomposition — the scalar
+companion of the ``dq_calibration_bins`` reliability diagram and the
+proper-scoring-rule summary every forecast-quality dashboard leads
+with.
+
+Forecast convention (the ROC/calibration family's score, mapped to a
+probability): q = least(n_chars, 1000) thousandths — "document length
+as a probability forecast that lang = 'en'" — so the forecast support
+is DISCRETE (≤ 1001 values). That matters: Murphy's decomposition
+
+    BS = REL − RES + UNC
+
+is EXACT when the bins are the forecast's native discrete values
+(within-bin forecast variance is zero by construction); binning a
+continuous forecast leaves two residual terms. With q in integer
+thousandths and o ∈ {0, 1}:
+
+    (q/1000 − o)² in ppm  =  (q − 1000·o)²            (exact integer)
+
+so the mean Brier score in ppm is a pure BIGINT fold. REL/RES/UNC
+are published as per-term-floored integer ppm (identical flooring on
+both engines); the flooring residue vs the exact identity is bounded
+by ~2 ppm per bin and is published as ``decomp_gap_ppm`` so the
+identity is auditable from the output row itself.
+
+Scale design: one map-side-combinable groupBy onto the ≤ 1001-cell
+forecast support (the corpus never shuffles row-wise — the same
+collapse dq_roc_auc_exact uses), a 1-row totals aggregate broadcast
+back over the cell table, and a ≤ 1001-row final fold. Wide products
+like (q·n_k)² ≤ 10⁶·N² overflow int64 past N ≈ 3e6, so every wide
+term rides DECIMAL(38,0)/HUGEINT — the timeseries9 log-rank headroom
+discipline (10⁶·N² ≤ 10³⁸ holds through N = 10¹⁶ rows).
+
+Reference parity note: the reference engine (`CephFsSource.java`) has
+no quality surface; this operator belongs to the declared [NS] engine
+surface (SURVEY.md §2.2, data-quality family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_BRIER_ORACLE = """
+    WITH obs AS (
+        SELECT least(n_chars, 1000) AS q,
+               CAST(lang = 'en' AS BIGINT) AS o
+        FROM documents
+    ),
+    cells AS (
+        SELECT CAST(q AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(o) AS BIGINT) AS pos_k
+        FROM obs GROUP BY q
+    ),
+    tot AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(pos_k) AS BIGINT) AS p
+        FROM cells GROUP BY 1 = 1
+    ),
+    terms AS (
+        SELECT
+            t.n, t.p,
+            CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(CAST(pos_k AS HUGEINT) * (1000 - q) * (1000 - q)
+                     + CAST(n_k - pos_k AS HUGEINT) * q * q) AS HUGEINT)
+                AS brier_num,
+            CAST(sum((CAST(q * n_k - 1000 * pos_k AS HUGEINT)
+                      * (q * n_k - 1000 * pos_k)) // n_k) AS HUGEINT)
+                AS rel_num,
+            CAST(sum(CAST(n_k AS HUGEINT)
+                     * ((1000000 * pos_k) // n_k - (1000000 * t.p) // t.n)
+                     * ((1000000 * pos_k) // n_k - (1000000 * t.p) // t.n))
+                AS HUGEINT) AS res_num
+        FROM cells CROSS JOIN tot t
+        GROUP BY t.n, t.p
+    )
+    SELECT n, p AS n_pos, n_bins,
+           CAST(brier_num // n AS BIGINT) AS brier_ppm,
+           CAST(rel_num // n AS BIGINT) AS reliability_ppm,
+           CAST(res_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+               AS resolution_ppm,
+           CAST((CAST(p AS HUGEINT) * (n - p) * 1000000)
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS uncertainty_ppm,
+           CAST(CAST(brier_num // n AS BIGINT)
+                - (CAST(rel_num // n AS BIGINT)
+                   - CAST(res_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+                   + CAST((CAST(p AS HUGEINT) * (n - p) * 1000000)
+                          // (CAST(n AS HUGEINT) * n) AS BIGINT))
+                AS BIGINT) AS decomp_gap_ppm
+    FROM terms
+"""
+
+
+def brier_decomposition(obs: DataFrame) -> DataFrame:
+    """Core fold over a (q, o) frame — q = integer forecast in
+    thousandths, o ∈ {0, 1} outcome: the exact mean Brier score and
+    its Murphy decomposition over the discrete forecast support, all
+    in floored integer ppm. Factored so closed-form model tests (a
+    perfectly calibrated discrete forecast → REL = 0 and gap = 0; a
+    constant forecast → RES = 0; the BS = REL − RES + UNC identity on
+    exact-division fixtures) drive the production stages."""
+    cells = obs.groupBy(F.col("q").cast("long").alias("q")).agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.sum("o").cast("long").alias("pos_k"),
+    )
+    tot = cells.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("pos_k").cast("long").alias("p"),
+    )
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n", "p")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum(
+                F.expr(
+                    "CAST(pos_k AS DECIMAL(38,0)) * (1000 - q) * (1000 - q)"
+                    " + CAST(n_k - pos_k AS DECIMAL(38,0)) * q * q"
+                )
+            ).alias("brier_num"),
+            F.sum(
+                F.expr(
+                    "(CAST(q * n_k - 1000 * pos_k AS DECIMAL(38,0))"
+                    " * (q * n_k - 1000 * pos_k)) div n_k"
+                )
+            ).alias("rel_num"),
+            F.sum(
+                F.expr(
+                    "CAST(n_k AS DECIMAL(38,0))"
+                    " * ((1000000 * pos_k) div n_k - (1000000 * p) div n)"
+                    " * ((1000000 * pos_k) div n_k - (1000000 * p) div n)"
+                )
+            ).alias("res_num"),
+        )
+    )
+    return terms.select(
+        "n",
+        F.col("p").alias("n_pos"),
+        "n_bins",
+        F.expr("CAST(brier_num div n AS BIGINT)").alias("brier_ppm"),
+        F.expr("CAST(rel_num div n AS BIGINT)").alias("reliability_ppm"),
+        F.expr(
+            "CAST(res_num div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("resolution_ppm"),
+        F.expr(
+            "CAST((CAST(p AS DECIMAL(38,0)) * (n - p) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("uncertainty_ppm"),
+        F.expr(
+            "CAST(CAST(brier_num div n AS BIGINT)"
+            " - (CAST(rel_num div n AS BIGINT)"
+            "    - CAST(res_num div (CAST(n AS DECIMAL(38,0)) * 1000000)"
+            "           AS BIGINT)"
+            "    + CAST((CAST(p AS DECIMAL(38,0)) * (n - p) * 1000000)"
+            "           div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("decomp_gap_ppm"),
+    )
+
+
+@query(
+    "dq_brier_decomposition",
+    oracle=_BRIER_ORACLE,
+    tags=("quality", "llm", "scoring"),
+)
+def dq_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Brier score of the length-as-probability forecast of
+    lang = 'en', with Murphy's exact discrete-support decomposition
+    (reliability − resolution + uncertainty) and the published
+    flooring residue — one integer-ppm row."""
+    d = load_tables(spark, sf_dir)["documents"]
+    obs = d.select(
+        F.least(F.col("n_chars"), F.lit(1000)).alias("q"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
+    )
+    return brier_decomposition(obs)

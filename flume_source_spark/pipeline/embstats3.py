@@ -364,7 +364,7 @@ _ISOTROPY_ORACLE = """
     tot_dims AS (SELECT pos, sum(s) AS s FROM dims GROUP BY pos),
     tot AS (
         SELECT CAST(NULL AS INTEGER) AS label,
-               (SELECT sum(n_vecs) FROM cnt) AS n_vecs,
+               CAST((SELECT sum(n_vecs) FROM cnt) AS BIGINT) AS n_vecs,
                (SELECT sum(s * s) FROM tot_dims) AS s2
     )
     SELECT label, n_vecs, mean_pair_cos FROM lab

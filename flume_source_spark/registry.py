@@ -795,6 +795,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.quality2  # noqa: F401
     import flume_source_spark.operators.quality3  # noqa: F401
     import flume_source_spark.operators.quality4  # noqa: F401
+    import flume_source_spark.operators.quality5  # noqa: F401
     import flume_source_spark.operators.geo  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
     import flume_source_spark.operators.sqlapi3  # noqa: F401
@@ -818,6 +819,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph4  # noqa: F401
     import flume_source_spark.pipeline.graph5  # noqa: F401
     import flume_source_spark.pipeline.graph6  # noqa: F401
+    import flume_source_spark.pipeline.graph7  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.entity2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
@@ -843,6 +845,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text12  # noqa: F401
     import flume_source_spark.pipeline.text13  # noqa: F401
     import flume_source_spark.pipeline.text14  # noqa: F401
+    import flume_source_spark.pipeline.text15  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.pipeline.multimodal2  # noqa: F401

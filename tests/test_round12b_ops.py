@@ -1,0 +1,221 @@
+"""Round-12 batch-6 operator tests: winnowing fingerprints (coverage
+guarantee, rightmost tie rule, planted near-dup pair detection).
+
+Reference parity note: the reference engine (`CephFsSource.java`,
+`CephFSEventReader.java`) has no analytics surface; everything here
+belongs to the declared [NS] engine surface (SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_winnowing_coverage_guarantee_on_corpus(spark, sf_dir):
+    """The paper's selection guarantee: every window of W consecutive
+    k-gram hashes contributes a fingerprint, so within a document the
+    gap between consecutive selected POSITIONS is at most W, and the
+    first selection sits in the first window (pos ≤ W). Checked for
+    every corpus document — this is the property that makes shared
+    runs of ≥ W + K - 1 tokens detectable."""
+    from flume_source_spark.pipeline.text15 import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+    from flume_source_spark.tables import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    fp = winnow_fingerprints(d)
+    from pyspark.sql import Window
+
+    gaps = (
+        fp.select("doc_id", "pos")
+        .distinct()
+        .withColumn(
+            "prev",
+            F.lag("pos").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .withColumn("gap", F.col("pos") - F.coalesce("prev", F.lit(0)))
+        .agg(F.max("gap").alias("max_gap"), F.min("pos").alias("min_first"))
+        .collect()[0]
+    )
+    assert gaps["max_gap"] <= WINNOW_W
+    assert gaps["min_first"] >= 1
+
+
+def test_winnowing_rightmost_tie_rule(spark):
+    """All-equal-hash document ('a' × 9 → six identical 'a a a'
+    grams): every window's minimum is shared by all W members, so the
+    rightmost rule must select the window's LAST position — the
+    selected set is exactly {W, W+1, ..., n_grams}. A leftmost (or
+    undefined) tie rule would return {1} ∪ ... and fail this."""
+    from flume_source_spark.pipeline.text15 import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 9))], "doc_id long, text string"
+    )
+    got = sorted(
+        r["pos"] for r in winnow_fingerprints(docs).collect()
+    )
+    n_grams = 9 - 2
+    assert got == list(range(WINNOW_W, n_grams + 1))
+
+
+def test_winnowing_short_doc_single_window(spark):
+    """A document with fewer grams than the window width still
+    fingerprints: the whole gram sequence is one window (the
+    least(W, n) anchor), selecting exactly one (pos, hash)."""
+    from flume_source_spark.pipeline.text15 import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    got = winnow_fingerprints(docs).collect()
+    assert len(got) == 1  # 2 grams < W=4 → one window, one selection
+
+
+def test_winnowing_planted_shared_run_detected(spark):
+    """Two documents sharing a W + K - 1 = 7-token run must share at
+    least one fingerprint (the coverage guarantee applied to the
+    shared window), and an unrelated third document must share none —
+    the MOSS detection property the dup-pairs report is built on."""
+    from flume_source_spark.pipeline.text15 import winnow_fingerprints
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail alpha"),
+            (2, "different prefix tokens " + shared + " other ending"),
+            (3, "completely unrelated vocabulary with nothing common"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs)
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), "hx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .distinct()
+        .collect()
+    )
+    got = {(r["i"], r["j"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_resource_allocation_planted_star_and_path(spark):
+    """Closed-form RA on planted topologies: leaves of a 4-leaf star
+    share only the hub (deg 4) -> ra = 1e6 div 4 = 250,000 micro;
+    path ends share the middle (deg 2) -> ra = 500,000 micro; all
+    planted pairs have cn = 1 and pref_attach = 1."""
+    from flume_source_spark.pipeline.graph7 import resource_allocation
+
+    # star: hub 100 - leaves 1..4; path: 10 - 20 - 30
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (10, 20), (20, 30)],
+        "i long, j long",
+    )
+    rows = {(r["i"], r["j"]): r.asDict() for r in resource_allocation(edges).collect()}
+    assert rows[(1, 2)]["ra_micro"] == 250_000
+    assert rows[(1, 2)]["cn"] == 1 and rows[(1, 2)]["pref_attach"] == 1
+    assert rows[(10, 30)]["ra_micro"] == 500_000
+    # all six leaf pairs of the star present, no adjacent pair leaks
+    assert sum(1 for (i, j) in rows if j == 100 or i == 100) == 0
+    assert len([p for p in rows if p[0] < 5 and p[1] < 5]) == 6
+
+
+def test_resource_allocation_discounts_hubs(spark):
+    """The predictor's reason to exist: equal common-neighbor counts,
+    different evidence strength — a pair sharing a RARE neighbor
+    (deg 2) must outscore a pair sharing only a HUB (deg 5), which
+    plain common-neighbors cannot separate."""
+    from flume_source_spark.pipeline.graph7 import resource_allocation
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9), (5, 9), (11, 13), (12, 13)],
+        "i long, j long",
+    )
+    rows = {(r["i"], r["j"]): r.asDict() for r in resource_allocation(edges).collect()}
+    hub_pair = rows[(1, 2)]
+    rare_pair = rows[(11, 12)]
+    assert hub_pair["cn"] == rare_pair["cn"] == 1
+    assert rare_pair["ra_micro"] > hub_pair["ra_micro"]
+    assert hub_pair["ra_micro"] == 200_000 and rare_pair["ra_micro"] == 500_000
+
+
+def test_resource_allocation_matches_cn_frame_on_corpus(spark, sf_dir):
+    """Consistency anchor to the registered common-neighbors query:
+    same radius, same edge set -> identical (i, j, cn) support; RA
+    adds the weights without changing the candidate set."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+    from flume_source_spark.pipeline.graph3 import common_neighbors
+    from flume_source_spark.pipeline.graph7 import (
+        _RA_RADIUS,
+        resource_allocation,
+    )
+
+    e = similarity_edges(spark, sf_dir, _RA_RADIUS).select("i", "j")
+    cn = {(r["i"], r["j"]): r["cn"] for r in common_neighbors(e).collect()}
+    ra = {(r["i"], r["j"]): r["cn"] for r in resource_allocation(e).collect()}
+    assert cn == ra
+
+
+def test_brier_perfectly_calibrated_forecast(spark):
+    """Exact-division calibrated fixture (q=250: 1/4 positive, q=750:
+    3/4 positive -> obar = 1/2 exact): reliability must be exactly 0,
+    resolution 62,500 ppm, uncertainty 250,000 ppm, Brier = REL - RES
+    + UNC = 187,500 ppm with zero flooring gap."""
+    from flume_source_spark.operators.quality5 import brier_decomposition
+
+    rows = [(250, 1)] + [(250, 0)] * 3 + [(750, 1)] * 3 + [(750, 0)]
+    obs = spark.createDataFrame(rows, "q long, o long")
+    r = brier_decomposition(obs).collect()[0].asDict()
+    assert r["n"] == 8 and r["n_pos"] == 4 and r["n_bins"] == 2
+    assert r["reliability_ppm"] == 0
+    assert r["resolution_ppm"] == 62_500
+    assert r["uncertainty_ppm"] == 250_000
+    assert r["brier_ppm"] == 187_500
+    assert r["decomp_gap_ppm"] == 0
+
+
+def test_brier_constant_forecast_has_zero_resolution(spark):
+    """A constant forecast cannot resolve anything: RES = 0 by
+    definition; at q = 500 with base rate 1/2 it is also perfectly
+    calibrated (REL = 0), so BS = UNC = 250,000 ppm exactly."""
+    from flume_source_spark.operators.quality5 import brier_decomposition
+
+    obs = spark.createDataFrame(
+        [(500, 1), (500, 0), (500, 1), (500, 0)], "q long, o long"
+    )
+    r = brier_decomposition(obs).collect()[0].asDict()
+    assert r["resolution_ppm"] == 0
+    assert r["reliability_ppm"] == 0
+    assert r["brier_ppm"] == 250_000 == r["uncertainty_ppm"]
+    assert r["decomp_gap_ppm"] == 0
+
+
+def test_brier_identity_gap_bounded_on_corpus(spark, sf_dir):
+    """On the real corpus the Murphy identity holds up to per-bin
+    flooring: |BS - (REL - RES + UNC)| <= 2 ppm per bin, all
+    components non-negative, and UNC <= 250,000 ppm (its p(1-p)
+    maximum)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    r = (
+        qs["dq_brier_decomposition"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    for c in ("brier_ppm", "reliability_ppm", "resolution_ppm", "uncertainty_ppm"):
+        assert r[c] >= 0, (c, r)
+    assert r["uncertainty_ppm"] <= 250_000
+    assert abs(r["decomp_gap_ppm"]) <= 2 * r["n_bins"] + 2
