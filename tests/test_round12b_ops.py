@@ -219,3 +219,71 @@ def test_brier_identity_gap_bounded_on_corpus(spark, sf_dir):
         assert r[c] >= 0, (c, r)
     assert r["uncertainty_ppm"] <= 250_000
     assert abs(r["decomp_gap_ppm"]) <= 2 * r["n_bins"] + 2
+
+
+def test_hurst_constant_series_yields_empty(spark):
+    """A constant series has zero variance in every block -> R/S is
+    undefined everywhere -> no rs rows and no summary row (empty
+    frame on both engines, not a NULL-laden row)."""
+    from flume_source_spark.operators.timeseries11 import hurst_rescaled_range
+
+    series = spark.createDataFrame(
+        [(p, 5) for p in range(1, 129)], "p long, x long"
+    )
+    assert hurst_rescaled_range(series).count() == 0
+
+
+def test_hurst_block_counts_and_ordering(spark):
+    """Block accounting is exact (n_blocks = N div n for a 128-point
+    series) and the estimator separates the two canonical regimes:
+    a strictly alternating series (anti-persistent) must have a lower
+    Hurst slope than a monotone ramp (maximally persistent)."""
+    from flume_source_spark.operators.timeseries11 import hurst_rescaled_range
+
+    alt = spark.createDataFrame(
+        [(p, p % 2) for p in range(1, 129)], "p long, x long"
+    )
+    ramp = spark.createDataFrame(
+        [(p, p) for p in range(1, 129)], "p long, x long"
+    )
+    ra = {r["block_size"]: r.asDict() for r in hurst_rescaled_range(alt).collect()}
+    rr = {r["block_size"]: r.asDict() for r in hurst_rescaled_range(ramp).collect()}
+    for n in (8, 16, 32, 64):
+        assert ra[n]["n_blocks"] == 128 // n
+        assert rr[n]["n_blocks"] == 128 // n
+    h_alt = ra[None]["hurst_r4"]
+    h_ramp = rr[None]["hurst_r4"]
+    assert h_alt < 0.3  # alternating: R/S flat in n
+    assert h_ramp > 0.9  # ramp: R/S grows ~linearly in n
+    assert h_alt < h_ramp
+
+
+def test_hurst_alternating_closed_form_block8(spark):
+    """Closed form at n = 8 for x = 1,0,1,0,...: block sum S_b = 4,
+    prefix deviates n*Z_t = 8*P_t - 4t peak at +4 after each 1 and
+    return to 0 after each 0 -> R_num = 4 - (-0)... computed: max 4,
+    min 0 -> R_num = 4; V_num = 8*4 - 16 = 16 -> R/S = 4/sqrt(16) = 1
+    exactly, for every block."""
+    from flume_source_spark.operators.timeseries11 import hurst_rescaled_range
+
+    series = spark.createDataFrame(
+        [(p, 1 if p % 2 == 1 else 0) for p in range(1, 129)],
+        "p long, x long",
+    )
+    rows = {r["block_size"]: r.asDict() for r in hurst_rescaled_range(series).collect()}
+    assert rows[8]["rs_r4"] == 1.0
+
+
+def test_hurst_corpus_sane(spark, sf_dir):
+    """Corpus anchor: 4 block-size rows + 1 summary row; the hourly
+    event-count series yields a Hurst slope in the meaningful band
+    (0, 1.2) and every rs mean is positive."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = qs["ts_hurst_rs"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    by = {r["block_size"]: r.asDict() for r in rows}
+    for n in (8, 16, 32, 64):
+        assert by[n]["rs_r4"] > 0
+    assert 0.0 < by[None]["hurst_r4"] < 1.2
