@@ -1,0 +1,152 @@
+"""Text wave 16 (round 12): interpolated Kneser-Ney bigram
+probabilities — Kneser & Ney (1995), the smoothing that made n-gram
+LMs competitive and still the reference baseline neural LMs are
+compared against (Chen & Goodman 1999 found it uniformly best).
+
+The idea: back off not to unigram FREQUENCY but to unigram
+CONTINUATION — how many distinct contexts a word follows. "Francisco"
+is frequent but only ever follows "San", so it should get almost no
+backoff mass. With absolute discount D and the corpus bigram stream:
+
+    P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                  + D·N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+
+Cross-engine exactness: D = 3/4 is RATIONAL, so for observed bigrams
+the whole probability is one integer fraction:
+
+    P_KN = [(4·c12 − 3)·N_bb + 3·N1w1·N_cont] / (4·c1·N_bb)
+
+published in exact floored ppm via DECIMAL(38,0)/HUGEINT (headroom:
+c12·N_bb·10⁶ ≤ 10³⁸ through ~10¹⁵-token corpora). The MLE ppm rides
+along so the discount is visible per row.
+
+Scale shape: three map-side-combinable count aggregates over the
+bigram stream (bigram count, context total + distinct-following,
+distinct-preceding), a 1-row type-count scalar, the top-30 selection
+via orderBy().limit() = TakeOrderedAndProject BEFORE any join, then
+the ≤ 30-row frame broadcast against the count tables. The corpus
+never joins row-wise; everything after the counts is vocabulary- or
+top-k-sized.
+
+Reference parity note: the reference engine (`CephFsSource.java`) has
+no text surface; this operator belongs to the declared [NS] engine
+surface (SURVEY.md §2.2, text/LM family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_source_spark.registry import query
+from flume_source_spark.tables import load_tables
+
+_TOPK = 30
+
+_KN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
+    ),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1w1
+            FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+             FROM bgc GROUP BY w2),
+    nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bgc),
+    top AS (
+        SELECT w1, w2, c12 FROM bgc
+        ORDER BY c12 DESC, w1, w2 LIMIT {_TOPK}
+    )
+    SELECT t.w1, t.w2, t.c12, x.c1, x.n1w1, co.ncont, n.nbb,
+           CAST(((4 * CAST(t.c12 AS HUGEINT) - 3) * n.nbb
+                 + 3 * CAST(x.n1w1 AS HUGEINT) * co.ncont) * 1000000
+                // (4 * CAST(x.c1 AS HUGEINT) * n.nbb) AS BIGINT)
+               AS p_kn_ppm,
+           CAST(CAST(t.c12 AS HUGEINT) * 1000000 // x.c1 AS BIGINT)
+               AS p_mle_ppm
+    FROM top t
+    JOIN ctx x ON x.w1 = t.w1
+    JOIN cont co ON co.w2 = t.w2
+    CROSS JOIN nbb n
+    ORDER BY t.c12 DESC, t.w1, t.w2
+"""
+
+
+def kneser_ney_bigrams(docs: DataFrame, topk: int = _TOPK) -> DataFrame:
+    """Core KN fold over a (doc_id, text) frame: bigram / context /
+    continuation counts → top-k bigram selection → exact-ppm
+    interpolated KN probability per selected bigram. Factored so
+    closed-form model tests (a planted 6-token corpus with
+    hand-computed fractions; the discount-vs-MLE inequality) drive
+    the production stages."""
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1w1"),
+    )
+    cont = bgc.groupBy("w2").agg(F.count("*").cast("long").alias("ncont"))
+    nbb = bgc.agg(F.count("*").cast("long").alias("nbb"))
+    top = bgc.orderBy(F.col("c12").desc(), "w1", "w2").limit(topk)
+    return (
+        F.broadcast(top)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1w1",
+            "ncont",
+            "nbb",
+            F.expr(
+                "CAST(((4 * CAST(c12 AS DECIMAL(38,0)) - 3) * nbb"
+                " + 3 * CAST(n1w1 AS DECIMAL(38,0)) * ncont) * 1000000"
+                " div (4 * CAST(c1 AS DECIMAL(38,0)) * nbb) AS BIGINT)"
+            ).alias("p_kn_ppm"),
+            F.expr(
+                "CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1 AS BIGINT)"
+            ).alias("p_mle_ppm"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+    )
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=_KN_ORACLE,
+    tags=("llm", "text", "lm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney (D = 3/4) probabilities for the
+    corpus's top-30 bigrams, in exact floored ppm alongside the MLE —
+    continuation counts, context totals, and the bigram-type scalar
+    published per row so the smoothing arithmetic is auditable from
+    the output."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return kneser_ney_bigrams(d.select("doc_id", "text"))

@@ -821,6 +821,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph5  # noqa: F401
     import flume_source_spark.pipeline.graph6  # noqa: F401
     import flume_source_spark.pipeline.graph7  # noqa: F401
+    import flume_source_spark.pipeline.graph8  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.entity2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401
@@ -847,6 +848,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.text13  # noqa: F401
     import flume_source_spark.pipeline.text14  # noqa: F401
     import flume_source_spark.pipeline.text15  # noqa: F401
+    import flume_source_spark.pipeline.text16  # noqa: F401
     import flume_source_spark.pipeline.canonical  # noqa: F401
     import flume_source_spark.pipeline.multimodal  # noqa: F401
     import flume_source_spark.pipeline.multimodal2  # noqa: F401

@@ -287,3 +287,81 @@ def test_hurst_corpus_sane(spark, sf_dir):
     for n in (8, 16, 32, 64):
         assert by[n]["rs_r4"] > 0
     assert 0.0 < by[None]["hurst_r4"] < 1.2
+
+
+def test_copurchase_planted_baskets(spark):
+    """Closed-form projection: order 1 = {10, 20, 30} emits its 3
+    pairs, order 2 = {10, 20} reinforces (10, 20) -> count 2; a
+    single-item order emits nothing; an over-cap basket (17 parts)
+    emits nothing (the hub cap)."""
+    from flume_source_spark.pipeline.graph8 import bipartite_copurchase
+
+    rows = (
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 99)]
+        + [(4, 1000 + i) for i in range(17)]
+    )
+    edges = spark.createDataFrame(rows, "o long, p long")
+    got = {(r["p1"], r["p2"]): r["n_orders"] for r in bipartite_copurchase(edges).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_copurchase_dedups_repeat_lines(spark):
+    """The same part appearing on two lines of one order counts once
+    (collect_set semantics; the oracle's DISTINCT twin): a duplicated
+    (o, p) edge must not double the pair count."""
+    from flume_source_spark.pipeline.graph8 import bipartite_copurchase
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "o long, p long"
+    )
+    got = {(r["p1"], r["p2"]): r["n_orders"] for r in bipartite_copurchase(edges).collect()}
+    assert got == {(10, 20): 1}
+
+
+def test_kneser_ney_planted_fractions(spark):
+    """Hand-computed KN on 'a b a b a c' (D = 3/4): bigram types
+    (a,b)x2 (b,a)x2 (a,c)x1, N_bb = 3, N1+(a.) = 2, N1+(b.) = 1,
+    continuation counts all 1. Exact ppm: P(b|a) = 21e6/36 = 583,333;
+    P(a|b) = 18e6/24 = 750,000; P(c|a) = 9e6/36 = 250,000."""
+    from flume_source_spark.pipeline.text16 import kneser_ney_bigrams
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): r.asDict() for r in kneser_ney_bigrams(docs).collect()}
+    assert rows[("a", "b")]["p_kn_ppm"] == 583_333
+    assert rows[("b", "a")]["p_kn_ppm"] == 750_000
+    assert rows[("a", "c")]["p_kn_ppm"] == 250_000
+    assert rows[("a", "b")]["nbb"] == 3
+    assert rows[("a", "b")]["n1w1"] == 2 and rows[("b", "a")]["n1w1"] == 1
+    # the discount is visible: MLE of (a,b) is 2/3 = 666,666 ppm > KN
+    assert rows[("a", "b")]["p_mle_ppm"] == 666_666
+    assert rows[("a", "b")]["p_kn_ppm"] < rows[("a", "b")]["p_mle_ppm"]
+
+
+def test_kneser_ney_observed_mass_identity(spark):
+    """Probability accounting on the planted corpus: for context 'a',
+    the observed KN mass plus the backoff share of UNSEEN
+    continuations must reconstruct 1 exactly (in fractions:
+    0.583333 + 0.25 + lambda(a) * P_cont(a) = 1 with lambda(a) = 1/2,
+    P_cont(a) = 1/3) -> observed sum = 833,333 ppm (floored terms)."""
+    from flume_source_spark.pipeline.text16 import kneser_ney_bigrams
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): r.asDict() for r in kneser_ney_bigrams(docs).collect()}
+    observed_a = rows[("a", "b")]["p_kn_ppm"] + rows[("a", "c")]["p_kn_ppm"]
+    # unseen mass for context a = D * N1w1/c1 * P_cont(a) = 1/6
+    assert observed_a + 166_666 in (999_999, 1_000_000)
+
+
+def test_kneser_ney_corpus_bounds(spark, sf_dir):
+    """Corpus anchor: 30 rows, every probability in (0, 1e6], KN
+    bounded above by interpolating toward certainty, and every top
+    bigram's components consistent (c12 <= c1, ncont <= nbb)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = [r.asDict() for r in qs["text_kneser_ney_bigram"].builder(spark, sf_dir).collect()]
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 < r["p_kn_ppm"] <= 1_000_000
+        assert r["c12"] <= r["c1"]
+        assert r["ncont"] <= r["nbb"]
