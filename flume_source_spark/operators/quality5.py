@@ -179,3 +179,125 @@ def dq_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
     )
     return brier_decomposition(obs)
+
+
+_LIFT_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, n_chars AS score,
+               CAST(lang = 'en' AS BIGINT) AS o,
+               CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id)
+                    AS BIGINT) AS decile
+        FROM documents
+    ),
+    per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o) AS BIGINT) AS n_pos
+        FROM scored GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS p
+        FROM per GROUP BY 1 = 1
+    ),
+    cum AS (
+        SELECT decile, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+               CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        FROM per
+    )
+    SELECT c.decile, c.n, c.n_pos,
+           CAST(c.n_pos * 1000000 // c.n AS BIGINT) AS pos_rate_ppm,
+           c.cum_n, c.cum_pos,
+           CAST(c.cum_pos * 1000000 // t.p AS BIGINT) AS capture_ppm,
+           CAST((CAST(c.n_pos AS HUGEINT) * t.nn * 1000000)
+                // (CAST(c.n AS HUGEINT) * t.p) AS BIGINT) AS lift_ppm,
+           CAST((CAST(c.cum_pos AS HUGEINT) * t.nn * 1000000)
+                // (CAST(c.cum_n AS HUGEINT) * t.p) AS BIGINT) AS cum_lift_ppm
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.decile
+"""
+
+
+def lift_gain_deciles(scored: DataFrame) -> DataFrame:
+    """Core gains/lift fold over a (doc_id, score, o) frame: exact
+    global score deciles via the DISTRIBUTED ntile helper (score
+    descending, doc_id tiebreak — no single-partition sort), then
+    per-decile capture and lift in floored ppm. Factored so
+    closed-form model tests (a perfect ranker's top decile captures
+    everything; a constant-rate corpus has lift = 1e6 everywhere)
+    drive the production stages."""
+    from pyspark.sql import Window
+
+    from flume_source_spark.global_order import with_global_ntile
+
+    tiles = with_global_ntile(
+        scored,
+        10,
+        [F.col("score").desc(), F.col("doc_id")],
+        -F.col("score"),
+        tile_col="decile",
+    )
+    per = tiles.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o").cast("long").alias("n_pos"),
+    )
+    tot = per.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pos").cast("long").alias("p"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot.drop("_g")))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("pos_rate_ppm"),
+            "cum_n",
+            "cum_pos",
+            F.expr("CAST(cum_pos * 1000000 div p AS BIGINT)").alias("capture_ppm"),
+            F.expr(
+                "CAST((CAST(n_pos AS DECIMAL(38,0)) * nn * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * p) AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.expr(
+                "CAST((CAST(cum_pos AS DECIMAL(38,0)) * nn * 1000000)"
+                " div (CAST(cum_n AS DECIMAL(38,0)) * p) AS BIGINT)"
+            ).alias("cum_lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "dq_lift_gain_deciles",
+    oracle=_LIFT_ORACLE,
+    tags=("quality", "llm", "scoring"),
+)
+def dq_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the length-score ranking of
+    lang = 'en': exact global deciles by (score DESC, doc_id) via the
+    distributed-ntile helper, each decile's positive rate, cumulative
+    capture of all positives, and lift vs the base rate — the
+    model-free ranking-quality table every targeting/filter review
+    reads, sibling to dq_roc_auc_exact and dq_calibration_bins.
+
+    Scale: the decile assignment is the round-11 global-order plan
+    (boundary-bucketed two-level rank, broadcast offsets — no
+    single-partition sort of the corpus); everything after it is a
+    10-row frame. The cumulative window runs on 10 rows."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return lift_gain_deciles(
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
+        )
+    )

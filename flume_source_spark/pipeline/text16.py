@@ -103,7 +103,16 @@ def kneser_ney_bigrams(docs: DataFrame, topk: int = _TOPK) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # bgc feeds FOUR consumers (top-k, context, continuation, the
+    # type scalar) — checkpoint the vocabulary²-bounded count table
+    # eagerly so the corpus bigram pass runs ONCE, not once per
+    # consumer (the embstats3 single-corpus-pass discipline; the 8×
+    # probe without this read ~12× — four fanned corpus scans)
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx = bgc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("n1w1"),

@@ -822,6 +822,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.graph6  # noqa: F401
     import flume_source_spark.pipeline.graph7  # noqa: F401
     import flume_source_spark.pipeline.graph8  # noqa: F401
+    import flume_source_spark.pipeline.graph9  # noqa: F401
     import flume_source_spark.pipeline.entity  # noqa: F401
     import flume_source_spark.pipeline.entity2  # noqa: F401
     import flume_source_spark.pipeline.similarity  # noqa: F401

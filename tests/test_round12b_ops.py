@@ -365,3 +365,81 @@ def test_kneser_ney_corpus_bounds(spark, sf_dir):
         assert 0 < r["p_kn_ppm"] <= 1_000_000
         assert r["c12"] <= r["c1"]
         assert r["ncont"] <= r["nbb"]
+
+
+def test_lift_gain_perfect_ranker(spark):
+    """A perfect ranker (all 4 positives hold the top scores of 20
+    docs): the top two deciles (2 docs each) capture everything ->
+    capture = 1e6 by decile 2, decile-1 lift = (2/2)/(4/20) = 5e6
+    ppm, and every later decile has zero positives."""
+    from flume_source_spark.operators.quality5 import lift_gain_deciles
+
+    rows = [(i, 1000 - i, 1 if i < 4 else 0) for i in range(20)]
+    scored = spark.createDataFrame(rows, "doc_id long, score long, o long")
+    got = {r["decile"]: r.asDict() for r in lift_gain_deciles(scored).collect()}
+    assert got[1]["n_pos"] == 2 and got[2]["n_pos"] == 2
+    assert got[2]["capture_ppm"] == 1_000_000
+    assert got[1]["lift_ppm"] == 5_000_000
+    assert all(got[d]["n_pos"] == 0 for d in range(3, 11))
+    assert got[10]["cum_lift_ppm"] == 1_000_000  # full-corpus lift is exact 1
+
+
+def test_lift_gain_uninformative_score_is_flat(spark):
+    """A score carrying no signal (positives alternate down the
+    ranking): every decile's lift is exactly 1e6 ppm and capture
+    climbs linearly (100,000 ppm per decile at 50% base rate)."""
+    from flume_source_spark.operators.quality5 import lift_gain_deciles
+
+    rows = [(i, 1000 - i, i % 2) for i in range(20)]
+    scored = spark.createDataFrame(rows, "doc_id long, score long, o long")
+    got = {r["decile"]: r.asDict() for r in lift_gain_deciles(scored).collect()}
+    for d in range(1, 11):
+        assert got[d]["lift_ppm"] == 1_000_000
+        assert got[d]["capture_ppm"] == d * 100_000
+
+
+def test_lift_gain_corpus_monotone(spark, sf_dir):
+    """Corpus anchor: capture is non-decreasing in decile, ends at
+    exactly 1e6, and the full-corpus cumulative lift is exactly 1e6
+    (cum_pos = P, cum_n = N cancel)."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = sorted(
+        (r.asDict() for r in qs["dq_lift_gain_deciles"].builder(spark, sf_dir).collect()),
+        key=lambda r: r["decile"],
+    )
+    caps = [r["capture_ppm"] for r in rows]
+    assert caps == sorted(caps)
+    assert caps[-1] == 1_000_000
+    assert rows[-1]["cum_lift_ppm"] == 1_000_000
+
+
+def test_hits_star_saturates(spark):
+    """Star fixture (1,2,3 -> 100): the center is the unique
+    authority at exactly 1e6 and every hub normalizes to exactly 1e6
+    in every round."""
+    from flume_source_spark.pipeline.graph9 import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "src long, dst long"
+    )
+    got = {(r["kind"], r["id"]): r["score_micro"] for r in hits_scores(edges).collect()}
+    assert got[("authority", 100)] == 1_000_000
+    assert got[("hub", 1)] == got[("hub", 2)] == got[("hub", 3)] == 1_000_000
+
+
+def test_hits_global_normalization_decays_minor_component(spark):
+    """Two components, one twice as strong: the minor component's
+    scores halve against the GLOBAL leader every round — after 3
+    rounds authority(200) = hub(3) = 125,000 micro exactly (the
+    closed-form geometric decay of the scaled-integer recursion)."""
+    from flume_source_spark.pipeline.graph9 import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], "src long, dst long"
+    )
+    got = {(r["kind"], r["id"]): r["score_micro"] for r in hits_scores(edges).collect()}
+    assert got[("authority", 100)] == 1_000_000
+    assert got[("authority", 200)] == 125_000
+    assert got[("hub", 3)] == 125_000
