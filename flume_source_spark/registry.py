@@ -787,6 +787,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.timeseries9  # noqa: F401
     import flume_source_spark.operators.timeseries10  # noqa: F401
     import flume_source_spark.operators.timeseries11  # noqa: F401
+    import flume_source_spark.operators.timeseries12  # noqa: F401
     import flume_source_spark.operators.windows  # noqa: F401
     import flume_source_spark.operators.setops  # noqa: F401
     import flume_source_spark.operators.scalars  # noqa: F401

@@ -443,3 +443,56 @@ def test_hits_global_normalization_decays_minor_component(spark):
     assert got[("authority", 100)] == 1_000_000
     assert got[("authority", 200)] == 125_000
     assert got[("hub", 3)] == 125_000
+
+
+def test_seasonal_strength_pure_signal_is_full(spark):
+    """A planted y = a + b*t + s_{t mod 7} series decomposes EXACTLY
+    (the timeseries8 model-test property: residual == 0 identically),
+    so both strengths must be exactly 1e6 ppm."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import seasonal_strength
+
+    season = [0, 5, -3, 7, -2, 4, 1]
+    rows = [
+        ("a", dt.date(2024, 1, 1) + dt.timedelta(days=t), 100 + 2 * t + season[t % 7])
+        for t in range(28)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, d date, y long")
+    r = seasonal_strength(daily).collect()[0].asDict()
+    assert r["seasonal_strength_ppm"] == 1_000_000
+    assert r["trend_strength_ppm"] == 1_000_000
+
+
+def test_seasonal_strength_constant_series_is_null(spark):
+    """A constant series: trend equals the series, residual and
+    seasonal are zero -> both variance denominators are 0 -> NULL
+    strengths (no fabricated number), n_days still published."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import seasonal_strength
+
+    rows = [
+        ("a", dt.date(2024, 1, 1) + dt.timedelta(days=t), 50)
+        for t in range(21)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, d date, y long")
+    r = seasonal_strength(daily).collect()[0].asDict()
+    assert r["seasonal_strength_ppm"] is None
+    assert r["trend_strength_ppm"] is None
+    assert r["n_days"] == 21 - 6  # full 7-day MA windows only
+
+
+def test_seasonal_strength_corpus_bounds(spark, sf_dir):
+    """Corpus anchor: one row per event_type, strengths in [0, 1e6]
+    when defined, n_days = the decompose frame's row count per
+    type."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    rows = [r.asDict() for r in qs["ts_seasonal_strength"].builder(spark, sf_dir).collect()]
+    assert len(rows) == 5
+    for r in rows:
+        for c in ("seasonal_strength_ppm", "trend_strength_ppm"):
+            if r[c] is not None:
+                assert 0 <= r[c] <= 1_000_000
