@@ -229,7 +229,10 @@ HEADLINE = [
 # whose per-job latency floor, not throughput, sets the time; the
 # constant that amortizes at real scale). Recorded min-of-3 history:
 # 3.48 s (r8 driver) / 3.5-4.3 s solo / 3.7 s and 8.1 s in the same
-# r9 session / 6.48 s (r9 contended driver window) — band [3.3, 8.5].
+# r9 session / 6.48 s (r9 contended driver window) / 9.43 in a
+# contended r12 local window whose immediate solo re-check read
+# 5.86 min-of-3 (first sample 12.2 — the job-latency floor under
+# burst load) — band [3.3, 10.0].
 #
 # Round-11 additions (VERDICT r10 item 4 — the other chronically
 # window-sensitive entries, banded from their recorded solo/driver
@@ -247,7 +250,7 @@ HEADLINE = [
 #   budget-gated exact side. History: 6.34 solo (SCALE part 8) / 6.46
 #   (r9) / 7.53 (r10 contended) — band [6.0, 9.5].
 NOISE_BANDS: dict[str, tuple[float, float]] = {
-    "ds_semdedup": (3.3, 8.5),
+    "ds_semdedup": (3.3, 10.0),
     "graph_kcore": (4.5, 8.0),
     "graph_triangle_count": (3.3, 5.8),
     "sim_knn_descent_round": (3.5, 6.0),
