@@ -496,3 +496,77 @@ def test_seasonal_strength_corpus_bounds(spark, sf_dir):
         for c in ("seasonal_strength_ppm", "trend_strength_ppm"):
             if r[c] is not None:
                 assert 0 <= r[c] <= 1_000_000
+
+
+def test_cdc_resynchronizes_after_prefix_insertion(spark):
+    """The CDC selling point: prepending tokens shifts positions but
+    boundaries are CONTENT-defined, so the edited copy re-aligns and
+    shares almost all chunk fingerprints with the original (only
+    chunks up to the first cut after the edit can differ). Fixed-size
+    blocking would share none."""
+    from flume_source_spark.pipeline.dedup3 import cdc_chunks
+
+    import itertools
+    import string
+
+    words = [
+        a + b + c
+        for a, b, c in itertools.product(string.ascii_lowercase, repeat=3)
+    ][:400]
+    base = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix tokens " + base)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs).collect()
+    fps = {1: set(), 2: set()}
+    for r in ch:
+        fps[r["doc_id"]].add(r["fp"])
+    shared = fps[1] & fps[2]
+    # doc 1's chunks are nearly all recovered inside doc 2
+    assert len(shared) >= len(fps[1]) - 2
+    assert len(shared) > 0
+
+
+def test_cdc_chunks_end_on_cuts(spark):
+    """The cut rule: within a document every chunk except the last
+    ends exactly at a gram with hash % MODULUS == 0, and chunk ids
+    are the dense 0..k sequence (the exclusive prefix-sum
+    construction)."""
+    from flume_source_spark.pipeline.dedup3 import CDC_MODULUS, cdc_chunks
+    from flume_source_spark.pipeline.text15 import winnow_fingerprints  # noqa: F401
+
+    import itertools
+    import string
+
+    base = " ".join(
+        [a + b + c for a, b, c in itertools.product(string.ascii_lowercase, repeat=3)][:300]
+    )
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    ch = sorted(
+        (r["c"], r["len"]) for r in cdc_chunks(docs).collect()
+    )
+    ids = [c for c, _ in ch]
+    assert ids == list(range(len(ids)))
+    assert sum(l for _, l in ch) == 300 - 2  # every gram in exactly one chunk
+
+
+def test_cdc_identical_docs_fully_duplicate(spark):
+    """Two identical documents produce identical chunk sets — the
+    degenerate case the dup_ppm accounting must count fully: every
+    fingerprint appears twice, so distinct = chunks/2."""
+    from flume_source_spark.pipeline.dedup3 import cdc_chunks
+
+    import itertools
+    import string
+
+    base = " ".join(
+        [a + b + c for a, b, c in itertools.product(string.ascii_lowercase, repeat=3)][:200]
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs).collect()
+    n = len(ch)
+    assert n % 2 == 0
+    assert len({r["fp"] for r in ch}) == n // 2
