@@ -159,3 +159,113 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output."""
     d = load_tables(spark, sf_dir)["documents"]
     return kneser_ney_bigrams(d.select("doc_id", "text"))
+
+
+MATTR_W = 25
+
+_MATTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w,
+               CAST(len(t) AS BIGINT) AS n
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks)
+    ),
+    wins AS (
+        SELECT doc_id, n,
+               CAST(len(list_distinct(list(w) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {MATTR_W - 1} PRECEDING AND CURRENT ROW)))
+                   AS BIGINT) AS d
+        FROM tok
+        QUALIFY pos >= {MATTR_W}
+    ),
+    mattr AS (
+        SELECT doc_id,
+               CAST(sum(d) * 1000000 // ({MATTR_W} * count(*)) AS BIGINT)
+                   AS mattr_ppm
+        FROM wins GROUP BY doc_id
+    ),
+    ttr AS (
+        SELECT doc_id, max(n) AS n_tokens,
+               CAST(count(DISTINCT w) * 1000000 // max(n) AS BIGINT) AS ttr_ppm
+        FROM tok GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.ttr_ppm, m.mattr_ppm
+    FROM ttr t LEFT JOIN mattr m ON m.doc_id = t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+def mattr_diversity(docs: DataFrame, w: int = MATTR_W) -> DataFrame:
+    """Core lexical-diversity fold over a (doc_id, text) frame:
+    plain type-token ratio plus the moving-average TTR (Covington &
+    McFall 2010) over ``w``-token windows, both in exact floored ppm
+    — MATTR is the TTR variant that does NOT shrink with document
+    length, so documents of different sizes are comparable. Factored
+    so closed-form model tests (all-same → 1e6/w; all-distinct →
+    1e6; period-5 cycle → 5e6/w) drive the production stages.
+
+    Plan: per-doc position windows only (the w-row frame collects a
+    bounded token list per row — O(n·w) inside a doc, never
+    corpus-derived); the MATTR mean is one exact integer division of
+    window-distinct sums. Docs shorter than ``w`` publish NULL MATTR
+    (no window completes) with TTR still defined."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
+        ).alias("t"),
+    ).filter(F.size("t") >= 1)
+    tok = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n"),
+        F.posexplode("t").alias("pos0", "w"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "w")
+    fr = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    wins = tok.select(
+        "doc_id",
+        "pos",
+        F.size(F.array_distinct(F.collect_list("w").over(fr))).alias("d"),
+    ).filter(F.col("pos") >= w)
+    mattr = wins.groupBy("doc_id").agg(
+        F.expr(f"CAST(sum(d) * 1000000 div ({w} * count(*)) AS BIGINT)").alias(
+            "mattr_ppm"
+        )
+    )
+    ttr = tok.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.expr(
+            "CAST(count(DISTINCT w) * 1000000 div max(n) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+    return (
+        ttr.join(mattr, "doc_id", "left")
+        .select("doc_id", "n_tokens", "ttr_ppm", "mattr_ppm")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=_MATTR_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: plain TTR and the
+    length-invariant moving-average TTR over 25-token windows, both
+    exact floored ppm — the repetitiveness signal a quality cascade
+    reads next to the Gopher rules."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return mattr_diversity(d.select("doc_id", "text"))

@@ -570,3 +570,47 @@ def test_cdc_identical_docs_fully_duplicate(spark):
     n = len(ch)
     assert n % 2 == 0
     assert len({r["fp"] for r in ch}) == n // 2
+
+
+def test_mattr_closed_forms(spark):
+    """Closed-form diversity fixtures: an all-identical 50-token doc
+    reads MATTR = 1e6/25 = 40,000 ppm; an all-distinct 50-token doc
+    reads exactly 1e6; a period-5 cycle reads 5/25 = 200,000 ppm.
+    Plain TTR shrinks with length on the repeated docs while MATTR
+    stays at the window-defined value - the length-invariance MATTR
+    exists for."""
+    import itertools
+    import string
+
+    from flume_source_spark.pipeline.text16 import mattr_diversity
+
+    distinct = [
+        a + b + c for a, b, c in itertools.product(string.ascii_lowercase, repeat=3)
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["same"] * 50)),
+            (2, " ".join(distinct[:50])),
+            (3, " ".join((distinct[:5] * 10))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in mattr_diversity(docs).collect()}
+    assert rows[1]["mattr_ppm"] == 40_000
+    assert rows[2]["mattr_ppm"] == 1_000_000
+    assert rows[3]["mattr_ppm"] == 200_000
+    assert rows[1]["ttr_ppm"] == 20_000  # 1/50: TTR conflates repetition with length
+    assert rows[2]["ttr_ppm"] == 1_000_000
+
+
+def test_mattr_short_doc_null(spark):
+    """A document shorter than the window completes no window ->
+    MATTR NULL, TTR still defined."""
+    from flume_source_spark.pipeline.text16 import mattr_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    r = mattr_diversity(docs).collect()[0].asDict()
+    assert r["mattr_ppm"] is None
+    assert r["ttr_ppm"] == 1_000_000
