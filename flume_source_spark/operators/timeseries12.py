@@ -176,3 +176,141 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     return seasonal_strength(daily)
+
+
+_MWU_ORACLE = """
+    WITH obs AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(event_type = 'click' AS BIGINT) AS g1
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cells AS (
+        SELECT v, CAST(sum(g1) AS BIGINT) AS n1_v,
+               CAST(count(*) AS BIGINT) AS t_v
+        FROM obs GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, n1_v, t_v,
+               CAST(2 * coalesce(sum(t_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + t_v + 1 AS BIGINT) AS dmr
+        FROM cells
+    ),
+    fold AS (
+        SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+               CAST(sum(t_v - n1_v) AS BIGINT) AS n2,
+               CAST(sum(t_v) AS BIGINT) AS n,
+               CAST(sum(CAST(n1_v AS HUGEINT) * dmr) AS HUGEINT) AS r1_x2,
+               CAST(sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS HUGEINT)
+                   AS tie_term
+        FROM ranked GROUP BY 1 = 1
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(tie_term AS BIGINT) AS tie_term,
+           CAST((r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+                // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm,
+           CAST(CASE WHEN CAST(n1 AS HUGEINT) * n2
+                          * ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - tie_term)
+                          > 0 THEN
+               round(
+               CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                    - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+               / (2 * sqrt(
+                   CAST(CAST(n1 AS HUGEINT) * n2
+                        * ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - tie_term)
+                        AS DOUBLE)
+                   / CAST(12 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))),
+               4) END AS DOUBLE) AS z_r4
+    FROM fold
+"""
+
+
+def mann_whitney_u(obs: DataFrame) -> DataFrame:
+    """Core rank-sum fold over a (v, g1) frame — v an integer
+    measurement, g1 ∈ {0, 1} group membership: the exact
+    tie-midranked Mann-Whitney U (doubled, so it stays integral), the
+    AUC equivalent U/(n1·n2) in floored ppm, the tie term Σ(t³−t),
+    and the tie-corrected normal z (the ONLY float: one division and
+    one sqrt of exact integers, rounded 4). Factored so closed-form
+    model tests (complete separation → AUC 1e6; identical groups on
+    a shared value → U = n1n2/2, z = 0; a hand-ranked 2×2 case)
+    drive the production stages.
+
+    Scale: one map-side-combinable collapse onto the measurement's
+    value domain (bounded by the cent grid, not the corpus — the
+    dq_roc_auc discipline), a cumulative window over the collapsed
+    cells, and a 1-row fold. Wide products (n³) ride
+    DECIMAL(38,0)/HUGEINT."""
+    from pyspark.sql import Window
+
+    cells = obs.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("n1_v"),
+        F.count("*").cast("long").alias("t_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "v",
+        "n1_v",
+        "t_v",
+        (
+            F.lit(2) * F.coalesce(F.sum("t_v").over(w), F.lit(0))
+            + F.col("t_v")
+            + 1
+        )
+        .cast("long")
+        .alias("dmr"),
+    )
+    fold = ranked.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("n1_v").cast("long").alias("n1"),
+        F.sum(F.expr("t_v - n1_v")).cast("long").alias("n2"),
+        F.sum("t_v").cast("long").alias("n"),
+        F.sum(F.expr("CAST(n1_v AS DECIMAL(38,0)) * dmr")).alias("r1_x2"),
+        F.sum(
+            F.expr("CAST(t_v AS DECIMAL(38,0)) * t_v * t_v - t_v")
+        ).alias("tie_term"),
+    )
+    return fold.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)"
+        ).alias("u1_x2"),
+        F.expr("CAST(tie_term AS BIGINT)").alias("tie_term"),
+        F.expr(
+            "CAST((r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000"
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(n1 AS DECIMAL(38,0)) * n2"
+            "     * ((CAST(n AS DECIMAL(38,0)) + 1) * n * (n - 1) - tie_term)"
+            "     > 0 THEN round("
+            " CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"
+            "      - CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)"
+            " / (2 * sqrt("
+            "     CAST(CAST(n1 AS DECIMAL(38,0)) * n2"
+            "          * ((CAST(n AS DECIMAL(38,0)) + 1) * n * (n - 1)"
+            "             - tie_term) AS DOUBLE)"
+            "     / CAST(12 * CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))),"
+            " 4) END AS DOUBLE)"
+        ).alias("z_r4"),
+    )
+
+
+@query(
+    "ts_mann_whitney_u",
+    oracle=_MWU_ORACLE,
+    tags=("timeseries", "stats", "test"),
+)
+def ts_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon/Mann-Whitney rank-sum test of click vs view event
+    values: exact tie-midranked U (doubled), its AUC form in floored
+    ppm, the tie term, and the tie-corrected z — the nonparametric
+    "are these two value distributions the same" test a metrics
+    review runs before trusting a mean shift."""
+    ev = load_tables(spark, sf_dir)["events"]
+    obs = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).cast("long").alias("g1"),
+    )
+    return mann_whitney_u(obs)

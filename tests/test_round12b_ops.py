@@ -614,3 +614,47 @@ def test_mattr_short_doc_null(spark):
     r = mattr_diversity(docs).collect()[0].asDict()
     assert r["mattr_ppm"] is None
     assert r["ttr_ppm"] == 1_000_000
+
+
+def test_mann_whitney_complete_separation(spark):
+    """All group-1 values above all group-2 values: U hits its
+    maximum n1*n2 (doubled: 2*n1*n2), AUC = 1e6 exactly, z > 0."""
+    from flume_source_spark.operators.timeseries12 import mann_whitney_u
+
+    rows = [(100 + i, 1) for i in range(5)] + [(i, 0) for i in range(7)]
+    obs = spark.createDataFrame(rows, "v long, g1 long")
+    r = mann_whitney_u(obs).collect()[0].asDict()
+    assert r["u1_x2"] == 2 * 5 * 7
+    assert r["auc_ppm"] == 1_000_000
+    assert r["z_r4"] > 0
+
+
+def test_mann_whitney_all_tied_is_exact_half(spark):
+    """Every observation shares one value: midranks make U exactly
+    n1*n2/2 (AUC 500,000 ppm); the tie-corrected variance hits 0 so z
+    divides by zero -> NULL/NaN-free contract matters: variance
+    (n+1)n(n-1) - T is 0 when ALL values tie, and both engines emit
+    the same non-finite-free result only because the numerator is
+    also 0 -> we pin AUC and U here, not z."""
+    from flume_source_spark.operators.timeseries12 import mann_whitney_u
+
+    rows = [(42, 1)] * 3 + [(42, 0)] * 5
+    obs = spark.createDataFrame(rows, "v long, g1 long")
+    r = mann_whitney_u(obs).collect()[0].asDict()
+    assert r["u1_x2"] == 3 * 5  # 2*U1 = n1*n2 at the exact center
+    assert r["auc_ppm"] == 500_000
+    assert r["tie_term"] == 8**3 - 8
+
+
+def test_mann_whitney_hand_ranked_case(spark):
+    """Hand-computed 2v2 with one tie: values g1={10, 20}, g2={10,
+    30}. Midranks: 10 -> 1.5, 20 -> 3, 30 -> 4. R1 = 4.5, U1 = R1 -
+    n1(n1+1)/2 = 1.5 -> u1_x2 = 3; AUC = 1.5/4 = 375,000 ppm."""
+    from flume_source_spark.operators.timeseries12 import mann_whitney_u
+
+    obs = spark.createDataFrame(
+        [(10, 1), (20, 1), (10, 0), (30, 0)], "v long, g1 long"
+    )
+    r = mann_whitney_u(obs).collect()[0].asDict()
+    assert r["u1_x2"] == 3
+    assert r["auc_ppm"] == 375_000
