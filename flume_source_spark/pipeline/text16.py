@@ -269,3 +269,109 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads next to the Gopher rules."""
     d = load_tables(spark, sf_dir)["documents"]
     return mattr_diversity(d.select("doc_id", "text"))
+
+
+_BURST_TOPK = 30
+
+_BURSTINESS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+    tc AS (
+        SELECT doc_id, x AS w, CAST(count(*) AS BIGINT) AS c
+        FROM toks, unnest(t) AS u(x)
+        GROUP BY doc_id, x
+    ),
+    per AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS tf,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM tc GROUP BY w
+    ),
+    top AS (
+        SELECT w, df, tf, sq FROM per
+        ORDER BY tf DESC, w LIMIT {_BURST_TOPK}
+    )
+    SELECT t.w, t.df, t.tf,
+           CAST((CAST(n.n_docs AS HUGEINT) * t.sq - CAST(t.tf AS HUGEINT) * t.tf)
+                * 1000000
+                // (CAST(n.n_docs AS HUGEINT) * t.tf) AS BIGINT) AS vmr_ppm,
+           CAST(t.tf * 1000000 // n.n_docs AS BIGINT) AS mean_count_ppm
+    FROM top t CROSS JOIN nd n
+    ORDER BY t.tf DESC, t.w
+"""
+
+
+def term_burstiness(docs: DataFrame, topk: int = _BURST_TOPK) -> DataFrame:
+    """Core burstiness fold over a (doc_id, text) frame: per-term
+    document frequency, total frequency, and the variance-to-mean
+    ratio (Fano factor) of per-document counts over ALL documents
+    (absent = 0), in exact floored ppm —
+
+        VMR = (N·Σc² − (Σc)²) / (N·Σc)
+
+    Church & Gale (1995): content words are BURSTY (VMR ≫ 1e6 ppm —
+    they recur within the documents that use them), function words
+    are near-Poisson (VMR ≈ 1e6 ppm). Factored so closed-form model
+    tests (a term once in every doc → VMR ppm = 1e6·(N−... exact
+    uniform case; a term concentrated in one doc → VMR ≈ its count)
+    drive the production stages.
+
+    Scale: one (doc, term) count collapse (map-side combinable), a
+    vocabulary-keyed rollup, TakeOrdered top-k BEFORE the 1-row
+    n_docs broadcast — the text_vocab_topk shape."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
+        ).alias("t"),
+    )
+    nd = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    tc = toks.select("doc_id", F.explode("t").alias("w")).groupBy(
+        "doc_id", "w"
+    ).agg(F.count("*").cast("long").alias("c"))
+    per = tc.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.expr("c * c")).cast("long").alias("sq"),
+    )
+    top = per.orderBy(F.col("tf").desc(), "w").limit(topk)
+    return (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            "df",
+            "tf",
+            F.expr(
+                "CAST((CAST(n_docs AS DECIMAL(38,0)) * sq"
+                " - CAST(tf AS DECIMAL(38,0)) * tf) * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * tf) AS BIGINT)"
+            ).alias("vmr_ppm"),
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div n_docs"
+                " AS BIGINT)"
+            ).alias("mean_count_ppm"),
+        )
+        .orderBy(F.col("tf").desc(), "w")
+    )
+
+
+@query(
+    "text_term_burstiness",
+    oracle=_BURSTINESS_ORACLE,
+    tags=("llm", "text", "stats"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the corpus's top-30 terms: the
+    variance-to-mean ratio of per-document counts in exact floored
+    ppm (Poisson = 1e6; content words read far above it), with
+    document and total frequencies alongside — the term-level signal
+    separating topical vocabulary from boilerplate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return term_burstiness(d.select("doc_id", "text"))

@@ -658,3 +658,35 @@ def test_mann_whitney_hand_ranked_case(spark):
     r = mann_whitney_u(obs).collect()[0].asDict()
     assert r["u1_x2"] == 3
     assert r["auc_ppm"] == 375_000
+
+
+def test_burstiness_uniform_term_closed_form(spark):
+    """A term appearing exactly once in every document: c = 1
+    everywhere, so VMR = (N*N - N^2)/(N*N) = 0 -> maximally
+    NON-bursty, vmr_ppm = 0; mean_count_ppm = 1e6."""
+    from flume_source_spark.pipeline.text16 import term_burstiness
+
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(8)], "doc_id long, text string"
+    )
+    rows = {r["w"]: r.asDict() for r in term_burstiness(docs).collect()}
+    assert rows["common"]["vmr_ppm"] == 0
+    assert rows["common"]["mean_count_ppm"] == 1_000_000
+    assert rows["common"]["df"] == 8 and rows["common"]["tf"] == 8
+
+
+def test_burstiness_concentrated_term_reads_high(spark):
+    """A term occurring 8 times in ONE doc of 8: Sum c = 8, Sum c^2 =
+    64 -> VMR = (8*64 - 64)/(8*8) = 7 -> 7,000,000 ppm — burstiness
+    equals the concentration, exactly the Church-Gale contrast with
+    the uniform term above."""
+    from flume_source_spark.pipeline.text16 import term_burstiness
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["bursty"] * 8) + " filler")]
+        + [(i, "plain filler") for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    rows = {r["w"]: r.asDict() for r in term_burstiness(docs).collect()}
+    assert rows["bursty"]["vmr_ppm"] == 7_000_000
+    assert rows["filler"]["vmr_ppm"] == 0
