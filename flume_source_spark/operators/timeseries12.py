@@ -314,3 +314,160 @@ def ts_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 1).otherwise(0).cast("long").alias("g1"),
     )
     return mann_whitney_u(obs)
+
+
+LB_MAX_LAG = 6
+
+_LJUNG_BOX_ORACLE = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM hourly GROUP BY event_type
+    ),
+    y AS (
+        SELECT h.event_type, h.bucket,
+               CAST(t.n AS HUGEINT) * h.cents - t.s AS yv, t.n
+        FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    ),
+    lagged AS (
+        SELECT event_type, n, yv,
+               lag(yv, k) OVER (PARTITION BY event_type, k ORDER BY bucket)
+                   AS yl,
+               CAST(k AS BIGINT) AS k
+        FROM y CROSS JOIN (SELECT unnest(generate_series(1, {LB_MAX_LAG})) AS k)
+    ),
+    den AS (
+        SELECT event_type, CAST(sum(yv * yv) AS HUGEINT) AS den
+        FROM y GROUP BY event_type
+    ),
+    sums AS (
+        SELECT l.event_type, l.k, max(l.n) AS n,
+               CAST(sum(l.yv * l.yl) AS HUGEINT) AS num,
+               max(d.den) AS den
+        FROM lagged l JOIN den d ON d.event_type = l.event_type
+        WHERE l.yl IS NOT NULL
+        GROUP BY l.event_type, l.k
+    ),
+    r AS (
+        SELECT event_type, k, n,
+               CAST(num * 1000000 // den AS BIGINT) AS r_ppm
+        FROM sums
+    )
+    SELECT event_type, k AS lag, n AS n_obs, r_ppm,
+           CAST(sum((CAST(n AS HUGEINT) * (n + 2)
+                     * (CAST(r_ppm AS HUGEINT) * r_ppm))
+                    // (CAST(n - k AS HUGEINT) * 1000000))
+                OVER (PARTITION BY event_type ORDER BY k) AS BIGINT)
+               AS q_cum_ppm
+    FROM r
+    ORDER BY event_type, lag
+"""
+
+
+def ljung_box(hourly: DataFrame, max_lag: int = LB_MAX_LAG) -> DataFrame:
+    """Core portmanteau fold over an (event_type, bucket, cents)
+    series frame: exact-integer autocorrelations on the mean-scaled
+    series y_t = n·x_t − S (the n² factors cancel in the ratio), each
+    r_k published in floored ppm, and the Ljung-Box statistic
+
+        Q(h) = n(n+2) Σ_{k≤h} r_k² / (n−k)
+
+    accumulated on the PPM GRID (each term uses the already-floored
+    r_ppm — engine-identical; the den² form would overflow even
+    DECIMAL(38) at n ≈ 700 with cent-scaled series). Factored so
+    closed-form model tests (an alternating series → r_1 ≈ −1e6 and
+    Q explodes; white-noise-free constants → empty) drive the
+    production stages.
+
+    Scale: one calendar-bounded hourly collapse; per-type scalar
+    totals broadcast back; ONE window pass computes all lags
+    (stacked); the cumulative Q runs over ≤ max_lag rows."""
+    from pyspark.sql import Window
+
+    tot = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    y = hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * cents - s").alias("yv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    with_lags = y.select(
+        "event_type",
+        "n",
+        "yv",
+        *[
+            F.lag("yv", k).over(w).alias(f"lag{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = "stack({m}, {args}) AS (k, yl)".format(
+        m=max_lag,
+        args=", ".join(
+            f"CAST({k} AS BIGINT), lag{k}" for k in range(1, max_lag + 1)
+        ),
+    )
+    lagged = with_lags.select("event_type", "n", "yv", F.expr(stack_expr))
+    den = y.groupBy("event_type").agg(
+        F.sum(F.expr("yv * yv")).alias("den")
+    )
+    sums = (
+        lagged.filter(F.col("yl").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr("yv * yl")).alias("num"),
+        )
+        .join(F.broadcast(den), "event_type")
+    )
+    r = sums.select(
+        "event_type",
+        "k",
+        "n",
+        F.expr("CAST(num * 1000000 div den AS BIGINT)").alias("r_ppm"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return r.select(
+        "event_type",
+        F.col("k").alias("lag"),
+        F.col("n").alias("n_obs"),
+        "r_ppm",
+        F.sum(
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * (n + 2)"
+                " * (CAST(r_ppm AS DECIMAL(38,0)) * r_ppm))"
+                " div (CAST(n - k AS DECIMAL(38,0)) * 1000000)"
+            )
+        )
+        .over(wq)
+        .cast("long")
+        .alias("q_cum_ppm"),
+    ).orderBy("event_type", "lag")
+
+
+@query(
+    "ts_ljung_box",
+    oracle=_LJUNG_BOX_ORACLE,
+    tags=("timeseries", "stats", "test"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test per event_type over
+    the hourly cents series: exact-integer r_k in floored ppm at lags
+    1..6 and the cumulative Q statistic on the ppm grid — the "is
+    this series white noise" gate run before fitting any forecast
+    model (compare Q at lag h against χ²_h)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return ljung_box(hourly)

@@ -690,3 +690,48 @@ def test_burstiness_concentrated_term_reads_high(spark):
     rows = {r["w"]: r.asDict() for r in term_burstiness(docs).collect()}
     assert rows["bursty"]["vmr_ppm"] == 7_000_000
     assert rows["filler"]["vmr_ppm"] == 0
+
+
+def test_ljung_box_alternating_series(spark):
+    """A strictly alternating series has lag-1 autocorrelation near
+    -1 (exactly -n/(n-1) scaled: y_t y_{t-1} < 0 for every pair) and
+    a large Q: r_1 ppm must be <= -900,000 and Q grows with every
+    lag (cumulative by construction)."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import ljung_box
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), 100 if t % 2 else 0)
+        for t in range(64)
+    ]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, cents long"
+    )
+    got = {r["lag"]: r.asDict() for r in ljung_box(hourly).collect()}
+    assert got[1]["r_ppm"] <= -900_000
+    qs = [got[k]["q_cum_ppm"] for k in range(1, 7)]
+    assert qs == sorted(qs)
+    assert qs[0] > 60 * 1_000_000  # Q ~ n r^2 >> chi2_1 in ppm
+
+
+def test_ljung_box_white_noise_small_q(spark):
+    """A low-autocorrelation fixture (a fixed pseudo-random
+    permutation of 0..63 as the series): every |r_k| far from 1e6 and
+    Q(6) far below the alternating fixture's - the separation the
+    test exists to provide."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import ljung_box
+
+    vals = [(i * 37) % 64 for i in range(64)]  # full-cycle permutation
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), vals[t])
+        for t in range(64)
+    ]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, cents long"
+    )
+    got = {r["lag"]: r.asDict() for r in ljung_box(hourly).collect()}
+    assert all(abs(got[k]["r_ppm"]) < 500_000 for k in range(1, 7))
+    assert got[6]["q_cum_ppm"] < 60 * 1_000_000
