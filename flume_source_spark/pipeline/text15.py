@@ -23,8 +23,9 @@ BIGINT:
 
 min(c) over the window picks the smallest hash and, among equal
 hashes, the LARGEST position; decode by div/mod. Positions are capped
-at 2^20 - 1 grams/doc (a million-token document; asserted) so the
-pack fits a BIGINT with 2^32 * 2^20 = 2^52 headroom.
+at 2^20 - 1 grams/doc (a million-token document; over-long docs are
+EXCLUDED on both engines — enforced in code, see toks) so the pack
+fits a BIGINT with 2^32 * 2^20 = 2^52 headroom.
 
 Scale shape: the only windows are per-document (partition by doc_id —
 bounded by doc length, never corpus-derived); the pair report joins
@@ -62,10 +63,16 @@ def _winnow_cte() -> str:
     stage for stage."""
     return f"""
     toks AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                           x -> length(x) > 0) AS t
-        FROM documents
+        -- the position-pack bound enforced (len(t) < 2^{_POS_BITS}):
+        -- an over-long document would corrupt the (hash, pos) pack,
+        -- so it is excluded on BOTH engines rather than silently
+        -- mis-fingerprinted
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> length(x) > 0) AS t
+            FROM documents
+        ) WHERE len(t) < {_PACK}
     ),
     grams AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -153,12 +160,19 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
-        ).alias("t"),
-    ).filter(F.size("t") >= k)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
+            ).alias("t"),
+        )
+        .filter(F.size("t") >= k)
+        # enforce the position-pack bound (module docstring): a doc
+        # with ≥ 2^20 tokens would corrupt the (hash, pos) pack —
+        # excluded on both engines, never silently mis-fingerprinted
+        .filter(F.size("t") < _PACK)
+    )
     grams = toks.select(
         "doc_id",
         F.explode(
