@@ -90,10 +90,13 @@ _HURST_ORACLE = f"""
     ),
     pts AS (SELECT ln(CAST(n AS DOUBLE)) AS lx, ln(rs_r4) AS ly FROM rs),
     slope AS (
+        -- guarded: a series long enough for only ONE block size has
+        -- a degenerate regression (zero x-variance) -> no summary row
         SELECT round(
             (sum(lx * ly) - sum(lx) * sum(ly) / count(*))
             / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)), 4) AS hurst_r4
         FROM pts GROUP BY 1 = 1
+        HAVING count(*) >= 2
     )
     SELECT CAST(n AS BIGINT) AS block_size, n_blocks,
            CAST(rs_r4 AS DOUBLE) AS rs_r4,
@@ -175,18 +178,26 @@ def hurst_rescaled_range(
         F.log(F.col("n").cast("double")).alias("lx"),
         F.log("rs_r4").alias("ly"),
     )
-    slope = pts.groupBy(F.expr("1 = 1").alias("_g")).agg(
-        F.round(
-            (
-                F.sum(F.expr("lx * ly"))
-                - F.sum("lx") * F.sum("ly") / F.count("*")
-            )
-            / (
-                F.sum(F.expr("lx * lx"))
-                - F.sum("lx") * F.sum("lx") / F.count("*")
-            ),
-            4,
-        ).alias("hurst_r4")
+    # guarded like the oracle: one usable block size -> zero
+    # x-variance -> no summary row (ANSI Spark would throw
+    # DIVIDE_BY_ZERO on the degenerate regression)
+    slope = (
+        pts.groupBy(F.expr("1 = 1").alias("_g"))
+        .agg(
+            F.count("*").alias("_k"),
+            F.sum(F.expr("lx * ly")).alias("_sxy"),
+            F.sum("lx").alias("_sx"),
+            F.sum("ly").alias("_sy"),
+            F.sum(F.expr("lx * lx")).alias("_sxx"),
+        )
+        .filter(F.col("_k") >= 2)
+        .select(
+            F.round(
+                (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_k"))
+                / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_k")),
+                4,
+            ).alias("hurst_r4")
+        )
     )
     return (
         rs.select(

@@ -735,3 +735,17 @@ def test_ljung_box_white_noise_small_q(spark):
     got = {r["lag"]: r.asDict() for r in ljung_box(hourly).collect()}
     assert all(abs(got[k]["r_ppm"]) < 500_000 for k in range(1, 7))
     assert got[6]["q_cum_ppm"] < 60 * 1_000_000
+
+
+def test_hurst_single_block_size_has_no_summary(spark):
+    """A 12-point series completes blocks only at n = 8: the log-log
+    regression would be degenerate (one x), so no summary row is
+    emitted (ANSI Spark would otherwise throw DIVIDE_BY_ZERO) - only
+    the n = 8 rs row appears."""
+    from flume_source_spark.operators.timeseries11 import hurst_rescaled_range
+
+    series = spark.createDataFrame(
+        [(p, p % 3) for p in range(1, 13)], "p long, x long"
+    )
+    rows = hurst_rescaled_range(series).collect()
+    assert [r["block_size"] for r in rows] == [8]
