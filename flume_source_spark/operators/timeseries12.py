@@ -208,8 +208,9 @@ _MWU_ORACLE = """
     SELECT n1, n2,
            CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
            CAST(tie_term AS BIGINT) AS tie_term,
-           CAST((r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
-                // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                (r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+                // (2 * CAST(n1 AS HUGEINT) * n2) END AS BIGINT) AS auc_ppm,
            CAST(CASE WHEN CAST(n1 AS HUGEINT) * n2
                           * ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - tie_term)
                           > 0 THEN
@@ -278,8 +279,9 @@ def mann_whitney_u(obs: DataFrame) -> DataFrame:
         ).alias("u1_x2"),
         F.expr("CAST(tie_term AS BIGINT)").alias("tie_term"),
         F.expr(
-            "CAST((r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000"
-            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            "CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN"
+            " (r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000"
+            " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) END AS BIGINT)"
         ).alias("auc_ppm"),
         F.expr(
             "CAST(CASE WHEN CAST(n1 AS DECIMAL(38,0)) * n2"
