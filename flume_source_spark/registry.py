@@ -799,6 +799,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.operators.quality4  # noqa: F401
     import flume_source_spark.operators.quality5  # noqa: F401
     import flume_source_spark.operators.geo  # noqa: F401
+    import flume_source_spark.operators.geo2  # noqa: F401
     import flume_source_spark.operators.sqlapi2  # noqa: F401
     import flume_source_spark.operators.sqlapi3  # noqa: F401
     import flume_source_spark.operators.sqlapi4  # noqa: F401

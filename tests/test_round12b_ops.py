@@ -749,3 +749,42 @@ def test_hurst_single_block_size_has_no_summary(spark):
     )
     rows = hurst_rescaled_range(series).collect()
     assert [r["block_size"] for r in rows] == [8]
+
+
+def test_geo_knn_planted_grid(spark):
+    """Planted colinear points at x = 0, 10, 25, 45, 1000 (radius
+    100): point 2's neighbors rank (3: d=15, 1: d=25, 4: d=... wait -
+    computed: |25-45|=20 < |25-0|=25) -> order is 10(d15), 45(d20),
+    0(d25); the far point at 1000 is absent entirely; rank ties on
+    equal distance break by smaller id."""
+    from flume_source_spark.operators.geo2 import knn_from_pairs
+    from flume_source_spark.operators.geo import grid_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 0), (3, 25, 0), (4, 45, 0), (5, 1000, 0)],
+        "id long, lat_cd long, lon_cd long",
+    )
+    got = {}
+    for r in knn_from_pairs(grid_pairs(pts, radius=100)).collect():
+        got.setdefault(r["i"], []).append((r["rk"], r["nn_id"], r["d2"]))
+    assert got[3] == [(1, 2, 225), (2, 4, 400), (3, 1, 625)]
+    assert 5 not in got
+    assert [j for _, j, _ in got[1]] == [2, 3, 4]
+
+
+def test_geo_knn_equidistant_tie_breaks_by_id(spark):
+    """Two neighbors at the same distance rank by smaller id - the
+    determinism contract both engines share."""
+    from flume_source_spark.operators.geo2 import knn_from_pairs
+    from flume_source_spark.operators.geo import grid_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 50, 50), (2, 50, 60), (3, 50, 40)],
+        "id long, lat_cd long, lon_cd long",
+    )
+    got = [
+        (r["rk"], r["nn_id"])
+        for r in knn_from_pairs(grid_pairs(pts, radius=100)).collect()
+        if r["i"] == 1
+    ]
+    assert got == [(1, 2), (2, 3)]
