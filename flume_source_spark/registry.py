@@ -814,6 +814,7 @@ def load_all() -> dict[str, QuerySpec]:
     import flume_source_spark.pipeline.dataset6  # noqa: F401
     import flume_source_spark.pipeline.dataset7  # noqa: F401
     import flume_source_spark.pipeline.dataset8  # noqa: F401
+    import flume_source_spark.pipeline.dataset9  # noqa: F401
     import flume_source_spark.pipeline.dedup  # noqa: F401
     import flume_source_spark.pipeline.dedup2  # noqa: F401
     import flume_source_spark.pipeline.dedup3  # noqa: F401

@@ -788,3 +788,67 @@ def test_geo_knn_equidistant_tie_breaks_by_id(spark):
         if r["i"] == 1
     ]
     assert got == [(1, 2), (2, 3)]
+
+
+def test_balanced_undersample_quotas_and_determinism(spark):
+    """Every class keeps exactly n_min = the smallest class's size;
+    the kept manifest digest is invariant to input row order (the
+    selection is a pure function of (doc_id, lang))."""
+    from flume_source_spark.pipeline.dataset9 import balanced_undersample
+
+    rows = [(i, "en") for i in range(20)] + [(100 + i, "de") for i in range(7)] + [
+        (200 + i, "fr") for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r["lang"]: r.asDict() for r in balanced_undersample(docs).collect()}
+    assert all(a[l]["n_kept"] == 7 for l in ("en", "de", "fr"))
+    assert a["en"]["n_orig"] == 20 and a["de"]["n_orig"] == 7
+    # de keeps everything -> digest is the full-class digest
+    assert a["de"]["sum_kept_ids"] == sum(range(100, 107))
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id long, lang string")
+    b = {r["lang"]: r.asDict() for r in balanced_undersample(shuffled).collect()}
+    assert a == b
+
+
+def test_balanced_undersample_minority_set_stable_under_majority_growth(spark):
+    """Adding documents to a majority class must not change which
+    minority documents are kept (per-class md5 ranking is
+    class-local even though the implementation ranks globally)."""
+    from flume_source_spark.pipeline.dataset9 import balanced_undersample
+
+    base = [(i, "en") for i in range(10)] + [(100 + i, "de") for i in range(5)]
+    grown = base + [(50 + i, "en") for i in range(10)]
+    a = {r["lang"]: r.asDict() for r in balanced_undersample(
+        spark.createDataFrame(base, "doc_id long, lang string")).collect()}
+    b = {r["lang"]: r.asDict() for r in balanced_undersample(
+        spark.createDataFrame(grown, "doc_id long, lang string")).collect()}
+    assert a["de"] == b["de"]
+
+
+def test_balanced_undersample_plan_is_distributed(spark, sf_dir):
+    """The CORPUS-facing rank must ride the global_order helper (its
+    row_number window partitioned by __go_bucket), not a
+    low-cardinality per-lang window. The plan legitimately contains
+    ONE unpartitioned window + single-partition sort - over the
+    per-class COUNT table (<= #langs rows, the accepted
+    post-aggregation bounded class) - so the pin targets the corpus
+    window specifically: every row_number window whose ordering
+    includes the md5 hash column (the corpus rank) must carry the
+    bucket partition."""
+    import re
+
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    p = (
+        qs["ds_balanced_undersample"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__go_bucket" in p  # the helper's bucket column is in play
+    for ln in p.splitlines():
+        m = re.search(r"\bWindow \[[^]]*row_number[^]]*\], \[([^]]*)\]", ln)
+        if m is not None and re.search(r"\bh#\d+", ln):
+            assert "__go_bucket" in ln, f"corpus rank not bucketed: {ln.strip()}"
