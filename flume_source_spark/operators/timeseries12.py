@@ -391,51 +391,7 @@ def ljung_box(hourly: DataFrame, max_lag: int = LB_MAX_LAG) -> DataFrame:
     (stacked); the cumulative Q runs over ≤ max_lag rows."""
     from pyspark.sql import Window
 
-    tot = hourly.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s"),
-    )
-    y = hourly.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "bucket",
-        "n",
-        F.expr("CAST(n AS DECIMAL(38,0)) * cents - s").alias("yv"),
-    )
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    with_lags = y.select(
-        "event_type",
-        "n",
-        "yv",
-        *[
-            F.lag("yv", k).over(w).alias(f"lag{k}")
-            for k in range(1, max_lag + 1)
-        ],
-    )
-    stack_expr = "stack({m}, {args}) AS (k, yl)".format(
-        m=max_lag,
-        args=", ".join(
-            f"CAST({k} AS BIGINT), lag{k}" for k in range(1, max_lag + 1)
-        ),
-    )
-    lagged = with_lags.select("event_type", "n", "yv", F.expr(stack_expr))
-    den = y.groupBy("event_type").agg(
-        F.sum(F.expr("yv * yv")).alias("den")
-    )
-    sums = (
-        lagged.filter(F.col("yl").isNotNull())
-        .groupBy("event_type", "k")
-        .agg(
-            F.max("n").alias("n"),
-            F.sum(F.expr("yv * yl")).alias("num"),
-        )
-        .join(F.broadcast(den), "event_type")
-    )
-    r = sums.select(
-        "event_type",
-        "k",
-        "n",
-        F.expr("CAST(num * 1000000 div den AS BIGINT)").alias("r_ppm"),
-    )
+    r = _acf_ppm_frame(hourly, max_lag)
     wq = Window.partitionBy("event_type").orderBy("k").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -473,3 +429,201 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     return ljung_box(hourly)
+
+
+# shared hourly-ACF CTE for the Ljung-Box and PACF oracles: ends in
+# r(event_type, k, n, r_ppm) on the truncating-ppm grid (both engines
+# truncate integral division toward zero — verified on negatives)
+_ACF_PPM_CTE = f"""
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM hourly GROUP BY event_type
+    ),
+    y AS (
+        SELECT h.event_type, h.bucket,
+               CAST(t.n AS HUGEINT) * h.cents - t.s AS yv, t.n
+        FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    ),
+    lagged AS (
+        SELECT event_type, n, yv,
+               lag(yv, k) OVER (PARTITION BY event_type, k ORDER BY bucket)
+                   AS yl,
+               CAST(k AS BIGINT) AS k
+        FROM y CROSS JOIN (SELECT unnest(generate_series(1, {LB_MAX_LAG})) AS k)
+    ),
+    den AS (
+        SELECT event_type, CAST(sum(yv * yv) AS HUGEINT) AS den
+        FROM y GROUP BY event_type
+    ),
+    sums AS (
+        SELECT l.event_type, l.k, max(l.n) AS n,
+               CAST(sum(l.yv * l.yl) AS HUGEINT) AS num,
+               max(d.den) AS den
+        FROM lagged l JOIN den d ON d.event_type = l.event_type
+        WHERE l.yl IS NOT NULL
+        GROUP BY l.event_type, l.k
+    ),
+    r AS (
+        SELECT event_type, k, n,
+               CAST(num * 1000000 // den AS BIGINT) AS r_ppm
+        FROM sums
+    )"""
+
+_PACF_ORACLE = f"""
+    WITH {_ACF_PPM_CTE},
+    wide AS (
+        SELECT event_type, max(n) AS n_obs,
+               max(CASE WHEN k = 1 THEN r_ppm END) AS r1,
+               max(CASE WHEN k = 2 THEN r_ppm END) AS r2,
+               max(CASE WHEN k = 3 THEN r_ppm END) AS r3
+        FROM r GROUP BY event_type
+    ),
+    dl AS (
+        SELECT event_type, n_obs, r1, r2, r3,
+               CASE WHEN 1000000000000 - r1 * r1 <> 0 THEN
+                   ((r2 * 1000000 - r1 * r1) * 1000000)
+                   // (1000000000000 - r1 * r1)
+               END AS p2
+        FROM wide
+    ),
+    dl2 AS (
+        SELECT event_type, n_obs, r1, r2, r3, p2,
+               r1 - (p2 * r1) // 1000000 AS a21
+        FROM dl
+    ),
+    dl3 AS (
+        SELECT event_type, n_obs, r1, r2, r3, p2,
+               r3 - (a21 * r2) // 1000000 - (p2 * r1) // 1000000 AS n3,
+               1000000 - (a21 * r1) // 1000000 - (p2 * r2) // 1000000 AS d3
+        FROM dl2
+    )
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(r1 AS BIGINT) AS r1_ppm,
+           CAST(r2 AS BIGINT) AS r2_ppm,
+           CAST(r3 AS BIGINT) AS r3_ppm,
+           CAST(r1 AS BIGINT) AS pacf1_ppm,
+           CAST(p2 AS BIGINT) AS pacf2_ppm,
+           CAST(CASE WHEN d3 <> 0 THEN (n3 * 1000000) // d3 END AS BIGINT)
+               AS pacf3_ppm
+    FROM dl3
+    ORDER BY event_type
+"""
+
+
+def pacf_durbin_levinson(hourly: DataFrame) -> DataFrame:
+    """Partial autocorrelations at lags 1..3 via the Durbin-Levinson
+    recursion, unrolled on the truncating-ppm grid over the exact
+    integer ACF (the Ljung-Box fold's r_ppm): pacf₁ = r₁ by
+    definition; pacf₂ = (r₂ − r₁²)/(1 − r₁²); pacf₃ from the level-2
+    coefficients — every product floored to ppm identically on both
+    engines, degenerate denominators (|r₁| = 1, level-3 D = 0)
+    publish NULL. Factored so model tests (pacf₁ ≡ r₁; an AR(1)-like
+    smooth series has |pacf₂| ≪ |pacf₁|) drive the production
+    stages."""
+    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
+
+    r = _acf_ppm_frame(hourly)
+    wide = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.max(F.when(F.col("k") == 1, F.col("r_ppm"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r_ppm"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r_ppm"))).alias("r3"),
+    )
+    dl = wide.withColumn(
+        "p2",
+        F.expr(
+            "CASE WHEN 1000000000000 - r1 * r1 <> 0 THEN"
+            " ((r2 * 1000000 - r1 * r1) * 1000000)"
+            " div (1000000000000 - r1 * r1) END"
+        ),
+    ).withColumn("a21", F.expr("r1 - (p2 * r1) div 1000000"))
+    dl3 = dl.withColumn(
+        "n3", F.expr("r3 - (a21 * r2) div 1000000 - (p2 * r1) div 1000000")
+    ).withColumn(
+        "d3", F.expr("1000000 - (a21 * r1) div 1000000 - (p2 * r2) div 1000000")
+    )
+    return dl3.select(
+        "event_type",
+        "n_obs",
+        F.col("r1").cast("long").alias("r1_ppm"),
+        F.col("r2").cast("long").alias("r2_ppm"),
+        F.col("r3").cast("long").alias("r3_ppm"),
+        F.col("r1").cast("long").alias("pacf1_ppm"),
+        F.col("p2").cast("long").alias("pacf2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN d3 <> 0 THEN (n3 * 1000000) div d3 END AS BIGINT)"
+        ).alias("pacf3_ppm"),
+    ).orderBy("event_type")
+
+
+def _acf_ppm_frame(hourly: DataFrame, max_lag: int = LB_MAX_LAG) -> DataFrame:
+    """The exact-integer ACF fold shared by ljung_box and the PACF:
+    (event_type, k, n, r_ppm) on the truncating-ppm grid."""
+    from pyspark.sql import Window
+
+    tot = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    y = hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * cents - s").alias("yv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    with_lags = y.select(
+        "event_type",
+        "n",
+        "yv",
+        *[
+            F.lag("yv", k).over(w).alias(f"lag{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = "stack({m}, {args}) AS (k, yl)".format(
+        m=max_lag,
+        args=", ".join(
+            f"CAST({k} AS BIGINT), lag{k}" for k in range(1, max_lag + 1)
+        ),
+    )
+    lagged = with_lags.select("event_type", "n", "yv", F.expr(stack_expr))
+    den = y.groupBy("event_type").agg(F.sum(F.expr("yv * yv")).alias("den"))
+    sums = (
+        lagged.filter(F.col("yl").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr("yv * yl")).alias("num"),
+        )
+        .join(F.broadcast(den), "event_type")
+    )
+    return sums.select(
+        "event_type",
+        "k",
+        "n",
+        F.expr("CAST(num * 1000000 div den AS BIGINT)").alias("r_ppm"),
+    )
+
+
+@query(
+    "ts_pacf_durbin_levinson",
+    oracle=_PACF_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations of the hourly cents series per
+    event_type at lags 1..3 (Durbin-Levinson on the ppm grid over the
+    exact integer ACF) — the AR-order fingerprint read next to the
+    ACF when choosing a forecasting model."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return pacf_durbin_levinson(hourly)

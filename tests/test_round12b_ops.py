@@ -852,3 +852,43 @@ def test_balanced_undersample_plan_is_distributed(spark, sf_dir):
         m = re.search(r"\bWindow \[[^]]*row_number[^]]*\], \[([^]]*)\]", ln)
         if m is not None and re.search(r"\bh#\d+", ln):
             assert "__go_bucket" in ln, f"corpus rank not bucketed: {ln.strip()}"
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    """By definition pacf(1) = r(1) - pinned on the corpus for every
+    event_type, anchoring the PACF to the registered Ljung-Box ACF."""
+    from flume_source_spark.registry import load_all
+
+    qs = load_all()
+    pacf = {
+        r["event_type"]: r.asDict()
+        for r in qs["ts_pacf_durbin_levinson"].builder(spark, sf_dir).collect()
+    }
+    lb = {
+        (r["event_type"], r["lag"]): r["r_ppm"]
+        for r in qs["ts_ljung_box"].builder(spark, sf_dir).collect()
+    }
+    for et, row in pacf.items():
+        assert row["pacf1_ppm"] == row["r1_ppm"] == lb[(et, 1)]
+
+
+def test_pacf_smooth_series_damps_higher_lags(spark):
+    """An AR(1)-like smooth ramp: r1, r2, r3 all large and positive,
+    but once lag 1 is partialled out the higher partials shrink -
+    |pacf2| and |pacf3| both well under pacf1 (the AR-order
+    fingerprint the recursion exists to expose)."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import pacf_durbin_levinson
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), t * (64 - t))
+        for t in range(64)
+    ]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, cents long"
+    )
+    r = pacf_durbin_levinson(hourly).collect()[0].asDict()
+    assert r["pacf1_ppm"] > 800_000
+    assert abs(r["pacf2_ppm"]) < r["pacf1_ppm"] // 2
+    assert abs(r["pacf3_ppm"]) < r["pacf1_ppm"] // 2
