@@ -301,3 +301,138 @@ def dq_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
         )
     )
+
+
+_IV_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS BIGINT) AS o,
+               CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id)
+                    AS BIGINT) AS decile
+        FROM documents
+    ),
+    per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o) AS BIGINT) AS pos_k,
+               CAST(count(*) - sum(o) AS BIGINT) AS neg_k
+        FROM scored GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(sum(pos_k) AS BIGINT) AS p,
+               CAST(sum(neg_k) AS BIGINT) AS nb
+        FROM per GROUP BY 1 = 1
+    ),
+    woe AS (
+        SELECT per.decile, per.n, per.pos_k, per.neg_k,
+               CASE WHEN per.pos_k > 0 AND per.neg_k > 0 THEN
+                   round(ln((CAST(per.pos_k AS DOUBLE) * t.nb)
+                            / (CAST(per.neg_k AS DOUBLE) * t.p)), 4)
+               END AS woe_r4,
+               CASE WHEN per.pos_k > 0 AND per.neg_k > 0 THEN
+                   round((CAST(per.pos_k AS DOUBLE) / t.p
+                          - CAST(per.neg_k AS DOUBLE) / t.nb)
+                         * ln((CAST(per.pos_k AS DOUBLE) * t.nb)
+                              / (CAST(per.neg_k AS DOUBLE) * t.p)), 6)
+               END AS iv_term
+        FROM per CROSS JOIN tot t
+    )
+    SELECT decile, n, pos_k, neg_k,
+           CAST(woe_r4 AS DOUBLE) AS woe_r4,
+           CAST(round(sum(coalesce(iv_term, 0)) OVER (), 4) AS DOUBLE)
+               AS iv_total_r4
+    FROM woe
+    ORDER BY decile
+"""
+
+
+def information_value(scored: DataFrame) -> DataFrame:
+    """Weight-of-Evidence / Information-Value table over a
+    (doc_id, score, o) frame: exact global score deciles (the
+    lift_gain_deciles assignment), per-bin WoE = ln(good-share /
+    bad-share) rounded 4, and the total IV (Σ share-difference ×
+    WoE, per-term rounded 6 before the 10-row sum, total rounded 4)
+    — the scorecard predictive-power summary (IV < 0.02 useless,
+    0.1–0.3 medium, > 0.5 suspicious). Bins with a zero cell publish
+    NULL WoE and contribute 0 to IV (documented; the +0.5 Laplace
+    variant changes published numbers and is left to the caller).
+
+    Floats: the ln/division doubles consume exact integers and are
+    rounded on both engines (the text_char_entropy precedent); all
+    counts are exact BIGINT. Scale: identical to dq_lift_gain_deciles
+    — the decile assignment is the distributed global-order plan,
+    everything after is a 10-row frame."""
+    from pyspark.sql import Window
+
+    from flume_source_spark.global_order import with_global_ntile
+
+    tiles = with_global_ntile(
+        scored,
+        10,
+        [F.col("score").desc(), F.col("doc_id")],
+        -F.col("score"),
+        tile_col="decile",
+    )
+    per = tiles.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o").cast("long").alias("pos_k"),
+        (F.count("*") - F.sum("o")).cast("long").alias("neg_k"),
+    )
+    tot = per.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("pos_k").cast("long").alias("p"),
+        F.sum("neg_k").cast("long").alias("nb"),
+    )
+    woe = per.crossJoin(F.broadcast(tot.drop("_g"))).select(
+        "decile",
+        "n",
+        "pos_k",
+        "neg_k",
+        F.expr(
+            "CASE WHEN pos_k > 0 AND neg_k > 0 THEN"
+            " round(ln((CAST(pos_k AS DOUBLE) * nb)"
+            "          / (CAST(neg_k AS DOUBLE) * p)), 4) END"
+        ).alias("woe_r4"),
+        F.expr(
+            "CASE WHEN pos_k > 0 AND neg_k > 0 THEN"
+            " round((CAST(pos_k AS DOUBLE) / p"
+            "        - CAST(neg_k AS DOUBLE) / nb)"
+            "       * ln((CAST(pos_k AS DOUBLE) * nb)"
+            "            / (CAST(neg_k AS DOUBLE) * p)), 6) END"
+        ).alias("iv_term"),
+    )
+    w = Window.partitionBy()
+    return (
+        woe.select(
+            "decile",
+            "n",
+            "pos_k",
+            "neg_k",
+            F.col("woe_r4").cast("double").alias("woe_r4"),
+            F.round(
+                F.sum(F.coalesce(F.col("iv_term"), F.lit(0.0))).over(w), 4
+            )
+            .cast("double")
+            .alias("iv_total_r4"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "dq_information_value",
+    oracle=_IV_ORACLE,
+    tags=("quality", "llm", "scoring"),
+)
+def dq_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE / Information Value of the length-score ranking for
+    lang = 'en' over exact global deciles — the scorecard
+    predictive-power table next to dq_lift_gain_deciles and
+    dq_roc_auc_exact."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return information_value(
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
+        )
+    )

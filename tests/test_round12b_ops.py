@@ -892,3 +892,38 @@ def test_pacf_smooth_series_damps_higher_lags(spark):
     assert r["pacf1_ppm"] > 800_000
     assert abs(r["pacf2_ppm"]) < r["pacf1_ppm"] // 2
     assert abs(r["pacf3_ppm"]) < r["pacf1_ppm"] // 2
+
+
+def test_information_value_uninformative_score_is_zero(spark):
+    """Positives alternate down the ranking: every decile's
+    good-share equals its bad-share -> WoE = 0 in every bin and
+    IV = 0 exactly."""
+    from flume_source_spark.operators.quality5 import information_value
+
+    rows = [(i, 1000 - i, i % 2) for i in range(20)]
+    scored = spark.createDataFrame(rows, "doc_id long, score long, o long")
+    got = [r.asDict() for r in information_value(scored).collect()]
+    assert all(r["woe_r4"] == 0.0 for r in got)
+    assert all(r["iv_total_r4"] == 0.0 for r in got)
+
+
+def test_information_value_separating_score(spark):
+    """A perfectly separating score: pure bins have a zero cell ->
+    NULL WoE (excluded); mixed corpus variant: strong separation
+    (top deciles nearly all positive) yields a large IV - the
+    scorecard's 'suspiciously strong' regime (> 0.5)."""
+    from flume_source_spark.operators.quality5 import information_value
+
+    # 40 rows, 4 per decile: top-half deciles 3 pos / 1 neg, bottom
+    # half 1 pos / 3 neg -> WoE = +-ln 3, IV = 2 * 5 * (2/20) * ln 3
+    # = ln 3 ~ 1.0986
+    rows = []
+    for i in range(40):
+        top = i < 20
+        o = 1 if (i % 4 < 3) == top else 0
+        rows.append((i, 1000 - i, o))
+    scored = spark.createDataFrame(rows, "doc_id long, score long, o long")
+    got = {r["decile"]: r.asDict() for r in information_value(scored).collect()}
+    assert got[1]["woe_r4"] == round(__import__("math").log(3), 4)
+    assert got[10]["woe_r4"] == -round(__import__("math").log(3), 4)
+    assert got[1]["iv_total_r4"] > 0.5
