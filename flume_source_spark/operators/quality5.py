@@ -436,3 +436,97 @@ def dq_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
         )
     )
+
+
+_GINI_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS tok
+        FROM documents
+    ),
+    r AS (
+        SELECT tok,
+               CAST(row_number() OVER (ORDER BY tok, doc_id) AS BIGINT) AS rk
+        FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST((2 * CAST(sum(rk * tok) AS HUGEINT)
+                 - (count(*) + 1) * CAST(sum(tok) AS HUGEINT)) * 1000000
+                // (CAST(count(*) AS HUGEINT) * sum(tok)) AS BIGINT)
+               AS gini_ppm
+    FROM r
+    GROUP BY 1 = 1
+    HAVING sum(tok) > 0
+"""
+
+
+def gini_concentration(sized: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of a non-negative (doc_id, tok) size
+    distribution via the rank formula
+
+        G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx)
+
+    with ranks from the DISTRIBUTED global-order helper (total order
+    (tok, doc_id) — no single-partition sort), published in floored
+    ppm. Closed forms pinned by model tests: all-equal → 0;
+    one-document-owns-everything → (n−1)/n; the 3-doc [0,0,3] case →
+    2/3. Empty or all-zero inputs publish no row (HAVING guard on
+    both engines).
+
+    Scale: the rank is the agg_equidepth global-order plan; the fold
+    is one 1-row aggregate. The Σ r·x product needs
+    DECIMAL(38,0)/HUGEINT (r ≤ n, x ≤ corpus tokens)."""
+    from flume_source_spark.global_order import with_global_rank
+
+    ranked = with_global_rank(
+        sized,
+        [F.col("tok"), F.col("doc_id")],
+        F.col("tok"),
+        rank_col="rk",
+    )
+    return (
+        ranked.groupBy(F.expr("1 = 1").alias("_g"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * tok")).alias("_rx"),
+        )
+        .filter(F.col("total_tokens") > 0)
+        .select(
+            "n",
+            "total_tokens",
+            F.expr(
+                "CAST((2 * _rx - (CAST(n AS DECIMAL(38,0)) + 1) * total_tokens)"
+                " * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+@query(
+    "dq_gini_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("quality", "llm", "stats"),
+)
+def dq_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token distribution — the
+    corpus-concentration number ("do a few documents own most of the
+    tokens?") a mixture review reads before trusting per-document
+    sampling weights. Exact integer rank formula on the distributed
+    global order, one floored-ppm row."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sized = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+        .cast("long")
+        .alias("tok"),
+    )
+    return gini_concentration(sized)

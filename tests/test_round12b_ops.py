@@ -927,3 +927,29 @@ def test_information_value_separating_score(spark):
     assert got[1]["woe_r4"] == round(__import__("math").log(3), 4)
     assert got[10]["woe_r4"] == -round(__import__("math").log(3), 4)
     assert got[1]["iv_total_r4"] > 0.5
+
+
+def test_gini_closed_forms(spark):
+    """All-equal sizes -> G = 0 exactly; one doc owns everything ->
+    G = (n-1)/n; the [0, 0, 3] case -> 2/3 (666,666 ppm floored)."""
+    from flume_source_spark.operators.quality5 import gini_concentration
+
+    eq = spark.createDataFrame([(i, 7) for i in range(5)], "doc_id long, tok long")
+    assert gini_concentration(eq).collect()[0]["gini_ppm"] == 0
+    one = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 3)], "doc_id long, tok long"
+    )
+    assert gini_concentration(one).collect()[0]["gini_ppm"] == 666_666
+    four = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 10)], "doc_id long, tok long"
+    )
+    assert gini_concentration(four).collect()[0]["gini_ppm"] == 750_000
+
+
+def test_gini_empty_and_all_zero(spark):
+    """All-zero sizes have no defined concentration -> zero rows on
+    both engines (the HAVING guard), not a divide-by-zero."""
+    from flume_source_spark.operators.quality5 import gini_concentration
+
+    z = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, tok long")
+    assert gini_concentration(z).count() == 0
