@@ -627,3 +627,132 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     return pacf_durbin_levinson(hourly)
+
+
+_ENTROPY_RATE_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+            FROM trans GROUP BY from_type),
+    grand AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM trans),
+    cond AS (
+        SELECT t.from_type, max(o.row_total) AS row_total,
+               round(-sum((CAST(t.n AS DOUBLE) / o.row_total)
+                          * ln(CAST(t.n AS DOUBLE) / o.row_total)), 4)
+                   AS h_cond_r4
+        FROM trans t JOIN tot o USING (from_type)
+        GROUP BY t.from_type
+    )
+    SELECT from_type, row_total,
+           CAST(h_cond_r4 AS DOUBLE) AS h_cond_r4,
+           CAST(NULL AS DOUBLE) AS entropy_rate_r4
+    FROM cond
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), g.nn, CAST(NULL AS DOUBLE),
+           CAST(round(-sum((CAST(t.n AS DOUBLE) / g.nn)
+                           * ln(CAST(t.n AS DOUBLE) / o.row_total)), 4)
+                AS DOUBLE)
+    FROM trans t JOIN tot o USING (from_type) CROSS JOIN grand g
+    GROUP BY g.nn
+    ORDER BY from_type NULLS LAST
+"""
+
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """Plug-in entropy rate of the first-order event-type Markov
+    chain: per-state conditional entropy H_i = −Σ_j p_ij ln p_ij
+    (nats, rounded 4) and the chain rate H = −Σ_ij (n_ij/N) ln p_ij
+    with the empirical from-state weights — the predictability
+    number a session-stream anomaly detector baselines against (0 =
+    deterministic next event; ln k = uniform). Factored so
+    closed-form model tests (a deterministic cycle → 0 everywhere; a
+    uniform 2-state coin → ln 2) drive the production stages.
+
+    Scale: the ts_transition_matrix plan — one user_id window, one
+    |types|²-cell aggregate; everything after is cell-sized. Floats:
+    ln/division doubles over exact counts, rounded on both engines
+    (the text_char_entropy precedent)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # one window pass, three consumers
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    grand = trans.agg(F.sum("n").cast("long").alias("nn"))
+    joined = trans.join(F.broadcast(tot), "from_type")
+    cond = joined.groupBy("from_type").agg(
+        F.max("row_total").cast("long").alias("row_total"),
+        F.round(
+            -F.sum(
+                (F.col("n").cast("double") / F.col("row_total"))
+                * F.log(F.col("n").cast("double") / F.col("row_total"))
+            ),
+            4,
+        ).alias("h_cond_r4"),
+    )
+    rate = (
+        joined.crossJoin(F.broadcast(grand))
+        .groupBy("nn")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n").cast("double") / F.col("nn"))
+                    * F.log(
+                        F.col("n").cast("double") / F.col("row_total")
+                    )
+                ),
+                4,
+            ).alias("entropy_rate_r4")
+        )
+    )
+    return (
+        cond.select(
+            "from_type",
+            "row_total",
+            F.col("h_cond_r4").cast("double").alias("h_cond_r4"),
+            F.lit(None).cast("double").alias("entropy_rate_r4"),
+        )
+        .unionByName(
+            rate.select(
+                F.lit(None).cast("string").alias("from_type"),
+                F.col("nn").cast("long").alias("row_total"),
+                F.lit(None).cast("double").alias("h_cond_r4"),
+                F.col("entropy_rate_r4").cast("double").alias("entropy_rate_r4"),
+            )
+        )
+        .orderBy(F.col("from_type").asc_nulls_last())
+    )
+
+
+@query(
+    "ts_markov_entropy_rate",
+    oracle=_ENTROPY_RATE_ORACLE,
+    tags=("timeseries", "markov", "stats"),
+)
+def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type succession chain:
+    per-state conditional entropies plus the empirical-weighted chain
+    rate in nats (rounded 4) — the predictability summary of
+    ts_transition_matrix's census."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return markov_entropy_rate(ev.select("user_id", "event_type", "ts", "event_id"))

@@ -953,3 +953,49 @@ def test_gini_empty_and_all_zero(spark):
 
     z = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, tok long")
     assert gini_concentration(z).count() == 0
+
+
+def test_entropy_rate_deterministic_cycle_is_zero(spark):
+    """A deterministic a->b->a->b chain: every conditional
+    distribution is a point mass -> H_i = 0 and the chain rate is 0
+    exactly."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import markov_entropy_rate
+
+    rows = [
+        (1, "a" if t % 2 == 0 else "b", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), t)
+        for t in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {r["from_type"]: r.asDict() for r in markov_entropy_rate(ev).collect()}
+    assert got["a"]["h_cond_r4"] == 0.0 and got["b"]["h_cond_r4"] == 0.0
+    assert got[None]["entropy_rate_r4"] == 0.0
+
+
+def test_entropy_rate_uniform_coin_is_ln2(spark):
+    """A strictly alternating two-user interleave making every
+    transition 50/50: H = ln 2 = 0.6931 nats at every state and for
+    the chain."""
+    import datetime as dt
+    import math
+
+    from flume_source_spark.operators.timeseries12 import markov_entropy_rate
+
+    # one user whose sequence is a de Bruijn-ish 50/50 pattern:
+    # a a b b repeated -> from a: {a, b} equally; from b: {b, a} equally
+    pat = ["a", "a", "b", "b"] * 10
+    rows = [
+        (1, pat[t], dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), t)
+        for t in range(len(pat) - 1)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {r["from_type"]: r.asDict() for r in markov_entropy_rate(ev).collect()}
+    ln2 = round(math.log(2), 4)
+    assert got["a"]["h_cond_r4"] == ln2
+    assert got["b"]["h_cond_r4"] == ln2
+    assert abs(got[None]["entropy_rate_r4"] - ln2) <= 0.02  # edge transitions
