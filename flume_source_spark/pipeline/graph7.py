@@ -137,3 +137,102 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resource_allocation(
         similarity_edges(spark, sf_dir, _RA_RADIUS).select("i", "j")
     )
+
+
+_RICH_CLUB_KS = (1, 2, 4, 8)
+
+_RICH_CLUB_ORACLE = f"""
+    WITH {edge_cte(_RA_RADIUS)},
+    bidir AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
+    deg AS (SELECT i AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM bidir GROUP BY i),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+    rich AS (
+        SELECT k.k, d.node
+        FROM ks k JOIN deg d ON d.deg > k.k
+    ),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY k),
+    ek AS (
+        SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+        FROM edges e
+        JOIN rich r1 ON r1.node = e.i
+        JOIN rich r2 ON r2.k = r1.k AND r2.node = e.j
+        GROUP BY r1.k
+    )
+    SELECT n.k AS min_degree_excl,
+           n.n_rich,
+           CAST(coalesce(e.e_rich, 0) AS BIGINT) AS e_rich,
+           CAST(CASE WHEN n.n_rich >= 2 THEN
+                coalesce(e.e_rich, 0) * 2000000
+                // (n.n_rich * (n.n_rich - 1)) END AS BIGINT) AS phi_ppm
+    FROM nk n LEFT JOIN ek e ON e.k = n.k
+    ORDER BY n.k
+"""
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = _RICH_CLUB_KS) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over an
+    (i < j) edge frame: for each degree threshold k, the density of
+    the subgraph induced by nodes with degree > k, in exact floored
+    ppm (Zhou & Mondragón 2004 — "do the hubs stick together?").
+    Factored so closed-form model tests (a clique of hubs plus
+    pendant leaves → φ = 1e6 at every k below the hub degree; a star
+    → N_k ≤ 1 past the leaves → NULL) drive the production stages.
+
+    Scale: degree table (one aggregate), a ×|ks| literal fan-out of
+    the rich node sets, and TWO membership equi-joins of the edge
+    list against them — no wedge join, output |ks| rows."""
+    bidir = edges.select("i", "j").union(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    deg = bidir.groupBy(F.col("i").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    ks_df = None
+    ks_expr = ", ".join(str(k) for k in ks)
+    rich = (
+        deg.select(
+            "node", "deg", F.explode(F.expr(f"array({ks_expr})")).alias("k")
+        )
+        .filter(F.col("deg") > F.col("k"))
+        .select("k", "node")
+    )
+    nk = rich.groupBy("k").agg(F.count("*").cast("long").alias("n_rich"))
+    ek = (
+        edges.join(rich.withColumnRenamed("node", "i"), "i")
+        .join(rich.withColumnRenamed("node", "j"), ["j", "k"])
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_rich"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("min_degree_excl"),
+            "n_rich",
+            F.coalesce(F.col("e_rich"), F.lit(0)).cast("long").alias("e_rich"),
+            F.expr(
+                "CAST(CASE WHEN n_rich >= 2 THEN"
+                " coalesce(e_rich, 0) * 2000000"
+                " div (n_rich * (n_rich - 1)) END AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("min_degree_excl")
+    )
+
+
+@query(
+    "graph_rich_club",
+    oracle=_RICH_CLUB_ORACLE,
+    tags=("llm", "graph", "stats"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the similarity graph at degree
+    thresholds {1, 2, 4, 8}: the induced-subgraph density of
+    progressively hubbier node sets in exact floored ppm — rising
+    φ(k) means near-duplicate hubs cluster into dense cores (the
+    shape LSH bucket caps exist to contain)."""
+    from flume_source_spark.pipeline.graph2 import similarity_edges
+
+    return rich_club(
+        similarity_edges(spark, sf_dir, _RA_RADIUS).select("i", "j")
+    )

@@ -999,3 +999,36 @@ def test_entropy_rate_uniform_coin_is_ln2(spark):
     assert got["a"]["h_cond_r4"] == ln2
     assert got["b"]["h_cond_r4"] == ln2
     assert abs(got[None]["entropy_rate_r4"] - ln2) <= 0.02  # edge transitions
+
+
+def test_rich_club_hub_clique_with_leaves(spark):
+    """Four mutually-connected hubs (deg 5 each: 3 clique edges + 2
+    pendant leaves): at every threshold k < 5 the rich set is exactly
+    the 4 hubs and their induced subgraph is the complete clique ->
+    phi = 1e6; leaves (deg 1) never enter past k = 1."""
+    from flume_source_spark.pipeline.graph7 import rich_club
+
+    hubs = [1, 2, 3, 4]
+    edges = [(a, b) for i, a in enumerate(hubs) for b in hubs[i + 1:]]
+    leaf = 100
+    for h in hubs:
+        edges += [(h, leaf), (h, leaf + 1)]
+        leaf += 2
+    e = spark.createDataFrame(edges, "i long, j long")
+    got = {r["min_degree_excl"]: r.asDict() for r in rich_club(e).collect()}
+    for k in (1, 2, 4):
+        assert got[k]["n_rich"] == 4
+        assert got[k]["e_rich"] == 6
+        assert got[k]["phi_ppm"] == 1_000_000
+    assert 8 not in got  # empty rich set -> no row on either engine
+
+
+def test_rich_club_star_has_no_club(spark):
+    """A star: one hub (deg 6), leaves deg 1 -> past k = 1 the rich
+    set is the hub alone -> N_k = 1 -> phi NULL (undefined density),
+    never a fabricated number."""
+    from flume_source_spark.pipeline.graph7 import rich_club
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 7)], "i long, j long")
+    got = {r["min_degree_excl"]: r.asDict() for r in rich_club(e).collect()}
+    assert got[2]["n_rich"] == 1 and got[2]["phi_ppm"] is None
