@@ -756,3 +756,104 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_transition_matrix's census."""
     ev = load_tables(spark, sf_dir)["events"]
     return markov_entropy_rate(ev.select("user_id", "event_type", "ts", "event_id"))
+
+
+_TURNING_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, y,
+               lag(y) OVER (PARTITION BY event_type ORDER BY d) AS yp,
+               lead(y) OVER (PARTITION BY event_type ORDER BY d) AS yn
+        FROM daily
+    ),
+    f AS (
+        SELECT event_type,
+               CAST(count(*) + 2 AS BIGINT) AS n,
+               CAST(sum(CASE WHEN (yp < y AND y > yn)
+                             OR (yp > y AND y < yn) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_count
+        FROM ctx WHERE yp IS NOT NULL AND yn IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n, t_count,
+           CAST((2 * (n - 2) * 1000000) // 3 AS BIGINT) AS expected_ppm,
+           CAST(CASE WHEN 16 * n - 29 > 0 THEN round(
+               (CAST(t_count AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+               / sqrt((16.0 * n - 29.0) / 90.0), 4) END AS DOUBLE) AS z_r4
+    FROM f
+    ORDER BY event_type
+"""
+
+
+def turning_points(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Wallis-Moore turning-point test over a (key, d, y) daily
+    frame: count strict local extrema (ties break the turning point —
+    documented; the classical test assumes a continuous series),
+    compare against the i.i.d. expectation 2(n−2)/3 with variance
+    (16n−29)/90, publish the exact count, the expectation in floored
+    ppm, and the normal z (the only floats: one division + one sqrt
+    of exact integers, rounded 4). Too few turning points ⇒ trending
+    (z ≪ 0); too many ⇒ oscillating faster than noise (z ≫ 0).
+    Factored so closed-form model tests (a monotone ramp → 0 turning
+    points; a strict alternation → every interior point turns) drive
+    the production stages.
+
+    Scale: the calendar-bounded daily collapse + one lag/lead window
+    per key + a per-key fold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("d")
+    ctx = daily.select(
+        key,
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    turn = F.when(
+        ((F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")))
+        | ((F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn"))),
+        1,
+    ).otherwise(0)
+    f = (
+        ctx.filter(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+        .groupBy(key)
+        .agg(
+            (F.count("*") + 2).cast("long").alias("n"),
+            F.sum(turn).cast("long").alias("t_count"),
+        )
+    )
+    return f.select(
+        key,
+        "n",
+        "t_count",
+        F.expr("CAST((2 * (n - 2) * 1000000) div 3 AS BIGINT)").alias(
+            "expected_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN 16 * n - 29 > 0 THEN round("
+            " (CAST(t_count AS DOUBLE) - 2.0 * (n - 2) / 3.0)"
+            " / sqrt((16.0 * n - 29.0) / 90.0), 4) END AS DOUBLE)"
+        ).alias("z_r4"),
+    ).orderBy(key)
+
+
+@query(
+    "ts_turning_points",
+    oracle=_TURNING_ORACLE,
+    tags=("timeseries", "stats", "test"),
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallis-Moore turning-point randomness test of the daily
+    event-count series per event_type: exact local-extrema count vs
+    the i.i.d. expectation with the normal z — the quick "is this
+    series random noise" triage next to Mann-Kendall and
+    Ljung-Box."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return turning_points(daily)

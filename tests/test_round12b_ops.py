@@ -1032,3 +1032,24 @@ def test_rich_club_star_has_no_club(spark):
     e = spark.createDataFrame([(0, i) for i in range(1, 7)], "i long, j long")
     got = {r["min_degree_excl"]: r.asDict() for r in rich_club(e).collect()}
     assert got[2]["n_rich"] == 1 and got[2]["phi_ppm"] is None
+
+
+def test_turning_points_ramp_and_alternation(spark):
+    """A monotone ramp has 0 turning points (z far negative); a
+    strict alternation turns at every interior point (t = n - 2, z
+    far positive) - the two regimes the test separates."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import turning_points
+
+    base = dt.date(2024, 1, 1)
+    ramp = [("r", base + dt.timedelta(days=t), 10 + t) for t in range(30)]
+    alt = [("a", base + dt.timedelta(days=t), 10 + (t % 2)) for t in range(30)]
+    daily = spark.createDataFrame(
+        ramp + alt, "event_type string, d date, y long"
+    )
+    got = {r["event_type"]: r.asDict() for r in turning_points(daily).collect()}
+    assert got["r"]["t_count"] == 0 and got["r"]["z_r4"] < -3
+    assert got["a"]["t_count"] == 28 and got["a"]["z_r4"] > 3
+    assert got["r"]["n"] == 30
+    assert got["r"]["expected_ppm"] == (2 * 28 * 1_000_000) // 3
