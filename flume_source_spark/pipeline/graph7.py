@@ -181,7 +181,13 @@ def rich_club(edges: DataFrame, ks: tuple[int, ...] = _RICH_CLUB_KS) -> DataFram
 
     Scale: degree table (one aggregate), a ×|ks| literal fan-out of
     the rich node sets, and TWO membership equi-joins of the edge
-    list against them — no wedge join, output |ks| rows."""
+    list against them — no wedge join, output |ks| rows. The edge
+    frame feeds THREE consumers (degree, both membership joins), so
+    it is checkpointed once — without this the upstream pair join
+    re-ran per consumer (the embstats3 single-corpus-pass lesson; the
+    8× adversarial probe ran past 8 minutes on the duplicated
+    subtrees)."""
+    edges = edges.localCheckpoint(eager=True)
     bidir = edges.select("i", "j").union(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     )
