@@ -64,7 +64,13 @@ _CN_ORACLE = f"""
 def common_neighbors(edges: DataFrame) -> DataFrame:
     """Core link prediction over an (i < j) edge DataFrame: for every
     non-adjacent pair with ≥ 1 shared neighbor, the common-neighbor
-    count, endpoint degrees, and integer-permyriad Jaccard overlap."""
+    count, endpoint degrees, and integer-permyriad Jaccard overlap.
+
+    The edge frame feeds five plan branches (two bidir arms, the
+    wedge pair, the adjacency anti-join, the degree table) —
+    checkpointed once so the upstream pair join runs a single pass
+    (the round-12 rich_club/resource_allocation lesson)."""
+    edges = edges.localCheckpoint(eager=True)
     bidir = edges.select("i", "j").union(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     )

@@ -76,7 +76,14 @@ def resource_allocation(edges: DataFrame) -> DataFrame:
     and the preferential-attachment product. Factored so planted-
     topology model tests (a star whose leaves score via the hub, a
     path whose ends score via the middle) drive the production
-    stages."""
+    stages.
+
+    The edge frame feeds five plan branches (two bidir arms, the
+    wedge pair, the adjacency anti-join, the degree table) —
+    checkpointed once so the upstream pair join runs a single pass
+    (the rich_club lesson; the un-checkpointed 8× adversarial probe
+    read 99 s mostly re-running the edge builder)."""
+    edges = edges.localCheckpoint(eager=True)
     bidir = edges.select("i", "j").union(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     )
