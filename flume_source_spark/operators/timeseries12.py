@@ -857,3 +857,133 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     return turning_points(daily)
+
+
+_RUNS_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(2 * median(y) AS BIGINT) AS med2
+        FROM daily GROUP BY event_type
+    ),
+    signed AS (
+        SELECT d.event_type, d.d,
+               CASE WHEN 2 * d.y > m.med2 THEN 1
+                    WHEN 2 * d.y < m.med2 THEN 0 END AS s
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    seq AS (
+        SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY d) AS sp
+        FROM signed WHERE s IS NOT NULL
+    ),
+    f AS (
+        SELECT event_type,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs
+        FROM seq GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, runs,
+           CAST(CASE WHEN n1 + n2 > 0 THEN
+                (2 * n1 * n2 * 1000000) // (n1 + n2) + 1000000
+                END AS BIGINT) AS expected_ppm,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0
+                     AND (2 * n1 * n2 - n1 - n2) > 0 THEN round(
+               (CAST(runs AS DOUBLE)
+                - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                         * (n1 + n2 - 1))), 4) END AS DOUBLE) AS z_r4
+    FROM f
+    ORDER BY event_type
+"""
+
+
+def runs_test(daily: DataFrame, key: str = "event_type") -> DataFrame:
+    """Wald-Wolfowitz runs test above/below the per-key median over a
+    (key, d, y) daily frame: days AT the median are dropped (the
+    standard continuous-series convention, documented — the doubled
+    comparison 2y vs 2·median keeps the tie test exact for .5
+    medians), runs counted by sign changes, compared against the
+    conditional expectation 2n₁n₂/(n₁+n₂) + 1 (published in floored
+    ppm) with the classical variance; z is the only float (rounded
+    4, NULL-guarded on degenerate one-sided series). Too few runs ⇒
+    level shifts / trending; too many ⇒ high-frequency alternation.
+    Factored so closed-form model tests (a half-low-half-high series
+    → 2 runs, z ≪ 0; strict alternation → n runs, z ≫ 0) drive the
+    production stages.
+
+    Scale: the calendar-bounded daily collapse; the median is an
+    exact per-key percentile over that bounded frame; one lag window
+    + per-key fold."""
+    from pyspark.sql import Window
+
+    med = daily.groupBy(key).agg(
+        (2 * F.expr("percentile(y, 0.5)")).cast("long").alias("med2")
+    )
+    signed = (
+        daily.join(med, key)
+        .select(
+            key,
+            "d",
+            F.when(2 * F.col("y") > F.col("med2"), 1)
+            .when(2 * F.col("y") < F.col("med2"), 0)
+            .alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    w = Window.partitionBy(key).orderBy("d")
+    seq = signed.select(key, "s", F.lag("s").over(w).alias("sp"))
+    f = seq.groupBy(key).agg(
+        F.sum("s").cast("long").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("sp").isNull() | (F.col("s") != F.col("sp")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return f.select(
+        key,
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "CAST(CASE WHEN n1 + n2 > 0 THEN"
+            " (2 * n1 * n2 * 1000000) div (n1 + n2) + 1000000"
+            " END AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n1 > 0 AND n2 > 0"
+            " AND (2 * n1 * n2 - n1 - n2) > 0 THEN round("
+            " (CAST(runs AS DOUBLE)"
+            "  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))"
+            " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+            "        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)"
+            "           * (n1 + n2 - 1))), 4) END AS DOUBLE)"
+        ).alias("z_r4"),
+    ).orderBy(key)
+
+
+@query(
+    "ts_runs_test",
+    oracle=_RUNS_ORACLE,
+    tags=("timeseries", "stats", "test"),
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily event-count series per
+    event_type (above/below the median, ties dropped): exact run
+    counts vs the conditional expectation with the normal z — the
+    level-shift detector next to the turning-point and Mann-Kendall
+    tests."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    return runs_test(daily)

@@ -1053,3 +1053,38 @@ def test_turning_points_ramp_and_alternation(spark):
     assert got["a"]["t_count"] == 28 and got["a"]["z_r4"] > 3
     assert got["r"]["n"] == 30
     assert got["r"]["expected_ppm"] == (2 * 28 * 1_000_000) // 3
+
+
+def test_runs_test_shift_and_alternation(spark):
+    """Half-low-half-high series -> exactly 2 runs (z far negative:
+    a level shift); strict alternation -> a run per day (z far
+    positive) - the regimes the test separates. Odd-length series
+    keep the median day out (tie-drop convention)."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import runs_test
+
+    base = dt.date(2024, 1, 1)
+    shift = [("s", base + dt.timedelta(days=t), 10 if t < 15 else 90) for t in range(30)]
+    alt = [("a", base + dt.timedelta(days=t), 10 + 80 * (t % 2)) for t in range(30)]
+    daily = spark.createDataFrame(shift + alt, "event_type string, d date, y long")
+    got = {r["event_type"]: r.asDict() for r in runs_test(daily).collect()}
+    assert got["s"]["runs"] == 2 and got["s"]["z_r4"] < -4
+    assert got["a"]["runs"] == 30 and got["a"]["z_r4"] > 4
+    assert got["s"]["n1"] == 15 and got["s"]["n2"] == 15
+
+
+def test_runs_test_constant_series_guarded(spark):
+    """A constant series: every day ties the median -> all dropped ->
+    n1 = n2 = 0, NULL z, no crash."""
+    import datetime as dt
+
+    from flume_source_spark.operators.timeseries12 import runs_test
+
+    base = dt.date(2024, 1, 1)
+    daily = spark.createDataFrame(
+        [("c", base + dt.timedelta(days=t), 5) for t in range(10)],
+        "event_type string, d date, y long",
+    )
+    rows = runs_test(daily).collect()
+    assert len(rows) == 0 or (rows[0]["n1"] == 0 and rows[0]["z_r4"] is None)
