@@ -530,3 +530,89 @@ def dq_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok"),
     )
     return gini_concentration(sized)
+
+
+_HHI_ORACLE = """
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+               CAST(sum(chars) AS BIGINT) AS nc
+        FROM per GROUP BY 1 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           max(t.nd) AS n_docs,
+           CAST(sum(CAST(p.n_docs AS HUGEINT) * p.n_docs) * 1000000
+                // (CAST(max(t.nd) AS HUGEINT) * max(t.nd)) AS BIGINT)
+               AS hhi_docs_ppm,
+           CAST(sum(CAST(p.chars AS HUGEINT) * p.chars) * 1000000
+                // (CAST(max(t.nc) AS HUGEINT) * max(t.nc)) AS BIGINT)
+               AS hhi_chars_ppm
+    FROM per p CROSS JOIN tot t
+    GROUP BY 1 = 1
+    HAVING max(t.nd) > 0 AND max(t.nc) > 0
+"""
+
+
+def herfindahl_index(per: DataFrame) -> DataFrame:
+    """Exact Herfindahl-Hirschman concentration over a per-source
+    (n_docs, chars) share table: HHI = Σ shareᵢ² in floored ppm for
+    both the document-count and character-mass shares (1e6/k =
+    perfectly even across k sources; 1e6 = single-source). The
+    antitrust thresholds transfer directly to corpus curation: HHI >
+    250,000 ppm is the "highly concentrated" regime where one
+    source's quirks dominate training. Factored so closed-form model
+    tests (k equal sources → 1e6/k floored; one source owns all →
+    1e6) drive the production stages.
+
+    Scale: the share table is one map-side-combinable aggregate per
+    source; the fold is source-count-sized. Squares of corpus-scale
+    char masses ride DECIMAL(38,0)/HUGEINT."""
+    tot = per.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum("chars").cast("long").alias("nc"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot.drop("_g")))
+        .groupBy("nd", "nc")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum(F.expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs")).alias("_sd"),
+            F.sum(F.expr("CAST(chars AS DECIMAL(38,0)) * chars")).alias("_sc"),
+        )
+        .filter((F.col("nd") > 0) & (F.col("nc") > 0))
+        .select(
+            "n_sources",
+            F.col("nd").alias("n_docs"),
+            F.expr(
+                "CAST(_sd * 1000000 div (CAST(nd AS DECIMAL(38,0)) * nd)"
+                " AS BIGINT)"
+            ).alias("hhi_docs_ppm"),
+            F.expr(
+                "CAST(_sc * 1000000 div (CAST(nc AS DECIMAL(38,0)) * nc)"
+                " AS BIGINT)"
+            ).alias("hhi_chars_ppm"),
+        )
+    )
+
+
+@query(
+    "dq_herfindahl_index",
+    oracle=_HHI_ORACLE,
+    tags=("quality", "llm", "stats"),
+)
+def dq_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus across
+    sources, by document count AND by character mass, in exact
+    floored ppm — the one-row "is this corpus really multi-source"
+    check next to dq_gini_concentration (which measures per-document
+    inequality; HHI measures per-source dominance)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return herfindahl_index(per)

@@ -1088,3 +1088,35 @@ def test_runs_test_constant_series_guarded(spark):
     )
     rows = runs_test(daily).collect()
     assert len(rows) == 0 or (rows[0]["n1"] == 0 and rows[0]["z_r4"] is None)
+
+
+def test_hhi_closed_forms(spark):
+    """k equal sources -> HHI = 1e6/k floored; one source owns
+    everything -> 1e6 on both axes."""
+    from flume_source_spark.operators.quality5 import herfindahl_index
+
+    eq = spark.createDataFrame(
+        [("a", 10, 1000), ("b", 10, 1000), ("c", 10, 1000), ("d", 10, 1000)],
+        "source string, n_docs long, chars long",
+    )
+    r = herfindahl_index(eq).collect()[0].asDict()
+    assert r["hhi_docs_ppm"] == 250_000 == r["hhi_chars_ppm"]
+    one = spark.createDataFrame(
+        [("a", 10, 1000), ("b", 0, 0)], "source string, n_docs long, chars long"
+    )
+    r = herfindahl_index(one).collect()[0].asDict()
+    assert r["hhi_docs_ppm"] == 1_000_000 == r["hhi_chars_ppm"]
+
+
+def test_hhi_axes_can_disagree(spark):
+    """Even doc counts but skewed char mass: the doc axis reads even
+    (500,000 ppm for 2 sources) while the char axis reads
+    concentrated - the reason both are published."""
+    from flume_source_spark.operators.quality5 import herfindahl_index
+
+    per = spark.createDataFrame(
+        [("a", 10, 9000), ("b", 10, 1000)], "source string, n_docs long, chars long"
+    )
+    r = herfindahl_index(per).collect()[0].asDict()
+    assert r["hhi_docs_ppm"] == 500_000
+    assert r["hhi_chars_ppm"] == 820_000  # 0.81 + 0.01
