@@ -375,3 +375,146 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     separating topical vocabulary from boilerplate."""
     d = load_tables(spark, sf_dir)["documents"]
     return term_burstiness(d.select("doc_id", "text"))
+
+
+_JS_ORACLE = """
+    WITH ranked_sources AS (
+        SELECT source, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, source) AS rn
+        FROM documents GROUP BY source
+    ),
+    pick AS (SELECT source, rn FROM ranked_sources WHERE rn <= 2),
+    tok AS (
+        SELECT p.rn, x AS w
+        FROM documents d
+        JOIN pick p ON p.source = d.source,
+        unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+                           t -> length(t) > 0)) AS u(x)
+    ),
+    wc AS (
+        SELECT w,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM tok GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM wc GROUP BY 1 = 1
+    ),
+    terms AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab,
+               sum(CASE WHEN w.a > 0 THEN
+                   (CAST(w.a AS DOUBLE) / t.ta / 2)
+                   * ln((CAST(w.a AS DOUBLE) / t.ta)
+                        / ((CAST(w.a AS DOUBLE) / t.ta
+                            + CAST(w.b AS DOUBLE) / t.tb) / 2))
+                   ELSE 0 END
+                   + CASE WHEN w.b > 0 THEN
+                   (CAST(w.b AS DOUBLE) / t.tb / 2)
+                   * ln((CAST(w.b AS DOUBLE) / t.tb)
+                        / ((CAST(w.a AS DOUBLE) / t.ta
+                            + CAST(w.b AS DOUBLE) / t.tb) / 2))
+                   ELSE 0 END) AS js
+        FROM wc w CROSS JOIN tot t
+        GROUP BY 1 = 1
+    )
+    SELECT vocab AS n_vocab_union,
+           CAST(round(js, 4) AS DOUBLE) AS js_nats_r4,
+           CAST(round(js / ln(2), 4) AS DOUBLE) AS js_bits_r4
+    FROM terms
+"""
+
+
+def js_divergence_sources(docs: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    the corpus's two largest sources (by doc count, source-name
+    tiebreak): JSD = Σ (p/2)·ln(p/m) + (q/2)·ln(q/m) with m the
+    even mixture, over the UNION vocabulary (zero-count terms
+    contribute 0 — JS is finite without smoothing, its advantage
+    over KL for drift monitoring). Published in nats and bits,
+    rounded 4; bounded by ln 2 nats. Factored so closed-form model
+    tests (identical sources → 0; disjoint vocabularies → exactly
+    ln 2) drive the production stages.
+
+    Scale: one (source-pair, word) count collapse (map-side, the
+    vocabulary key space), a 1-row totals broadcast, a
+    vocabulary-sized fold. Floats: ln/divisions of exact counts
+    rounded on both engines (the text_char_entropy precedent)."""
+    from pyspark.sql import Window
+
+    ranked = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "source"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    tok = (
+        docs.join(F.broadcast(ranked), "source")
+        .select(
+            "rn",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("w"),
+        )
+    )
+    wc = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("rn") == 2, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    tot = wc.groupBy(F.expr("1 = 1").alias("_g")).agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    return (
+        wc.crossJoin(F.broadcast(tot.drop("_g")))
+        .groupBy(F.expr("1 = 1").alias("_g"))
+        .agg(
+            F.count("*").cast("long").alias("n_vocab_union"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN a > 0 THEN"
+                    " (CAST(a AS DOUBLE) / ta / 2)"
+                    " * ln((CAST(a AS DOUBLE) / ta)"
+                    "      / ((CAST(a AS DOUBLE) / ta"
+                    "          + CAST(b AS DOUBLE) / tb) / 2))"
+                    " ELSE 0 END"
+                    " + CASE WHEN b > 0 THEN"
+                    " (CAST(b AS DOUBLE) / tb / 2)"
+                    " * ln((CAST(b AS DOUBLE) / tb)"
+                    "      / ((CAST(a AS DOUBLE) / ta"
+                    "          + CAST(b AS DOUBLE) / tb) / 2))"
+                    " ELSE 0 END"
+                )
+            ).alias("_js"),
+        )
+        .select(
+            "n_vocab_union",
+            F.round("_js", 4).cast("double").alias("js_nats_r4"),
+            F.round(F.col("_js") / F.lit(0.6931471805599453), 4)
+            .cast("double")
+            .alias("js_bits_r4"),
+        )
+    )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=_JS_ORACLE,
+    tags=("llm", "text", "quality", "drift"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the two largest sources'
+    unigram distributions (nats and bits, rounded 4) — the
+    smoothing-free vocabulary-drift number a mixture review reads
+    next to dq_drift_psi (binned numerics) and dq_mutual_information
+    (categorical association)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return js_divergence_sources(d.select("source", "text"))

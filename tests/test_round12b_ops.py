@@ -1120,3 +1120,25 @@ def test_hhi_axes_can_disagree(spark):
     r = herfindahl_index(per).collect()[0].asDict()
     assert r["hhi_docs_ppm"] == 500_000
     assert r["hhi_chars_ppm"] == 820_000  # 0.81 + 0.01
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """Identical sources -> JSD = 0 exactly; disjoint vocabularies ->
+    the JS maximum ln 2 nats = 1 bit exactly (rounded 4)."""
+    from flume_source_spark.pipeline.text16 import js_divergence_sources
+
+    r = js_divergence_sources(
+        spark.createDataFrame(
+            [("s1", "alpha beta gamma alpha"), ("s2", "alpha beta gamma alpha")],
+            "source string, text string",
+        )
+    ).collect()[0].asDict()
+    assert r["js_nats_r4"] == 0.0
+    disj = spark.createDataFrame(
+        [("s1", "alpha beta gamma"), ("s2", "delta epsilon zeta")],
+        "source string, text string",
+    )
+    r = js_divergence_sources(disj).collect()[0].asDict()
+    assert r["js_nats_r4"] == 0.6931
+    assert r["js_bits_r4"] == 1.0
+    assert r["n_vocab_union"] == 6
