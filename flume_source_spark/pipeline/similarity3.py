@@ -86,6 +86,18 @@ KNN_BLOCK_CAP = 64
 KNN_NLIST_MAX = 4096
 
 
+def _unit_nv(e: DataFrame) -> DataFrame:
+    """(vec_id, nv) unit-normalized view of a ``(vec_id, v0)`` frame —
+    the shared normalize-ONCE idiom (element ÷ sqrt(self-dot), the
+    graph2._EDGE_CTE IEEE-order contract). Factored for the round-12
+    single-corpus-pass re-shapes: multi-view consumers (descent, the
+    recall audits, the refined ladder) localCheckpoint this frame once
+    instead of re-deriving it — and re-scanning the corpus — per plan
+    branch."""
+    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
+    return e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+
+
 def _default_knn_nlist(n: int) -> int:
     """Adaptive cell count for the production path: ⌈√N⌉ clamped to
     [KNN_NLIST, KNN_NLIST_MAX] — the flat-IVF sweet spot, giving
@@ -706,7 +718,9 @@ def knn_cell_profile(
     return out
 
 
-def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFrame:
+def knn_descent_round(
+    e: DataFrame, edges: DataFrame, k: int = _KNN_K, nv: DataFrame | None = None
+) -> DataFrame:
     """One NN-descent refinement round — the cross-block quality
     repair the capped-block builder defers (blocks bound pair WORK;
     descent recovers neighbors a block boundary hid). Candidates per
@@ -741,11 +755,16 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
     graph, 2k for knn_graph_refined's two-view union), each node
     holds ≤ f + k direction-union rows, candidates are
     ≤ (f+k)² + f + k per node, and the nn2 join output is globally
-    ≤ N·(f+k)² regardless of degree skew."""
+    ≤ N·(f+k)² regardless of degree skew.
+
+    ``nv``: optional pre-normalized (vec_id, nv) frame — a caller
+    holding a checkpointed unit view (the audits, the refined ladder)
+    passes it so the corpus is not re-scanned/re-normalized here;
+    default derives it from ``e`` (round-12 single-pass re-shape)."""
     from pyspark.sql import Window as W
 
-    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
-    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    if nv is None:
+        nv = _unit_nv(e)
     cols = edges.columns
     fwd = (
         edges.select(
@@ -768,7 +787,15 @@ def knn_descent_round(e: DataFrame, edges: DataFrame, k: int = _KNN_K) -> DataFr
         .where(F.col("rn") <= k)
         .drop("rn")
     )
-    both = fwd.union(rev)
+    # materialize the direction union ONCE: ``both`` feeds the nn2
+    # self-join (both sides) and the candidate union — three live
+    # references whose common subtree is the caller's ENTIRE edge
+    # plan (for the refined ladder: the two-view union incl. its
+    # windows and pair joins). Without this the plan re-expands that
+    # subtree per reference (measured 5× embeddings re-scans per
+    # round; round-12 live-scan audit). ≤ 2·N·k id-pair rows — the
+    # same linear-state trade as knn_graph_blocked's checkpoint.
+    both = fwd.union(rev).localCheckpoint(eager=True)
     nn2 = (
         both.alias("a")
         .join(both.alias("b"), F.col("a.j") == F.col("b.i"))
@@ -851,8 +878,10 @@ def knn_graph_refined(
     # so a tuning change there cannot silently diverge from the view
     # this function refines (n passed through to avoid a re-count)
     base = knn_graph_auto(spark, e, k=k, n=n)
-    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
-    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    # one normalized corpus pass, checkpointed: the random view's two
+    # join sides and every descent round read this frame (round-12
+    # single-corpus-pass re-shape — was one re-scan per reference)
+    nv = _unit_nv(e).localCheckpoint(eager=True)
     nblocks = max(1, -(-n // KNN_BLOCK_CAP))
     rb = nv.withColumn("rb", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)))
     rb = rb.select(
@@ -892,12 +921,13 @@ def knn_graph_refined(
     edges = base.select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     ).union(rand_topk)
-    out = knn_descent_round(e, edges, k=k)
+    out = knn_descent_round(e, edges, k=k, nv=nv)
     for _ in range(rounds - 1):
         out = knn_descent_round(
             e,
             out.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")),
             k=k,
+            nv=nv,
         )
     return out
 
@@ -952,7 +982,8 @@ def sim_knn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = knn_graph_blocked(spark, e).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
-    return knn_descent_round(e, base)
+    nv = _unit_nv(e).localCheckpoint(eager=True)
+    return knn_descent_round(e, base, nv=nv)
 
 
 @query(
@@ -969,9 +1000,12 @@ def sim_knn_descent_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = knn_graph_blocked(spark, e).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
-    r1 = knn_descent_round(e, base)
+    nv = _unit_nv(e).localCheckpoint(eager=True)
+    r1 = knn_descent_round(e, base, nv=nv)
     return knn_descent_round(
-        e, r1.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j"))
+        e,
+        r1.select(F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")),
+        nv=nv,
     )
 
 
@@ -1036,8 +1070,11 @@ def sim_knn_refined_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bedges = base.where(F.col("neighbor_id").isNotNull()).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
-    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
-    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    # one normalized corpus pass, checkpointed: the random view's two
+    # join sides, the exact side's corpus scan, the query sample and
+    # the descent round all read this frame (round-12 re-shape — the
+    # live-scan audit counted 16 embeddings re-scans in this plan)
+    nv = _unit_nv(e).localCheckpoint(eager=True)
     md5i = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -1075,7 +1112,7 @@ def sim_knn_refined_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KNN_K)
         .select("i", "j")
     )
-    refined = knn_descent_round(e, bedges.union(rtopk)).select(
+    refined = knn_descent_round(e, bedges.union(rtopk), nv=nv).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
     m = max(n // KNN_AUDIT_BUDGET, 1)
@@ -1147,8 +1184,11 @@ def sim_knn_refined2_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     bedges = base.where(F.col("neighbor_id").isNotNull()).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
-    norm = F.sqrt(_dot(F.col("v0"), F.col("v0")))
-    nv = e.select("vec_id", F.transform("v0", lambda x: x / norm).alias("nv"))
+    # one normalized corpus pass, checkpointed (see
+    # sim_knn_refined_recall_audit — this plan re-scanned embeddings
+    # 102× before the round-12 re-shape: every consumer × two descent
+    # rounds re-expanded the whole upstream subtree)
+    nv = _unit_nv(e).localCheckpoint(eager=True)
     md5i = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -1186,10 +1226,10 @@ def sim_knn_refined2_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") <= _KNN_K)
         .select("i", "j")
     )
-    refined = knn_descent_round(e, bedges.union(rtopk)).select(
+    refined = knn_descent_round(e, bedges.union(rtopk), nv=nv).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
-    refined2 = knn_descent_round(e, refined).select(
+    refined2 = knn_descent_round(e, refined, nv=nv).select(
         F.col("vec_id").alias("i"), F.col("neighbor_id").alias("j")
     )
     m = max(n // KNN_AUDIT_BUDGET, 1)
