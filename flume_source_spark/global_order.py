@@ -27,13 +27,15 @@ decomposition (documented in prose at ``pipeline/dataset3.py`` /
 2. **Local rank** within each bucket: ``row_number`` over
    ``Window.partitionBy(bucket)`` — a hash exchange on the bucket id;
    every sort is bucket-sized.
-3. **Offsets**: per-bucket counts (one map-side-combinable hash
-   aggregate) turned into exclusive prefix sums via a broadcast
-   self-join over the ≤``buckets``² count pairs — deliberately NOT a
-   window, so the helper's plan contains no single-partition SORT and
-   no unpartitioned ``row_number`` window (the plan test pins exactly
-   that; the 1-row scalar total aggregate keeps its inherent 1-row
-   exchange, which is O(buckets), not O(rows)).
+3. **Offsets**: per-bucket counts from ONE tiny collected job
+   (≤``buckets`` rows to the driver — the ``_boundaries`` traffic
+   class) turned into exclusive prefix sums in Python and inlined as
+   an array LITERAL indexed by the bucket id (round-12 re-shape: the
+   previous broadcast count self-join was a second/third full plan
+   branch over the corpus — every helper user re-scanned its input
+   3-4×; the literal leaves exactly one corpus branch and no offset
+   join). Still no window, no single-partition SORT, no unpartitioned
+   ``row_number`` window (the plan test pins exactly that).
 4. ``global rank = offset + local rank``; ``ntile(n)`` is pure
    arithmetic on (rank, total): the first ``total % n`` tiles carry
    ``total div n + 1`` rows — bit-identical to SQL NTILE.
@@ -61,8 +63,6 @@ from pyspark.sql.window import Window
 _BNDS = "__go_bnds"
 _BUCKET = "__go_bucket"
 _LOCAL = "__go_local"
-_OFFSET = "__go_offset"
-_TOTAL = "__go_total"
 
 # percentile_approx sketch accuracy for the boundary pass. Exactness
 # of the rank is provably independent of boundary quality (module
@@ -123,23 +123,24 @@ def _bucketed(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
     return df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double")))
 
 
-def _offsets(bucketed: DataFrame) -> DataFrame:
-    """(bucket, offset, total): exclusive prefix counts via a broadcast
-    self-join on the tiny per-bucket count frame (≤ buckets rows) —
-    no window, no single-partition exchange anywhere."""
-    cnt = bucketed.groupBy(_BUCKET).agg(F.count("*").alias("__go_n"))
-    lower = cnt.select(
-        F.col(_BUCKET).alias("__go_b2"), F.col("__go_n").alias("__go_n2")
-    )
-    off = (
-        cnt.join(
-            F.broadcast(lower), F.col("__go_b2") < F.col(_BUCKET), "left"
-        )
-        .groupBy(_BUCKET, "__go_n")
-        .agg(F.coalesce(F.sum("__go_n2"), F.lit(0)).alias(_OFFSET))
-    )
-    tot = off.agg(F.sum("__go_n").alias(_TOTAL))
-    return off.crossJoin(F.broadcast(tot)).select(_BUCKET, _OFFSET, _TOTAL)
+def _offset_literals(bucketed: DataFrame, n_buckets: int) -> tuple[list[int], int]:
+    """Exclusive prefix counts per bucket as DRIVER-SIDE literals: one
+    tiny job (≤ buckets rows collected — the same bounded-driver-traffic
+    class as ``_boundaries``). Round-12 re-shape: the previous
+    formulation built the offsets as a broadcast self-join over a
+    per-bucket count frame derived from ``bucketed`` — a SECOND (and,
+    unmaterialized, third) full plan branch over the corpus, so every
+    helper user re-scanned its input 3-4× per run (live-scan audit).
+    Counting once and inlining ``offset[bucket]`` as an array literal
+    leaves exactly ONE corpus branch in the main plan and deletes the
+    join + two broadcast exchanges outright (guide §2.4)."""
+    rows = bucketed.groupBy(_BUCKET).agg(F.count("*").alias("__go_n")).collect()
+    cnt = {r[_BUCKET]: r["__go_n"] for r in rows}
+    offs, acc = [], 0
+    for b in range(n_buckets):
+        offs.append(acc)
+        acc += cnt.get(b, 0)
+    return offs, acc
 
 
 def with_global_rank(
@@ -154,15 +155,22 @@ def with_global_rank(
     ``order_cols`` (and optionally ``total_col`` = table row count)
     without any corpus-sized single-partition sort. See module doc for
     the contract on ``bucket_key``."""
-    b = _bucketed(df, bucket_key, buckets)
+    bnds = _boundaries(df, bucket_key, buckets)
+    if not bnds:  # empty input (or all-null key): one bucket
+        b = df.withColumn(_BUCKET, F.lit(0))
+        n_buckets = 1
+    else:
+        b = df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double")))
+        n_buckets = len(bnds) + 1
+    offs, total = _offset_literals(b, n_buckets)
     local = F.row_number().over(Window.partitionBy(_BUCKET).orderBy(*order_cols))
-    ranked = b.withColumn(_LOCAL, local)
-    out = ranked.join(F.broadcast(_offsets(b)), _BUCKET).withColumn(
-        rank_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long")
+    out = b.withColumn(_LOCAL, local).withColumn(
+        rank_col,
+        (F.element_at(F.lit(offs), F.col(_BUCKET) + 1) + F.col(_LOCAL)).cast("long"),
     )
     keep = df.columns + [rank_col] + ([total_col] if total_col else [])
     if total_col:
-        out = out.withColumn(total_col, F.col(_TOTAL).cast("long"))
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
     return out.select(*keep)
 
 
