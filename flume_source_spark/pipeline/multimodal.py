@@ -411,7 +411,18 @@ def _phash_cand_wide(ph: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared candidate stage: the capped band equi-join's distinct
     i<j pair set and the doc-wide band-value pivot — the inputs to
     both the radius membership query (phash_hamming_pairs) and the
-    top-k serving lookup (phash_similar_topk)."""
+    top-k serving lookup (phash_similar_topk).
+
+    Round-12 single-corpus-pass re-shape: ``ph`` embeds the whole
+    sketch pipeline (shingle explode + md5 + three aggregations) and
+    is referenced by FOUR branches here (cap filter, kept side, pair
+    side, pivot), and the outputs are themselves multiply consumed
+    (top-k mirrors ``cand``; every caller joins ``wide`` per pair
+    side) — unmaterialized, the corpus was re-scanned up to 62× per
+    plan (live-scan audit). Each frame is linear and small ((doc_id,
+    band, v) ×4 / capped pairs / one row per doc), so all three are
+    checkpointed once."""
+    ph = ph.localCheckpoint(eager=True)
     keep = (
         ph.groupBy("band", "v")
         .agg(F.count("*").alias("bn"))
@@ -429,13 +440,14 @@ def _phash_cand_wide(ph: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     wide = ph.groupBy("doc_id").agg(
         *[
             F.min(F.when(F.col("band") == b, F.col("v"))).alias(f"b{b}")
             for b in range(PHASH_BANDS)
         ]
-    )
+    ).localCheckpoint(eager=True)
     return cand, wide
 
 
