@@ -380,7 +380,10 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     one histogram aggregate; the left join keeps isolates without
     shuffling document text."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    # materialize the shingle-join pair list ONCE: both endpoint
+    # projections re-expanded the whole Jaccard pipeline (9 corpus
+    # re-scans, round-12 live-scan audit); the pair frame is tiny
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(eager=True)
     ends = pairs.select(F.col("i").alias("doc_id")).unionAll(pairs.select(F.col("j").alias("doc_id")))
     deg = (
         docs.select("doc_id")

@@ -148,7 +148,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in |E|."""
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
-    edges = similarity_edges(spark, sf_dir).select("i", "j")
+    # materialize the pairwise-cosine edge join ONCE: bidir + both
+    # degree join-backs referenced it 12x unmaterialized (round-12
+    # live-scan audit) — the triangle-census checkpoint discipline
+    edges = similarity_edges(spark, sf_dir).select("i", "j").localCheckpoint(eager=True)
     bidir = edges.union(edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
     deg = bidir.groupBy(F.col("i").alias("node")).agg(F.count("*").alias("deg"))
     ends = (
@@ -221,7 +224,9 @@ def graph_edge_support_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the first candidate to cut before transitive closure."""
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
-    edges = similarity_edges(spark, sf_dir).select("i", "j")
+    # one materialized edge pass for the wedge join's three legs +
+    # the zero-support join-back (was 12 corpus re-scans, audit)
+    edges = similarity_edges(spark, sf_dir).select("i", "j").localCheckpoint(eager=True)
     bidir = edges.union(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     )
@@ -322,7 +327,11 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir, so reach counts exclude the node itself in both engines."""
     from flume_source_spark.pipeline.graph2 import similarity_edges
 
-    return two_hop_reach(similarity_edges(spark, sf_dir).select("i", "j"))
+    # one materialized edge pass for the bidir union + both hop legs
+    # (was 16 corpus re-scans, round-12 live-scan audit)
+    return two_hop_reach(
+        similarity_edges(spark, sf_dir).select("i", "j").localCheckpoint(eager=True)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -137,6 +137,11 @@ def _community_profile(edges: DataFrame, membership: DataFrame):
     m) so consumers needing 2m get the EXACT Python int, not a float
     roundtrip through q_den."""
     edges = edges.select("i", "j").localCheckpoint(eager=True)
+    # membership feeds three branches (degree rollup, both endpoint
+    # joins) + the community spine — materialize its tiny projection
+    # once instead of re-scanning its source table per branch
+    # (round-12 live-scan audit: 4x customer)
+    membership = membership.localCheckpoint(eager=True)
     m = edges.count()
     deg = (
         edges.select(F.col("i").alias("id"))
@@ -334,12 +339,16 @@ def graph_label_propagation_round(spark: SparkSession, sf_dir: str) -> DataFrame
     the community-detection step whose outcome graph_modularity_exact
     and graph_conductance_exact evaluate."""
     pts = _points(spark, sf_dir)
-    edges = grid_pairs(pts, _GRAPH_RADIUS)
+    # one materialized pass each for the proximity pair join and the
+    # membership projection: lpa_round references edges twice (the
+    # direction union) and membership twice (votes + final join) —
+    # unmaterialized this plan re-scanned customer 6x (round-12 audit)
+    edges = grid_pairs(pts, _GRAPH_RADIUS).select("i", "j").localCheckpoint(eager=True)
     nat = load_tables(spark, sf_dir)["customer"].select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").cast("long").alias("community"),
-    )
-    return lpa_round(edges.select("i", "j"), nat)
+    ).localCheckpoint(eager=True)
+    return lpa_round(edges, nat)
 
 
 # ---------------------------------------------------------------------------
