@@ -155,29 +155,9 @@ def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("t", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            F.lit(0).alias("died"),
-        )
-    )
-    return nelson_aalen(died.unionByName(cens))
+    from flume_source_spark.operators.timeseries7 import survival_durations
+
+    return nelson_aalen(survival_durations(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -324,36 +304,14 @@ def _arm_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(arm, t, died) durations: consecutive-event whole-hour gaps
     (died = 1) + per-user final open gap to the corpus max (died = 0),
     carrying the deterministic arm = user_id % 2."""
+    from flume_source_spark.operators.timeseries7 import survival_durations
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id",
         (F.col("user_id") % 2).cast("long").alias("arm"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        "arm",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("arm", "t", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id", "arm")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            "arm",
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            F.lit(0).alias("died"),
-        )
-    )
-    return died.unionByName(cens)
+    return survival_durations(ev, ("arm",)).select("arm", "t", "died")
 
 
 def ab_report_from(durations: DataFrame, tau: int) -> DataFrame:
@@ -363,12 +321,15 @@ def ab_report_from(durations: DataFrame, tau: int) -> DataFrame:
     all 1-row/bounded frames joined by broadcast into one plan.
     Factored so model tests anchor every column to the standalone
     component folds on the same planted durations."""
+    durations = durations.localCheckpoint(eager=True)
     lr = logrank(
         durations.select(
             "t", (F.col("arm") == 0).cast("long").alias("g1"), "died"
         )
     )
-    km2 = km_by_group(durations)
+    # per-arm RMST re-filters this frame twice and the KM fold embeds
+    # a python kernel — materialize the calendar-sized table once
+    km2 = km_by_group(durations).localCheckpoint(eager=True)
 
     def rmst_for(arm: int, suffix: str) -> DataFrame:
         curve = km2.filter(F.col("arm") == arm).select(
@@ -517,29 +478,9 @@ def ts_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("t", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            F.lit(0).alias("died"),
-        )
-    )
-    return greenwood(died.unionByName(cens))
+    from flume_source_spark.operators.timeseries7 import survival_durations
+
+    return greenwood(survival_durations(ev))
 
 
 @query(

@@ -407,6 +407,49 @@ def _km_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def survival_durations(ev: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """``(*extra_cols, t, died)`` whole-hour gap durations over a
+    ``(user_id, ts [, extras])`` event projection in ONE window pass —
+    the shared input of the whole survival family (KM, Nelson-Aalen,
+    Greenwood, log-rank, per-arm curves, the A/B report).
+
+    Round-12 single-corpus-pass re-shape: the previous formulation
+    built died rows from a lead window and censor rows from a separate
+    per-user ``groupBy(max(ts))`` branch crossed with a global-max
+    aggregate — three plan branches over the events projection, so
+    every survival query re-scanned events 3× (and the composed
+    consumers up to 15×, live-scan audit). Here the SAME lead window
+    yields both: a row with a successor is a died=1 gap; each user's
+    window-LAST row (lead IS NULL — exactly the per-user max(ts) row,
+    and for tied maxima a row with the identical ts value) is the
+    right-censored open gap to the corpus max, which is collected once
+    as a driver literal (a deterministic 1-value agg — the
+    global_order boundary-literal class). Byte-identical durations,
+    one corpus branch + one tiny scalar job, and the per-user groupBy
+    shuffle is gone (the window already shuffles on user_id).
+
+    NOT used by the stratified log-rank: its censor rows carry a
+    tie-broken ``max_by`` stratum whose tiebreak is not expressible as
+    "the window-last row" under duplicate timestamps — that builder
+    keeps its two-branch shape and materializes it instead."""
+    from pyspark.sql import Window as W
+
+    gmax_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    nxt = F.unix_micros(
+        F.lead("ts", 1).over(W.partitionBy("user_id").orderBy("ts"))
+    )
+    base = ev.select(
+        *extra_cols,
+        (F.coalesce(nxt, F.lit(gmax_us)) - F.unix_micros("ts")).alias("__dur_us"),
+        F.when(nxt.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("died"),
+    )
+    return base.select(
+        *extra_cols,
+        F.expr("CAST(__dur_us div 3600000000 AS BIGINT)").alias("t"),
+        "died",
+    )
+
+
 def kaplan_meier(durations: DataFrame) -> DataFrame:
     """Core KM fold over a ``(t, died)`` duration frame (t BIGINT,
     died 0/1). Factored so closed-form model tests (no censoring →
@@ -452,28 +495,4 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    from pyspark.sql import Window as W
-
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("t", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            F.lit(0).alias("died"),
-        )
-    )
-    return kaplan_meier(died.unionByName(cens))
+    return kaplan_meier(survival_durations(ev))

@@ -217,36 +217,14 @@ def ts_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity-split arm flag): observed vs expected arm-1 events,
     hypergeometric variance, and chi2_ppm ~ χ²(1) under H0 — all in
     exact integer ppm. One row out."""
+    from flume_source_spark.operators.timeseries7 import survival_durations
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id",
         (F.col("user_id") % 2 == 0).cast("long").alias("g1"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        "g1",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("t", "g1", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id", "g1")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            "g1",
-            F.lit(0).alias("died"),
-        )
-    )
-    return logrank(died.unionByName(cens))
+    return logrank(survival_durations(ev, ("g1",)))
 
 
 # ---------------------------------------------------------------------------
@@ -797,13 +775,18 @@ def ts_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     controlling for the gap's opening event type: per-stratum marginal
     tests plus the '__all__' stratified statistic, all in exact
     integer ppm."""
+    # the projection feeds three branches (global max, lead window,
+    # per-user max_by) and the per-stratum folds re-expand the
+    # durations — 12 events scans unmaterialized (round-12 audit);
+    # the tie-broken max_by stratum keeps this builder off the shared
+    # one-window survival_durations helper (see its docstring)
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_id",
         "user_id",
         (F.col("user_id") % 2 == 0).cast("long").alias("g1"),
         "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
-    )
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window as W
 
     gmax = ev.agg(F.max("ts").alias("g"))
@@ -837,7 +820,9 @@ def ts_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("died"),
         )
     )
-    return logrank_stratified(died.unionByName(cens))
+    return logrank_stratified(
+        died.unionByName(cens).localCheckpoint(eager=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -974,33 +959,11 @@ def ts_km_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two user arms' Kaplan-Meier re-engagement curves side by
     side (exact recursive integer-ppm product per arm) — the curves
     behind ts_logrank's one-number verdict."""
+    from flume_source_spark.operators.timeseries7 import survival_durations
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id",
         (F.col("user_id") % 2).cast("long").alias("arm"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    gmax = ev.agg(F.max("ts").alias("g"))
-    gaps = ev.select(
-        "user_id",
-        "arm",
-        F.expr(
-            "CAST((unix_micros(lead(ts, 1) OVER"
-            " (PARTITION BY user_id ORDER BY ts)) - unix_micros(ts))"
-            " div 3600000000 AS BIGINT)"
-        ).alias("t"),
-    ).where(F.col("t").isNotNull())
-    died = gaps.select("arm", "t", F.lit(1).alias("died"))
-    cens = (
-        ev.groupBy("user_id", "arm")
-        .agg(F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            "arm",
-            F.expr(
-                "CAST((unix_micros(g) - unix_micros(last_ts))"
-                " div 3600000000 AS BIGINT)"
-            ).alias("t"),
-            F.lit(0).alias("died"),
-        )
-    )
-    return km_by_group(died.unionByName(cens))
+    return km_by_group(survival_durations(ev, ("arm",)))
