@@ -632,21 +632,50 @@ _DRIVER_GREEN_R11 = frozenset(
     }
 )
 
-# Round-12 hash-green artifact-currency re-pin tier (VERDICT r11
-# "Next round" item 3): the 13 queries whose LATEST driver artifact is
-# still CORRECTNESS_r03.json (the _R11_STALE_REPIN tail the 50-row r11
-# sweep didn't reach) followed by the 42 whose latest is r04. No
+# Queries with a row in the driver's CORRECTNESS_r12.json: the 50-row
+# round-12 sweep = the 26 round-12 build-session registrations + the
+# survival/global-order/pHash re-shape verify-first rows + the first 6
+# _R12_STALE_REPIN artifact-currency re-pins — all 50 hash-green, 0
+# red, 0 rows-only (PERF_r12: queries_newly_failing empty).
+_DRIVER_GREEN_R12 = frozenset(
+    {
+        "agg_equidepth_histogram", "dedup_cdc_chunks",
+        "dq_brier_decomposition", "dq_gini_concentration",
+        "dq_herfindahl_index", "dq_information_value",
+        "dq_lift_gain_deciles", "dq_mutual_information",
+        "ds_balanced_undersample", "ds_batch_plan", "ds_curriculum_order",
+        "ds_shard_snake_balance", "emb_isotropy_audit",
+        "emb_prefix_recall_curve", "entity_golden_record_audit",
+        "geo_knn_join", "graph_bipartite_copurchase", "graph_hits_exact",
+        "graph_resource_allocation", "graph_rich_club",
+        "multimodal_phash_recall_audit", "sim_mmr_rerank",
+        "source_jsonl_roundtrip", "source_orc_roundtrip",
+        "streaming_static_enrich", "text_bigram_lm",
+        "text_bigram_lm_heldout", "text_good_turing",
+        "text_js_divergence_sources", "text_kneser_ney_bigram",
+        "text_mattr_diversity", "text_rake_keywords",
+        "text_term_burstiness", "text_vocab_growth",
+        "text_winnowing_dup_pairs", "text_winnowing_profile",
+        "ts_curation_ab_report", "ts_hurst_rs", "ts_km_greenwood",
+        "ts_ljung_box", "ts_mann_whitney_u", "ts_markov_entropy_rate",
+        "ts_nelson_aalen", "ts_pacf_durbin_levinson", "ts_runs_test",
+        "ts_seasonal_strength", "ts_turning_points",
+        "udf_grouped_map_zscore", "udf_map_in_arrow", "udf_row_classify",
+    }
+)
+
+# Round-13 hash-green artifact-currency re-pin tier (VERDICT r12
+# "Next round" item 6): the unswept _R12_STALE_REPIN remainder (7
+# r3-era + 42 r4-era — the r12 sweep re-pinned the first 6 r3-era
+# heads) followed by the 42 whose latest artifact is r05. No
 # correctness doubt — all hash-green on current fixtures in every
-# local full sweep since — purely driver artifact freshness. r3-era
-# heads lead; the r4 block puts one-per-family heads first so a
-# truncated sweep still spans families. A later-round artifact row
-# retires each dynamically. Sweeping ~38 of these clears the r3 tier
-# entirely and takes the oldest-artifact round to r4's tail.
-_R12_STALE_REPIN = (
-    # r3-era (13) — the unswept _R11_STALE_REPIN remainder
-    "streaming_static_enrich", "udf_grouped_map_zscore",
-    "udf_row_classify", "udf_map_in_arrow", "source_jsonl_roundtrip",
-    "source_orc_roundtrip", "source_csv_options", "sql_interface_cte",
+# local full sweep since — purely driver artifact freshness. A
+# later-round artifact row retires each dynamically. Sweeping ~49 of
+# these clears the r3+r4 tiers entirely and takes the oldest-artifact
+# round to r5.
+_R13_STALE_REPIN = (
+    # r3-era (7) — the unswept _R12_STALE_REPIN remainder
+    "source_csv_options", "sql_interface_cte",
     "sql_lateral_topk", "multimodal_decode", "multimodal_frame_sample",
     "filemeta_ignore_pattern", "agg_incremental_merge",
     # r4-era one-per-family heads (17)
@@ -667,19 +696,37 @@ _R12_STALE_REPIN = (
     "text_unigram_logprob", "ts_event_pattern_regex", "ts_interp_linear",
     "ts_outlier_mad", "ts_peak_detection", "ts_transition_matrix",
     "window_distinct_count_emulation",
+    # r5-era (42) — latest artifact CORRECTNESS_r05.json, all oracled
+    "agg_heavy_hitters", "agg_percentile_disc_cont",
+    "agg_regression_family", "constraint_check", "dedup_cluster_cc_lsh",
+    "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
+    "dedup_incremental_lsh", "ds_importance_resample",
+    "ds_length_histogram", "ds_mixture_temperature",
+    "ds_pack_attention_spans", "ds_reservoir_per_group", "emb_norm_stats",
+    "filemeta_sharded_scan", "graph_pagerank_exact",
+    "graph_triangle_count", "join_asof_forward", "join_asof_tolerance",
+    "join_existence_or", "join_null_safe", "multimodal_clip_filter",
+    "multimodal_content_dedup", "profile_summary", "scalar_bitwise",
+    "scalar_collation", "scalar_regexp_suite", "sim_mips_topk",
+    "sink_clustered_write", "sink_compact_small_files",
+    "sink_spool_writer", "sink_zorder_write", "source_parquet_metadata",
+    "source_schema_evolution", "sql_group_by_all", "sql_pipe_syntax",
+    "streaming_cdc_latest_batch", "ts_cusum_changepoint",
+    "udtf_analyze_dynamic", "upsert_time_travel", "window_range_interval",
 )
 
-# ROUND-13 NOTE: when CORRECTNESS_r12.json lands, the dynamic pickup
-# re-tiers automatically. The manual hygiene step is: fold r12's keys
-# into a hardcoded _DRIVER_GREEN_R12, bump _KNOWN_ROUNDS to 12, and
-# retire the swept prefix of _R12_STALE_REPIN (the remainder forms the
-# natural _R13_STALE_REPIN head, ahead of the 43 r5-era rows).
-_KNOWN_ROUNDS = 11
+# ROUND-14 NOTE: when CORRECTNESS_r13.json lands, the dynamic pickup
+# re-tiers automatically. The manual hygiene step is: fold r13's keys
+# into a hardcoded _DRIVER_GREEN_R13, bump _KNOWN_ROUNDS to 13, and
+# retire the swept prefix of _R13_STALE_REPIN (the remainder forms the
+# natural _R14_STALE_REPIN head, ahead of the r6-era rows).
+_KNOWN_ROUNDS = 12
 
 _FRESH_GREEN = (
     _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
     | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08
     | _DRIVER_GREEN_R09 | _DRIVER_GREEN_R10 | _DRIVER_GREEN_R11
+    | _DRIVER_GREEN_R12
 )
 
 # Pre-regeneration greens: driver-verified in r01/r02 but BEFORE the
@@ -918,15 +965,15 @@ def load_all() -> dict[str, QuerySpec]:
             if n in REGISTRY and n not in dyn_swept and n not in fresh
         }
     )
-    # Tier 3.7: round-12 hash-green artifact-currency re-pins — the 13
-    # r3-era + 42 r4-era rows (VERDICT r11 item 3), behind every
-    # never-swept registration. A later-round (r12+) artifact row
-    # retires each dynamically, so this tier self-empties as sweeps
-    # land.
+    # Tier 3.7: round-13 hash-green artifact-currency re-pins — the 7
+    # r3-era + 42 r4-era + 42 r5-era rows (VERDICT r12 item 6), behind
+    # every never-swept registration. A later-round (r13+) artifact
+    # row retires each dynamically, so this tier self-empties as
+    # sweeps land.
     ordered.update(
         {
             n: REGISTRY[n]
-            for n in _R12_STALE_REPIN
+            for n in _R13_STALE_REPIN
             if n in REGISTRY and n not in dyn_swept
         }
     )

@@ -424,11 +424,12 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R09,
         _DRIVER_GREEN_R10,
         _DRIVER_GREEN_R11,
+        _DRIVER_GREEN_R12,
         _DRIVER_ROWSONLY_R06,
         _FRESH_GREEN,
         _R07_STALE_REPIN,
         _R10_ROWSONLY_REPIN,
-        _R12_STALE_REPIN,
+        _R13_STALE_REPIN,
         _STALE_GREEN,
         _later_round_artifacts,
         load_all,
@@ -448,6 +449,7 @@ def test_registry_green_sets_are_consistent():
         _DRIVER_GREEN_R09,
         _DRIVER_GREEN_R10,
         _DRIVER_GREEN_R11,
+        _DRIVER_GREEN_R12,
         _DRIVER_ROWSONLY_R06,
     ):
         missing = s - names
@@ -460,17 +462,19 @@ def test_registry_green_sets_are_consistent():
         assert REGISTRY[n].oracle is None, n
         assert n in _FRESH_GREEN, n
         assert n in _DRIVER_GREEN_R10, n
-    # the r12 re-pin tier is exclusively hash-ORACLED queries whose
-    # latest driver artifact is r3- or r4-era (they sit in
-    # _DRIVER_GREEN_R03/R04 and nothing later re-pinned them)
-    assert set(_R12_STALE_REPIN) <= names
-    for n in _R12_STALE_REPIN:
+    # the r13 re-pin tier is exclusively hash-ORACLED queries whose
+    # latest driver artifact is r3-, r4- or r5-era (they sit in
+    # _DRIVER_GREEN_R03/R04/R05 and nothing later re-pinned them)
+    assert set(_R13_STALE_REPIN) <= names
+    for n in _R13_STALE_REPIN:
         assert REGISTRY[n].oracle is not None, n
-        assert n in (_DRIVER_GREEN_R03 | _DRIVER_GREEN_R04), n
+        assert n in (
+            _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
+        ), n
         assert n not in (
-            _DRIVER_GREEN_R05 | _DRIVER_GREEN_R06
+            _DRIVER_GREEN_R06
             | _DRIVER_GREEN_R07 | _DRIVER_GREEN_R08 | _DRIVER_GREEN_R09
-            | _DRIVER_GREEN_R10 | _DRIVER_GREEN_R11
+            | _DRIVER_GREEN_R10 | _DRIVER_GREEN_R11 | _DRIVER_GREEN_R12
         ), n
     assert not (_STALE_GREEN & _FRESH_GREEN)
     # r06-r11 sweeps must have LEFT the stale/verify tiers
@@ -480,6 +484,7 @@ def test_registry_green_sets_are_consistent():
     assert _DRIVER_GREEN_R09 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R10 <= _FRESH_GREEN
     assert _DRIVER_GREEN_R11 <= _FRESH_GREEN
+    assert _DRIVER_GREEN_R12 <= _FRESH_GREEN
     # the round-9 re-shape (sim_knn_graph singleton fold) and the two
     # verify-first arithmetic re-implementations went through the
     # verify-first block and now carry fresh r09 rows (ADVICE r8
@@ -530,13 +535,13 @@ def test_registry_green_sets_are_consistent():
         if n in REGISTRY and n not in dyn_swept and n not in fresh
     ]
     assert ordered[n_head : n_head + len(expected_repin)] == expected_repin
-    # tier 3.7: the r3/r4-era hash-green artifact-currency re-pins in
-    # declared order, each retired the moment an r12+ row lands
+    # tier 3.7: the r3/r4/r5-era hash-green artifact-currency re-pins
+    # in declared order, each retired the moment an r13+ row lands
     n_head += len(expected_repin)
-    expected_r12 = [
-        n for n in _R12_STALE_REPIN if n in REGISTRY and n not in dyn_swept
+    expected_r13 = [
+        n for n in _R13_STALE_REPIN if n in REGISTRY and n not in dyn_swept
     ]
-    assert ordered[n_head : n_head + len(expected_r12)] == expected_r12
+    assert ordered[n_head : n_head + len(expected_r13)] == expected_r13
     # the whole registry is ordered exactly once
     assert len(ordered) == len(names)
 
@@ -590,9 +595,9 @@ def test_later_round_artifact_reorders_sweep(monkeypatch):
 
     # pick the scenario fixtures from the LIVE re-pin tier (the r10
     # sweep retired the rows-only currency queue, so the only
-    # leave-on-sweep tier left is the r12 hash-green currency queue)
+    # leave-on-sweep tier left is the r13 hash-green currency queue)
     dyn_swept0, _ = reg._later_round_artifacts()
-    live_repin = [n for n in reg._R12_STALE_REPIN if n not in dyn_swept0]
+    live_repin = [n for n in reg._R13_STALE_REPIN if n not in dyn_swept0]
     assert len(live_repin) >= 2, "scenario needs two still-queued re-pins"
     stale_head, stale_next = live_repin[0], live_repin[1]
     fresh_red = "q01_pricing_summary"             # previously fresh, now red
