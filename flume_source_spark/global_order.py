@@ -49,9 +49,16 @@ the sampling; only the parallelism does.
 Contract: ``order_cols`` must define a TOTAL order (include a unique
 tiebreak) and ``bucket_key`` must be a non-null numeric expression
 ascending-monotone in that order (negate for DESC heads; compose
-``a * K + b`` for multi-column heads with b < K). At 100 TB pass
-``buckets ≈ rows / 10M`` so each bucket-sort fits a task; the default
-64 suits fixture scale.
+``a * K + b`` for multi-column heads with b < K). ``df`` must be
+DETERMINISTIC over a stable source: boundaries, per-bucket counts and
+the ranked output are computed in SEPARATE jobs, so an input with
+``rand()``/sampling upstream (or a source mutated between jobs) could
+re-bucket rows between the count job and execution and produce
+duplicated/gapped ranks — the old in-plan offset join was
+self-consistent by construction, the literal form is not (ADVICE
+r12). Every current caller orders by md5/plain-column keys. At 100 TB
+pass ``buckets ≈ rows / 10M`` so each bucket-sort fits a task; the
+default 64 suits fixture scale.
 """
 
 from __future__ import annotations
@@ -115,12 +122,20 @@ def _bucket_expr(bnds: list[float], key: Column) -> Column:
     return rec(0, len(bnds))
 
 
-def _bucketed(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
-    """Stamp each row with its deterministic order-bucket id."""
+def _bucketed(
+    df: DataFrame, bucket_key: Column, buckets: int
+) -> tuple[DataFrame, int]:
+    """Stamp each row with its deterministic order-bucket id; returns
+    ``(stamped_df, n_buckets)`` so callers share one copy of the
+    empty/boundary fallback (ADVICE r12: ``with_global_rank`` used to
+    inline a drifting duplicate of this branch)."""
     bnds = _boundaries(df, bucket_key, buckets)
     if not bnds:  # empty input (or all-null key): one bucket
-        return df.withColumn(_BUCKET, F.lit(0))
-    return df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double")))
+        return df.withColumn(_BUCKET, F.lit(0)), 1
+    return (
+        df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double"))),
+        len(bnds) + 1,
+    )
 
 
 def _offset_literals(bucketed: DataFrame, n_buckets: int) -> tuple[list[int], int]:
@@ -155,13 +170,7 @@ def with_global_rank(
     ``order_cols`` (and optionally ``total_col`` = table row count)
     without any corpus-sized single-partition sort. See module doc for
     the contract on ``bucket_key``."""
-    bnds = _boundaries(df, bucket_key, buckets)
-    if not bnds:  # empty input (or all-null key): one bucket
-        b = df.withColumn(_BUCKET, F.lit(0))
-        n_buckets = 1
-    else:
-        b = df.withColumn(_BUCKET, _bucket_expr(bnds, bucket_key.cast("double")))
-        n_buckets = len(bnds) + 1
+    b, n_buckets = _bucketed(df, bucket_key, buckets)
     offs, total = _offset_literals(b, n_buckets)
     local = F.row_number().over(Window.partitionBy(_BUCKET).orderBy(*order_cols))
     out = b.withColumn(_LOCAL, local).withColumn(

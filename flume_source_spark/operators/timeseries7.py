@@ -431,7 +431,14 @@ def survival_durations(ev: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataF
     NOT used by the stratified log-rank: its censor rows carry a
     tie-broken ``max_by`` stratum whose tiebreak is not expressible as
     "the window-last row" under duplicate timestamps — that builder
-    keeps its two-branch shape and materializes it instead."""
+    keeps its two-branch shape and materializes it instead.
+
+    Precondition: ``ts`` must be non-null on every row (true of the
+    events table by construction). The pre-r12 formulation's
+    ``t IS NOT NULL`` filter dropped null-ts rows; here a null ts
+    would instead emit a (t=NULL, died=1) life-table row (ADVICE
+    r12) — byte-identical outputs are guaranteed only for non-null
+    ts, including tied per-user maxima."""
     from pyspark.sql import Window as W
 
     gmax_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]

@@ -71,7 +71,8 @@ def test_global_order_boundaries_are_driver_literals(spark):
     assert len(bnds) == 7
     assert all(isinstance(b, float) for b in bnds)
     assert bnds == sorted(bnds)
-    b = _bucketed(df, F.col("k"), 8)
+    b, n_buckets = _bucketed(df, F.col("k"), 8)
+    assert n_buckets == 8
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "percentile_approx" not in plan, (
         "boundary sketch must not be re-evaluated inside the bucketed plan"
