@@ -328,11 +328,25 @@ def main() -> None:
     def sweep(names: list[str]) -> tuple[dict[str, list[float]], list[float]]:
         samples: dict[str, list[float]] = {n: [] for n in names}
         canary: list[float] = []
-        for _pass in range(3):
+
+        def one_pass() -> None:
             canary.append(round(run_once("q06_forecast_revenue"), 3))
             for n in names:
                 samples[n].append(run_once(n))
-        for n in names:  # escape hatch: all three inside one burst
+
+        for _pass in range(3):
+            one_pass()
+        # Round-13 hardening (VERDICT r12 item 2): in the r12 driver
+        # window a single long burst owned ALL THREE passes — the
+        # canary rose monotonically 0.461→0.543→0.679 and the
+        # per-entry 3×-spread hatch below never fired because every
+        # sample was equally inflated. A rising canary TREND is the
+        # one signal that survives that failure mode, so it triggers
+        # one extra full pass (its canary recorded like the others —
+        # the artifact shows why the pass ran).
+        if canary[-1] > 1.3 * canary[0]:
+            one_pass()
+        for n in names:  # escape hatch: all samples inside one burst
             if max(samples[n]) > 3 * min(samples[n]):
                 samples[n].append(run_once(n))
         return samples, canary
