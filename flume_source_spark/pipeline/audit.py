@@ -815,16 +815,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = spread(load_tables(spark, sf_dir)["documents"])
-    # No persist (ADVICE r10 item 4): a registered builder returns a
-    # LAZY frame, so a persist here can never be paired with an
-    # unpersist and leaks cached blocks for the rest of the session.
-    # The shingle projection is recomputed by the signature pass and
-    # the verify join — two cheap map-side scans.
     docs = d.select("doc_id", shingle_col(F.col("text")).alias("shingles"))
     sig = minhash_signature(docs, "doc_id", "shingles")
-    cand = lsh_candidate_pairs(sig, "doc_id")
+    # Round-13 single-corpus-pass re-shape (guide §2.4; live-scan
+    # audit: this plan carried 14 documents scans / 52 Exchanges —
+    # the banded candidate generation re-ran for the id projection
+    # and again under BOTH sides of the verify join, and the shingle
+    # projection re-ran per reference). Materialize the two BOUNDED
+    # frames once each with eager localCheckpoint (the house builder
+    # discipline — unlike the bare persist ADVICE r10 item 4 banned,
+    # a checkpoint needs no unpersist pairing): `cand` is the LSH
+    # candidate pair list (band-capped), `cdocs` the shingle arrays
+    # of candidate-touched docs only. Leaves 2 live corpus scans
+    # (signature chain + candidate-doc projection).
+    cand = lsh_candidate_pairs(sig, "doc_id").localCheckpoint(eager=True)
     ids = cand.select(F.col("i").alias("doc_id")).union(cand.select("j")).distinct()
-    cdocs = docs.join(F.broadcast(ids), "doc_id")
+    cdocs = docs.join(F.broadcast(ids), "doc_id").localCheckpoint(eager=True)
     left = cdocs.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
     right = cdocs.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))

@@ -54,7 +54,16 @@ BAND_BITS = 32 // BANDS  # 8-bit bands
 def hamming_pairs(codes: DataFrame, radius: int = HAMMING_RADIUS) -> DataFrame:
     """(i, j, hamming) pairs with distance ≤ radius over a
     (doc_id, simhash) DataFrame, via banded equi-join + exact popcount
-    filter. Exact recall for radius ≤ BANDS-1."""
+    filter. Exact recall for radius ≤ BANDS-1.
+
+    ``codes`` is materialized once (round-13, guide §2.4): both band
+    sides of the self-join consume it, and every caller's code frame
+    embeds the full tokenize → explode → 32-conditional-sum SimHash
+    aggregation — unmaterialized, the plan ran that corpus pass twice
+    (live-scan audit: 2 scans → 0 for dedup_simhash_hamming_exact).
+    The frame is one (doc_id, simhash) row per document — linear,
+    smaller than its corpus input."""
+    codes = codes.localCheckpoint(eager=True)
     banded = codes.select(
         "doc_id",
         "simhash",
