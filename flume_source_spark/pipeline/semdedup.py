@@ -110,11 +110,25 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int | None = N
     # and the pairwise join; at 100 TB this is MEMORY_AND_DISK on the
     # N×dim vectors — still linear state, the standard k-means
     # trade-off, not a driver collect.
-    e = spread(e, "vec_id").persist()
+    cached = spread(e, "vec_id").persist()
+    e = cached
+    n = e.count()  # one job; also materializes the cache
     if nlist is None:
-        # one count over the (persisted) corpus — also materializes
-        # the cache every later stage reuses
-        nlist = _default_nlist(e.count())
+        nlist = _default_nlist(n)
+    # SIZE-DERIVED partition count for the Python-kernel stages
+    # (guide §2: scale-adaptive partitioning, not a core-count
+    # constant). The Lloyd/assignment kernels spawn one Python worker
+    # PER PARTITION; at fixture scale defaultParallelism partitions
+    # hold ~60 rows each, so the stage pays 32 worker spawns (each a
+    # full interpreter+numpy init — §4.5's per-task cost) to matmul a
+    # few KB, and the round-13 bench diagnosis showed exactly those
+    # spawn storms stalling the entry for tens of seconds in long
+    # 32-core sessions (OPTIMIZATION_r13.md). ⌈N/500⌉ partitions give
+    # every worker a real batch; the defaultParallelism ceiling means
+    # at scale (N ≥ 500·cores) this is a no-op and every core works.
+    p = max(1, min(e.sparkSession.sparkContext.defaultParallelism, -(-n // 500)))
+    if p < e.rdd.getNumPartitions():
+        e = e.coalesce(p)
     c_mat = train_spherical_kmeans(e, nlist, iters)
     assigned = assign_nearest(e, c_mat, 1)
 
@@ -149,7 +163,7 @@ def semdedup_decisions(e: DataFrame, tau: float = SEM_TAU, nlist: int | None = N
     # everything downstream reads the checkpointed ev — release the
     # corpus cache instead of leaking one persisted frame per call
     # (bench runs this builder 4×; the leaked blocks survived the run)
-    e.unpersist(blocking=False)
+    cached.unpersist(blocking=False)
 
     # hot-cluster guard: only members of ≤ MAX_CLUSTER clusters enter
     # the pairwise join. sizes is ≤ nlist rows → broadcast. The same
