@@ -283,13 +283,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     jac = inter / union
-    return (
+    out = (
         cand.join(F.broadcast(left), "i")
         .join(F.broadcast(right), "j")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
         .orderBy("i", "j")
+        # materialize the BOUNDED verified-pair result eagerly and
+        # release the two corpus-sized caches (round-13: the bare
+        # persists leaked one shingle + one candidate cache PER CALL
+        # — and four composites call this builder, so a bench session
+        # accumulated dozens of pinned frames; the
+        # unpersist-after-checkpoint pattern text_bm25/semdedup use).
+        # Checkpointing here also collapses every consumer's plan:
+        # the live-scan audit showed 24 documents scans in THIS plan
+        # and 49 in ds_neardup_rate_by_lang's before the change.
+        .localCheckpoint(eager=True)
     )
+    docs.unpersist(blocking=False)
+    cand.unpersist(blocking=False)
+    return out
 
 
 _CONTAINMENT_ORACLE = """
@@ -417,13 +430,20 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     jac = inter / union
-    return (
+    out = (
         cand.join(F.broadcast(left), "i")
         .join(F.broadcast(right), "j")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("i", "j", F.round(jac, 4).cast("double").alias("jaccard"))
         .orderBy("i", "j")
+        # same unpersist-after-checkpoint discipline as
+        # dedup_minhash_lsh (round-13): the result is candidate-sized,
+        # the two caches were leaked per call before
+        .localCheckpoint(eager=True)
     )
+    docs.unpersist(blocking=False)
+    cand.unpersist(blocking=False)
+    return out
 
 
 @query(

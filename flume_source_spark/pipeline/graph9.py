@@ -100,7 +100,18 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     center is the sole authority at 10⁶; disconnected components
     normalize against the GLOBAL leader; a chain's scores decay)
     drive the production stages. The edge frame should be bounded
-    (rollup-sized) — callers checkpoint it."""
+    (rollup-sized) — callers checkpoint it.
+
+    Round-13 re-shape (guide §2.4/§3 "very wide plans"): the unroll
+    used to stay fully LAZY — each round's ``araw``/``hraw`` was
+    referenced twice (the normalization join and the max scalar) and
+    fed the next round's two references, so the plan tree multiplied
+    ~4× per round (~4^iters subtree copies of the edge join; the
+    suite's single slowest oracle test at 82 s). Each half-round's
+    score frame is now localCheckpoint'd — it is vertex-sized
+    (linear, ≤ the rollup's residue count here), every round's plan
+    is constant-size, and the integer arithmetic is unchanged, so
+    scores are byte-identical (oracle + closed-form model tests)."""
     h = (
         edges.select("src")
         .distinct()
@@ -112,6 +123,7 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             edges.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint()
         )
         amax = araw.agg(F.max("s").alias("m"))
         a = araw.crossJoin(F.broadcast(amax)).select(
@@ -121,6 +133,7 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             edges.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint()
         )
         hmax = hraw.agg(F.max("s").alias("m"))
         h = hraw.crossJoin(F.broadcast(hmax)).select(

@@ -120,12 +120,19 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_stop", F.col("word").isin(*STOPWORDS)
     )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
+    # Round 13 (guide §2.4, live-scan audit: 5 documents scans in one
+    # plan): seg (the corpus tokenize + prefix-sum segmentation) and
+    # phrases fan into every downstream branch — pw, wscore, pscore,
+    # agg — so unmaterialized the explode+window corpus pass re-ran
+    # per branch. Both frames are linear (one row per non-stop token /
+    # per phrase); materialize each once.
     seg = (
         pos.withColumn(
             "phrase_id", F.count(F.when(F.col("is_stop"), 1)).over(wdoc)
         )
         .filter(~F.col("is_stop"))
         .select("doc_id", "p", "word", "phrase_id")
+        .localCheckpoint(eager=True)
     )
     phrases = (
         seg.groupBy("doc_id", "phrase_id")
@@ -137,6 +144,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("plen"),
         )
         .filter(F.col("plen") <= 4)
+        .localCheckpoint(eager=True)
     )
     pw = seg.join(phrases, ["doc_id", "phrase_id"]).select(
         "doc_id", "phrase_id", "word", "plen"

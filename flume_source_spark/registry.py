@@ -95,7 +95,7 @@ _DRIVER_GREEN_R02 = frozenset(
         "scalar_datetime", "scalar_hash", "scalar_hash_spark", "scalar_json",
         "scalar_json_tools", "scalar_map_ops", "scalar_math",
         "scalar_months_between_bround", "scalar_struct_map", "dedup_cluster_cc",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
         "ds_pack_sequences", "ds_split_deterministic", "ds_stratified_sample",
         "sim_ann_lsh", "sim_cosine_topk", "sim_embedding_neardup", "text_decontaminate",
     }
@@ -147,11 +147,11 @@ _DRIVER_GREEN_R04 = frozenset(
     {
         "scalar_variant", "ds_mixture_weighted", "ds_token_budget_fill",
         "ds_global_shuffle", "ds_interleave_sources", "ds_pipeline_end_to_end",
-        "graph_degree_hist", "graph_pagerank_neardup", "emb_centroid_cohesion",
+        "graph_degree_hist", "emb_centroid_cohesion",
         "emb_quantize_int8", "text_gopher_rules", "text_unigram_logprob",
         "ds_quality_cascade", "source_text_roundtrip", "source_xml_roundtrip",
         "source_csv_malformed", "udf_cogrouped_merge", "text_line_dedup",
-        "dedup_keep_best", "ds_bloom_dedup",
+        "ds_bloom_dedup",
         "geo_heatmap_grid", "join_asof_nearest",
         "join_interval_overlap", "sql_scripting_threshold",
         "sql_declared_functions", "udtf_table_partition",
@@ -199,17 +199,16 @@ _DRIVER_GREEN_R04 = frozenset(
 _DRIVER_GREEN_R05 = frozenset(
     {
         "ds_pack_attention_spans", "graph_pagerank_exact",
-        "dedup_cluster_cc_lsh", "profile_summary", "upsert_time_travel",
-        "sim_mips_topk", "graph_triangle_count", "window_range_interval",
+        "profile_summary", "upsert_time_travel",
+        "sim_mips_topk", "window_range_interval",
         "agg_heavy_hitters", "sql_pipe_syntax", "scalar_regexp_suite",
-        "ds_semdedup", "emb_norm_stats",
+        "emb_norm_stats",
         "source_schema_evolution", "sink_spool_writer",
         "filemeta_sharded_scan", "multimodal_content_dedup",
         "join_null_safe", "streaming_cdc_latest_batch",
         "ts_cusum_changepoint", "udtf_analyze_dynamic", "constraint_check",
         "agg_percentile_disc_cont", "agg_regression_family",
         "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
-        "dedup_incremental_lsh", "dedup_simhash_hamming_join",
         "ds_importance_resample",
         "ds_length_histogram", "ds_mixture_temperature",
         "ds_reservoir_per_group", "emb_pca_power", "emb_quantize_pq",
@@ -311,7 +310,7 @@ _R05_VERIFY_FIRST = (
 # against the corrected oracle.
 _DRIVER_GREEN_R06 = frozenset(
     {
-        "agg_basic", "dedup_simhash_exact", "dedup_simhash_hamming_exact",
+        "agg_basic", "dedup_simhash_exact",
         "ds_deterministic_sample", "ds_split_leakage_safe",
         "emb_pca_power_exact", "emb_quantize_pq_exact", "graph_kcore",
         "join_inner", "join_shuffle_fact_fact",
@@ -364,7 +363,7 @@ _DRIVER_ROWSONLY_R06 = frozenset(
 _R07_STALE_REPIN = (
     # one-per-family heads (VERDICT r6 item 1 names the first eight)
     "join_left_outer", "setop_except_all", "subquery_scalar_correlated",
-    "agg_grouping_sets", "scalar_datetime", "dedup_minhash_lsh",
+    "agg_grouping_sets", "scalar_datetime",
     "ts_gap_fill", "merge_upsert_emulation",
     "window_ranking", "filter_predicates", "sort_multi_key",
     "sim_cosine_topk", "ds_split_deterministic", "skew_salted_aggregation",
@@ -420,7 +419,6 @@ _DRIVER_GREEN_R07 = frozenset(
         "agg_count_min_exact", "agg_grouping_sets", "agg_moment_sums_exact",
         "agg_quantile_hist_exact", "agg_sketch_intersect_exact",
         "agg_sketch_merge_exact", "bucketed_colocated_join",
-        "dedup_minhash_lsh", "dedup_soft_weights",
         "dq_benford_digits", "ds_domain_mix_rebalance",
         "ds_k_anonymity_audit", "ds_snapshot_diff", "ds_split_deterministic",
         "emb_prefix_energy", "entity_fs_linkage_scores", "filter_predicates",
@@ -529,9 +527,13 @@ _DRIVER_GREEN_R09 = frozenset(
 # They sort right behind the never-swept tier so one ~8-slot block of
 # the round-10 sweep refreshes them; a later-round artifact row
 # removes each from the tier automatically.
+# (graph_pagerank_neardup, ds_semdedup and dedup_simhash_hamming_join
+# left this tuple in round 13: their executed paths were re-shaped —
+# loop-invariant checkpoints / size-derived kernel partitioning / the
+# hamming_pairs materialization — so each re-enters verify-first
+# instead of the currency tier.)
 _R10_ROWSONLY_REPIN = (
-    "sim_ann_ivf", "multimodal_binaryfile", "graph_pagerank_neardup",
-    "ds_semdedup", "dedup_simhash_hamming_join", "emb_pca_power",
+    "sim_ann_ivf", "multimodal_binaryfile", "emb_pca_power",
     "emb_quantize_pq", "sim_ann_pq_adc",
 )
 
@@ -545,8 +547,8 @@ _R10_ROWSONLY_REPIN = (
 # round-10 re-pin policy window.
 _DRIVER_GREEN_R10 = frozenset(
     {
-        "agg_log2_histogram", "dedup_threshold_sweep", "dq_cramers_v_sq",
-        "dq_freshness_lag", "ds_neardup_rate_by_lang",
+        "agg_log2_histogram", "dq_cramers_v_sq",
+        "dq_freshness_lag",
         "entity_golden_record",
         "filter_predicates", "lsh_similar_topk",
         "multimodal_phash_hamming_neardup", "q01_pricing_summary",
@@ -565,9 +567,12 @@ _DRIVER_GREEN_R10 = frozenset(
         "ts_holt_winters_exact", "ts_hw_backtest_wape", "ts_kaplan_meier",
         "ts_rolling_median_exact", "ts_seasonal_decompose_exact",
         "ts_seasonal_residual_outliers",
-        # the 8 rows-only artifact-currency re-pins (no_oracle rows)
-        "dedup_simhash_hamming_join", "ds_semdedup", "emb_pca_power",
-        "emb_quantize_pq", "graph_pagerank_neardup",
+        # the 8 rows-only artifact-currency re-pins (no_oracle rows);
+        # dedup_simhash_hamming_join, ds_semdedup and
+        # graph_pagerank_neardup excluded in round 13 (re-shaped —
+        # see the _R10_ROWSONLY_REPIN note)
+        "emb_pca_power",
+        "emb_quantize_pq",
         "multimodal_binaryfile", "sim_ann_ivf", "sim_ann_pq_adc",
     }
 )
@@ -646,7 +651,7 @@ _DRIVER_GREEN_R12 = frozenset(
         "ds_balanced_undersample", "ds_batch_plan", "ds_curriculum_order",
         "ds_shard_snake_balance", "emb_isotropy_audit",
         "emb_prefix_recall_curve", "entity_golden_record_audit",
-        "geo_knn_join", "graph_bipartite_copurchase", "graph_hits_exact",
+        "geo_knn_join", "graph_bipartite_copurchase",
         "graph_resource_allocation", "graph_rich_club",
         "multimodal_phash_recall_audit", "sim_mmr_rerank",
         "source_jsonl_roundtrip", "source_orc_roundtrip",
@@ -679,7 +684,7 @@ _R13_STALE_REPIN = (
     "sql_lateral_topk", "multimodal_decode", "multimodal_frame_sample",
     "filemeta_ignore_pattern", "agg_incremental_merge",
     # r4-era one-per-family heads (17)
-    "agg_bitmap_distinct", "dedup_keep_best", "dq_drift_psi",
+    "agg_bitmap_distinct", "dq_drift_psi",
     "ds_pipeline_end_to_end", "emb_quantize_int8", "geo_heatmap_grid",
     "graph_degree_hist", "join_asof_nearest", "scalar_variant",
     "source_csv_malformed", "sql_declared_functions",
@@ -698,13 +703,13 @@ _R13_STALE_REPIN = (
     "window_distinct_count_emulation",
     # r5-era (42) — latest artifact CORRECTNESS_r05.json, all oracled
     "agg_heavy_hitters", "agg_percentile_disc_cont",
-    "agg_regression_family", "constraint_check", "dedup_cluster_cc_lsh",
+    "agg_regression_family", "constraint_check",
     "dedup_cluster_cc_star", "dedup_containment", "dedup_fuzzy_names",
-    "dedup_incremental_lsh", "ds_importance_resample",
+    "ds_importance_resample",
     "ds_length_histogram", "ds_mixture_temperature",
     "ds_pack_attention_spans", "ds_reservoir_per_group", "emb_norm_stats",
     "filemeta_sharded_scan", "graph_pagerank_exact",
-    "graph_triangle_count", "join_asof_forward", "join_asof_tolerance",
+    "join_asof_forward", "join_asof_tolerance",
     "join_existence_or", "join_null_safe", "multimodal_clip_filter",
     "multimodal_content_dedup", "profile_summary", "scalar_bitwise",
     "scalar_collation", "scalar_regexp_suite", "sim_mips_topk",
@@ -715,6 +720,24 @@ _R13_STALE_REPIN = (
     "udtf_analyze_dynamic", "upsert_time_travel", "window_range_interval",
 )
 
+# THIRTEEN round-13 exclusions across the sets above (the re-shape →
+# verify-first discipline; every one re-verified raw-tuple-strict at
+# sf0.001 + sf0.01 locally before landing — OPTIMIZATION_r13.md):
+# - graph_triangle_count (was r05; degree-ordered wedge orientation)
+# - dedup_simhash_hamming_exact (was r06) and
+#   dedup_simhash_hamming_join (was r10 rows-only): hamming_pairs now
+#   materializes its codes input once
+# - dedup_threshold_sweep (was r10): candidate/cand-doc checkpoints
+# - ds_semdedup (was r10 rows-only): size-derived kernel partitioning
+# - graph_hits_exact (was r12): per-half-round score checkpoints
+# - graph_pagerank_neardup (was r10 rows-only): loop-invariant
+#   bidir/deg checkpoints in pagerank()
+# - dedup_minhash_lsh (was r07) + dedup_incremental_lsh (was r05):
+#   unpersist-after-checkpoint (the leaked per-call caches), result
+#   materialized once — and their riders dedup_cluster_cc_lsh (r05),
+#   dedup_soft_weights (r07), ds_neardup_rate_by_lang (r10),
+#   dedup_keep_best (r04) whose executed plans now read the
+#   checkpointed pair frame.
 # ROUND-14 NOTE: when CORRECTNESS_r13.json lands, the dynamic pickup
 # re-tiers automatically. The manual hygiene step is: fold r13's keys
 # into a hardcoded _DRIVER_GREEN_R13, bump _KNOWN_ROUNDS to 13, and
